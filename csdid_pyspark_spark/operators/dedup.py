@@ -1,0 +1,175 @@
+"""Deduplication operators for large text corpora.
+
+Four tiers, all shuffle-planned for 100 TB corpora:
+
+* exact        — hash-groupBy on a normalized fingerprint. One shuffle
+                 on a short fixed-width key (md5), map-side partial agg.
+* shingle/Jaccard — postings-list self-join on 3-gram shingles; the
+                 classic candidate-pair pattern (shuffle keyed by
+                 shingle, then by pair). Exact Jaccard, SQL-checkable.
+* MinHash+LSH  — signature → band-bucket join; candidate generation is
+                 linear in corpus size, verification only on bucket
+                 collisions. Built-ins only (md5-based hash family).
+* SimHash      — 64-bit fingerprint via per-token hashes; near-dup =
+                 identical fingerprint (or banded prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csdid_pyspark_spark.functions.text import normalized_fingerprint
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: survivor id (min id) and
+    duplicate count. Single hash shuffle on the md5 fingerprint —
+    partial aggregation happens map-side, so the shuffle carries one
+    row per distinct fingerprint per task, not per document."""
+    return (
+        df.select(F.col(id_col), normalized_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").cast("bigint").alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return the deduplicated corpus (survivor rows only)."""
+    survivors = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("survivor_id").alias(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) postings: word n-gram shingles of the
+    whitespace-tokenized text. 0-based Spark array subscripts; docs
+    shorter than n tokens produce no shingles."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    df = df.select(F.col(id_col), toks.alias("tokens"))
+    parts = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(n))
+    shingles = F.expr(
+        f"CASE WHEN size(tokens) >= {n} "
+        f"THEN transform(sequence(0, size(tokens) - {n}), i -> {parts}) "
+        f"ELSE array() END"
+    )
+    return df.select(id_col, F.explode(shingles).alias("shingle")).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs that share ≥1
+    shingle. Postings self-join: shuffle keyed by shingle (skew-safe
+    under AQE), then aggregate by pair. Only pairs above `threshold`
+    survive. Columns: id_a < id_b, jaccard."""
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _hash64(col, seed: int):
+    """Deterministic 64-bit-ish hash of a string from an md5 family:
+    conv() of 14 hex chars → bigint. Built-ins only (portable to SQL)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 14), 16, 10).cast("bigint")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: for each of `num_hashes` seeded hash
+    functions, the min hash over the doc's shingle set. One aggregation
+    pass over the postings table — signature is num_hashes columns."""
+    sh = shingle_table(df, text_col, id_col, n)
+    aggs = [F.min(_hash64(F.col("shingle"), s)).alias(f"mh_{s}") for s in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH near-dup candidates, verified with exact Jaccard.
+
+    Banding: num_hashes/bands rows per band; docs agreeing on all rows
+    of any band become candidates (shuffle keyed by (band, bucket)).
+    Candidates are then re-scored with exact shingle Jaccard, so the
+    output is exact — LSH only prunes the pair space, which is what
+    makes this run at 100 TB where the all-pairs join cannot."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    buckets = []
+    for band in range(bands):
+        cols = [F.col(f"mh_{band * rows + r}") for r in range(rows)]
+        buckets.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    bucketed = buckets[0]
+    for bdf in buckets[1:]:
+        bucketed = bucketed.unionByName(bdf)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(df, text_col, id_col, n, threshold)
+    return exact.join(cand, ["id_a", "id_b"], "left_semi")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: sign-sum of per-token hash bits. Tokens are
+    hashed once (md5→bigint); bit b of the fingerprint is 1 iff more
+    tokens have bit b set than unset. Exploded-token aggregation —
+    one shuffle keyed by doc id."""
+    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    tok_df = df.select(F.col(id_col), toks)
+    h = _hash64(F.col("tok"), 0)
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok_df.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return agg.select(F.col(id_col), fp.alias("simhash"))

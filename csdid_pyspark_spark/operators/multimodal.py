@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The Spark-side mechanics are real and tested — schema contract,
+Arrow-batched ``mapInPandas`` over binary columns, partition-sized
+batches — while the actual media decode is stubbed (image/audio libs
+are not in this container). Swap ``_decode_stub`` for a real decoder
+(PIL/torchaudio/ffmpeg) without touching the plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Contract for a multimodal asset table: payload is opaque bytes, all
+# dimensions/typing live in metadata columns so planning (partition
+# pruning, size-based batching) never touches the payload.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("checksum", StringType(), True),
+    ]
+)
+
+
+def synthetic_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake asset table (payload = seeded bytes) so the
+    plumbing is testable without media libraries."""
+    rows = []
+    for i in range(n):
+        payload = bytes((i * 31 + j * 7) % 256 for j in range(128 + (i % 5) * 64))
+        modality = ("image", "audio", "video")[i % 3]
+        rows.append((i, modality, f"application/x-fake-{modality}", payload, len(payload)))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _decode_stub(payload: bytes, modality: str) -> tuple[int, int]:
+    """STUB for the real media decode. Deterministic fake dimensions
+    derived from the payload so tests are stable. A production build
+    replaces this body with PIL.Image.open / av / soundfile."""
+    if payload is None:
+        return (0, 0)
+    w = 16 + (payload[0] if payload else 0) % 64
+    h = 16 + (payload[-1] if payload else 0) % 64
+    return (w, h)
+
+
+def extract_features(assets: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` streams record batches through Python once —
+    the pattern a real image-resize/frame-sample operator uses. The
+    per-row decode is the stub above; everything else (schema, batch
+    shape, checksum, null payloads) is production-real."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "checksum": [
+                        hashlib.md5(p).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def size_partitioned(assets: DataFrame, target_mb: int = 128) -> DataFrame:
+    """Repartition by payload volume, not row count — media rows are
+    wildly variable-sized, so row-count partitioning creates stragglers
+    at scale. Uses range partitioning on cumulative-size-friendly key."""
+    return assets.repartitionByRange(F.col("n_bytes").desc(), F.col("asset_id"))

@@ -1,0 +1,286 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+event sessionization. Oracle-checked where ANSI-SQL can express the
+same semantics; LSH candidate generation is Spark-only (rows check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csdid_pyspark_spark.functions.text import (
+    LANG_STOPWORDS,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from csdid_pyspark_spark.functions.text import lang_id as lang_id_col
+from csdid_pyspark_spark.operators import dedup, sessionize, similarity
+from csdid_pyspark_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d)
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, n=3, threshold=0.5)
+
+
+DEDUP_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, GREATEST(len(tokens) - 1, 1)),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+  FROM toks WHERE len(tokens) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned near-dup pairs, exact-Jaccard verified. No SQL oracle
+    (banded LSH candidate generation is not ANSI-SQL-expressible);
+    tests assert it reproduces `dedup_jaccard` pairs with high recall."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, n=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (Spark-only rows check)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    e = load_table(spark, sf_dir, "embeddings")
+    return list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+
+def sim_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine of every vector against vec_id=0, thresholded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return (
+        similarity.cosine_scores(e, q)
+        .filter((F.col("vec_id") != 0) & (F.col("cosine") >= 0.1))
+        .select("vec_id", F.round("cosine", 5).alias("cosine"))
+    )
+
+
+SIM_COSINE_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 5) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0 AND list_cosine_similarity(embedding::DOUBLE[], qv) >= 0.1
+"""
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return similarity.cosine_topk(e.filter(F.col("vec_id") != 0), q, k=10).select(
+        "vec_id", F.round("cosine", 5).alias("cosine")
+    )
+
+
+SIM_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 5) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+LIMIT 10
+"""
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (Spark-only rows check; tests
+    measure recall against the brute-force baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return similarity.ann_topk_lsh(e.filter(F.col("vec_id") != 0), q, k=10, n_planes=6).select(
+        "vec_id", F.round("cosine", 5).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+        punct_count("text").alias("n_punct"),
+        stopword_count("text").alias("n_stopwords"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+
+
+_EN_STOP = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"] + ("it", "for", "on", "with", "as", "this", "that"))
+
+TEXT_STATS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(tokens) AS INT) AS n_tokens,
+    CAST(length(text) AS INT) AS n_chars_actual,
+    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+    CAST(len(list_filter(tokens, x -> lower(x) IN ({_EN_STOP}))) AS INT) AS n_stopwords,
+    length(text) AS len_text
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars_actual, n_punct, n_stopwords,
+  ROUND((1.0 - CAST(n_punct AS DOUBLE) / GREATEST(len_text, 1))
+        * (CASE WHEN n_tokens < 5 THEN 0.5 ELSE 1.0 END)
+        * (CASE WHEN CAST(n_stopwords AS DOUBLE) / GREATEST(n_tokens, 1) > 0.05 THEN 1.0 ELSE 0.8 END), 6) AS quality
+FROM s
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        lang_id_col("text").alias("lang_pred"),
+        (lang_id_col("text") == F.col("lang")).cast("int").alias("matches_label"),
+    )
+
+
+def _lang_sql_scores() -> str:
+    parts = []
+    for lang, words in LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        parts.append(f"CAST(len(list_filter(tokens, x -> lower(x) IN ({inlist}))) AS INT) AS s_{lang}")
+    return ",\n    ".join(parts)
+
+
+TEXT_LANG_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    {_lang_sql_scores()}
+  FROM t
+),
+p AS (
+  SELECT doc_id, lang,
+    CASE WHEN GREATEST(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+         WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+         WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+         WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+         WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+         ELSE 'zh' END AS lang_pred
+  FROM s
+)
+SELECT doc_id, lang_pred, CAST(lang_pred = lang AS INT) AS matches_label FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event sessionization + window rollups
+# ---------------------------------------------------------------------------
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return sessionize.session_stats(e, gap_minutes=30.0)
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+           OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events FROM sessions GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(n_events), 6) AS avg_events_per_session
+FROM per_session GROUP BY user_id
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return sessionize.tumbling_window_agg(e, duration="1 hour")
+
+
+HOURLY_SQL = """
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_jaccard": dedup_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "sim_cosine_scores": sim_cosine_scores,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_ann_lsh": sim_ann_lsh,
+    "text_stats": text_stats,
+    "text_lang_id": text_lang_id,
+    "events_sessionize": events_sessionize,
+    "events_hourly_rollup": events_hourly_rollup,
+}
+
+ORACLES = {
+    "dedup_exact_groups": DEDUP_EXACT_SQL,
+    "dedup_jaccard": DEDUP_JACCARD_SQL,
+    "sim_cosine_scores": SIM_COSINE_SQL,
+    "sim_topk_bruteforce": SIM_TOPK_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "text_lang_id": TEXT_LANG_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "events_hourly_rollup": HOURLY_SQL,
+    # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh: rows-only checks
+}

@@ -1,0 +1,579 @@
+"""Relational operator queries (SURVEY.md §2.1-2.5 [Q] rows).
+
+Every operator class the reference uses — projection, computed/when
+columns, filters, isin, null handling, distinct, global/grouped aggs,
+window lag, sorts/top-k — plus the join family, set ops, rollup/cube,
+and pivot that round out a complete query surface. One query per
+operator class, each with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csdid_pyspark_spark.sources.tables import load_table
+
+
+def _dsum(col, scale: str = "27,6"):
+    """Exact decimal accumulation, final double — order-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({scale})")).cast("double")
+
+
+# --- S1/A1/A5-style flagship: TPC-H Q1 pricing summary -------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            F.round(_dsum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+            F.round(_dsum("l_extendedprice") / F.count("*"), 6).alias("avg_price"),
+            F.round(_dsum("l_discount") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- P1-P4: projection + computed + conditional columns -------------------
+
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        band.alias("band"),
+        F.lit(1).alias("_intercept"),
+    )
+
+
+PROJECT_SQL = """
+SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal,
+  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+  1 AS _intercept
+FROM customer
+"""
+
+
+# --- P6: row filters -------------------------------------------------------
+
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_quantity") < 10.0)
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.08)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_quantity < 10.0 AND l_discount >= 0.02 AND l_discount <= 0.08
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+"""
+
+
+# --- P8: membership predicate ---------------------------------------------
+
+def isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.filter(F.col("n_nationkey").isin([0, 3, 7, 11, 19])).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+ISIN_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey IN (0, 3, 7, 11, 19)
+"""
+
+
+# --- P7: null handling (na.drop / na.fill) ---------------------------------
+
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nullable = F.when(F.col("value") >= 2.0, F.col("value"))  # else NULL
+    return (
+        e.select("event_id", nullable.alias("v"))
+        .na.fill({"v": -1.0})
+        .select("event_id", F.round("v", 2).alias("v"))
+    )
+
+
+NULLS_SQL = """
+SELECT event_id, ROUND(COALESCE(CASE WHEN value >= 2.0 THEN value END, -1.0), 2) AS v
+FROM events
+"""
+
+
+# --- A3: distinct values sorted --------------------------------------------
+
+def distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+# --- A1/A2/A4: global scalar aggregates -------------------------------------
+
+def global_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_shipdate"),
+    )
+
+
+GLOBAL_SQL = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+  MAX(l_quantity) AS max_qty, MIN(l_quantity) AS min_qty,
+  STRFTIME(MAX(l_shipdate), '%Y-%m-%d') AS max_shipdate
+FROM lineitem
+"""
+
+
+# --- A5: group-by count ------------------------------------------------------
+
+def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count("*").alias("n")).orderBy("o_orderpriority")
+
+
+GROUPBY_COUNT_SQL = (
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY 1"
+)
+
+
+# --- A6: group-by mean -------------------------------------------------------
+
+def groupby_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(_dsum("c_acctbal") / F.count("*"), 6).alias("avg_acctbal"),
+        F.count("*").alias("n_cust"),
+    )
+
+
+GROUPBY_MEAN_SQL = """
+SELECT c_nationkey,
+  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS avg_acctbal,
+  COUNT(*) AS n_cust
+FROM customer GROUP BY c_nationkey
+"""
+
+
+# --- A7: weighted mean per group ---------------------------------------------
+
+def weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    wx = F.col("l_quantity") * F.col("l_extendedprice")
+    return l.groupBy("l_returnflag").agg(
+        F.round(_dsum(wx, "30,6") / _dsum("l_quantity"), 6).alias("qty_weighted_price")
+    )
+
+
+WEIGHTED_MEAN_SQL = """
+SELECT l_returnflag,
+  ROUND(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+      / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 6) AS qty_weighted_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- W1: window lag (the panel2cs2 pattern) ----------------------------------
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT event_id, user_id,
+  ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+FROM events
+"""
+
+
+# --- O2-style: top-1 per group via row_number ---------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --- O1 + top-k: global sort-limit --------------------------------------------
+
+def global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+GLOBAL_TOPK_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+"""
+
+
+# --- Joins ---------------------------------------------------------------------
+
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-flavored: revenue per market segment. Shuffle joins on
+    the two fact keys; Catalyst/AQE picks broadcast for customer when
+    it is small enough."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+        .groupBy("c_mktsegment")
+        .agg(_dsum(revenue, "30,6").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+JOIN_INNER_SQL = """
+SELECT c_mktsegment,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY c_mktsegment
+"""
+
+
+def join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select("c_custkey")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavored star join: fact chain with explicitly
+    broadcast dimension tables (nation/region are tiny at any SF —
+    broadcasting them removes two shuffles from the plan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(revenue, "30,6").alias("revenue"))
+    )
+
+
+JOIN_STAR_SQL = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny literal bands table —
+    broadcast nested-loop, the right plan for theta joins with a
+    small side."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("b900", 900.0, 925.0), ("b925", 925.0, 950.0), ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(_dsum("p_retailprice") / F.count("*"), 6).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT band, COUNT(*) AS n_parts,
+  ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+FROM part
+JOIN (VALUES ('b900', 900.0, 925.0), ('b925', 925.0, 950.0),
+             ('b950', 950.0, 975.0), ('b975', 975.0, 1000.0)) AS b(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+# --- Set operations -------------------------------------------------------------
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+SET_UNION_SQL = "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier"
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SET_INTERSECT_SQL = (
+    "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier"
+)
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics, matching the SQL oracle
+
+
+SET_EXCEPT_SQL = (
+    "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier"
+)
+
+
+# --- Rollup / cube / pivot -------------------------------------------------------
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(_dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "project_compute": project_compute,
+    "filter_predicates": filter_predicates,
+    "isin_filter": isin_filter,
+    "null_handling": null_handling,
+    "distinct_sorted": distinct_sorted,
+    "global_scalars": global_scalars,
+    "groupby_count": groupby_count,
+    "groupby_mean": groupby_mean,
+    "weighted_mean": weighted_mean,
+    "window_lag_delta": window_lag_delta,
+    "window_topk_per_group": window_topk_per_group,
+    "global_topk": global_topk,
+    "join_inner_agg": join_inner_agg,
+    "join_left_count": join_left_count,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_star_broadcast": join_star_broadcast,
+    "join_range_bands": join_range_bands,
+    "set_union": set_union,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "rollup_orders": rollup_orders,
+    "cube_lineitem": cube_lineitem,
+    "pivot_status_by_priority": pivot_status_by_priority,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "project_compute": PROJECT_SQL,
+    "filter_predicates": FILTER_SQL,
+    "isin_filter": ISIN_SQL,
+    "null_handling": NULLS_SQL,
+    "distinct_sorted": DISTINCT_SQL,
+    "global_scalars": GLOBAL_SQL,
+    "groupby_count": GROUPBY_COUNT_SQL,
+    "groupby_mean": GROUPBY_MEAN_SQL,
+    "weighted_mean": WEIGHTED_MEAN_SQL,
+    "window_lag_delta": WINDOW_LAG_SQL,
+    "window_topk_per_group": WINDOW_TOPK_SQL,
+    "global_topk": GLOBAL_TOPK_SQL,
+    "join_inner_agg": JOIN_INNER_SQL,
+    "join_left_count": JOIN_LEFT_SQL,
+    "join_semi": JOIN_SEMI_SQL,
+    "join_anti": JOIN_ANTI_SQL,
+    "join_star_broadcast": JOIN_STAR_SQL,
+    "join_range_bands": JOIN_RANGE_SQL,
+    "set_union": SET_UNION_SQL,
+    "set_intersect": SET_INTERSECT_SQL,
+    "set_except": SET_EXCEPT_SQL,
+    "rollup_orders": ROLLUP_SQL,
+    "cube_lineitem": CUBE_SQL,
+    "pivot_status_by_priority": PIVOT_SQL,
+}

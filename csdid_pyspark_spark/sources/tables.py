@@ -1,0 +1,61 @@
+"""Parquet sources for the driver's star-schema testdata (TESTDATA.md).
+
+The reference only reads CSV with schema inference (usage.ipynb cell 2,
+test_predid.py:24 — SURVEY.md §2.1 S1). We standardize on parquet scans
+so Catalyst gets predicate pushdown + column pruning for free; CSV
+remains available through :func:`load_panel_csv` for reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Plain parquet scan — filters/projections
+    applied by callers push down into this scan via Catalyst.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; we read it as raw nanos (legacy conf) and floor-truncate to
+    microsecond timestamps with exact integer division — the same
+    truncation DuckDB applies when it evaluates EPOCH_US on its
+    TIMESTAMP_NS type, so oracle comparisons stay exact."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` can be used."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_panel_csv(
+    spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True
+) -> DataFrame:
+    """CSV panel reader matching the reference's input path
+    (spark.read.csv(..., header=True, inferSchema=True))."""
+    return spark.read.csv(path, header=header, inferSchema=infer_schema)
