@@ -1,0 +1,246 @@
+"""ATTgt — Callaway & Sant'Anna (2021) group-time average treatment
+effects, Spark-native.
+
+API mirrors the reference (``ATTgt(data, yname, tname, idname, gname,
+...).fit(est_method, base_period, bstrap)`` — reference ATTgt.py:22-52,
+233) but the execution model is one declarative plan: cached cell
+table → aggregation-pass kernels → influence functions as columns →
+distributed seeded bootstrap. No per-cell Spark actions, no dense
+n×(G·T) driver matrix (the reference's scalability cliff,
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from csdid_pyspark_spark.did.stats import norm_ppf
+
+from csdid_pyspark_spark.did import cells as cells_mod
+from csdid_pyspark_spark.did.kernels import estimate_panel, estimate_rc
+from csdid_pyspark_spark.did.mboot import mboot
+from csdid_pyspark_spark.did.preprocess import CL, DidError, PanelData, preprocess_did
+
+EST_METHODS = ("dr", "ipw", "reg")
+
+
+@dataclass
+class FitResult:
+    table: pd.DataFrame  # g, t, post, att, se, lower, upper, sig
+    crit_val: float
+    if_df: DataFrame  # (cid, unit-hash uh, inf_sc) scaled to the unit universe
+    cell_map: pd.DataFrame  # cid, g, t, post
+    n: int
+    est_method: str
+    bstrap: bool
+    cband: bool
+    alp: float
+    warnings_: list[str] = field(default_factory=list)
+
+
+class ATTgt:
+    def __init__(
+        self,
+        data: DataFrame,
+        yname: str,
+        tname: str,
+        idname: str,
+        gname: str,
+        xfmla: str | None = None,
+        panel: bool = True,
+        allow_unbalanced_panel: bool = True,
+        control_group: str = "nevertreated",
+        anticipation: int = 0,
+        weights_name: str | None = None,
+        alp: float = 0.05,
+        biters: int = 999,
+        clustervars: str | None = None,
+        seed: int = 42,
+    ):
+        self.alp = alp
+        self.biters = biters
+        self.seed = seed
+        self.anticipation = anticipation
+        self.control_group = control_group
+        self.clustervars = clustervars
+        self.spark = data.sparkSession
+        self.pdata: PanelData = preprocess_did(
+            data,
+            yname,
+            tname,
+            idname,
+            gname,
+            xfmla=xfmla,
+            panel=panel,
+            allow_unbalanced_panel=allow_unbalanced_panel,
+            control_group=control_group,
+            anticipation=anticipation,
+            weights_name=weights_name,
+            clustervars=clustervars,
+        )
+        self.fit_result: FitResult | None = None
+        self.summary_aggte: dict = {}
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        est_method: str = "dr",
+        base_period: str = "varying",
+        bstrap: bool = False,
+        cband: bool = False,
+    ) -> pd.DataFrame:
+        if est_method not in EST_METHODS and not callable(est_method):
+            raise DidError(f"est_method must be one of {EST_METHODS}")
+        if base_period not in ("varying", "universal"):
+            raise DidError("base_period must be 'varying' or 'universal'")
+        pdata = self.pdata
+        specs = cells_mod.build_cell_specs(
+            pdata.tlist, pdata.glist, base_period, self.anticipation
+        )
+        sdf = cells_mod.spec_df(self.spark, specs)
+        if pdata.panel:
+            cell_df = cells_mod.build_cell_table_panel(
+                pdata, sdf, self.control_group, self.anticipation
+            ).persist()
+            ests, if_raw = estimate_panel(cell_df, pdata.covariates, est_method, self.spark)
+            uh = F.xxhash64("uid")
+        else:
+            cell_df = cells_mod.build_cell_table_rc(
+                pdata, sdf, self.control_group, self.anticipation
+            ).persist()
+            ests, if_raw = estimate_rc(cell_df, pdata.covariates, est_method, self.spark)
+            uh = F.xxhash64("uid", "ut")
+
+        n = pdata.n
+        est_by_cid = {e.cid: e for e in ests}
+        # scale per-cell IF into the length-n universe: ×(n/n1), zeros
+        # implicit for units outside the cell (reference ATTgt.py:374-378)
+        scale_rows = [
+            (e.cid, n / e.n1 if e.n1 else 0.0) for e in ests if not e.skipped
+        ]
+        scale_df = self.spark.createDataFrame(scale_rows, "cid int, if_scale double")
+        if_df = (
+            if_raw.join(F.broadcast(scale_df), "cid")
+            .select(
+                "cid",
+                uh.alias("uh"),
+                (F.col("inf") * F.col("if_scale")).alias("inf_sc"),
+            )
+            .persist()
+        )
+
+        # analytic SEs: one aggregation over the IF table
+        se_rows = if_df.groupBy("cid").agg(
+            (F.sqrt(F.sum(F.col("inf_sc") * F.col("inf_sc"))) / n).alias("se")
+        ).collect()
+        se_by_cid = {r["cid"]: r["se"] for r in se_rows}
+        crit_val = float(norm_ppf(1 - self.alp / 2))
+
+        if bstrap:
+            boot_if = self._cluster_collapse(if_df) if self.clustervars else if_df
+            n_boot = self._n_clusters() if self.clustervars else n
+            mb = mboot(
+                boot_if,
+                "cid",
+                "uh",
+                "inf_sc",
+                n_boot,
+                biters=self.biters,
+                alp=self.alp,
+                seed=self.seed,
+            )
+            se_by_cid = {cid: mb.se.get(cid, float("nan")) for cid in se_by_cid}
+            if cband and math.isfinite(mb.crit_val):
+                crit_val = mb.crit_val
+
+        rows = []
+        for s in specs:
+            if s.zero:
+                rows.append((s.g, s.t, s.post, 0.0, float("nan")))
+                continue
+            if s.pret is None:
+                rows.append((s.g, s.t, s.post, float("nan"), float("nan")))
+                continue
+            e = est_by_cid.get(s.cid)
+            if e is None or e.skipped:
+                rows.append((s.g, s.t, s.post, float("nan"), float("nan")))
+            else:
+                rows.append((s.g, s.t, s.post, e.att, se_by_cid.get(s.cid, float("nan"))))
+        table = pd.DataFrame(rows, columns=["g", "t", "post", "att", "se"])
+        table["lower"] = table["att"] - crit_val * table["se"]
+        table["upper"] = table["att"] + crit_val * table["se"]
+        table["sig"] = (table["lower"] > 0) | (table["upper"] < 0)
+
+        cell_map = pd.DataFrame(
+            [(s.cid, s.g, s.t, s.post) for s in specs if s.pret is not None and not s.zero],
+            columns=["cid", "g", "t", "post"],
+        )
+        self.fit_result = FitResult(
+            table=table,
+            crit_val=crit_val,
+            if_df=if_df,
+            cell_map=cell_map,
+            n=n,
+            est_method=est_method if isinstance(est_method, str) else "custom",
+            bstrap=bstrap,
+            cband=cband,
+            alp=self.alp,
+            warnings_=[e.message for e in ests if e.skipped],
+        )
+        cell_df.unpersist()
+        return table
+
+    # ------------------------------------------------------------------
+    def _unit_weights(self) -> DataFrame:
+        """Per-unit (weight, cohort) table for aggte weighting:
+        first-period slice for panels, per-id means for RC (reference
+        ATTgt.py:591-599)."""
+        from csdid_pyspark_spark.did.preprocess import G, ID, T, W
+
+        df = self.pdata.df
+        if self.pdata.panel:
+            first_t = self.pdata.tlist[0]
+            return df.filter(F.col(T) == first_t).select(
+                F.col(ID).alias("uid"), F.col(W).alias("w_u"), F.col(G).alias("g_u")
+            )
+        return df.groupBy(ID).agg(
+            F.mean(W).alias("w_u"), F.mean(G).alias("g_u")
+        ).select(F.col(ID).alias("uid"), "w_u", "g_u")
+
+    def _cluster_collapse(self, if_df: DataFrame) -> DataFrame:
+        """Cluster bootstrap support: average IFs within cluster (the
+        reference's clustered path crashes on pandas-on-Spark idioms —
+        mboot.py:99-111, SURVEY.md §2.8.6)."""
+        from csdid_pyspark_spark.did.preprocess import CL, ID
+
+        cl_map = self.pdata.df.select(
+            F.xxhash64(ID).alias("uh"), F.col(CL).alias("cl")
+        ).distinct()
+        sizes = cl_map.groupBy("cl").agg(F.count("*").alias("cl_n"))
+        return (
+            if_df.join(cl_map, "uh")
+            .groupBy("cid", "cl")
+            .agg(F.sum("inf_sc").alias("s"))
+            .join(F.broadcast(sizes), "cl")
+            .select(
+                "cid",
+                F.xxhash64("cl").alias("uh"),
+                (F.col("s") / F.col("cl_n")).alias("inf_sc"),
+            )
+        )
+
+    def _n_clusters(self) -> int:
+        return self.pdata.df.select(CL).distinct().count()
+
+    # ------------------------------------------------------------------
+    def compute_aggte(self, typec: str = "group", **kwargs):
+        from csdid_pyspark_spark.did.aggte import compute_aggte
+
+        out = compute_aggte(self, typec=typec, **kwargs)
+        self.summary_aggte[typec] = out
+        return out

@@ -1,0 +1,159 @@
+"""(g,t) cell planning + cell-table construction.
+
+The reference runs a driver loop re-filtering and re-collecting the
+full lineage once per (g,t) cell (~6 Spark actions × |G|·|T| cells —
+reference ATTgt.py:287-331, the cause of its 2m51s baseline). We
+instead declare the whole plan once: a tiny cell-spec DataFrame is
+broadcast-joined to the panel, producing ONE cell table that every
+kernel pass aggregates by cell id. Row blowup is ~2·|G| (each row
+lands in the cells whose t/pret it matches), traded for eliminating
+per-cell scans entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csdid_pyspark_spark.did.preprocess import G, ID, T, W, Y, PanelData
+
+
+@dataclass
+class CellSpec:
+    cid: int
+    g: float
+    t: float
+    pret: float | None  # None → no usable pre-period (cell is skipped)
+    post: int
+    zero: bool = False  # universal base period, t == pret → ATT := 0
+
+
+def build_cell_specs(
+    tlist: list[float],
+    glist: list[float],
+    base_period: str = "varying",
+    anticipation: int = 0,
+) -> list[CellSpec]:
+    """Mirror of the reference's pret logic (ATTgt.py:294-307):
+
+    varying:   pre-treatment cells compare consecutive periods
+               (pret = previous period); post-treatment cells anchor at
+               the last period strictly before g - anticipation.
+    universal: every cell anchors at that same pre-treatment base; the
+               cell with t == pret is emitted as an exact zero.
+    """
+    specs: list[CellSpec] = []
+    cid = 0
+    for g in glist:
+        pre_periods = [t for t in tlist if t + anticipation < g]
+        anchor = pre_periods[-1] if pre_periods else None
+        ts = tlist if base_period == "universal" else tlist[1:]
+        for t in ts:
+            idx = tlist.index(t)
+            post = int(g <= t)
+            if base_period == "universal":
+                pret = anchor
+            elif g <= t:  # post-treatment (or same-period) cell
+                pret = anchor
+            else:  # pre-treatment cell: consecutive comparison
+                pret = tlist[idx - 1]
+            zero = base_period == "universal" and pret == t
+            specs.append(CellSpec(cid, g, t, pret, post, zero))
+            cid += 1
+    return specs
+
+
+def spec_df(spark, specs: list[CellSpec]) -> DataFrame:
+    rows = [
+        (s.cid, float(s.g), float(s.t), float(s.pret), s.post)
+        for s in specs
+        if s.pret is not None and not s.zero and s.pret != s.t
+    ]
+    return spark.createDataFrame(
+        rows, "cid int, cg double, ct double, pret double, post int"
+    )
+
+
+def control_pred(control_group: str, anticipation: int):
+    """Control-set predicate per cell (reference ATTgt.py:309-325):
+    never-treated always qualifies; not-yet-treated adds units whose
+    cohort starts after max(t, pret) + anticipation."""
+    never = F.col(G) == 0.0
+    if control_group == "nevertreated":
+        return never
+    nyt = (F.col(G) > F.greatest(F.col("ct"), F.col("pret")) + F.lit(float(anticipation))) & (
+        F.col(G) != F.col("cg")
+    )
+    return never | nyt
+
+
+def build_cell_table_panel(
+    pdata: PanelData, spec: DataFrame, control_group: str, anticipation: int
+) -> DataFrame:
+    """Panel cell table: one row per (cell, unit) with dy = y(t)-y(pret),
+    covariates taken at the base period. One broadcast join + one
+    shuffle keyed by (cid, id)."""
+    df = pdata.df
+    xcols = pdata.covariates
+    long = df.join(
+        F.broadcast(spec), (F.col(T) == F.col("ct")) | (F.col(T) == F.col("pret"))
+    )
+    at_t = F.when(F.col(T) == F.col("ct"), F.col(Y))
+    at_pret = F.when(F.col(T) == F.col("pret"), F.col(Y))
+    aggs = [
+        F.first("cg").alias("cg"),
+        F.first("ct").alias("ct"),
+        F.first("pret").alias("pret"),
+        F.first("post").alias("post"),
+        F.first(G).alias(G),
+        F.first(W).alias("w"),
+        F.max(at_t).alias("y1"),
+        F.max(at_pret).alias("y0"),
+        *[F.max(F.when(F.col(T) == F.col("pret"), F.col(x))).alias(x) for x in xcols],
+    ]
+    wide = (
+        long.groupBy("cid", ID)
+        .agg(*aggs)
+        .filter(F.col("y1").isNotNull() & F.col("y0").isNotNull())
+        .withColumn("dy", F.col("y1") - F.col("y0"))
+    )
+    is_treat = F.col(G) == F.col("cg")
+    keep = is_treat | control_pred(control_group, anticipation)
+    return (
+        wide.filter(keep)
+        .select(
+            "cid",
+            F.col(ID).alias("uid"),
+            is_treat.cast("double").alias("d"),
+            "w",
+            "dy",
+            *xcols,
+        )
+    )
+
+
+def build_cell_table_rc(
+    pdata: PanelData, spec: DataFrame, control_group: str, anticipation: int
+) -> DataFrame:
+    """Repeated-cross-section cell table: one row per (cell, observation)
+    with that row's own post indicator. Broadcast join only — no shuffle."""
+    df = pdata.df
+    xcols = pdata.covariates
+    long = df.join(
+        F.broadcast(spec), (F.col(T) == F.col("ct")) | (F.col(T) == F.col("pret"))
+    )
+    is_treat = F.col(G) == F.col("cg")
+    keep = is_treat | control_pred(control_group, anticipation)
+    return long.filter(keep).select(
+        "cid",
+        F.col(ID).alias("uid"),
+        F.col(T).alias("ut"),
+        is_treat.cast("double").alias("d"),
+        (F.col(T) == F.col("ct")).cast("double").alias("pst"),
+        F.col(W).alias("w"),
+        F.col(Y).alias("y"),
+        "post",
+        *xcols,
+    )

@@ -1,0 +1,177 @@
+"""Panel preprocessing for the Callaway-Sant'Anna estimator.
+
+Implements the semantics of the reference's ``_preprocess_did``
+(reference ATTgt.py:57-230, SURVEY.md §3.E1) with the §2.8 defects
+fixed by design: proper exceptions, real balanced-panel enforcement,
+and deterministic row identity for repeated cross-sections.
+
+Everything stays a lazy DataFrame; the only collected state is the
+tiny period/cohort lists and scalar counts.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csdid_pyspark_spark.functions.formula import INTERCEPT, parse_formula
+
+
+class DidError(ValueError):
+    """Raised for invalid estimator inputs (the reference raises bare
+    strings here — reference ATTgt.py:123,176,194 — which is itself a
+    TypeError; see SURVEY.md §2.8.1)."""
+
+
+# canonical internal column names
+ID, T, Y, G, W, CL = "_id", "_t", "_y", "_g", "_w", "_cluster"
+
+
+@dataclass
+class PanelData:
+    df: DataFrame  # canonical columns: _id,_t,_y,_g,_w,(x…),(_cluster)
+    tlist: list[float]
+    glist: list[float]
+    n: int  # inference units: distinct ids (panel) / rows (RC)
+    panel: bool  # True → panel estimators (unit=id); False → RC (unit=row)
+    covariates: list[str]  # canonical covariate column names (_x0 = intercept)
+    idname: str
+    tname: str
+    yname: str
+    gname: str
+    has_cluster: bool = False
+    warnings_: list[str] = field(default_factory=list)
+
+
+def preprocess_did(
+    data: DataFrame,
+    yname: str,
+    tname: str,
+    idname: str,
+    gname: str,
+    xfmla: str | None = None,
+    panel: bool = True,
+    allow_unbalanced_panel: bool = True,
+    control_group: str = "nevertreated",
+    anticipation: int = 0,
+    weights_name: str | None = None,
+    clustervars: str | None = None,
+) -> PanelData:
+    if control_group not in ("nevertreated", "notyettreated"):
+        raise DidError(f"control_group must be nevertreated|notyettreated, got {control_group!r}")
+    warns: list[str] = []
+
+    # --- project to canonical columns (reference ATTgt.py:74-98) -----------
+    user_covs = [c for c in parse_formula(xfmla) if c != INTERCEPT]
+    missing = [c for c in [yname, tname, idname, gname, *user_covs] if c not in data.columns]
+    if missing:
+        raise DidError(f"columns not in data: {missing}")
+    w_col = F.col(weights_name) if weights_name else F.lit(1.0)
+    covs = [INTERCEPT] + user_covs
+    xmap = {c: f"_x{i}" for i, c in enumerate(covs)}
+    sel = [
+        F.col(idname).alias(ID),
+        F.col(tname).cast("double").alias(T),
+        F.col(yname).cast("double").alias(Y),
+        F.col(gname).cast("double").alias(G),
+        w_col.cast("double").alias(W),
+        F.lit(1.0).alias("_x0"),
+        *[F.col(c).cast("double").alias(xmap[c]) for c in user_covs],
+    ]
+    if clustervars:
+        sel.append(F.col(clustervars).alias(CL))
+    df = data.select(*sel)
+
+    # drop rows with nulls in required columns, report (ref ATTgt.py:98-102)
+    n_before = df.count()
+    required = [ID, T, Y, G, W, *[xmap[c] for c in user_covs]]
+    df = df.na.drop(subset=required)
+    n_after = df.count()
+    if n_after < n_before:
+        warns.append(f"dropped {n_before - n_after} rows with missing values")
+    if n_after == 0:
+        raise DidError("no rows left after dropping missing values")
+
+    # --- cohort normalization (ref ATTgt.py:105-156) ------------------------
+    tlist = [r[0] for r in df.select(T).distinct().orderBy(T).collect()]
+    max_t, min_t = tlist[-1], tlist[0]
+    # units first treated after the sample end are effectively never treated
+    df = df.withColumn(G, F.when((F.col(G) > max_t) | F.col(G).isNull(), 0.0).otherwise(F.col(G)))
+
+    glist = [r[0] for r in df.select(G).filter(F.col(G) > 0).distinct().orderBy(G).collect()]
+    has_never = df.filter(F.col(G) == 0).limit(1).count() > 0
+    if not has_never:
+        if control_group == "nevertreated":
+            raise DidError(
+                "no never-treated units; use control_group='notyettreated'"
+            )
+        # drop periods from the last cohort's treatment on; that cohort
+        # then acts as a not-yet-treated control (ref ATTgt.py:120-128)
+        cutoff = max(glist) - anticipation
+        df = df.filter(F.col(T) < cutoff)
+        tlist = [t for t in tlist if t < cutoff]
+        glist = [g for g in glist if g < cutoff]
+        warns.append(f"no never-treated units: dropped periods >= {cutoff}")
+
+    # drop units treated at/before the first usable period (no pre-period)
+    first_usable = min_t + anticipation
+    early = [g for g in glist if g <= first_usable]
+    if early:
+        n_drop = df.filter(F.col(G).isin(early)).select(ID).distinct().count()
+        warns.append(
+            f"dropped {n_drop} units from cohorts {early} treated at/before first period + anticipation"
+        )
+        df = df.filter(~F.col(G).isin(early))
+        glist = [g for g in glist if g not in early]
+    if not glist:
+        raise DidError("no valid treated cohorts remain")
+
+    # --- panel / RC decision (ref ATTgt.py:158-188, fixed per §2.8.7) -------
+    is_panel = panel
+    if panel:
+        n_units = df.select(ID).distinct().count()
+        n_obs = df.count()
+        per_unit = df.groupBy(ID).agg(F.countDistinct(T).alias("np"))
+        n_balanced = per_unit.filter(F.col("np") == len(tlist)).count()
+        balanced = n_balanced == n_units and n_obs == n_units * len(tlist)
+        if not balanced:
+            if allow_unbalanced_panel:
+                is_panel = False
+                warns.append("unbalanced panel: using repeated-cross-section estimators")
+            else:
+                # makeBalancedPanel: keep only fully observed units
+                keep = per_unit.filter(F.col("np") == len(tlist)).select(ID)
+                df = df.join(F.broadcast(keep) if n_units < 1_000_000 else keep, ID, "left_semi")
+                warns.append(
+                    f"dropped {n_units - n_balanced} units not observed in all periods"
+                )
+
+    n = df.select(ID).distinct().count() if is_panel else df.count()
+
+    # --- small-group diagnostics (ref ATTgt.py:199-216) ---------------------
+    sizes = {r[0]: r[1] for r in df.groupBy(G).count().collect()}
+    tiny = [g for g, c in sizes.items() if g > 0 and c / len(tlist) < len(covs) + 5]
+    if tiny:
+        warns.append(f"small cohorts (may be unreliable): {sorted(tiny)}")
+
+    for msg in warns:
+        warnings.warn(msg, stacklevel=2)
+
+    df = df.persist()
+    return PanelData(
+        df=df,
+        tlist=tlist,
+        glist=glist,
+        n=n,
+        panel=is_panel,
+        covariates=[xmap[c] for c in covs],
+        idname=idname,
+        tname=tname,
+        yname=yname,
+        gname=gname,
+        has_cluster=bool(clustervars),
+        warnings_=warns,
+    )
