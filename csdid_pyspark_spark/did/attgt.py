@@ -197,20 +197,21 @@ class ATTgt:
 
     # ------------------------------------------------------------------
     def _unit_weights(self) -> DataFrame:
-        """Per-unit (weight, cohort) table for aggte weighting:
-        first-period slice for panels, per-id means for RC (reference
-        ATTgt.py:591-599)."""
+        """Per-inference-unit (hash, weight, cohort) table for aggte
+        weighting, aligned with the IF table's unit hashes: panel units
+        are ids (first-period slice, reference ATTgt.py:591-593), RC
+        units are observation rows."""
         from csdid_pyspark_spark.did.preprocess import G, ID, T, W
 
         df = self.pdata.df
         if self.pdata.panel:
             first_t = self.pdata.tlist[0]
             return df.filter(F.col(T) == first_t).select(
-                F.col(ID).alias("uid"), F.col(W).alias("w_u"), F.col(G).alias("g_u")
+                F.xxhash64(ID).alias("uh"), F.col(W).alias("w_u"), F.col(G).alias("g_u")
             )
-        return df.groupBy(ID).agg(
-            F.mean(W).alias("w_u"), F.mean(G).alias("g_u")
-        ).select(F.col(ID).alias("uid"), "w_u", "g_u")
+        return df.select(
+            F.xxhash64(ID, T).alias("uh"), F.col(W).alias("w_u"), F.col(G).alias("g_u")
+        )
 
     def _cluster_collapse(self, if_df: DataFrame) -> DataFrame:
         """Cluster bootstrap support: average IFs within cluster (the

@@ -15,17 +15,40 @@ remaining double aggregates are rounded at a digit count where the
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from csdid_pyspark_spark.queries import did_events, llm_ops, relational
 
+
+def _ensure_tuned(spark: SparkSession) -> None:
+    """The driver runs queries on ITS session, which may carry vanilla
+    defaults (AQE off, 200 shuffle partitions). These are runtime-settable,
+    so tune on entry — on a cluster AQE right-sizes every shuffle."""
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    except Exception:
+        pass  # conf locked down — proceed with whatever the session has
+
+
+def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_tuned(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 for mod in (relational, llm_ops, did_events):
-    QUERIES.update(mod.QUERIES)
+    QUERIES.update({name: _tuned(fn) for name, fn in mod.QUERIES.items()})
     ORACLES.update(mod.ORACLES)
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,20 +1,20 @@
-"""DiD operator queries over the `events` testdata table.
+"""DiD estimator queries over the `events` testdata table.
 
 A deterministic staggered-adoption panel is derived from events
 (unit = user_id, period = 5-day bucket of January 2024 → 1..6, cohort
-= fixed map of user_id % 4, outcome = mean event value), then the
-Callaway-Sant'Anna building blocks run over it as oracle-checkable
-queries: the panel itself, the 2-period wide view (reference
-`panel2cs2`, utils.py:49-63), ATT(g,t) under both control groups
-(reference ATTgt.py:287-331), and all four aggregations
-(simple/group/calendar/dynamic; reference ATTgt.py:650-878 — dynamic
-is accepted-but-missing there, see SURVEY.md §2.6 K17).
+= fixed map of user_id % 4, outcome = mean event value). The ATT(g,t)
+and aggregation queries then run the REAL distributed estimator
+(``csdid_pyspark_spark.did.ATTgt``) and are verified against a DuckDB
+oracle that re-derives the reg/no-covariate closed form in pure SQL:
 
-The estimator semantics here are the reg/no-covariate closed form:
-ATT(g,t) = E[Δy | G=g] − E[Δy | control], with the analytic
-influence-function SE  sqrt((Var[Δy|T]/p + Var[Δy|C]/(1−p)) / n).
-The full estimator in ``csdid_pyspark_spark.did`` generalizes this to
-dr/ipw with covariates; these queries pin the algebra to a SQL oracle.
+    ATT(g,t) = E[Δy | G=g] − E[Δy | control]
+    se       = sqrt((Var[Δy|T]/p + Var[Δy|C]/(1−p)) / n)
+
+(the influence-function SE of the outcome-regression estimator with
+intercept-only covariates — algebraically identical to what the kernel
+computes, see csdid_pyspark_spark/did/kernels.py). Aggregations follow
+reference ATTgt.py:650-878 semantics: pg-weighted keeper means with
+cohort shares from the balanced unit universe.
 """
 
 from __future__ import annotations
@@ -29,13 +29,57 @@ from csdid_pyspark_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 PANEL_CTE = """
-panel AS (
+panel0 AS (
   SELECT CAST(user_id AS BIGINT) AS id,
          CAST(FLOOR((EXTRACT(day FROM ts) - 1) / 5) AS INT) + 1 AS period,
          CAST(CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 5 END AS INT) AS g,
          AVG(value) AS y
   FROM events
   GROUP BY 1, 2, 3
+),
+nper AS (SELECT COUNT(DISTINCT period) AS np FROM panel0),
+ids AS (
+  SELECT id FROM panel0 GROUP BY id
+  HAVING COUNT(DISTINCT period) = (SELECT np FROM nper)
+),
+panel AS (SELECT p.* FROM panel0 p JOIN ids USING (id))
+"""
+
+ATT_CTE = """
+periods AS (SELECT DISTINCT period FROM panel),
+cells AS (
+  SELECT gg.g AS cg, t.period AS ct, LEAST(gg.g, t.period) - 1 AS pret,
+         CASE WHEN t.period >= gg.g THEN 1 ELSE 0 END AS post
+  FROM (SELECT DISTINCT g FROM panel WHERE g > 0) gg
+  CROSS JOIN periods t
+  WHERE t.period > (SELECT MIN(period) FROM periods)
+),
+dy AS (
+  SELECT c.cg, c.ct, c.post, p1.g AS gu, p1.y - p0.y AS dy,
+         CASE WHEN p1.g = c.cg THEN 1.0 ELSE 0.0 END AS d
+  FROM cells c
+  JOIN panel p1 ON p1.period = c.ct
+  JOIN panel p0 ON p0.period = c.pret AND p0.id = p1.id
+  WHERE p1.g = c.cg OR ({control_pred})
+),
+att_tbl AS (
+  SELECT cg AS g, ct AS t, post,
+    AVG(CASE WHEN d = 1.0 THEN dy END) - AVG(CASE WHEN d = 0.0 THEN dy END) AS att,
+    SQRT((VAR_POP(CASE WHEN d = 1.0 THEN dy END) / (SUM(d) / COUNT(*))
+        + VAR_POP(CASE WHEN d = 0.0 THEN dy END) / (1 - SUM(d) / COUNT(*))) / COUNT(*)) AS se
+  FROM dy GROUP BY cg, ct, post
+)
+"""
+
+NEVER_PRED = "p1.g = 0"
+NYT_PRED = "p1.g = 0 OR (p1.g > GREATEST(c.ct, c.pret) AND p1.g <> c.cg)"
+
+PG_CTE = """
+units AS (SELECT DISTINCT id, g FROM panel),
+nunits AS (SELECT COUNT(*) AS n FROM units),
+pg AS (
+  SELECT g, CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM nunits) AS pg
+  FROM units WHERE g > 0 GROUP BY g
 )
 """
 
@@ -71,7 +115,7 @@ def did_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DID_PANEL_SQL = f"""
 WITH {PANEL_CTE}
-SELECT id, period, g, ROUND(y, 6) AS y FROM panel
+SELECT id, period, g, ROUND(y, 6) AS y FROM panel0
 """
 
 
@@ -106,7 +150,7 @@ wide AS (
   SELECT id, g, period,
          LAG(y) OVER (PARTITION BY id ORDER BY period) AS y0,
          y AS y1
-  FROM panel WHERE period IN (1, 2)
+  FROM panel0 WHERE period IN (1, 2)
 )
 SELECT id, g, ROUND(y0, 6) AS y0, ROUND(y1, 6) AS y1, ROUND(y1 - y0, 6) AS dy
 FROM wide WHERE period = 2
@@ -114,96 +158,128 @@ FROM wide WHERE period = 2
 
 
 # ---------------------------------------------------------------------------
-# ATT(g,t) — reg estimator, no covariates, varying base period
+# ATT(g,t) through the real estimator
 # ---------------------------------------------------------------------------
 
-def _attgt(spark: SparkSession, sf_dir: str, control: str) -> DataFrame:
-    """Single-pass ATT(g,t): broadcast-join the panel to the (g,t,pret)
-    cell spec, compute per-unit Δy via a self-join on (id, pret), then
-    one groupBy over cells. ~|G| row blowup instead of |G|·|T| separate
-    scans (the reference re-scans per cell: ATTgt.py:287-331)."""
-    p = panel_from_events(spark, sf_dir).cache()
-    periods = [r[0] for r in p.select("period").distinct().collect()]
-    cohorts = [r[0] for r in p.select("g").filter("g > 0").distinct().collect()]
-    cells = []
-    for g in sorted(cohorts):
-        for t in sorted(periods):
-            if t == min(periods):
-                continue
-            pret = min(g, t) - 1  # varying base period over contiguous periods
-            cells.append((g, t, pret, 1 if t >= g else 0))
-    spec = spark.createDataFrame(cells, "cg int, ct int, pret int, post int")
+def _fit_attgt(spark: SparkSession, sf_dir: str, control: str):
+    from csdid_pyspark_spark.did import ATTgt
 
-    post_y = p.select("id", F.col("g").alias("gu"), F.col("period"), F.col("y"))
-    pre_y = p.select(F.col("id").alias("id0"), F.col("period").alias("period0"), F.col("y").alias("y0"))
-    dy = (
-        post_y.join(F.broadcast(spec), F.col("period") == F.col("ct"))
-        .join(pre_y, (F.col("id0") == F.col("id")) & (F.col("period0") == F.col("pret")))
-        .withColumn("dy", F.col("y") - F.col("y0"))
+    pdf = panel_from_events(spark, sf_dir)
+    est = ATTgt(
+        pdf,
+        yname="y",
+        tname="period",
+        idname="id",
+        gname="g",
+        panel=True,
+        allow_unbalanced_panel=False,
+        control_group=control,
     )
-    if control == "nevertreated":
-        is_control = F.col("gu") == 0
-    else:  # notyettreated: never-treated OR treated strictly later than max(t, pret)
-        is_control = (F.col("gu") == 0) | (
-            (F.col("gu") > F.greatest("ct", "pret")) & (F.col("gu") != F.col("cg"))
-        )
-    is_treat = F.col("gu") == F.col("cg")
-    dy = dy.filter(is_treat | is_control).withColumn("d", is_treat.cast("double"))
+    est.fit(est_method="reg")
+    return est
 
-    n = F.count("*")
-    p_treat = F.sum("d") / n
-    var_t = F.var_pop(F.when(F.col("d") == 1.0, F.col("dy")))
-    var_c = F.var_pop(F.when(F.col("d") == 0.0, F.col("dy")))
-    att = F.avg(F.when(F.col("d") == 1.0, F.col("dy"))) - F.avg(
-        F.when(F.col("d") == 0.0, F.col("dy"))
-    )
-    se = F.sqrt((var_t / p_treat + var_c / (1 - p_treat)) / n)
-    return (
-        dy.groupBy(F.col("cg").alias("g"), F.col("ct").alias("t"), F.col("post"))
-        .agg(F.round(att, 6).alias("att"), F.round(se, 6).alias("se"))
-        .orderBy("g", "t")
-    )
+
+def _attgt_result_df(spark, est) -> DataFrame:
+    rows = [
+        (int(r.g), int(r.t), int(r.post), round(float(r.att), 6), round(float(r.se), 6))
+        for r in est.fit_result.table.itertuples()
+    ]
+    return spark.createDataFrame(rows, "g int, t int, post int, att double, se double")
 
 
 def did_attgt_nevertreated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _attgt(spark, sf_dir, "nevertreated")
+    return _attgt_result_df(spark, _fit_attgt(spark, sf_dir, "nevertreated"))
 
 
 def did_attgt_notyettreated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _attgt(spark, sf_dir, "notyettreated")
+    return _attgt_result_df(spark, _fit_attgt(spark, sf_dir, "notyettreated"))
 
 
 def _attgt_sql(control_pred: str) -> str:
-    return f"""
-WITH {PANEL_CTE},
-periods AS (SELECT DISTINCT period FROM panel),
-cells AS (
-  SELECT gg.g AS cg, t.period AS ct, LEAST(gg.g, t.period) - 1 AS pret,
-         CASE WHEN t.period >= gg.g THEN 1 ELSE 0 END AS post
-  FROM (SELECT DISTINCT g FROM panel WHERE g > 0) gg
-  CROSS JOIN periods t
-  WHERE t.period > (SELECT MIN(period) FROM periods)
-),
-dy AS (
-  SELECT c.cg, c.ct, c.post, p1.g AS gu, p1.y - p0.y AS dy,
-         CASE WHEN p1.g = c.cg THEN 1.0 ELSE 0.0 END AS d
-  FROM cells c
-  JOIN panel p1 ON p1.period = c.ct
-  JOIN panel p0 ON p0.period = c.pret AND p0.id = p1.id
-  WHERE p1.g = c.cg OR ({control_pred})
+    return (
+        "WITH "
+        + PANEL_CTE
+        + ","
+        + ATT_CTE.format(control_pred=control_pred)
+        + "SELECT g, t, post, ROUND(att, 6) AS att, ROUND(se, 6) AS se FROM att_tbl ORDER BY g, t"
+    )
+
+
+DID_ATTGT_NEVER_SQL = _attgt_sql(NEVER_PRED)
+DID_ATTGT_NYT_SQL = _attgt_sql(NYT_PRED)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations through the real estimator (point estimates are
+# SQL-expressible; SEs need the IF machinery so the oracle checks atts)
+# ---------------------------------------------------------------------------
+
+def _aggte_df(spark: SparkSession, sf_dir: str, typec: str) -> DataFrame:
+    est = _fit_attgt(spark, sf_dir, "nevertreated")
+    out = est.compute_aggte(typec)
+    rows = [(float(e), round(float(a), 6)) for e, a in zip(out.egt, out.att_egt)]
+    rows.append((-1.0, round(float(out.overall_att), 6)))  # overall row, egt = -1
+    return spark.createDataFrame(rows, "egt double, att double")
+
+
+def did_aggte_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggte_df(spark, sf_dir, "simple")
+
+
+def did_aggte_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggte_df(spark, sf_dir, "group")
+
+
+def did_aggte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggte_df(spark, sf_dir, "calendar")
+
+
+def did_aggte_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggte_df(spark, sf_dir, "dynamic")
+
+
+_AGG_PRELUDE = (
+    "WITH " + PANEL_CTE + "," + ATT_CTE.format(control_pred=NEVER_PRED) + "," + PG_CTE
 )
-SELECT cg AS g, ct AS t, post,
-  ROUND(AVG(CASE WHEN d = 1.0 THEN dy END) - AVG(CASE WHEN d = 0.0 THEN dy END), 6) AS att,
-  ROUND(SQRT((VAR_POP(CASE WHEN d = 1.0 THEN dy END) / (SUM(d) / COUNT(*))
-            + VAR_POP(CASE WHEN d = 0.0 THEN dy END) / (1 - SUM(d) / COUNT(*))) / COUNT(*)), 6) AS se
-FROM dy GROUP BY cg, ct, post ORDER BY g, t
+
+DID_AGGTE_SIMPLE_SQL = _AGG_PRELUDE + """
+SELECT CAST(-1 AS DOUBLE) AS egt,
+       ROUND(SUM(att * pg) / SUM(pg), 6) AS att
+FROM att_tbl JOIN pg USING (g) WHERE post = 1
 """
 
-
-DID_ATTGT_NEVER_SQL = _attgt_sql("p1.g = 0")
-DID_ATTGT_NYT_SQL = _attgt_sql(
-    "p1.g = 0 OR (p1.g > GREATEST(c.ct, c.pret) AND p1.g <> c.cg)"
+DID_AGGTE_GROUP_SQL = _AGG_PRELUDE + """
+, per_g AS (
+  SELECT g, AVG(att) AS att FROM att_tbl WHERE post = 1 GROUP BY g
 )
+SELECT CAST(g AS DOUBLE) AS egt, ROUND(att, 6) AS att FROM per_g
+UNION ALL
+SELECT -1.0, ROUND(SUM(per_g.att * pg.pg) / SUM(pg.pg), 6)
+FROM per_g JOIN pg USING (g)
+"""
+
+DID_AGGTE_CALENDAR_SQL = _AGG_PRELUDE + """
+, per_t AS (
+  SELECT t, SUM(att * pg) / SUM(pg) AS att
+  FROM att_tbl JOIN pg USING (g)
+  WHERE g <= t AND t >= (SELECT MIN(g) FROM pg)
+  GROUP BY t
+)
+SELECT CAST(t AS DOUBLE) AS egt, ROUND(att, 6) AS att FROM per_t
+UNION ALL
+SELECT -1.0, ROUND(AVG(att), 6) FROM per_t
+"""
+
+DID_AGGTE_DYNAMIC_SQL = _AGG_PRELUDE + """
+, per_e AS (
+  SELECT t - g AS e, SUM(att * pg) / SUM(pg) AS att
+  FROM att_tbl JOIN pg USING (g)
+  GROUP BY t - g
+)
+SELECT CAST(e AS DOUBLE) AS egt, ROUND(att, 6) AS att FROM per_e
+UNION ALL
+SELECT -1.0, ROUND(AVG(att), 6) FROM per_e WHERE e >= 0
+"""
 
 
 QUERIES = {
@@ -211,6 +287,10 @@ QUERIES = {
     "did_panel2cs": did_panel2cs,
     "did_attgt_nevertreated": did_attgt_nevertreated,
     "did_attgt_notyettreated": did_attgt_notyettreated,
+    "did_aggte_simple": did_aggte_simple,
+    "did_aggte_group": did_aggte_group,
+    "did_aggte_calendar": did_aggte_calendar,
+    "did_aggte_dynamic": did_aggte_dynamic,
 }
 
 ORACLES = {
@@ -218,4 +298,8 @@ ORACLES = {
     "did_panel2cs": DID_PANEL2CS_SQL,
     "did_attgt_nevertreated": DID_ATTGT_NEVER_SQL,
     "did_attgt_notyettreated": DID_ATTGT_NYT_SQL,
+    "did_aggte_simple": DID_AGGTE_SIMPLE_SQL,
+    "did_aggte_group": DID_AGGTE_GROUP_SQL,
+    "did_aggte_calendar": DID_AGGTE_CALENDAR_SQL,
+    "did_aggte_dynamic": DID_AGGTE_DYNAMIC_SQL,
 }
