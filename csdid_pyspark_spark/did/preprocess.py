@@ -85,24 +85,36 @@ def preprocess_did(
         sel.append(F.col(clustervars).alias(CL))
     df = data.select(*sel)
 
-    # drop rows with nulls in required columns, report (ref ATTgt.py:98-102)
-    n_before = df.count()
-    required = [ID, T, Y, G, W, *[xmap[c] for c in user_covs]]
+    # drop rows with nulls in required columns, report (ref ATTgt.py:98-102).
+    # One action computes both row counts (null G is recoded, not dropped).
+    required = [ID, T, Y, W, *[xmap[c] for c in user_covs]]
+    nullable = F.lit(False)
+    for c in required:
+        nullable = nullable | F.col(c).isNull()
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(nullable.cast("long")).alias("n_null"),
+    ).first()
     df = df.na.drop(subset=required)
-    n_after = df.count()
-    if n_after < n_before:
-        warns.append(f"dropped {n_before - n_after} rows with missing values")
-    if n_after == 0:
+    if counts["n_null"]:
+        warns.append(f"dropped {counts['n_null']} rows with missing values")
+    if counts["n_before"] - (counts["n_null"] or 0) == 0:
         raise DidError("no rows left after dropping missing values")
 
     # --- cohort normalization (ref ATTgt.py:105-156) ------------------------
-    tlist = [r[0] for r in df.select(T).distinct().orderBy(T).collect()]
+    # one grouped action each for period and cohort structure
+    tlist = sorted(r[0] for r in df.groupBy(T).agg(F.count(F.lit(1))).collect())
     max_t, min_t = tlist[-1], tlist[0]
+    raw_sizes = {r[0]: r[1] for r in df.groupBy(G).agg(F.count(F.lit(1)).alias("c")).collect()}
     # units first treated after the sample end are effectively never treated
     df = df.withColumn(G, F.when((F.col(G) > max_t) | F.col(G).isNull(), 0.0).otherwise(F.col(G)))
+    sizes: dict[float, int] = {}
+    for gval, c in raw_sizes.items():
+        key = 0.0 if gval is None or gval > max_t else gval
+        sizes[key] = sizes.get(key, 0) + c
 
-    glist = [r[0] for r in df.select(G).filter(F.col(G) > 0).distinct().orderBy(G).collect()]
-    has_never = df.filter(F.col(G) == 0).limit(1).count() > 0
+    glist = sorted(g for g in sizes if g > 0)
+    has_never = sizes.get(0.0, 0) > 0
     if not has_never:
         if control_group == "nevertreated":
             raise DidError(
@@ -120,39 +132,50 @@ def preprocess_did(
     first_usable = min_t + anticipation
     early = [g for g in glist if g <= first_usable]
     if early:
-        n_drop = df.filter(F.col(G).isin(early)).select(ID).distinct().count()
+        n_drop = sum(sizes.get(g, 0) for g in early)
         warns.append(
-            f"dropped {n_drop} units from cohorts {early} treated at/before first period + anticipation"
+            f"dropped {n_drop} rows from cohorts {early} treated at/before first period + anticipation"
         )
         df = df.filter(~F.col(G).isin(early))
         glist = [g for g in glist if g not in early]
+        sizes = {g: c for g, c in sizes.items() if g not in early}
     if not glist:
         raise DidError("no valid treated cohorts remain")
 
     # --- panel / RC decision (ref ATTgt.py:158-188, fixed per §2.8.7) -------
+    # single action: per-unit period counts reduced to balance stats
     is_panel = panel
+    per_unit = df.groupBy(ID).agg(F.countDistinct(T).alias("np"), F.count(F.lit(1)).alias("cnt"))
+    stats = per_unit.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("cnt").alias("n_obs"),
+        F.min("np").alias("min_np"),
+        F.max("cnt").alias("max_cnt"),
+    ).first()
+    n_units, n_obs = stats["n_units"], stats["n_obs"]
     if panel:
-        n_units = df.select(ID).distinct().count()
-        n_obs = df.count()
-        per_unit = df.groupBy(ID).agg(F.countDistinct(T).alias("np"))
-        n_balanced = per_unit.filter(F.col("np") == len(tlist)).count()
-        balanced = n_balanced == n_units and n_obs == n_units * len(tlist)
+        balanced = (
+            stats["min_np"] == len(tlist)
+            and stats["max_cnt"] == len(tlist)
+            and n_obs == n_units * len(tlist)
+        )
         if not balanced:
             if allow_unbalanced_panel:
                 is_panel = False
                 warns.append("unbalanced panel: using repeated-cross-section estimators")
             else:
                 # makeBalancedPanel: keep only fully observed units
-                keep = per_unit.filter(F.col("np") == len(tlist)).select(ID)
+                keep = per_unit.filter(
+                    (F.col("np") == len(tlist)) & (F.col("cnt") == len(tlist))
+                ).select(ID)
                 df = df.join(F.broadcast(keep) if n_units < 1_000_000 else keep, ID, "left_semi")
-                warns.append(
-                    f"dropped {n_units - n_balanced} units not observed in all periods"
-                )
+                n_units = keep.count()
+                n_obs = n_units * len(tlist)
+                warns.append("dropped units not observed in all periods")
 
-    n = df.select(ID).distinct().count() if is_panel else df.count()
+    n = n_units if is_panel else n_obs
 
     # --- small-group diagnostics (ref ATTgt.py:199-216) ---------------------
-    sizes = {r[0]: r[1] for r in df.groupBy(G).count().collect()}
     tiny = [g for g, c in sizes.items() if g > 0 and c / len(tlist) < len(covs) + 5]
     if tiny:
         warns.append(f"small cohorts (may be unreliable): {sorted(tiny)}")

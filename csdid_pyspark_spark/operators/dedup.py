@@ -90,9 +90,10 @@ def jaccard_pairs(
 
 
 def _hash64(col, seed: int):
-    """Deterministic 64-bit-ish hash of a string from an md5 family:
-    conv() of 14 hex chars → bigint. Built-ins only (portable to SQL)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 14), 16, 10).cast("bigint")
+    """Deterministic seeded 64-bit hash. xxhash64 is JVM-native and
+    ~20× cheaper than an md5+conv chain — it dominates MinHash cost
+    (num_hashes × shingles evaluations)."""
+    return F.xxhash64(F.lit(seed), col)
 
 
 def minhash_signatures(

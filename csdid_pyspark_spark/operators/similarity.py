@@ -79,20 +79,28 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only rows whose LSH bucket matches the
-    query's bucket. At 100 TB the bucket predicate prunes ~2^-n_planes
-    of the corpus before any scoring work; with a bucketed/partitioned
-    table layout it also prunes file scans."""
+    """Approximate top-k with multi-probe LSH: score rows whose bucket
+    is within Hamming distance `probe_hamming` of the query's signature
+    (near-misses on one hyperplane are the most likely true neighbors).
+    At 100 TB the bucket IN-list prunes ~(1+planes)/2^planes of the
+    corpus before any scoring; with a bucket-partitioned table layout
+    it also prunes file scans."""
     planes = _hyperplanes(len(query), n_planes, seed)
     v = as_double_array(vec_col)
     qbits = "".join(
         "1" if sum(p * x for p, x in zip(plane, query)) >= 0 else "0" for plane in planes
     )
+    probes = {qbits}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :]
+            probes.add(flipped)
     bucketed = df.select(F.col(id_col), v.alias("_v"), lsh_bucket(v, planes).alias("_bucket"))
     q = lit_vector(query).cast("array<double>")
     return (
-        bucketed.filter(F.col("_bucket") == qbits)
+        bucketed.filter(F.col("_bucket").isin(sorted(probes)))
         .select(F.col(id_col), cosine(F.col("_v"), q).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)

@@ -1,0 +1,7 @@
+from csdid_pyspark_spark.streaming.events import (
+    sessionize_stream,
+    stream_events,
+    windowed_counts,
+)
+
+__all__ = ["stream_events", "windowed_counts", "sessionize_stream"]

@@ -1,0 +1,151 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md §2.7); this module is
+part of the engine's scale extension: the same tumbling-window rollup
+the batch path runs (operators/sessionize.py) expressed as a streaming
+query with watermarked late-data handling, plus a custom stateful
+sessionizer built on ``applyInPandasWithState`` — the PySpark pattern
+for operators Spark lacks natively.
+
+Tests drive these with ``trigger(availableNow=True)`` against the
+parquet testdata, which exercises the exact operators a live Kafka/file
+stream would run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# events.parquet stores TIMESTAMP(NANOS); the streaming reader needs the
+# same raw-nanos workaround as the batch source (sources/tables.py)
+_EVENT_SCHEMA_RAW = StructType(
+    [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENT_SCHEMA]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one-file directory
+    glob). In production this is a Kafka/file-drop source; the operator
+    graph downstream is identical."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENT_SCHEMA_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type. Late
+    rows beyond the watermark are dropped; in append mode a window
+    finalizes once the watermark passes its end."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _session_fn(gap_minutes: float):
+    gap_us = int(gap_minutes * 60_000_000)
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = -1, 0, 0
+        for pdf in pdfs:
+            # pandas datetime64 int view is NANOseconds → convert to µs
+            ts_us = (pdf["ts"].astype("int64") // 1000).sort_values().to_numpy()
+            for t in ts_us:
+                if last_us < 0 or t - last_us > gap_us:
+                    n_sessions += 1
+                last_us = int(t)
+                n_events += 1
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return fn
+
+
+def sessionize_stream(stream: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
+    """Custom stateful operator: running per-user session counts with a
+    gap timeout, via ``applyInPandasWithState``. State is one tiny
+    tuple per user — the pattern scales to any keyed stateful logic
+    Spark lacks natively (SURVEY.md north star: custom operators as
+    Pandas-UDF-backed stateful maps)."""
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_minutes),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,63 @@
+"""Structured Streaming tests: drive the streaming operators with
+availableNow triggers into memory sinks and check against the batch
+equivalents (same operator graph a live stream would run)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csdid_pyspark_spark.operators.sessionize import session_stats
+from csdid_pyspark_spark.sources.tables import load_table
+from csdid_pyspark_spark.streaming import sessionize_stream, stream_events, windowed_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_matches_batch(spark):
+    stream = stream_events(spark, SF)
+    assert stream.isStreaming
+    _run_to_memory(windowed_counts(stream), "wc_test", "append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("wc_test").collect()
+    }
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    )
+    expected = {(r["window_start"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    # append mode only finalizes windows passed by the watermark; all
+    # but the trailing window(s) must match the batch result exactly
+    assert len(got) >= len(expected) - 5
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_sessionize_stream_matches_batch(spark):
+    stream = stream_events(spark, SF)
+    _run_to_memory(sessionize_stream(stream, gap_minutes=30.0), "sess_test", "update")
+    # last update per user = final running totals
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in spark.table("sess_test").collect()
+    }
+    batch = session_stats(load_table(spark, SF, "events"), gap_minutes=30.0).collect()
+    expected = {r["user_id"]: r["n_sessions"] for r in batch}
+    assert got.keys() == expected.keys()
+    mismatches = {u: (got[u], expected[u]) for u in got if got[u] != expected[u]}
+    assert not mismatches, mismatches
