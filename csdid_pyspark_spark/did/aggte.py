@@ -49,6 +49,29 @@ class AggteResult:
     alp: float
     table: pd.DataFrame = field(default=None)
 
+    def summary(self) -> str:
+        """Printable aggregation summary (reference AGGTEobj,
+        utils_aggte.py:69-192)."""
+        titles = {
+            "simple": "Overall summary of ATT's (simple weighted average):",
+            "dynamic": "Overall summary of ATT's based on event-study/dynamic aggregation:",
+            "group": "Overall summary of ATT's based on group/cohort aggregation:",
+            "calendar": "Overall summary of ATT's based on calendar time aggregation:",
+        }
+        z = norm_ppf(1 - self.alp / 2)
+        lo = self.overall_att - z * self.overall_se
+        hi = self.overall_att + z * self.overall_se
+        head = (
+            f"{titles[self.typec]}\n"
+            f"   ATT {self.overall_att: .4f}  se {self.overall_se: .4f}  "
+            f"[{100 * (1 - self.alp):.0f}% conf. int. {lo: .4f}, {hi: .4f}]"
+            f"{'*' if lo > 0 or hi < 0 else ''}\n"
+        )
+        if self.table is not None and not self.table.empty:
+            label = {"dynamic": "Event time", "group": "Group", "calendar": "Time"}[self.typec]
+            head += f"\n{label} effects:\n" + self.table.round(4).to_string(index=False) + "\n"
+        return head + "---\nSignif. codes: '*' confidence band does not cover 0"
+
     def __post_init__(self):
         if self.egt:
             lower = [a - self.crit_val_egt * s for a, s in zip(self.att_egt, self.se_egt)]

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from csdid_pyspark_spark.did.stats import norm_ppf
 
 from csdid_pyspark_spark.did import cells as cells_mod
-from csdid_pyspark_spark.did.kernels import estimate_panel, estimate_rc
+from csdid_pyspark_spark.did.kernels import estimate_custom, estimate_panel, estimate_rc
 from csdid_pyspark_spark.did.mboot import mboot
 from csdid_pyspark_spark.did.preprocess import CL, DidError, PanelData, preprocess_did
 
@@ -107,13 +107,19 @@ class ATTgt:
             cell_df = cells_mod.build_cell_table_panel(
                 pdata, sdf, self.control_group, self.anticipation
             ).persist()
-            ests, if_raw = estimate_panel(cell_df, pdata.covariates, est_method, self.spark)
+            if callable(est_method):
+                ests, if_raw = estimate_custom(cell_df, pdata.covariates, est_method, self.spark, rc=False)
+            else:
+                ests, if_raw = estimate_panel(cell_df, pdata.covariates, est_method, self.spark)
             uh = F.xxhash64("uid")
         else:
             cell_df = cells_mod.build_cell_table_rc(
                 pdata, sdf, self.control_group, self.anticipation
             ).persist()
-            ests, if_raw = estimate_rc(cell_df, pdata.covariates, est_method, self.spark)
+            if callable(est_method):
+                ests, if_raw = estimate_custom(cell_df, pdata.covariates, est_method, self.spark, rc=True)
+            else:
+                ests, if_raw = estimate_rc(cell_df, pdata.covariates, est_method, self.spark)
             uh = F.xxhash64("uid", "ut")
 
         n = pdata.n
@@ -237,6 +243,28 @@ class ATTgt:
 
     def _n_clusters(self) -> int:
         return self.pdata.df.select(CL).distinct().count()
+
+    # ------------------------------------------------------------------
+    def summary(self) -> str:
+        """Printable ATT(g,t) summary (reference ``sum_gt``,
+        ATTgt.py:507-517 — with the upper/lower band swap of §2.8.5
+        fixed)."""
+        if self.fit_result is None:
+            raise DidError("call fit() before summary()")
+        fr = self.fit_result
+        t = fr.table.copy()
+        t["band"] = t.apply(
+            lambda r: f"[{r.lower: .4f}, {r.upper: .4f}]{'*' if r.sig else ''}", axis=1
+        )
+        body = t[["g", "t", "att", "se", "band"]].round(4).to_string(index=False)
+        band_kind = "Simult." if (fr.bstrap and fr.cband) else "Pointwise"
+        return (
+            f"Group-Time Average Treatment Effects (est_method={fr.est_method}):\n"
+            f"{body}\n---\n"
+            f"Signif. codes: '*' {band_kind.lower()} confidence band does not cover 0\n"
+            f"Control Group: {self.control_group}; Anticipation: {self.anticipation}; "
+            f"n={fr.n}; crit val={fr.crit_val:.4f} ({band_kind})"
+        )
 
     # ------------------------------------------------------------------
     def compute_aggte(self, typec: str = "group", **kwargs):

@@ -129,6 +129,8 @@ def build_cell_table_panel(
             is_treat.cast("double").alias("d"),
             "w",
             "dy",
+            "y1",
+            "y0",
             *xcols,
         )
     )

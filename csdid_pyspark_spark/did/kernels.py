@@ -586,3 +586,73 @@ def estimate_rc(
         else:
             results.append(CellEstimate(cid, float(consts[cid]["att"]), float(pass1[cid]["n"]), False))
     return results, if_df
+
+
+# ---------------------------------------------------------------------------
+# Custom (callable) kernels — reference API parity (ATTgt.py:362-363,
+# 424-425: est_method may be a callable). The callable runs per cell
+# inside applyInPandas with the reference's signature:
+#   panel: fn(ypost, ypre, D, i_weights=w, covariates=X) -> (att, inf)
+#   rc:    fn(y=y, post=post, D=D, i_weights=w, covariates=X) -> (att, inf)
+# ---------------------------------------------------------------------------
+
+def estimate_custom(
+    cell_df: DataFrame,
+    xcols: list[str],
+    fn,
+    spark: SparkSession,
+    rc: bool,
+) -> tuple[list[CellEstimate], DataFrame]:
+    """Run a user-supplied NumPy kernel per (g,t) cell. Each cell's rows
+    arrive as one pandas group (Arrow-batched); cells execute in
+    parallel across the cluster. Scales while any single cell fits in
+    one task — the escape hatch for estimators the aggregation kernels
+    don't cover."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    uid_type = cell_df.schema["uid"].dataType
+    fields = [
+        StructField("cid", IntegerType()),
+        StructField("uid", uid_type),
+    ]
+    if rc:
+        fields.append(StructField("ut", cell_df.schema["ut"].dataType))
+    fields += [StructField("inf", DoubleType()), StructField("att", DoubleType())]
+    out_schema = StructType(fields)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[xcols].to_numpy()
+        D = pdf["d"].to_numpy()
+        w = pdf["w"].to_numpy()
+        try:
+            if rc:
+                att, inf = fn(y=pdf["y"].to_numpy(), post=pdf["pst"].to_numpy(), D=D,
+                              i_weights=w, covariates=X)
+            else:
+                att, inf = fn(pdf["y1"].to_numpy(), pdf["y0"].to_numpy(), D,
+                              i_weights=w, covariates=X)
+        except Exception:
+            return pd.DataFrame({f.name: [] for f in fields})
+        out = {"cid": pdf["cid"], "uid": pdf["uid"], "inf": inf, "att": float(att)}
+        if rc:
+            out["ut"] = pdf["ut"]
+        return pd.DataFrame(out)[[f.name for f in fields]]
+
+    if_df = cell_df.groupBy("cid").applyInPandas(run, out_schema)
+    stats = (
+        if_df.groupBy("cid")
+        .agg(F.first("att").alias("att"), F.count("*").alias("n1"))
+        .collect()
+    )
+    all_cids = [r["cid"] for r in cell_df.select("cid").distinct().collect()]
+    by_cid = {r["cid"]: r for r in stats}
+    results = []
+    for cid in sorted(all_cids):
+        r = by_cid.get(cid)
+        if r is None:
+            results.append(CellEstimate(cid, math.nan, 0.0, True, "custom kernel failed"))
+        else:
+            results.append(CellEstimate(cid, float(r["att"]), float(r["n1"]), False))
+    cols = ["cid", "uid"] + (["ut"] if rc else []) + ["inf"]
+    return results, if_df.select(*cols)

@@ -1,0 +1,101 @@
+"""API-surface and property tests: callable est_method (reference
+ATTgt.py:362-367 parity), summaries, and estimator invariances."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from csdid_pyspark_spark.did import ATTgt
+from tests import ref_drdid
+from tests.test_did_parity import make_panel_dgp
+
+
+@pytest.fixture(scope="module")
+def dgp():
+    return make_panel_dgp(n_units=200, periods=(1, 2, 3, 4), cohorts=(0, 3, 4), seed=21)
+
+
+def _fit(spark, pdf, **kw):
+    est = ATTgt(spark.createDataFrame(pdf), "Y", "period", "id", "G",
+                xfmla="Y ~ x1", weights_name="wgt", allow_unbalanced_panel=False, **kw)
+    est.fit(est_method=kw.pop("est_method", "dr") if "est_method" in kw else "dr")
+    return est
+
+
+def test_callable_est_method_matches_builtin(spark, dgp):
+    """A custom kernel (the NumPy reference drdid) routed through
+    applyInPandas must reproduce the built-in aggregation-pass kernel
+    exactly — two entirely different execution paths, one answer."""
+
+    def custom(y1, y0, D, i_weights, covariates):
+        return ref_drdid.drdid_panel(y1, y0, D, covariates, i_weights)
+
+    sdf = spark.createDataFrame(dgp)
+    a = ATTgt(sdf, "Y", "period", "id", "G", xfmla="Y ~ x1", weights_name="wgt",
+              allow_unbalanced_panel=False)
+    builtin = a.fit(est_method="dr")
+    b = ATTgt(sdf, "Y", "period", "id", "G", xfmla="Y ~ x1", weights_name="wgt",
+              allow_unbalanced_panel=False)
+    custom_t = b.fit(est_method=custom)
+    for (_, r1), (_, r2) in zip(builtin.iterrows(), custom_t.iterrows()):
+        assert r2["att"] == pytest.approx(r1["att"], abs=1e-8)
+        assert r2["se"] == pytest.approx(r1["se"], rel=1e-6)
+
+
+def test_summaries(spark, dgp):
+    est = _fit(spark, dgp)
+    s = est.summary()
+    assert "Group-Time Average Treatment Effects" in s and "Control Group" in s
+    out = est.compute_aggte("dynamic")
+    s2 = out.summary()
+    assert "event-study/dynamic" in s2 and "Event time" in s2
+
+
+def test_invariance_unit_relabeling(spark, dgp):
+    base = _fit(spark, dgp).fit_result.table
+    relabeled = dgp.copy()
+    relabeled["id"] = relabeled["id"] * 7919 + 13
+    new = _fit(spark, relabeled).fit_result.table
+    assert np.allclose(base["att"], new["att"], atol=1e-9)
+    assert np.allclose(base["se"], new["se"], rtol=1e-7)
+
+
+def test_invariance_time_translation(spark, dgp):
+    base = _fit(spark, dgp).fit_result.table
+    shifted = dgp.copy()
+    shifted["period"] = shifted["period"] + 100
+    shifted["G"] = np.where(shifted["G"] > 0, shifted["G"] + 100, 0)
+    new = _fit(spark, shifted).fit_result.table
+    assert np.allclose(base["att"], new["att"], atol=1e-9)
+    assert np.allclose(new["g"] - base["g"], 100)
+
+
+def test_invariance_weight_rescaling(spark, dgp):
+    base = _fit(spark, dgp).fit_result.table
+    scaled = dgp.copy()
+    scaled["wgt"] = scaled["wgt"] * 17.0
+    new = _fit(spark, scaled).fit_result.table
+    assert np.allclose(base["att"], new["att"], atol=1e-9)
+    assert np.allclose(base["se"], new["se"], rtol=1e-7)
+
+
+def test_mllib_lsh_backends(spark):
+    from csdid_pyspark_spark.operators import dedup, mllib_lsh, similarity
+    from csdid_pyspark_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    ml = {(r["id_a"], r["id_b"]) for r in
+          mllib_lsh.minhash_lsh_pairs_mllib(docs, threshold=0.5).collect()}
+    assert ml <= exact
+    assert len(ml) / len(exact) >= 0.7
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    import pyspark.sql.functions as F
+
+    q = list(emb.filter(F.col("vec_id") == 2).select("embedding").first()[0])
+    out = mllib_lsh.ann_topk_mllib(emb, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 2 and rows[0]["dist"] == 0.0
