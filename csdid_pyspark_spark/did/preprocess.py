@@ -85,32 +85,48 @@ def preprocess_did(
         sel.append(F.col(clustervars).alias(CL))
     df = data.select(*sel)
 
-    # drop rows with nulls in required columns, report (ref ATTgt.py:98-102).
-    # One action computes both row counts (null G is recoded, not dropped).
+    # null audit + period structure in ONE grouped action; cohort
+    # structure in a second (null G is recoded, not dropped —
+    # ref ATTgt.py:98-102, 111-118). NaN counts as missing too: pandas/
+    # Arrow inputs encode missing floats as NaN, which Spark's na.drop
+    # does NOT remove and which would silently poison cell means.
     required = [ID, T, Y, W, *[xmap[c] for c in user_covs]]
     nullable = F.lit(False)
     for c in required:
-        nullable = nullable | F.col(c).isNull()
-    counts = df.agg(
-        F.count(F.lit(1)).alias("n_before"),
-        F.sum(nullable.cast("long")).alias("n_null"),
-    ).first()
-    df = df.na.drop(subset=required)
-    if counts["n_null"]:
-        warns.append(f"dropped {counts['n_null']} rows with missing values")
-    if counts["n_before"] - (counts["n_null"] or 0) == 0:
+        cond = F.col(c).isNull()
+        if c != ID:  # numeric (cast to double); ID keeps its input type
+            cond = cond | F.isnan(F.col(c))
+        nullable = nullable | cond
+    per_t = df.groupBy(T).agg(
+        F.count(F.lit(1)).alias("c"), F.sum(nullable.cast("long")).alias("nn")
+    ).collect()
+    n_null = sum(r["nn"] or 0 for r in per_t)
+    df = df.filter(~nullable)
+    if n_null:
+        warns.append(f"dropped {n_null} rows with missing values")
+    tlist = sorted(r[T] for r in per_t if r[T] is not None and r["c"] > (r["nn"] or 0))
+    if not tlist:
         raise DidError("no rows left after dropping missing values")
-
-    # --- cohort normalization (ref ATTgt.py:105-156) ------------------------
-    # one grouped action each for period and cohort structure
-    tlist = sorted(r[0] for r in df.groupBy(T).agg(F.count(F.lit(1))).collect())
     max_t, min_t = tlist[-1], tlist[0]
-    raw_sizes = {r[0]: r[1] for r in df.groupBy(G).agg(F.count(F.lit(1)).alias("c")).collect()}
-    # units first treated after the sample end are effectively never treated
-    df = df.withColumn(G, F.when((F.col(G) > max_t) | F.col(G).isNull(), 0.0).otherwise(F.col(G)))
+
+    per_g = df.groupBy(G).agg(
+        F.count(F.lit(1)).alias("c"), F.sum(nullable.cast("long")).alias("nn")
+    ).collect()
+    # units first treated after the sample end are effectively never
+    # treated; null/NaN cohort likewise (ref ATTgt.py:111-118)
+    df = df.withColumn(
+        G,
+        F.when(
+            (F.col(G) > max_t) | F.col(G).isNull() | F.isnan(F.col(G)), 0.0
+        ).otherwise(F.col(G)),
+    )
     sizes: dict[float, int] = {}
-    for gval, c in raw_sizes.items():
-        key = 0.0 if gval is None or gval > max_t else gval
+    for r in per_g:
+        c = r["c"] - (r["nn"] or 0)
+        if c <= 0:
+            continue
+        gval = r[G]
+        key = 0.0 if gval is None or (isinstance(gval, float) and gval != gval) or gval > max_t else gval
         sizes[key] = sizes.get(key, 0) + c
 
     glist = sorted(g for g in sizes if g > 0)

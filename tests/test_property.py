@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the pure-Python pieces, plus
+the salted-join equivalence property."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from csdid_pyspark_spark.did.stats import norm_cdf, norm_ppf
+
+
+@given(st.floats(min_value=1e-10, max_value=1 - 1e-10))
+@settings(max_examples=300, deadline=None)
+def test_norm_ppf_inverts_cdf(p):
+    assert abs(norm_cdf(norm_ppf(p)) - p) < 1e-9
+
+
+@given(st.floats(min_value=-6, max_value=6))
+@settings(max_examples=200, deadline=None)
+def test_norm_ppf_monotone_symmetric(x):
+    p = norm_cdf(x)
+    if 1e-9 < p < 1 - 1e-9:
+        # double-precision round-trip: cdf loses ~|x·φ(x)| ulps in the
+        # tails, so allow a tolerance scaled by the local sensitivity
+        assert abs(norm_ppf(p) - x) < 1e-7 * max(1.0, math.exp(x * x / 4))
+    assert abs(norm_cdf(x) + norm_cdf(-x) - 1.0) < 1e-12
+
+
+def test_norm_ppf_known_values():
+    assert abs(norm_ppf(0.975) - 1.959963985) < 1e-8
+    assert abs(norm_ppf(0.75) - 0.674489750) < 1e-8
+    assert math.isinf(norm_ppf(1.0)) and math.isinf(norm_ppf(0.0))
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=100, deadline=None)
+def test_splitmix_sign_deterministic_and_balanced(uhs, seed):
+    import numpy as np
+
+    from csdid_pyspark_spark.did.mboot import _splitmix_sign
+
+    arr = np.array(uhs, dtype=np.int64)
+    s1 = _splitmix_sign(arr, 3, seed)
+    s2 = _splitmix_sign(arr, 3, seed)
+    assert (s1 == s2).all()
+    assert set(np.unique(s1)) <= {-1.0, 1.0}
+    # different draw index decorrelates
+    s3 = _splitmix_sign(arr, 4, seed)
+    assert len(arr) < 8 or not (s1 == s3).all()
+
+
+def test_salted_join_equivalence(spark):
+    """salted_join must return exactly the plain join's rows."""
+    from csdid_pyspark_spark.operators.skew import salted_join
+    from csdid_pyspark_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    lineitem = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    # skewed small side: one hot order replicated
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    plain = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select("l_orderkey", "l_quantity", "o_totalprice")
+    salted = salted_join(
+        lineitem.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        salt=8,
+    ).select(F_col("k").alias("l_orderkey"), "l_quantity", "o_totalprice")
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+
+
+def F_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
