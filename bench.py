@@ -24,6 +24,7 @@ HEADLINE = [
     "window_topk_per_group",
     "did_attgt_nevertreated",
     "did_attgt_notyettreated",
+    "did_aggte_dynamic",
     "dedup_jaccard",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",

@@ -83,7 +83,10 @@ def preprocess_did(
     ]
     if clustervars:
         sel.append(F.col(clustervars).alias(CL))
-    df = data.select(*sel)
+    # cache the projected base: preprocessing runs several independent
+    # aggregation actions over it, and the caller's input may itself be
+    # an expensive lineage (e.g. an aggregation over raw events)
+    df = data.select(*sel).persist()
 
     # null audit + period structure in ONE grouped action; cohort
     # structure in a second (null G is recoded, not dropped —
@@ -199,7 +202,8 @@ def preprocess_did(
     for msg in warns:
         warnings.warn(msg, stacklevel=2)
 
-    df = df.persist()
+    # the final frame is narrow transforms over the cached base — no
+    # second materialization needed
     return PanelData(
         df=df,
         tlist=tlist,
