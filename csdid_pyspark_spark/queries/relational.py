@@ -577,3 +577,154 @@ ORACLES = {
     "cube_lineitem": CUBE_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
 }
+
+
+# --- Running window aggregate (cumulative sum per key) ----------------------
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double"), 4).alias(
+            "running_value"
+        ),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT event_id, user_id,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_value
+FROM events
+"""
+
+
+# --- Exact median per group --------------------------------------------------
+
+def groupby_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25_qty"),
+    )
+
+
+GROUPBY_MEDIAN_SQL = """
+SELECT l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+  ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- String functions --------------------------------------------------------
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("PROMO%") | F.col("p_name").contains("a"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.lower("p_type").alias("type_l"),
+            F.substring("p_name", 1, 5).alias("name5"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.length("p_name").cast("int").alias("name_len"),
+            F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        )
+    )
+
+
+STRING_SQL = r"""
+SELECT p_partkey, UPPER(p_brand) AS brand_u, LOWER(p_type) AS type_l,
+  SUBSTRING(p_name, 1, 5) AS name5,
+  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+  CAST(LENGTH(p_name) AS INT) AS name_len,
+  COALESCE(regexp_extract(p_brand, '(\d+)', 1), '') AS brand_num
+FROM part
+WHERE p_type LIKE 'PROMO%' OR p_name LIKE '%a%'
+"""
+
+
+# --- Date/time functions -----------------------------------------------------
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),  # 1=Sunday
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.to_date(F.lit("2002-01-01")), F.to_date("o_orderdate"))
+        .cast("int")
+        .alias("age_days"),
+    )
+
+
+DATE_SQL = """
+SELECT o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+  CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS dow,
+  STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
+FROM orders
+"""
+
+
+# --- Array functions ---------------------------------------------------------
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    total = F.aggregate(v, F.lit(0.0), lambda a, b: a + b)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at(v, 1), 5).alias("first_val"),
+        F.round(total, 4).alias("sum_vals"),
+        F.round(F.array_max(v), 5).alias("max_val"),
+        F.round(F.array_min(v), 5).alias("min_val"),
+    )
+
+
+ARRAY_SQL = """
+SELECT vec_id,
+  CAST(len(embedding) AS INT) AS dim,
+  ROUND(CAST(embedding[1] AS DOUBLE), 5) AS first_val,
+  ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 4) AS sum_vals,
+  ROUND(list_aggregate(embedding::DOUBLE[], 'max'), 5) AS max_val,
+  ROUND(list_aggregate(embedding::DOUBLE[], 'min'), 5) AS min_val
+FROM embeddings
+"""
+
+
+QUERIES.update(
+    {
+        "window_running_sum": window_running_sum,
+        "groupby_median": groupby_median,
+        "string_funcs": string_funcs,
+        "date_funcs": date_funcs,
+        "array_funcs": array_funcs,
+    }
+)
+
+ORACLES.update(
+    {
+        "window_running_sum": WINDOW_RUNNING_SQL,
+        "groupby_median": GROUPBY_MEDIAN_SQL,
+        "string_funcs": STRING_SQL,
+        "date_funcs": DATE_SQL,
+        "array_funcs": ARRAY_SQL,
+    }
+)
