@@ -161,7 +161,7 @@ FROM wide WHERE period = 2
 # ATT(g,t) through the real estimator
 # ---------------------------------------------------------------------------
 
-def _fit_attgt(spark: SparkSession, sf_dir: str, control: str):
+def _fit_attgt(spark: SparkSession, sf_dir: str, control: str, est_method: str = "reg"):
     from csdid_pyspark_spark.did import ATTgt
 
     pdf = panel_from_events(spark, sf_dir)
@@ -175,7 +175,7 @@ def _fit_attgt(spark: SparkSession, sf_dir: str, control: str):
         allow_unbalanced_panel=False,
         control_group=control,
     )
-    est.fit(est_method="reg")
+    est.fit(est_method=est_method)
     return est
 
 
@@ -193,6 +193,21 @@ def did_attgt_nevertreated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def did_attgt_notyettreated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _attgt_result_df(spark, _fit_attgt(spark, sf_dir, "notyettreated"))
+
+
+def did_attgt_dr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust kernel end-to-end. With intercept-only covariates
+    the DR estimator (and its influence function, hence the SE)
+    algebraically reduces to the closed form the SQL oracle computes —
+    the propensity score is constant, so the IPW correction terms
+    vanish (tests/test_ref_kernels.py::test_dr_equals_reg...). This
+    oracle-checks the full IRLS + Gram kernel path, not just reg."""
+    return _attgt_result_df(spark, _fit_attgt(spark, sf_dir, "nevertreated", "dr"))
+
+
+def did_attgt_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Std-IPW kernel end-to-end; same intercept-only reduction."""
+    return _attgt_result_df(spark, _fit_attgt(spark, sf_dir, "nevertreated", "ipw"))
 
 
 def _attgt_sql(control_pred: str) -> str:
@@ -287,6 +302,8 @@ QUERIES = {
     "did_panel2cs": did_panel2cs,
     "did_attgt_nevertreated": did_attgt_nevertreated,
     "did_attgt_notyettreated": did_attgt_notyettreated,
+    "did_attgt_dr": did_attgt_dr,
+    "did_attgt_ipw": did_attgt_ipw,
     "did_aggte_simple": did_aggte_simple,
     "did_aggte_group": did_aggte_group,
     "did_aggte_calendar": did_aggte_calendar,
@@ -298,6 +315,8 @@ ORACLES = {
     "did_panel2cs": DID_PANEL2CS_SQL,
     "did_attgt_nevertreated": DID_ATTGT_NEVER_SQL,
     "did_attgt_notyettreated": DID_ATTGT_NYT_SQL,
+    "did_attgt_dr": DID_ATTGT_NEVER_SQL,
+    "did_attgt_ipw": DID_ATTGT_NEVER_SQL,
     "did_aggte_simple": DID_AGGTE_SIMPLE_SQL,
     "did_aggte_group": DID_AGGTE_GROUP_SQL,
     "did_aggte_calendar": DID_AGGTE_CALENDAR_SQL,
