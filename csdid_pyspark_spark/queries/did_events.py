@@ -210,6 +210,28 @@ def did_attgt_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _attgt_result_df(spark, _fit_attgt(spark, sf_dir, "nevertreated", "ipw"))
 
 
+def did_attgt_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded multiplier bootstrap with uniform bands (rows-only check:
+    bootstrap SEs are not ANSI-SQL-expressible, but the run is
+    deterministic under the fixed seed, so the driver sees a stable
+    schema/rowcount and repeated runs hash identically)."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    est = ATTgt(
+        panel_from_events(spark, sf_dir),
+        yname="y", tname="period", idname="id", gname="g",
+        panel=True, allow_unbalanced_panel=False,
+        biters=199, seed=42,
+    )
+    est.fit(est_method="reg", bstrap=True, cband=True)
+    rows = [
+        (int(r.g), int(r.t), round(float(r.att), 6), round(float(r.se), 6),
+         int(bool(r.sig)))
+        for r in est.fit_result.table.itertuples()
+    ]
+    return spark.createDataFrame(rows, "g int, t int, att double, se_boot double, sig int")
+
+
 def _attgt_sql(control_pred: str) -> str:
     return (
         "WITH "
@@ -304,6 +326,7 @@ QUERIES = {
     "did_attgt_notyettreated": did_attgt_notyettreated,
     "did_attgt_dr": did_attgt_dr,
     "did_attgt_ipw": did_attgt_ipw,
+    "did_attgt_bootstrap": did_attgt_bootstrap,
     "did_aggte_simple": did_aggte_simple,
     "did_aggte_group": did_aggte_group,
     "did_aggte_calendar": did_aggte_calendar,
