@@ -100,21 +100,29 @@ def preprocess_did(
         if c != ID:  # numeric (cast to double); ID keeps its input type
             cond = cond | F.isnan(F.col(c))
         nullable = nullable | cond
-    per_t = df.groupBy(T).agg(
-        F.count(F.lit(1)).alias("c"), F.sum(nullable.cast("long")).alias("nn")
-    ).collect()
+    df_dropped = df.filter(~nullable)
+    # the period scan (with null audit) and the cohort scan are
+    # independent — submit them as concurrent Spark jobs
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        fut_t = pool.submit(
+            lambda: df.groupBy(T)
+            .agg(F.count(F.lit(1)).alias("c"), F.sum(nullable.cast("long")).alias("nn"))
+            .collect()
+        )
+        fut_g = pool.submit(
+            lambda: df_dropped.groupBy(G).agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+        per_t, per_g = fut_t.result(), fut_g.result()
+    df = df_dropped
     n_null = sum(r["nn"] or 0 for r in per_t)
-    df = df.filter(~nullable)
     if n_null:
         warns.append(f"dropped {n_null} rows with missing values")
     tlist = sorted(r[T] for r in per_t if r[T] is not None and r["c"] > (r["nn"] or 0))
     if not tlist:
         raise DidError("no rows left after dropping missing values")
     max_t, min_t = tlist[-1], tlist[0]
-
-    per_g = df.groupBy(G).agg(
-        F.count(F.lit(1)).alias("c"), F.sum(nullable.cast("long")).alias("nn")
-    ).collect()
     # units first treated after the sample end are effectively never
     # treated; null/NaN cohort likewise (ref ATTgt.py:111-118)
     df = df.withColumn(
@@ -125,7 +133,7 @@ def preprocess_did(
     )
     sizes: dict[float, int] = {}
     for r in per_g:
-        c = r["c"] - (r["nn"] or 0)
+        c = r["c"]
         if c <= 0:
             continue
         gval = r[G]
