@@ -245,6 +245,22 @@ class ATTgt:
         return self.pdata.df.select(CL).distinct().count()
 
     # ------------------------------------------------------------------
+    def unpersist(self) -> None:
+        """Release cached state (preprocessed panel + IF table). Call
+        when done with an estimator in a long-lived session — fit
+        results (the driver-side tables) stay valid; only re-running
+        aggte/bootstrap would recompute lineage."""
+        try:
+            self.pdata.df.unpersist()
+        except Exception:
+            pass
+        if self.fit_result is not None:
+            try:
+                self.fit_result.if_df.unpersist()
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------------
     def summary(self) -> str:
         """Printable ATT(g,t) summary (reference ``sum_gt``,
         ATTgt.py:507-517 — with the upper/lower band swap of §2.8.5

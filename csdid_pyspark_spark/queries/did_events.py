@@ -184,6 +184,7 @@ def _attgt_result_df(spark, est) -> DataFrame:
         (int(r.g), int(r.t), int(r.post), round(float(r.att), 6), round(float(r.se), 6))
         for r in est.fit_result.table.itertuples()
     ]
+    est.unpersist()  # results are driver-side; free executor cache
     return spark.createDataFrame(rows, "g int, t int, post int, att double, se double")
 
 
@@ -229,6 +230,7 @@ def did_attgt_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
          int(bool(r.sig)))
         for r in est.fit_result.table.itertuples()
     ]
+    est.unpersist()
     return spark.createDataFrame(rows, "g int, t int, att double, se_boot double, sig int")
 
 
@@ -256,6 +258,7 @@ def _aggte_df(spark: SparkSession, sf_dir: str, typec: str) -> DataFrame:
     out = est.compute_aggte(typec)
     rows = [(float(e), round(float(a), 6)) for e, a in zip(out.egt, out.att_egt)]
     rows.append((-1.0, round(float(out.overall_att), 6)))  # overall row, egt = -1
+    est.unpersist()
     return spark.createDataFrame(rows, "egt double, att double")
 
 
