@@ -102,7 +102,13 @@ def estimate_panel(
 
     gamma: dict[int, np.ndarray | None] = {}
     if est_method in ("ipw", "dr"):
-        gamma = irls_logit(cell_df, xcols, spark, [c for c in cids if c not in skipped])
+        # warm-start the intercept at logit of the cell's treated share
+        init = {
+            cid: np.array([math.log(pass1[cid]["n_tr"] / pass1[cid]["n_co"])] + [0.0] * (p - 1))
+            for cid in cids
+            if cid not in skipped
+        }
+        gamma = irls_logit(cell_df, xcols, spark, [c for c in cids if c not in skipped], init=init)
         for cid, gm in gamma.items():
             if gm is None and cid not in skipped:
                 skipped[cid] = "propensity-score logit did not converge"
@@ -322,7 +328,20 @@ def estimate_rc(
 
     gamma: dict[int, np.ndarray | None] = {}
     if est_method in ("ipw", "dr"):
-        gamma = irls_logit(cell_df, xcols, spark, [c for c in cids if c not in skipped])
+        init = {
+            cid: np.array(
+                [
+                    math.log(
+                        (pass1[cid]["n_t1"] + pass1[cid]["n_t0"])
+                        / (pass1[cid]["n_c1"] + pass1[cid]["n_c0"])
+                    )
+                ]
+                + [0.0] * (p - 1)
+            )
+            for cid in cids
+            if cid not in skipped
+        }
+        gamma = irls_logit(cell_df, xcols, spark, [c for c in cids if c not in skipped], init=init)
         for cid, gm in gamma.items():
             if gm is None and cid not in skipped:
                 skipped[cid] = "propensity-score logit did not converge"

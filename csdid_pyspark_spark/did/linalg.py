@@ -115,14 +115,22 @@ def irls_logit(
     active_cids: list[int],
     max_iter: int = 25,
     tol: float = 1e-10,
+    init: dict[int, np.ndarray] | None = None,
 ) -> dict[int, np.ndarray | None]:
     """Weighted logistic regression of d on X per cell, all cells
     simultaneously: each IRLS iteration is one aggregation pass over the
     (cached) cell table; the p×p solves happen on the driver.
 
+    ``init`` warm-starts the intercept (e.g. logit of the cell's
+    treatment share) — the fixed point is unchanged, it just converges
+    in fewer full-table passes.
+
     Returns per-cell gamma-hat (None where the fit failed/separated)."""
     p = len(xcols)
-    beta: dict[int, np.ndarray | None] = {cid: np.zeros(p) for cid in active_cids}
+    beta: dict[int, np.ndarray | None] = {
+        cid: (init[cid].copy() if init and cid in init else np.zeros(p))
+        for cid in active_cids
+    }
     active = set(active_cids)
     for _ in range(max_iter):
         if not active:
