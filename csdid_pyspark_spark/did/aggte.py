@@ -257,7 +257,13 @@ def compute_aggte(
         if_o = _agg_if(fr.if_df, theta, wif_part, spark).persist()
         se_o = _se_of(if_o, n)
         if bstrap:
-            mb = mboot(if_o.select(F.lit(0).alias("key"), "uh", "inf"), "key", "uh", "inf", n, biters, alp, attgt.seed)
+            bt = if_o.select(F.lit(0).alias("key"), "uh", "inf")
+            if attgt.clustervars:
+                bt = attgt._cluster_collapse(bt, "key", "inf")
+                n_b = attgt._n_clusters()
+            else:
+                n_b = n
+            mb = mboot(bt, "key", "uh", "inf", n_b, biters, alp, attgt.seed)
             se_o = mb.se.get(0, se_o)
         if_o.unpersist()
         return AggteResult(typec, att_o, se_o, [], [], [], z, min_e, max_e, balance_e, alp)
@@ -300,7 +306,11 @@ def compute_aggte(
     ]
     crit = z
     if bstrap:
-        mb = mboot(if_u, "key", "uh", "inf", n, biters, alp, attgt.seed)
+        if attgt.clustervars:
+            bt, n_b = attgt._cluster_collapse(if_u, "key", "inf"), attgt._n_clusters()
+        else:
+            bt, n_b = if_u, n
+        mb = mboot(bt, "key", "uh", "inf", n_b, biters, alp, attgt.seed)
         ses = [mb.se.get(i, ses[i]) for i in range(len(egts))]
         if cband:
             crit = mb.crit_val
@@ -356,7 +366,12 @@ def compute_aggte(
         )
     se_o = _se_of(if_o, n)
     if bstrap:
-        mb_o = mboot(if_o.select(F.lit(0).alias("key"), "uh", "inf"), "key", "uh", "inf", n, biters, alp, attgt.seed)
+        bt = if_o.select(F.lit(0).alias("key"), "uh", "inf")
+        if attgt.clustervars:
+            bt, n_b = attgt._cluster_collapse(bt, "key", "inf"), attgt._n_clusters()
+        else:
+            n_b = n
+        mb_o = mboot(bt, "key", "uh", "inf", n_b, biters, alp, attgt.seed)
         se_o = mb_o.se.get(0, se_o)
     if_o.unpersist()
     if_u.unpersist()

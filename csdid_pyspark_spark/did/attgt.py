@@ -219,25 +219,34 @@ class ATTgt:
             F.xxhash64(ID, T).alias("uh"), F.col(W).alias("w_u"), F.col(G).alias("g_u")
         )
 
-    def _cluster_collapse(self, if_df: DataFrame) -> DataFrame:
+    def _cluster_map(self) -> DataFrame:
+        """(uh, cl): inference-unit hash → cluster, aligned with the IF
+        table's hashes (panel: per id; RC: per observation row)."""
+        from csdid_pyspark_spark.did.preprocess import CL, ID, T
+
+        if self.pdata.panel:
+            return self.pdata.df.select(
+                F.xxhash64(ID).alias("uh"), F.col(CL).alias("cl")
+            ).distinct()
+        return self.pdata.df.select(F.xxhash64(ID, T).alias("uh"), F.col(CL).alias("cl"))
+
+    def _cluster_collapse(
+        self, if_df: DataFrame, key_col: str = "cid", inf_col: str = "inf_sc"
+    ) -> DataFrame:
         """Cluster bootstrap support: average IFs within cluster (the
         reference's clustered path crashes on pandas-on-Spark idioms —
         mboot.py:99-111, SURVEY.md §2.8.6)."""
-        from csdid_pyspark_spark.did.preprocess import CL, ID
-
-        cl_map = self.pdata.df.select(
-            F.xxhash64(ID).alias("uh"), F.col(CL).alias("cl")
-        ).distinct()
+        cl_map = self._cluster_map()
         sizes = cl_map.groupBy("cl").agg(F.count("*").alias("cl_n"))
         return (
             if_df.join(cl_map, "uh")
-            .groupBy("cid", "cl")
-            .agg(F.sum("inf_sc").alias("s"))
+            .groupBy(key_col, "cl")
+            .agg(F.sum(inf_col).alias("s"))
             .join(F.broadcast(sizes), "cl")
             .select(
-                "cid",
+                key_col,
                 F.xxhash64("cl").alias("uh"),
-                (F.col("s") / F.col("cl_n")).alias("inf_sc"),
+                (F.col("s") / F.col("cl_n")).alias(inf_col),
             )
         )
 

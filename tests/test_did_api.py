@@ -99,3 +99,32 @@ def test_mllib_lsh_backends(spark):
     rows = out.collect()
     assert len(rows) == 5
     assert rows[0]["vec_id"] == 2 and rows[0]["dist"] == 0.0
+
+
+def test_clustered_aggte_bootstrap(spark):
+    """compute_aggte honors clustervars: cluster-collapsed bootstrap
+    SEs are finite and differ from the unclustered ones."""
+    import pandas as pd
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(300):
+        g = float(rng.choice([0.0, 3.0]))
+        cl = i % 15
+        fe = rng.normal() + (cl - 7) * 0.3
+        for t in (1, 2, 3, 4):
+            tau = 1.5 if 0 < g <= t else 0.0
+            rows.append((i, t, g, fe + 0.2 * t + tau + rng.normal(0, 0.3), cl))
+    pdf = pd.DataFrame(rows, columns=["id", "t", "g", "y", "cl"])
+    sdf = spark.createDataFrame(pdf)
+
+    clustered = ATTgt(sdf, "y", "t", "id", "g", clustervars="cl", biters=199, seed=5,
+                      allow_unbalanced_panel=False)
+    clustered.fit("reg", bstrap=True)
+    oc = clustered.compute_aggte("simple", bstrap=True)
+    plain = ATTgt(sdf, "y", "t", "id", "g", biters=199, seed=5, allow_unbalanced_panel=False)
+    plain.fit("reg", bstrap=True)
+    op = plain.compute_aggte("simple", bstrap=True)
+    assert np.isfinite(oc.overall_se) and np.isfinite(op.overall_se)
+    assert oc.overall_att == pytest.approx(op.overall_att, abs=1e-9)  # point est unchanged
+    assert abs(oc.overall_se - op.overall_se) > 1e-7  # clustering changes the SE
