@@ -89,3 +89,65 @@ def ann_topk_mllib(
     qv = Vectors.dense([float(x) for x in query])
     out = model.approxNearestNeighbors(feats, qv, k, distCol="dist")
     return out.select(id_col, F.round("dist", 5).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster probing —
+# the classic alternative to LSH bucketing for embedding search. At
+# 100 TB the assignment column becomes the table's partition key, so a
+# probe reads n_probe/n_centroids of the corpus (partition pruning),
+# then exact cosine reranks within the probed cells.
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Fit the coarse quantizer and assign every vector to a cell.
+    Returns (assignments DataFrame with a `cluster` column, centroid
+    list). Persist/write the assignments partitioned by `cluster` for
+    repeated queries."""
+    from pyspark.ml.clustering import KMeans
+
+    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
+    feats = df.select(F.col(id_col), F.col(vec_col), to_vec(F.col(vec_col)).alias("features"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cluster")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select(id_col, vec_col, "cluster")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: probe the n_probe k-means cells
+    nearest the query (euclidean, matching the quantizer's metric),
+    exact-rerank inside them."""
+    import math
+
+    from csdid_pyspark_spark.functions.vectors import as_double_array, cosine, lit_vector
+
+    assigned, centroids = build_ivf_index(df, n_centroids, id_col, vec_col, seed)
+    dists = [
+        (i, math.sqrt(sum((c - q) ** 2 for c, q in zip(cen, query))))
+        for i, cen in enumerate(centroids)
+    ]
+    probes = [i for i, _ in sorted(dists, key=lambda x: x[1])[:n_probe]]
+    q = lit_vector(query).cast("array<double>")
+    return (
+        assigned.filter(F.col("cluster").isin(probes))
+        .select(F.col(id_col), cosine(as_double_array(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

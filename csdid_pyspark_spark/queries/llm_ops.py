@@ -135,6 +135,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k — the
+    partition-prunable scale path (Spark-only rows check)."""
+    from csdid_pyspark_spark.operators.mllib_lsh import ann_topk_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return ann_topk_ivf(e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=16, n_probe=3).select(
+        "vec_id", F.round("cosine", 5).alias("cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -267,6 +279,7 @@ QUERIES = {
     "sim_cosine_scores": sim_cosine_scores,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "events_sessionize": events_sessionize,

@@ -128,3 +128,16 @@ def test_clustered_aggte_bootstrap(spark):
     assert np.isfinite(oc.overall_se) and np.isfinite(op.overall_se)
     assert oc.overall_att == pytest.approx(op.overall_att, abs=1e-9)  # point est unchanged
     assert abs(oc.overall_se - op.overall_se) > 1e-7  # clustering changes the SE
+
+
+def test_plot_data_accessors(spark, dgp):
+    """Plot-data frames are available without matplotlib."""
+    from csdid_pyspark_spark.did.plots import aggte_plot_data, attgt_plot_data
+
+    est = _fit(spark, dgp)
+    pd_attgt = attgt_plot_data(est.fit_result.table)
+    assert set(pd_attgt.columns) == {"g", "t", "att", "se", "lower", "upper", "phase"}
+    assert set(pd_attgt["phase"].unique()) <= {"pre", "post"}
+    out = est.compute_aggte("dynamic")
+    pd_aggte = aggte_plot_data(out)
+    assert "phase" in pd_aggte.columns and len(pd_aggte) == len(out.egt)

@@ -105,3 +105,15 @@ def test_formula_parser():
         parse_formula("no tilde here")
     with pytest.raises(FormulaError):
         parse_formula("y ~ x1 * x2")
+
+
+def test_ivf_ann_recall(spark):
+    from csdid_pyspark_spark.operators.mllib_lsh import ann_topk_ivf
+
+    emb = load_table(spark, SF, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 5).select("embedding").first()[0])
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ann_topk_ivf(emb, q, k=10, n_centroids=8, n_probe=3).collect()]
+    assert approx[0] == 5  # query's own cell always probed
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"IVF recall too low: {overlap}"
