@@ -297,3 +297,94 @@ ORACLES = {
     "events_hourly_rollup": HOURLY_SQL,
     # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh: rows-only checks
 }
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) extraction over events.props
+# ---------------------------------------------------------------------------
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (letter runs / digit runs / symbol runs)
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).cast("int").alias("n_bpe"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int").alias("n_ws"),
+    )
+
+
+TEXT_BPE_SQL = rf"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INT) AS n_bpe,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Second-moment statistical aggregates
+# ---------------------------------------------------------------------------
+
+def stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
+    )
+
+
+STATS_SQL = """
+SELECT l_linestatus,
+  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qty_disc,
+  ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+  ROUND(VAR_POP(l_quantity), 6) AS varp_qty
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+QUERIES.update(
+    {
+        "events_json_extract": events_json_extract,
+        "text_bpe_tokens": text_bpe_tokens,
+        "stats_aggs": stats_aggs,
+    }
+)
+ORACLES.update(
+    {
+        "events_json_extract": EVENTS_JSON_SQL,
+        "text_bpe_tokens": TEXT_BPE_SQL,
+        "stats_aggs": STATS_SQL,
+    }
+)
