@@ -107,6 +107,99 @@ def ann_topk_lsh(
     )
 
 
+def neardup_pairs_cosine(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (a, b) with
+    id_a < id_b and cosine >= threshold. Broadcast self-join — the exact
+    baseline, correct at any threshold but O(n^2) comparisons; it is the
+    oracle for :func:`neardup_pairs_lsh`, which is the 100 TB path.
+    (No reference analog — scale extension per SURVEY.md §7/M6.)"""
+    a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("_vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _flip_bit(sig: F.Column, i: int, n_bits: int) -> F.Column:
+    """Signature string with bit i (0-based) flipped."""
+    flipped = F.when(F.substring(sig, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+    parts = []
+    if i > 0:
+        parts.append(F.substring(sig, 1, i))
+    parts.append(flipped)
+    if i + 1 < n_bits:
+        parts.append(F.substring(sig, i + 2, n_bits - i - 1))
+    return F.concat(*parts)
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: `n_tables` independent
+    random-hyperplane signatures; candidates are pairs whose signatures
+    are within Hamming distance `probe_hamming` in at least one table
+    (a shuffle equi-join on the bucket key — never a cross join), then
+    exact-cosine verified against `threshold`. Multi-probe is asymmetric:
+    side A keeps its exact bucket, side B explodes to its bucket plus
+    all 1-bit flips, so a hamming-1 pair still equi-collides. Per-plane
+    collision prob p = 1 - theta/pi; per-table catch prob is
+    p^k + k*p^(k-1)*(1-p); recall = 1-(1-that)^tables — at the defaults
+    and threshold 0.4 this is >0.99 while candidates stay ~n^2/2^planes
+    per table. Both sides scale: the join shuffles on the bucket key
+    with bounded bucket sizes, and dedup of candidate pairs happens
+    before the (cheap) verification. (Scale extension, SURVEY.md §7/M6.)"""
+    v = as_double_array(vec_col)
+    dim = len(df.select(vec_col).first()[0])
+    proj = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    sig_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000003 * t)
+        sig_cols.append(lsh_bucket(F.col("_v"), planes).alias(f"_b{t}"))
+    sig = proj.select("_id", "_v", *sig_cols)
+
+    def tagged(t: int, col: F.Column) -> F.Column:
+        return F.concat(F.lit(f"{t}:"), col)
+
+    a_probes = [tagged(t, F.col(f"_b{t}")) for t in range(n_tables)]
+    b_probes = list(a_probes)
+    if probe_hamming >= 1:
+        for t in range(n_tables):
+            for i in range(n_planes):
+                b_probes.append(tagged(t, _flip_bit(F.col(f"_b{t}"), i, n_planes)))
+    a = sig.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.explode(F.array(*a_probes)).alias("_bucket"),
+    )
+    b = sig.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.explode(F.array(*b_probes)).alias("_bucket"),
+    )
+    cand = (
+        a.join(b, ["_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def knn_join_bruteforce(
     left: DataFrame,
     right: DataFrame,

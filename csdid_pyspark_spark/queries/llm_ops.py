@@ -73,6 +73,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, n=3, num_hashes=16, bands=4, threshold=0.5)
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (oracle-checked baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs_cosine(e, threshold=0.4).select(
+        "id_a", "id_b", F.round("cosine", 5).alias("cosine")
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 5) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the 100 TB path (bucket
+    equi-join, no cross join). Rows-only driver check; the test suite
+    measures recall against `dedup_embedding_cosine`."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs_lsh(e, threshold=0.4, n_planes=4, n_tables=8).select(
+        "id_a", "id_b", F.round("cosine", 5).alias("cosine")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint per document (Spark-only rows check)."""
     d = load_table(spark, sf_dir, "documents")
@@ -276,6 +303,8 @@ QUERIES = {
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "sim_cosine_scores": sim_cosine_scores,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
@@ -289,6 +318,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "dedup_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "sim_cosine_scores": SIM_COSINE_SQL,
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     "text_stats": TEXT_STATS_SQL,

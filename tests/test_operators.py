@@ -63,6 +63,21 @@ def test_ann_recall_vs_bruteforce(spark):
     assert overlap >= 0.3, f"ANN recall too low: {overlap}"
 
 
+def test_embedding_neardup_lsh_recall(spark):
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in similarity.neardup_pairs_cosine(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in similarity.neardup_pairs_lsh(emb, threshold=0.4, n_planes=4, n_tables=8).collect()
+    }
+    assert exact, "testdata should contain cosine>=0.4 pairs"
+    assert lsh <= exact  # candidates are exact-verified: no false positives
+    assert len(lsh) / len(exact) >= 0.85, f"LSH recall too low: {len(lsh)}/{len(exact)}"
+
+
 def test_knn_join(spark):
     emb = load_table(spark, SF, "embeddings").limit(60)
     out = similarity.knn_join_bruteforce(emb, emb, k=3)
