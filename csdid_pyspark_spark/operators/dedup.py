@@ -174,3 +174,48 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     for b in range(bits):
         fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_len: int = 12,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): rolling char k-gram hashes, then the minimum hash of
+    each sliding window of `window` consecutive k-grams, deduplicated.
+    Guarantees any shared substring of length >= window + k - 1 between
+    two documents yields at least one shared fingerprint — the local
+    dedup/provenance primitive exact-hash fingerprints can't provide.
+
+    The k-gram hash is a base-131 polynomial over character codes
+    (codes < 131^k fits bigint for k=5, no modular reduction) rather
+    than an engine hash, so the operator is bit-identical across
+    engines and therefore SQL-oracle-checkable. All array-native
+    (sequence/transform/slice/array_min): one narrow scan, no shuffle,
+    no UDF; the explode output shuffles only if the caller aggregates.
+    """
+    if k != 5:
+        raise ValueError("portable polynomial hash is specialized to k=5")
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col), t.alias("t")).filter(F.length("t") >= min_len)
+    hs = (
+        "transform(sequence(1, length(t) - 4), i -> "
+        "cast(ascii(substring(t, i, 1)) as bigint) * 294499921 "
+        "+ ascii(substring(t, i+1, 1)) * 2248091 "
+        "+ ascii(substring(t, i+2, 1)) * 17161 "
+        "+ ascii(substring(t, i+3, 1)) * 131 "
+        "+ ascii(substring(t, i+4, 1)))"
+    )
+    fps = (
+        f"array_sort(array_distinct(transform(sequence(1, size(hs) - {window - 1}), j -> "
+        f"array_min(slice(hs, j, {window})))))"
+    )
+    return (
+        base.select(id_col, F.expr(hs).alias("hs"))
+        .filter(F.size("hs") >= window)
+        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+    )

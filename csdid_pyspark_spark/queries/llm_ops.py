@@ -73,6 +73,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, n=3, num_hashes=16, bands=4, threshold=0.5)
 
 
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash) fingerprints per document —
+    portable polynomial hash, so Spark and DuckDB compute identical
+    fingerprint values."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(d, k=5, window=4, min_len=12)
+
+
+TEXT_WINNOW_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t FROM norm WHERE length(t) >= 12),
+kg AS (
+  SELECT doc_id,
+    list_transform(range(1, length(t) - 3), i ->
+      CAST(ascii(substring(t, i, 1)) AS BIGINT) * 294499921
+      + ascii(substring(t, i+1, 1)) * 2248091
+      + ascii(substring(t, i+2, 1)) * 17161
+      + ascii(substring(t, i+3, 1)) * 131
+      + ascii(substring(t, i+4, 1))) AS hs
+  FROM base
+),
+win AS (
+  SELECT doc_id,
+    list_sort(list_distinct(list_transform(range(1, len(hs) - 2), j ->
+      list_min(list_slice(hs, j, j + 3))))) AS fps
+  FROM kg WHERE len(hs) >= 4
+)
+SELECT doc_id, unnest(fps) AS fp FROM win
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (oracle-checked baseline)."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -305,6 +339,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
     "sim_cosine_scores": sim_cosine_scores,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
@@ -319,6 +354,7 @@ ORACLES = {
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "dedup_jaccard": DEDUP_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+    "text_winnow_fingerprint": TEXT_WINNOW_SQL,
     "sim_cosine_scores": SIM_COSINE_SQL,
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     "text_stats": TEXT_STATS_SQL,

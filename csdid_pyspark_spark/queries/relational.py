@@ -522,8 +522,33 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB counting path. HLL++ distinct
+    counts and KLL-style approximate quantiles run in one pass with
+    O(sketch) state per partition and a mergeable partial per task,
+    where exact distinct/percentile would shuffle every value. No SQL
+    oracle (approximation is engine-specific); the driver sees a
+    stable 1-row schema and tests bound the relative error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ndv_orderkey"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("ndv_partkey"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("ndv_suppkey"),
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
+            "price_q50_q95"
+        ),
+    ).select(
+        "ndv_orderkey",
+        "ndv_partkey",
+        "ndv_suppkey",
+        F.col("price_q50_q95")[0].alias("price_p50"),
+        F.col("price_q50_q95")[1].alias("price_p95"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "sketch_cardinality": sketch_cardinality,
     "project_compute": project_compute,
     "filter_predicates": filter_predicates,
     "isin_filter": isin_filter,

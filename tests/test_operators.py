@@ -63,6 +63,52 @@ def test_ann_recall_vs_bruteforce(spark):
     assert overlap >= 0.3, f"ANN recall too low: {overlap}"
 
 
+def test_sketch_cardinality_error_bounds(spark):
+    from csdid_pyspark_spark.queries.relational import sketch_cardinality
+
+    sf = "/root/testdata/sf0.01"
+    row = sketch_cardinality(spark, sf).first()
+    li = load_table(spark, sf, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("o"),
+        F.countDistinct("l_partkey").alias("p"),
+        F.countDistinct("l_suppkey").alias("s"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("q50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("q95"),
+    ).first()
+    for approx, true in [
+        (row["ndv_orderkey"], exact["o"]),
+        (row["ndv_partkey"], exact["p"]),
+        (row["ndv_suppkey"], exact["s"]),
+    ]:
+        assert abs(approx - true) / true < 0.05, (approx, true)
+    assert abs(row["price_p50"] - exact["q50"]) / exact["q50"] < 0.02
+    assert abs(row["price_p95"] - exact["q95"]) / exact["q95"] < 0.02
+
+
+def test_winnow_fingerprint_properties(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "THE  quick Brown fox jumps over the lazy dog near the river bank"),
+        (3, "completely different content with no overlap whatsoever in text"),
+        # doc 4 embeds doc 1's text inside a longer document
+        (4, "prefix words here " + "the quick brown fox jumps over the lazy dog near the river bank" + " suffix words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = dedup.winnow_fingerprints(df)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # normalization invariance: case/whitespace noise → identical set
+    assert by_doc[1] == by_doc[2]
+    # winnowing guarantee: a shared substring >= window+k-1 chars
+    # yields shared fingerprints — containment detects the overlap
+    shared = len(by_doc[1] & by_doc[4]) / len(by_doc[1])
+    assert shared >= 0.8, f"containment too low: {shared}"
+    disjoint = len(by_doc[1] & by_doc[3]) / len(by_doc[1])
+    assert disjoint < 0.2
+
+
 def test_embedding_neardup_lsh_recall(spark):
     emb = load_table(spark, SF, "embeddings")
     exact = {

@@ -61,3 +61,16 @@ def test_sessionize_stream_matches_batch(spark):
     assert got.keys() == expected.keys()
     mismatches = {u: (got[u], expected[u]) for u in got if got[u] != expected[u]}
     assert not mismatches, mismatches
+
+
+def test_dedup_stream_drops_duplicates(spark):
+    from csdid_pyspark_spark.streaming.events import dedup_stream
+
+    stream = stream_events(spark, SF)
+    # union the stream with itself → every event_id appears twice
+    doubled = stream.unionByName(stream)
+    _run_to_memory(dedup_stream(doubled), "dedup_test", "append")
+    out = spark.table("dedup_test")
+    n_distinct = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
