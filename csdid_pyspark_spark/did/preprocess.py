@@ -101,11 +101,25 @@ def preprocess_did(
             cond = cond | F.isnan(F.col(c))
         nullable = nullable | cond
     df_dropped = df.filter(~nullable)
-    # the period scan (with null audit) and the cohort scan are
-    # independent — submit them as concurrent Spark jobs
+    # the period scan (with null audit), the cohort scan, and the
+    # per-unit balance scan are independent — submit them as concurrent
+    # Spark jobs. The balance scan is optimistic: it is only valid if no
+    # period/cohort refilter fires below (the common case); otherwise it
+    # is recomputed on the filtered frame.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(2) as pool:
+    def _unit_stats(frame: DataFrame):
+        per_unit = frame.groupBy(ID).agg(
+            F.countDistinct(T).alias("np"), F.count(F.lit(1)).alias("cnt")
+        )
+        return per_unit, per_unit.agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum("cnt").alias("n_obs"),
+            F.min("np").alias("min_np"),
+            F.max("cnt").alias("max_cnt"),
+        ).first()
+
+    with ThreadPoolExecutor(3) as pool:
         fut_t = pool.submit(
             lambda: df.groupBy(T)
             .agg(F.count(F.lit(1)).alias("c"), F.sum(nullable.cast("long")).alias("nn"))
@@ -114,8 +128,11 @@ def preprocess_did(
         fut_g = pool.submit(
             lambda: df_dropped.groupBy(G).agg(F.count(F.lit(1)).alias("c")).collect()
         )
+        fut_u = pool.submit(_unit_stats, df_dropped)
         per_t, per_g = fut_t.result(), fut_g.result()
+        unit_stats_opt = fut_u.result()
     df = df_dropped
+    refiltered = False
     n_null = sum(r["nn"] or 0 for r in per_t)
     if n_null:
         warns.append(f"dropped {n_null} rows with missing values")
@@ -154,6 +171,7 @@ def preprocess_did(
         tlist = [t for t in tlist if t < cutoff]
         glist = [g for g in glist if g < cutoff]
         warns.append(f"no never-treated units: dropped periods >= {cutoff}")
+        refiltered = True
 
     # drop units treated at/before the first usable period (no pre-period)
     first_usable = min_t + anticipation
@@ -166,19 +184,18 @@ def preprocess_did(
         df = df.filter(~F.col(G).isin(early))
         glist = [g for g in glist if g not in early]
         sizes = {g: c for g, c in sizes.items() if g not in early}
+        refiltered = True
     if not glist:
         raise DidError("no valid treated cohorts remain")
 
     # --- panel / RC decision (ref ATTgt.py:158-188, fixed per §2.8.7) -------
-    # single action: per-unit period counts reduced to balance stats
+    # per-unit period counts reduced to balance stats — reuse the
+    # optimistic concurrent scan unless a refilter invalidated it
     is_panel = panel
-    per_unit = df.groupBy(ID).agg(F.countDistinct(T).alias("np"), F.count(F.lit(1)).alias("cnt"))
-    stats = per_unit.agg(
-        F.count(F.lit(1)).alias("n_units"),
-        F.sum("cnt").alias("n_obs"),
-        F.min("np").alias("min_np"),
-        F.max("cnt").alias("max_cnt"),
-    ).first()
+    if refiltered:
+        per_unit, stats = _unit_stats(df)
+    else:
+        per_unit, stats = unit_stats_opt
     n_units, n_obs = stats["n_units"], stats["n_obs"]
     if panel:
         balanced = (

@@ -84,8 +84,18 @@ pg AS (
 """
 
 
+# Dataset-level cache: the derived panel is a pure function of the
+# events table, shared by every estimator query in a session. Keyed by
+# Spark application id so a fresh session never sees a stale plan.
+_PANEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def panel_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived long-format panel (id, period, g, y)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PANEL_CACHE.get(key)
+    if hit is not None:
+        return hit
     e = load_table(spark, sf_dir, "events")
     g = (
         F.when(F.col("user_id") % 4 == 0, 0)
@@ -95,7 +105,7 @@ def panel_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
     )
     period = (F.floor((F.dayofmonth("ts") - 1) / 5) + 1).cast("int")
-    return (
+    panel = (
         e.select(
             F.col("user_id").cast("bigint").alias("id"),
             period.alias("period"),
@@ -104,7 +114,10 @@ def panel_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("id", "period", "g")
         .agg(F.avg("value").alias("y"))
+        .persist()
     )
+    _PANEL_CACHE[key] = panel
+    return panel
 
 
 def did_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
