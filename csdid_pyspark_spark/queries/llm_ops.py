@@ -454,3 +454,51 @@ ORACLES.update(
         "stats_aggs": STATS_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each click matched to the user's most recent prior view
+# ---------------------------------------------------------------------------
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csdid_pyspark_spark.operators import asof
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    # collapse right side to one row per (user, ts) so the match is
+    # deterministic (see operators/asof.py tie semantics)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    j = asof.asof_join(clicks, views, on="user_id", ts_col="ts", value_cols=["view_value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("click_value", 4).alias("click_value"),
+        F.round("view_value", 4).alias("view_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("us_since_view"),
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, ROUND(c.value, 4) AS click_value,
+       ROUND(v.view_value, 4) AS view_value,
+       EPOCH_US(c.ts) - EPOCH_US(v.ts) AS us_since_view
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+QUERIES["events_asof_join"] = events_asof_join
+ORACLES["events_asof_join"] = ASOF_SQL

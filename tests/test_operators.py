@@ -178,3 +178,39 @@ def test_ivf_ann_recall(spark):
     assert approx[0] == 5  # query's own cell always probed
     overlap = len(set(exact) & set(approx)) / 10
     assert overlap >= 0.5, f"IVF recall too low: {overlap}"
+
+
+def test_asof_join_directions(spark):
+    from csdid_pyspark_spark.operators.asof import asof_join
+
+    e = load_table(spark, SF, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vval"))
+    )
+    v_rows = views.collect()
+    by_user: dict = {}
+    for r in v_rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["vval"]))
+    for direction, tol in (("backward", None), ("forward", None), ("backward", 600_000_000)):
+        got = {
+            r["event_id"]: (r["ts_right"], r["vval"])
+            for r in asof_join(
+                clicks, views, on="user_id", ts_col="ts",
+                value_cols=["vval"], direction=direction, tolerance_us=tol,
+            ).collect()
+        }
+        for c in clicks.collect():
+            if direction == "backward":
+                cand = [(t, v) for t, v in by_user.get(c["user_id"], []) if t <= c["ts"]]
+                best = max(cand) if cand else None
+                if best is not None and tol is not None:
+                    if (c["ts"] - best[0]).total_seconds() * 1e6 > tol:
+                        best = None
+            else:
+                cand = [(t, v) for t, v in by_user.get(c["user_id"], []) if t >= c["ts"]]
+                best = min(cand) if cand else None
+            want = best if best is not None else (None, None)
+            assert got[c["event_id"]] == want, (direction, tol, c["event_id"])
