@@ -753,3 +753,156 @@ ORACLES.update(
         "array_funcs": ARRAY_SQL,
     }
 )
+
+
+# --- TPC-H Q3 shape: shipping-priority top-k over a 3-way join --------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic bushy join + agg + top-k. The customer filter prunes before
+    the join; revenue accumulates in exact decimal so the top-10 cut is
+    deterministic across partial-agg orders."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-03-15"))
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1999-03-15"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("revenue", 4).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE), 4) AS revenue,
+  STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1999-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- TPC-H Q6 shape: pure scan-filter-agg (pushdown showcase) ---------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count("*").alias("n_rows"))
+        .select(F.round("revenue", 4).alias("revenue"), "n_rows")
+    )
+
+
+Q6_SQL = """
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE), 4) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# --- GROUPING SETS (beyond cube/rollup) -------------------------------------
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping-set lattice via SQL (the DataFrame API exposes only
+    cube/rollup); GROUPING() disambiguates real nulls from subtotal rows."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# --- Array explode / unnest -------------------------------------------------
+
+def explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral unnest) of the embedding vectors into long
+    (dim, value) form, then a per-dimension profile of the first 8 dims."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return (
+        e.select("vec_id", F.posexplode(v).alias("pos", "val"))
+        .filter(F.col("pos") < 8)
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("val"), 6).alias("avg_val"),
+            F.round(F.max("val"), 5).alias("max_val"),
+        )
+        .select(F.col("pos").cast("int").alias("pos"), "n", "avg_val", "max_val")
+    )
+
+
+EXPLODE_SQL = """
+WITH long AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         UNNEST(embedding::DOUBLE[]) AS val
+  FROM embeddings
+)
+SELECT CAST(pos AS INT) AS pos, COUNT(*) AS n,
+       ROUND(AVG(val), 6) AS avg_val, ROUND(MAX(val), 5) AS max_val
+FROM long WHERE pos < 8 GROUP BY pos
+"""
+
+
+QUERIES.update(
+    {
+        "q3_shipping_priority": q3_shipping_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "grouping_sets_revenue": grouping_sets_revenue,
+        "explode_embedding_dims": explode_embedding_dims,
+    }
+)
+
+ORACLES.update(
+    {
+        "q3_shipping_priority": Q3_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "grouping_sets_revenue": GROUPING_SETS_SQL,
+        "explode_embedding_dims": EXPLODE_SQL,
+    }
+)
