@@ -179,8 +179,11 @@ def compute_aggte(
     cells = cells.reset_index(drop=True)
 
     unitw = attgt._unit_weights()
-    pg_rows = unitw.groupBy("g_u").agg((F.sum("w_u") / n).alias("pg")).collect()
-    pg = {r["g_u"]: r["pg"] for r in pg_rows}
+    pg = getattr(attgt, "_pg_cache", None)
+    if pg is None:  # one scan per estimator: every aggte type reuses it
+        pg_rows = unitw.groupBy("g_u").agg((F.sum("w_u") / n).alias("pg")).collect()
+        pg = {r["g_u"]: r["pg"] for r in pg_rows}
+        attgt._pg_cache = pg
 
     def cell_info(row):
         return {"cid": int(row.cid), "g": float(row.g), "t": float(row.t), "att": float(row.att), "pg": pg.get(float(row.g), 0.0)}

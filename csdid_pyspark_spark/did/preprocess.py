@@ -119,24 +119,27 @@ def preprocess_did(
             F.max("cnt").alias("max_cnt"),
         ).first()
 
-    with ThreadPoolExecutor(3) as pool:
-        fut_t = pool.submit(
-            lambda: df.groupBy(T)
+    with ThreadPoolExecutor(2) as pool:
+        # period AND cohort structure from one |T|x|G|-cell grouped scan
+        # (both marginals derived driver-side — cells are tiny)
+        fut_tg = pool.submit(
+            lambda: df.groupBy(T, G)
             .agg(F.count(F.lit(1)).alias("c"), F.sum(nullable.cast("long")).alias("nn"))
             .collect()
         )
-        fut_g = pool.submit(
-            lambda: df_dropped.groupBy(G).agg(F.count(F.lit(1)).alias("c")).collect()
-        )
         fut_u = pool.submit(_unit_stats, df_dropped)
-        per_t, per_g = fut_t.result(), fut_g.result()
+        per_tg = fut_tg.result()
         unit_stats_opt = fut_u.result()
     df = df_dropped
     refiltered = False
-    n_null = sum(r["nn"] or 0 for r in per_t)
+    n_null = sum(r["nn"] or 0 for r in per_tg)
     if n_null:
         warns.append(f"dropped {n_null} rows with missing values")
-    tlist = sorted(r[T] for r in per_t if r[T] is not None and r["c"] > (r["nn"] or 0))
+    t_clean: dict = {}
+    for r in per_tg:
+        if r[T] is not None:
+            t_clean[r[T]] = t_clean.get(r[T], 0) + r["c"] - (r["nn"] or 0)
+    tlist = sorted(t for t, c in t_clean.items() if c > 0)
     if not tlist:
         raise DidError("no rows left after dropping missing values")
     max_t, min_t = tlist[-1], tlist[0]
@@ -149,8 +152,8 @@ def preprocess_did(
         ).otherwise(F.col(G)),
     )
     sizes: dict[float, int] = {}
-    for r in per_g:
-        c = r["c"]
+    for r in per_tg:
+        c = r["c"] - (r["nn"] or 0)  # cohort sizes count surviving rows only
         if c <= 0:
             continue
         gval = r[G]

@@ -174,9 +174,21 @@ FROM wide WHERE period = 2
 # ATT(g,t) through the real estimator
 # ---------------------------------------------------------------------------
 
+# Fitted-estimator cache, same lifetime policy as _PANEL_CACHE: a fit is
+# a pure deterministic function of (dataset, control group, est_method),
+# and several queries consume the same fit (the ATT(g,t) table feeds every
+# aggte type). Cached estimators keep their preprocessed panel + IF table
+# persisted for the session — both are O(cells) small.
+_FIT_CACHE: dict[tuple[str, str, str, str], object] = {}
+
+
 def _fit_attgt(spark: SparkSession, sf_dir: str, control: str, est_method: str = "reg"):
     from csdid_pyspark_spark.did import ATTgt
 
+    key = (spark.sparkContext.applicationId, sf_dir, control, est_method)
+    hit = _FIT_CACHE.get(key)
+    if hit is not None:
+        return hit
     pdf = panel_from_events(spark, sf_dir)
     est = ATTgt(
         pdf,
@@ -189,6 +201,7 @@ def _fit_attgt(spark: SparkSession, sf_dir: str, control: str, est_method: str =
         control_group=control,
     )
     est.fit(est_method=est_method)
+    _FIT_CACHE[key] = est
     return est
 
 
@@ -197,7 +210,6 @@ def _attgt_result_df(spark, est) -> DataFrame:
         (int(r.g), int(r.t), int(r.post), round(float(r.att), 6), round(float(r.se), 6))
         for r in est.fit_result.table.itertuples()
     ]
-    est.unpersist()  # results are driver-side; free executor cache
     return spark.createDataFrame(rows, "g int, t int, post int, att double, se double")
 
 
@@ -271,7 +283,6 @@ def _aggte_df(spark: SparkSession, sf_dir: str, typec: str) -> DataFrame:
     out = est.compute_aggte(typec)
     rows = [(float(e), round(float(a), 6)) for e, a in zip(out.egt, out.att_egt)]
     rows.append((-1.0, round(float(out.overall_att), 6)))  # overall row, egt = -1
-    est.unpersist()
     return spark.createDataFrame(rows, "egt double, att double")
 
 
