@@ -59,3 +59,22 @@ def load_panel_csv(
     """CSV panel reader matching the reference's input path
     (spark.read.csv(..., header=True, inferSchema=True))."""
     return spark.read.csv(path, header=header, inferSchema=infer_schema)
+
+
+def load_json(
+    spark: SparkSession, path: str, schema: str | None = None, multiline: bool = False
+) -> DataFrame:
+    """JSON-lines source. Pass an explicit DDL ``schema`` in production:
+    schema inference is a full extra pass over the data (prohibitive at
+    100 TB) and non-deterministic under dirty rows. Corrupt records land
+    in ``_corrupt_record`` (PERMISSIVE) instead of failing the scan."""
+    r = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same predicate-pushdown/column-pruning contract as
+    parquet (both are Catalyst FileScan sources with min/max stats)."""
+    return spark.read.orc(path)

@@ -25,3 +25,33 @@ def test_csv_roundtrip_estimation(spark, tmp_path):
     t_mem = b.fit(est_method="reg")
     assert np.allclose(t_csv["att"], t_mem["att"], atol=1e-9)
     assert np.allclose(t_csv["se"], t_mem["se"], rtol=1e-9)
+
+
+def test_json_orc_roundtrip(spark, tmp_path):
+    """JSON-lines and ORC sinks/sources preserve values and schema; the
+    JSON reader honors an explicit DDL schema (no inference pass)."""
+    from pyspark.sql import functions as F
+
+    from csdid_pyspark_spark.sources.sinks import write_json, write_orc
+    from csdid_pyspark_spark.sources.tables import load_json, load_orc, load_table
+
+    base = (
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal"))
+        .orderBy("c_custkey")
+    )
+    want = [tuple(r) for r in base.collect()]
+
+    jp, op = str(tmp_path / "j"), str(tmp_path / "o")
+    write_json(base, jp)
+    write_orc(base, op)
+    got_j = [
+        tuple(r)
+        for r in load_json(spark, jp, schema="c_custkey bigint, c_name string, bal double")
+        .orderBy("c_custkey")
+        .collect()
+    ]
+    got_o = [tuple(r) for r in load_orc(spark, op).orderBy("c_custkey").collect()]
+    assert got_j == want
+    assert got_o == want
+    assert load_orc(spark, op).schema == base.schema
