@@ -214,3 +214,29 @@ def test_asof_join_directions(spark):
                 best = min(cand) if cand else None
             want = best if best is not None else (None, None)
             assert got[c["event_id"]] == want, (direction, tol, c["event_id"])
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed on the join key → the
+    physical plan contains no Exchange (the 100 TB repeated-join path)."""
+    from csdid_pyspark_spark.sources.sinks import write_bucketed
+
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_acctbal")
+    write_bucketed(o, "t_orders_b", str(tmp_path / "ob"), 8, ["o_custkey"], ["o_custkey"])
+    write_bucketed(c, "t_customer_b", str(tmp_path / "cb"), 8, ["c_custkey"], ["c_custkey"])
+    try:
+        ob, cb = spark.table("t_orders_b"), spark.table("t_customer_b")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ob.join(cb, ob.o_custkey == cb.c_custkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            want = o.join(c, o.o_custkey == c.c_custkey).count()
+            assert j.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
