@@ -19,6 +19,8 @@ from csdid_pyspark_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
     "join_star_broadcast",
     "join_inner_agg",
     "window_topk_per_group",
@@ -30,6 +32,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "text_stats",
     "events_sessionize",
+    "events_asof_join",
 ]
 
 
