@@ -372,3 +372,207 @@ ORACLES = {
     "did_aggte_calendar": DID_AGGTE_CALENDAR_SQL,
     "did_aggte_dynamic": DID_AGGTE_DYNAMIC_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Estimator variants: universal base period, anticipation, sampling weights
+# (reference surface ATTgt.py:294-307 base_period, :125-128 anticipation,
+# :80-83 weights — each oracle re-derives the intercept-only closed form)
+# ---------------------------------------------------------------------------
+
+def _attgt_rows_nullable_se(spark, est) -> DataFrame:
+    """Like _attgt_result_df, but NaN SEs (universal zero cells) map to
+    SQL NULL so the oracle compare is exact."""
+    import math as _m
+
+    rows = [
+        (
+            int(r.g),
+            int(r.t),
+            int(r.post),
+            round(float(r.att), 6),
+            None if _m.isnan(float(r.se)) else round(float(r.se), 6),
+        )
+        for r in est.fit_result.table.itertuples()
+    ]
+    return spark.createDataFrame(rows, "g int, t int, post int, att double, se double")
+
+
+def did_attgt_universal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base_period='universal': every (g,t) anchors at the same g-1 base;
+    the t==g-1 cell is an exact zero with undefined SE."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    est = ATTgt(
+        panel_from_events(spark, sf_dir),
+        yname="y", tname="period", idname="id", gname="g",
+        panel=True, allow_unbalanced_panel=False,
+    )
+    est.fit(est_method="reg", base_period="universal")
+    out = _attgt_rows_nullable_se(spark, est)
+    est.unpersist()
+    return out
+
+
+UNIVERSAL_CELLS_CTE = """
+periods AS (SELECT DISTINCT period FROM panel),
+cells AS (
+  SELECT gg.g AS cg, t.period AS ct, gg.g - 1 AS pret,
+         CASE WHEN t.period >= gg.g THEN 1 ELSE 0 END AS post
+  FROM (SELECT DISTINCT g FROM panel WHERE g > 0) gg
+  CROSS JOIN periods t
+  WHERE t.period <> gg.g - 1
+),
+dy AS (
+  SELECT c.cg, c.ct, c.post, p1.g AS gu, p1.y - p0.y AS dy,
+         CASE WHEN p1.g = c.cg THEN 1.0 ELSE 0.0 END AS d
+  FROM cells c
+  JOIN panel p1 ON p1.period = c.ct
+  JOIN panel p0 ON p0.period = c.pret AND p0.id = p1.id
+  WHERE p1.g = c.cg OR p1.g = 0
+),
+att_tbl AS (
+  SELECT cg AS g, ct AS t, post,
+    AVG(CASE WHEN d = 1.0 THEN dy END) - AVG(CASE WHEN d = 0.0 THEN dy END) AS att,
+    SQRT((VAR_POP(CASE WHEN d = 1.0 THEN dy END) / (SUM(d) / COUNT(*))
+        + VAR_POP(CASE WHEN d = 0.0 THEN dy END) / (1 - SUM(d) / COUNT(*))) / COUNT(*)) AS se
+  FROM dy GROUP BY cg, ct, post
+)
+"""
+
+DID_ATTGT_UNIVERSAL_SQL = (
+    "WITH " + PANEL_CTE + "," + UNIVERSAL_CELLS_CTE + """
+SELECT g, t, post, ROUND(att, 6) AS att, ROUND(se, 6) AS se FROM att_tbl
+UNION ALL
+SELECT gg.g, gg.g - 1, 0, 0.0, NULL
+FROM (SELECT DISTINCT g FROM panel WHERE g > 0) gg
+"""
+)
+
+
+def did_attgt_anticipation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anticipation=1: post-treatment cells anchor one period earlier
+    (pret = g-2) so effects that leak into g-1 don't contaminate the
+    base; pre-treatment cells stay consecutive."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    est = ATTgt(
+        panel_from_events(spark, sf_dir),
+        yname="y", tname="period", idname="id", gname="g",
+        panel=True, allow_unbalanced_panel=False, anticipation=1,
+    )
+    est.fit(est_method="reg")
+    out = _attgt_result_df(spark, est)
+    est.unpersist()
+    return out
+
+
+ANTICIPATION_CELLS_CTE = """
+periods AS (SELECT DISTINCT period FROM panel),
+cells AS (
+  SELECT gg.g AS cg, t.period AS ct,
+         CASE WHEN t.period >= gg.g THEN gg.g - 2 ELSE t.period - 1 END AS pret,
+         CASE WHEN t.period >= gg.g THEN 1 ELSE 0 END AS post
+  FROM (SELECT DISTINCT g FROM panel WHERE g > 0) gg
+  CROSS JOIN periods t
+  WHERE t.period > (SELECT MIN(period) FROM periods)
+),
+dy AS (
+  SELECT c.cg, c.ct, c.post, p1.g AS gu, p1.y - p0.y AS dy,
+         CASE WHEN p1.g = c.cg THEN 1.0 ELSE 0.0 END AS d
+  FROM cells c
+  JOIN panel p1 ON p1.period = c.ct
+  JOIN panel p0 ON p0.period = c.pret AND p0.id = p1.id
+  WHERE p1.g = c.cg OR p1.g = 0
+),
+att_tbl AS (
+  SELECT cg AS g, ct AS t, post,
+    AVG(CASE WHEN d = 1.0 THEN dy END) - AVG(CASE WHEN d = 0.0 THEN dy END) AS att,
+    SQRT((VAR_POP(CASE WHEN d = 1.0 THEN dy END) / (SUM(d) / COUNT(*))
+        + VAR_POP(CASE WHEN d = 0.0 THEN dy END) / (1 - SUM(d) / COUNT(*))) / COUNT(*)) AS se
+  FROM dy GROUP BY cg, ct, post
+)
+"""
+
+DID_ATTGT_ANTICIPATION_SQL = (
+    "WITH " + PANEL_CTE + "," + ANTICIPATION_CELLS_CTE
+    + "SELECT g, t, post, ROUND(att, 6) AS att, ROUND(se, 6) AS se FROM att_tbl"
+)
+
+
+def did_attgt_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling weights w = 1 + (id % 3): the reg estimator becomes a
+    weighted-mean contrast; the oracle carries the weighted influence
+    function u_i = w·d·(dy-η_t)/Σw_t − w·(1-d)·(dy-η_c)/Σw_c through
+    se = sqrt(Σ u_i²) (kernels.py reg-panel IF with the cell-n scaling
+    folded in)."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    pdf = panel_from_events(spark, sf_dir).withColumn(
+        "w", (F.lit(1.0) + F.col("id") % 3).cast("double")
+    )
+    est = ATTgt(
+        pdf,
+        yname="y", tname="period", idname="id", gname="g",
+        panel=True, allow_unbalanced_panel=False, weights_name="w",
+    )
+    est.fit(est_method="reg")
+    out = _attgt_result_df(spark, est)
+    est.unpersist()
+    return out
+
+
+DID_ATTGT_WEIGHTED_SQL = (
+    "WITH " + PANEL_CTE + "," + """
+wpanel AS (SELECT id, period, g, y, 1.0 + (id % 3) AS w FROM panel),
+periods AS (SELECT DISTINCT period FROM panel),
+cells AS (
+  SELECT gg.g AS cg, t.period AS ct, LEAST(gg.g, t.period) - 1 AS pret,
+         CASE WHEN t.period >= gg.g THEN 1 ELSE 0 END AS post
+  FROM (SELECT DISTINCT g FROM panel WHERE g > 0) gg
+  CROSS JOIN periods t
+  WHERE t.period > (SELECT MIN(period) FROM periods)
+),
+dy AS (
+  SELECT c.cg, c.ct, c.post, p1.w AS w, p1.y - p0.y AS dy,
+         CASE WHEN p1.g = c.cg THEN 1.0 ELSE 0.0 END AS d
+  FROM cells c
+  JOIN wpanel p1 ON p1.period = c.ct
+  JOIN wpanel p0 ON p0.period = c.pret AND p0.id = p1.id
+  WHERE p1.g = c.cg OR p1.g = 0
+),
+stats AS (
+  SELECT cg, ct, post,
+    SUM(CASE WHEN d = 1.0 THEN w * dy END) / SUM(CASE WHEN d = 1.0 THEN w END) AS eta_t,
+    SUM(CASE WHEN d = 0.0 THEN w * dy END) / SUM(CASE WHEN d = 0.0 THEN w END) AS eta_c,
+    SUM(CASE WHEN d = 1.0 THEN w END) AS swt,
+    SUM(CASE WHEN d = 0.0 THEN w END) AS swc
+  FROM dy GROUP BY cg, ct, post
+),
+iff AS (
+  SELECT s.cg, s.ct, s.post, s.eta_t - s.eta_c AS att,
+         d.w * d.d * (d.dy - s.eta_t) / s.swt
+           - d.w * (1 - d.d) * (d.dy - s.eta_c) / s.swc AS u
+  FROM dy d JOIN stats s ON d.cg = s.cg AND d.ct = s.ct
+)
+SELECT cg AS g, ct AS t, post, ROUND(AVG(att), 6) AS att,
+       ROUND(SQRT(SUM(u * u)), 6) AS se
+FROM iff GROUP BY cg, ct, post
+"""
+)
+
+
+QUERIES.update(
+    {
+        "did_attgt_universal": did_attgt_universal,
+        "did_attgt_anticipation": did_attgt_anticipation,
+        "did_attgt_weighted": did_attgt_weighted,
+    }
+)
+ORACLES.update(
+    {
+        "did_attgt_universal": DID_ATTGT_UNIVERSAL_SQL,
+        "did_attgt_anticipation": DID_ATTGT_ANTICIPATION_SQL,
+        "did_attgt_weighted": DID_ATTGT_WEIGHTED_SQL,
+    }
+)
