@@ -576,3 +576,67 @@ ORACLES.update(
         "did_attgt_weighted": DID_ATTGT_WEIGHTED_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-cross-section estimator (the reference's LIVE production path:
+# allow_unbalanced_panel=True flips panel→False, ATTgt.py:162-188)
+# ---------------------------------------------------------------------------
+
+def did_attgt_rc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RC mode: units are NOT linked across periods — each observation
+    is its own inference unit. Intercept-only reg reduces to the 2x2
+    four-cell mean contrast; the IF SE reduces to
+    sqrt(Σ_cell Var_pop(y|cell)/n_cell) over the four D×post cells."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    est = ATTgt(
+        panel_from_events(spark, sf_dir),
+        yname="y", tname="period", idname="id", gname="g",
+        panel=False,
+    )
+    est.fit(est_method="reg")
+    out = _attgt_result_df(spark, est)
+    est.unpersist()
+    return out
+
+
+DID_ATTGT_RC_SQL = (
+    "WITH " + PANEL_CTE + "," + """
+periods AS (SELECT DISTINCT period FROM panel0),
+cells AS (
+  SELECT gg.g AS cg, t.period AS ct, LEAST(gg.g, t.period) - 1 AS pret,
+         CASE WHEN t.period >= gg.g THEN 1 ELSE 0 END AS post
+  FROM (SELECT DISTINCT g FROM panel0 WHERE g > 0) gg
+  CROSS JOIN periods t
+  WHERE t.period > (SELECT MIN(period) FROM periods)
+),
+obs AS (
+  SELECT c.cg, c.ct, c.post, p.y,
+         CASE WHEN p.g = c.cg THEN 1 ELSE 0 END AS d,
+         CASE WHEN p.period = c.ct THEN 1 ELSE 0 END AS pst
+  FROM cells c
+  JOIN panel0 p ON p.period IN (c.ct, c.pret)
+  WHERE p.g = c.cg OR p.g = 0
+),
+att_tbl AS (
+  SELECT cg AS g, ct AS t, post,
+    (AVG(CASE WHEN d = 1 AND pst = 1 THEN y END)
+     - AVG(CASE WHEN d = 1 AND pst = 0 THEN y END))
+    - (AVG(CASE WHEN d = 0 AND pst = 1 THEN y END)
+       - AVG(CASE WHEN d = 0 AND pst = 0 THEN y END)) AS att,
+    SQRT(
+      VAR_POP(CASE WHEN d = 1 AND pst = 1 THEN y END) / SUM(CASE WHEN d = 1 AND pst = 1 THEN 1 ELSE 0 END)
+    + VAR_POP(CASE WHEN d = 1 AND pst = 0 THEN y END) / SUM(CASE WHEN d = 1 AND pst = 0 THEN 1 ELSE 0 END)
+    + VAR_POP(CASE WHEN d = 0 AND pst = 1 THEN y END) / SUM(CASE WHEN d = 0 AND pst = 1 THEN 1 ELSE 0 END)
+    + VAR_POP(CASE WHEN d = 0 AND pst = 0 THEN y END) / SUM(CASE WHEN d = 0 AND pst = 0 THEN 1 ELSE 0 END)
+    ) AS se
+  FROM obs GROUP BY cg, ct, post
+)
+SELECT g, t, post, ROUND(att, 6) AS att, ROUND(se, 6) AS se FROM att_tbl
+"""
+)
+
+
+QUERIES["did_attgt_rc"] = did_attgt_rc
+ORACLES["did_attgt_rc"] = DID_ATTGT_RC_SQL
