@@ -165,3 +165,12 @@ def dedup_stream(
     at-least-once tradeoff."""
     keys = keys or ["event_id"]
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each streaming event with a static
+    dimension (per-user attributes). Spark plans the static side as a
+    broadcast against every micro-batch — no stateful shuffle, so this
+    scales to any stream rate as long as the dim fits an executor
+    broadcast (the standard dimension-enrichment pattern)."""
+    return stream.join(F.broadcast(dim), on, "left")

@@ -74,3 +74,25 @@ def test_dedup_stream_drops_duplicates(spark):
     n_distinct = load_table(spark, SF, "events").select("event_id").distinct().count()
     assert out.count() == n_distinct
     assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_enrich_stream_static_join(spark):
+    """Stream-static broadcast join matches the batch left join."""
+    from csdid_pyspark_spark.streaming.events import enrich_stream
+
+    dim = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_n_events"))
+    )
+    enriched = enrich_stream(stream_events(spark, SF), dim)
+    assert enriched.isStreaming
+    _run_to_memory(
+        enriched.groupBy("user_id", "user_n_events").agg(F.count("*").alias("n")),
+        "enr_test",
+        "complete",
+    )
+    rows = spark.table("enr_test").collect()
+    assert rows
+    # the enrichment column must agree with the per-user batch count
+    assert all(r["user_n_events"] == r["n"] for r in rows)
