@@ -56,3 +56,32 @@ def test_semi_anti_join_plans(spark, sf_dir):
     assert "LeftSemi" in plan
     plan = _plan(spark, sf_dir, "join_anti")
     assert "LeftAnti" in plan
+
+
+def test_q3_pushdown_and_join_strategy(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    # all three table filters reach their scans
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    # top-10 via heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_is_pure_scan_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    # the plan string elides long filter lists; match the stable prefix
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "Join" not in plan
+    rs = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_returnflag" not in rs  # pruned to the 4 predicate/agg columns
+
+
+def test_asof_join_single_window_shuffle(spark, sf_dir):
+    """As-of join must not expand into a range join: exactly one
+    Exchange for the window (plus one for the right-side pre-agg),
+    and no nested-loop join anywhere."""
+    plan = _plan(spark, sf_dir, "events_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan
