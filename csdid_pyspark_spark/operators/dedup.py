@@ -219,3 +219,52 @@ def winnow_fingerprints(
         .filter(F.size("hs") >= window)
         .select(id_col, F.explode(F.expr(fps)).alias("fp"))
     )
+
+
+def components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list by min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors until a fixpoint — O(graph diameter)
+    iterations, each one join + one min-aggregation (two shuffles).
+    Near-dup graphs are unions of small cliques/chains, so this
+    converges in a handful of rounds at any scale; for adversarially
+    deep graphs swap in large-star/small-star (Kiveris et al.) with the
+    same join primitives. Returns (node, comp) with comp = min node id
+    of the component; only nodes that appear in ``pairs`` are emitted
+    (singletons are their own trivial component).
+    """
+    fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["d"] == labels["node"]).select(
+            F.col("s").alias("node"), "comp"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select("node", "comp")

@@ -502,3 +502,142 @@ FROM clicks c ASOF LEFT JOIN views v
 
 QUERIES["events_asof_join"] = events_asof_join
 ORACLES["events_asof_join"] = ASOF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Near-dup groups: connected components over the Jaccard pair graph
+# ---------------------------------------------------------------------------
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation (operators/dedup.py::components) over the
+    exact-Jaccard near-dup pairs; the oracle replays reachability with
+    a recursive CTE. comp = smallest doc_id in the duplicate cluster
+    (the canonical survivor a dedup pipeline keeps)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup.components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("comp_id")
+    )
+
+
+DEDUP_COMPONENTS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, GREATEST(len(tokens) - 1, 1)),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+  FROM toks WHERE len(tokens) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.r
+)
+SELECT node AS doc_id, MIN(r) AS comp_id FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF document weighting (exact, smooth-idf)
+# ---------------------------------------------------------------------------
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF over whitespace tokens: tf = in-doc term count,
+    idf = ln((N+1)/(df+1)) + 1 (smooth — scikit-learn convention). The
+    term-document frequency join broadcasts (vocab << corpus), so the
+    plan is one explode + two aggregations regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "term", "tf", F.round(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+
+
+TEXT_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf,
+       ROUND(tf.tf * (LN((nd.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing as a query: Arrow-batched mapInPandas feature
+# extraction over binary payloads, oracle-checked against DuckDB
+# re-deriving the deterministic fake-decode arithmetic independently
+# ---------------------------------------------------------------------------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csdid_pyspark_spark.operators import multimodal
+
+    feats = multimodal.extract_features(multimodal.synthetic_assets(spark, 256))
+    return feats.groupBy("modality").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.round(F.avg("height"), 6).alias("avg_height"),
+    )
+
+
+MULTIMODAL_SQL = """
+WITH assets AS (
+  SELECT i,
+         (['image', 'audio', 'video'])[CAST(i % 3 AS INT) + 1] AS modality,
+         128 + (i % 5) * 64 AS n_bytes,
+         16 + ((i * 31) % 256) % 64 AS width,
+         16 + ((i * 31 + (128 + (i % 5) * 64 - 1) * 7) % 256) % 64 AS height
+  FROM generate_series(0, 255) t(i)
+)
+SELECT modality, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
+       ROUND(AVG(width), 6) AS avg_width, ROUND(AVG(height), 6) AS avg_height
+FROM assets GROUP BY modality
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_components": dedup_components,
+        "text_tfidf": text_tfidf,
+        "multimodal_features": multimodal_features,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_components": DEDUP_COMPONENTS_SQL,
+        "text_tfidf": TEXT_TFIDF_SQL,
+        "multimodal_features": MULTIMODAL_SQL,
+    }
+)

@@ -240,3 +240,15 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_components_chain_and_cliques(spark):
+    """Label propagation converges on a worst-case chain (max diameter)
+    and keeps disjoint cliques separate."""
+    chain = [(i, i + 1) for i in range(100, 110)]
+    clique = [(a, b) for a in range(200, 204) for b in range(a + 1, 204)]
+    pairs = spark.createDataFrame(chain + clique + [(300, 301)], "id_a long, id_b long")
+    got = {r["node"]: r["comp"] for r in dedup.components(pairs).collect()}
+    assert all(got[n] == 100 for n in range(100, 111))
+    assert all(got[n] == 200 for n in range(200, 204))
+    assert got[300] == 300 and got[301] == 300
