@@ -241,10 +241,17 @@ def components(
     fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
     edges = fwd.unionByName(rev).distinct().persist()
-    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
-    ).persist()
-    labels.count()
+    # each round MUST truncate lineage: without a checkpoint the plan
+    # nests the whole history and grows exponentially (observed: JVM OOM
+    # from plan bloat at iteration ~8). localCheckpoint is the local-mode
+    # choice; on a real cluster prefer sc.setCheckpointDir + checkpoint()
+    # so a lost executor cannot drop the truncated blocks.
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["d"] == labels["node"]).select(
             F.col("s").alias("node"), "comp"
@@ -253,16 +260,15 @@ def components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
+            new.select("node", F.col("comp").alias("nc"))
+            .join(labels.select("node", F.col("comp").alias("oc")), "node")
+            .filter(F.col("nc") != F.col("oc"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new
         if not changed:
             break
