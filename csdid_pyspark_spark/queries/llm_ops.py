@@ -641,3 +641,38 @@ ORACLES.update(
         "multimodal_features": MULTIMODAL_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (reproducible corpus splits / holdouts)
+# ---------------------------------------------------------------------------
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 10% sample: md5(doc_id) bucket < 10 of 100.
+    Unlike rand()-based sampling this is reproducible across engines,
+    partitionings, and reruns — the property a training pipeline needs
+    so a holdout never leaks between runs. md5 is identical in Spark
+    and DuckDB, so the oracle selects the exact same rows."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 10)
+        .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "lang", "n_chars")
+    )
+
+
+SAMPLE_HASH_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket, lang, n_chars FROM b WHERE bucket < 10
+"""
+
+
+QUERIES["sample_hash"] = sample_hash
+ORACLES["sample_hash"] = SAMPLE_HASH_SQL
