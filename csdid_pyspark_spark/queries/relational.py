@@ -831,15 +831,16 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping-set lattice via SQL (the DataFrame API exposes only
     cube/rollup); GROUPING() disambiguates real nulls from subtotal rows."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    view = f"lineitem_gs_{abs(hash(sf_dir)) % 10**8}"  # scope per sf_dir
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS INT) AS g_status,
                CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
-        FROM lineitem_gs
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
