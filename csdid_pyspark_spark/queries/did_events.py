@@ -640,3 +640,89 @@ SELECT g, t, post, ROUND(att, 6) AS att, ROUND(se, 6) AS se FROM att_tbl
 
 QUERIES["did_attgt_rc"] = did_attgt_rc
 ORACLES["did_attgt_rc"] = DID_ATTGT_RC_SQL
+
+
+# ---------------------------------------------------------------------------
+# Covariate-adjusted outcome regression, oracle-checked: with p = 2
+# (intercept + one covariate) the WLS normal equations invert in closed
+# form, so the FULL Gram-aggregation kernel path — cell table with
+# covariates, per-cell solve, influence function with the a_ols
+# correction (kernels.py reg branch) — is ANSI-SQL-expressible.
+# ---------------------------------------------------------------------------
+
+def did_attgt_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reg estimator with unit covariate x = (id % 7) - 3: ATT(g,t) is
+    the treated mean of dy minus the control REGRESSION prediction at
+    the treated covariate mean; the SE carries the outcome-regression
+    sampling noise through the a_ols influence term."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    pdf = panel_from_events(spark, sf_dir).withColumn(
+        "x", (F.col("id") % 7 - 3).cast("double")
+    )
+    est = ATTgt(
+        pdf,
+        yname="y", tname="period", idname="id", gname="g", xfmla="y ~ x",
+        panel=True, allow_unbalanced_panel=False,
+    )
+    est.fit(est_method="reg")
+    out = _attgt_result_df(spark, est)
+    est.unpersist()
+    return out
+
+
+DID_ATTGT_COVARIATE_SQL = (
+    "WITH " + PANEL_CTE + "," + """
+xpanel AS (SELECT id, period, g, y, CAST(id % 7 - 3 AS DOUBLE) AS x FROM panel),
+periods AS (SELECT DISTINCT period FROM panel),
+cells AS (
+  SELECT gg.g AS cg, t.period AS ct, LEAST(gg.g, t.period) - 1 AS pret,
+         CASE WHEN t.period >= gg.g THEN 1 ELSE 0 END AS post
+  FROM (SELECT DISTINCT g FROM panel WHERE g > 0) gg
+  CROSS JOIN periods t
+  WHERE t.period > (SELECT MIN(period) FROM periods)
+),
+dy AS (
+  SELECT c.cg, c.ct, c.post, p1.x, p1.y - p0.y AS dy,
+         CASE WHEN p1.g = c.cg THEN 1.0 ELSE 0.0 END AS d
+  FROM cells c
+  JOIN xpanel p1 ON p1.period = c.ct
+  JOIN xpanel p0 ON p0.period = c.pret AND p0.id = p1.id
+  WHERE p1.g = c.cg OR p1.g = 0
+),
+-- per-cell sufficient statistics: control Gram + rhs, treated moments
+stats AS (
+  SELECT cg, ct, post,
+    SUM(1 - d) AS g00, SUM((1 - d) * x) AS g01, SUM((1 - d) * x * x) AS g11,
+    SUM((1 - d) * dy) AS b0, SUM((1 - d) * x * dy) AS b1,
+    SUM(d) AS swt, SUM(d * x) AS m11, SUM(d * dy) AS swdy
+  FROM dy GROUP BY cg, ct, post
+),
+-- closed-form 2x2 solve: beta = G^-1 b; a~ = (G^-1 m1)/swt (n cancels)
+coef AS (
+  SELECT cg, ct, post, swt, swdy / swt AS eta_t,
+    (g11 * b0 - g01 * b1) / (g00 * g11 - g01 * g01) AS beta0,
+    (g00 * b1 - g01 * b0) / (g00 * g11 - g01 * g01) AS beta1,
+    (g11 * swt - g01 * m11) / ((g00 * g11 - g01 * g01) * swt) AS at0,
+    (g00 * m11 - g01 * swt) / ((g00 * g11 - g01 * g01) * swt) AS at1,
+    (
+      (g11 * b0 - g01 * b1) * swt + (g00 * b1 - g01 * b0) * m11
+    ) / ((g00 * g11 - g01 * g01) * swt) AS eta_c
+  FROM stats
+),
+iff AS (
+  SELECT c.cg, c.ct, c.post, c.eta_t - c.eta_c AS att,
+    d.d * (d.dy - c.eta_t) / c.swt
+      - d.d * ((c.beta0 + c.beta1 * d.x) - c.eta_c) / c.swt
+      - (1 - d.d) * (d.dy - (c.beta0 + c.beta1 * d.x)) * (c.at0 + c.at1 * d.x) AS u
+  FROM dy d JOIN coef c ON d.cg = c.cg AND d.ct = c.ct
+)
+SELECT cg AS g, ct AS t, post, ROUND(AVG(att), 6) AS att,
+       ROUND(SQRT(SUM(u * u)), 6) AS se
+FROM iff GROUP BY cg, ct, post
+"""
+)
+
+
+QUERIES["did_attgt_covariate"] = did_attgt_covariate
+ORACLES["did_attgt_covariate"] = DID_ATTGT_COVARIATE_SQL
