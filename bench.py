@@ -20,6 +20,7 @@ from csdid_pyspark_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_revenue",
     "q6_forecast_revenue",
     "join_star_broadcast",
     "join_inner_agg",
@@ -31,6 +32,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "text_stats",
+    "text_tfidf",
     "events_sessionize",
     "events_asof_join",
 ]
