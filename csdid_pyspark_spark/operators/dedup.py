@@ -65,12 +65,28 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs that share ≥1
     shingle. Postings self-join: shuffle keyed by shingle (skew-safe
     under AQE), then aggregate by pair. Only pairs above `threshold`
-    survive. Columns: id_a < id_b, jaccard."""
+    survive. Columns: id_a < id_b, jaccard.
+
+    ``max_df`` caps shingle document frequency for CANDIDATE GENERATION
+    only: a shingle occurring in k docs contributes k² join rows, so one
+    boilerplate phrase shared by 1M docs would alone produce 10¹² pairs.
+    Dropping shingles with df > max_df bounds the self-join at
+    O(Σ min(df, max_df)²) — the trade is that pairs whose only shared
+    shingles are that common may be missed (such pairs are far below any
+    useful threshold anyway). Intersections are still computed over the
+    capped postings, so set max_df well above threshold-relevant overlap
+    (e.g. 1000) at corpus scale; None = exact."""
     sh = shingle_table(df, text_col, id_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("df_sh")).filter(
+            F.col("df_sh") > max_df
+        )
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -252,3 +252,16 @@ def test_components_chain_and_cliques(spark):
     assert all(got[n] == 100 for n in range(100, 111))
     assert all(got[n] == 200 for n in range(200, 204))
     assert got[300] == 300 and got[301] == 300
+
+
+def test_jaccard_max_df_cap(spark):
+    """High caps are exact; cap=1 removes every shared shingle (so no
+    candidate pairs survive) — the skew-bounding knob works end-to-end."""
+    docs = load_table(spark, SF, "documents")
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.5, max_df=10_000).collect()
+    }
+    assert exact and capped == exact
+    assert dedup.jaccard_pairs(docs, threshold=0.5, max_df=1).count() == 0
