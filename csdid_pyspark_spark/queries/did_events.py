@@ -90,13 +90,10 @@ pg AS (
 _PANEL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def panel_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The derived long-format panel (id, period, g, y)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _PANEL_CACHE.get(key)
-    if hit is not None:
-        return hit
-    e = load_table(spark, sf_dir, "events")
+def derive_panel(events: DataFrame) -> DataFrame:
+    """Panel derivation from a raw events DataFrame (batch or a
+    foreachBatch accumulation): unit = user, period = 5-day bucket,
+    cohort = fixed user hash, outcome = mean event value."""
     g = (
         F.when(F.col("user_id") % 4 == 0, 0)
         .when(F.col("user_id") % 4 == 1, 3)
@@ -105,8 +102,8 @@ def panel_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
     )
     period = (F.floor((F.dayofmonth("ts") - 1) / 5) + 1).cast("int")
-    panel = (
-        e.select(
+    return (
+        events.select(
             F.col("user_id").cast("bigint").alias("id"),
             period.alias("period"),
             g.alias("g"),
@@ -114,8 +111,16 @@ def panel_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("id", "period", "g")
         .agg(F.avg("value").alias("y"))
-        .persist()
     )
+
+
+def panel_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived long-format panel (id, period, g, y)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PANEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    panel = derive_panel(load_table(spark, sf_dir, "events")).persist()
     _PANEL_CACHE[key] = panel
     return panel
 

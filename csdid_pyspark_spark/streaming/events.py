@@ -174,3 +174,34 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
     scales to any stream rate as long as the dim fits an executor
     broadcast (the standard dimension-enrichment pattern)."""
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def incremental_refresh(stream: DataFrame, recompute, work_dir: str, timeout: int = 300):
+    """Streaming materialized view via ``foreachBatch``: append each
+    micro-batch to an accumulating parquet table, then recompute a
+    derived result over everything seen so far. This is the Structured
+    Streaming escape hatch for logic the incremental operators can't
+    express — e.g. refreshing a full DiD estimator fit as events
+    arrive. The recompute is a bounded batch job per trigger (pair it
+    with a processingTime trigger sized to the refit cost); exactly-once
+    append is guaranteed by the checkpointed batch id.
+
+    ``recompute`` receives the accumulated DataFrame; the LAST batch's
+    result is returned after the stream terminates.
+    """
+    spark = stream.sparkSession
+    data_dir = f"{work_dir}/data"
+    out: dict[str, Any] = {}
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").parquet(data_dir)
+        out["result"] = recompute(spark.read.parquet(data_dir))
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return out.get("result")

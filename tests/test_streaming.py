@@ -96,3 +96,37 @@ def test_enrich_stream_static_join(spark):
     assert rows
     # the enrichment column must agree with the per-user batch count
     assert all(r["user_n_events"] == r["n"] for r in rows)
+
+
+def test_incremental_attgt_refresh_matches_batch(spark, tmp_path):
+    """The streaming foreachBatch estimator refresh converges to the
+    batch fit once the stream drains: same ATT(g,t) table."""
+    from csdid_pyspark_spark.did import ATTgt
+    from csdid_pyspark_spark.queries.did_events import derive_panel, panel_from_events
+    from csdid_pyspark_spark.streaming.events import incremental_refresh
+
+    def refit(events_df):
+        est = ATTgt(
+            derive_panel(events_df),
+            yname="y", tname="period", idname="id", gname="g",
+            panel=True, allow_unbalanced_panel=False,
+        )
+        est.fit(est_method="reg")
+        t = est.fit_result.table
+        est.unpersist()
+        return {(int(r.g), int(r.t)): round(float(r.att), 9) for r in t.itertuples()}
+
+    got = incremental_refresh(stream_events(spark, SF), refit, str(tmp_path / "w"))
+
+    est = ATTgt(
+        panel_from_events(spark, SF),
+        yname="y", tname="period", idname="id", gname="g",
+        panel=True, allow_unbalanced_panel=False,
+    )
+    est.fit(est_method="reg")
+    want = {
+        (int(r.g), int(r.t)): round(float(r.att), 9)
+        for r in est.fit_result.table.itertuples()
+    }
+    est.unpersist()
+    assert got == want
