@@ -731,3 +731,97 @@ FROM iff GROUP BY cg, ct, post
 
 QUERIES["did_attgt_covariate"] = did_attgt_covariate
 ORACLES["did_attgt_covariate"] = DID_ATTGT_COVARIATE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Aggregation WITH standard error, oracle-checked: the simple weighted
+# average's influence function — per-cell IF combination θ_k = pg/P PLUS
+# the wif correction for estimated cohort shares (utils_aggte.py:7-36
+# semantics) — reduces to a closed form with intercept-only covariates.
+# ---------------------------------------------------------------------------
+
+def did_aggte_simple_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple aggregation reported with its analytic SE. The oracle
+    re-derives the full per-unit influence function: cell terms
+    u_ku = d(dy-η_t)/Σd - (1-d)(dy-η_c)/Σ(1-d) weighted by θ_k, plus
+    wif_u/n for the sampling noise of the estimated pg weights."""
+    est = _fit_attgt(spark, sf_dir, "nevertreated")
+    out = est.compute_aggte("simple")
+    return spark.createDataFrame(
+        [(round(float(out.overall_att), 6), round(float(out.overall_se), 6))],
+        "att double, se double",
+    )
+
+
+DID_AGGTE_SIMPLE_SE_SQL = (
+    "WITH " + PANEL_CTE + "," + """
+periods AS (SELECT DISTINCT period FROM panel),
+cells AS (
+  SELECT gg.g AS cg, t.period AS ct, LEAST(gg.g, t.period) - 1 AS pret,
+         CASE WHEN t.period >= gg.g THEN 1 ELSE 0 END AS post
+  FROM (SELECT DISTINCT g FROM panel WHERE g > 0) gg
+  CROSS JOIN periods t
+  WHERE t.period > (SELECT MIN(period) FROM periods)
+),
+dy AS (
+  SELECT c.cg, c.ct, c.post, p1.id, p1.g AS gu, p1.y - p0.y AS dy,
+         CASE WHEN p1.g = c.cg THEN 1.0 ELSE 0.0 END AS d
+  FROM cells c
+  JOIN panel p1 ON p1.period = c.ct
+  JOIN panel p0 ON p0.period = c.pret AND p0.id = p1.id
+  WHERE p1.g = c.cg OR p1.g = 0
+),
+stats AS (
+  SELECT cg, ct, post,
+    SUM(d * dy) / SUM(d) AS eta_t, SUM((1 - d) * dy) / SUM(1 - d) AS eta_c,
+    SUM(d) AS swt, SUM(1 - d) AS swc
+  FROM dy GROUP BY cg, ct, post
+),
+units AS (SELECT DISTINCT id, g FROM panel),
+nu AS (SELECT COUNT(*) AS n FROM units),
+pg AS (
+  SELECT g, CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM nu) AS pg
+  FROM units WHERE g > 0 GROUP BY g
+),
+keepers AS (  -- post-treatment cells with att + cohort share
+  SELECT s.cg, s.ct, s.eta_t - s.eta_c AS att, pg.pg
+  FROM stats s JOIN pg ON pg.g = s.cg WHERE s.post = 1
+),
+scalars AS (
+  SELECT SUM(pg) AS p_tot, SUM(att * pg) AS sa FROM keepers
+),
+gmap AS (  -- per-cohort keeper sums for the wif correction
+  SELECT cg AS g, SUM(att) AS alpha, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM keepers GROUP BY cg
+),
+cellterm AS (  -- Σ_k θ_k · u_ku per unit
+  SELECT d.id,
+    SUM((k.pg / sc.p_tot) *
+        (d.d * (d.dy - s.eta_t) / s.swt - (1 - d.d) * (d.dy - s.eta_c) / s.swc)
+    ) AS ct_u
+  FROM dy d
+  JOIN stats s ON d.cg = s.cg AND d.ct = s.ct AND s.post = 1
+  JOIN keepers k ON k.cg = d.cg AND k.ct = d.ct
+  CROSS JOIN scalars sc
+  GROUP BY d.id
+),
+wif AS (  -- wif_u / n per unit (unit weight w_u = 1)
+  SELECT u.id,
+    ((COALESCE(g.alpha, 0) - sc.sa) / sc.p_tot
+     - (COALESCE(g.cnt, 0) - sc.p_tot) * sc.sa / (sc.p_tot * sc.p_tot))
+    / (SELECT n FROM nu) AS wif_u
+  FROM units u LEFT JOIN gmap g ON g.g = u.g CROSS JOIN scalars sc
+),
+per_unit AS (
+  SELECT w.id, COALESCE(c.ct_u, 0) + w.wif_u AS total
+  FROM wif w LEFT JOIN cellterm c ON c.id = w.id
+)
+SELECT ROUND((SELECT sa / p_tot FROM scalars), 6) AS att,
+       ROUND(SQRT(SUM(total * total)), 6) AS se
+FROM per_unit
+"""
+)
+
+
+QUERIES["did_aggte_simple_se"] = did_aggte_simple_se
+ORACLES["did_aggte_simple_se"] = DID_AGGTE_SIMPLE_SE_SQL
