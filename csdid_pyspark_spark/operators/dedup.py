@@ -105,6 +105,49 @@ def jaccard_pairs(
     )
 
 
+def jaccard_for_candidates(
+    sh: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle Jaccard restricted to a candidate pair list.
+
+    This is the verification half of every LSH dedup path: ``cand``
+    holds (id_a, id_b) with id_a < id_b, ``sh`` is the (id, shingle)
+    postings table. Postings are first semi-joined down to candidate
+    docs, then intersections come from joining the PAIR LIST to each
+    side's postings — never a postings self-join — so the cost is
+    O(|candidates| x shingles-per-doc) regardless of corpus size.
+    (A self-join over even the candidate docs' postings would re-pay
+    quadratic cost on hot shingles; the pair-list join cannot.)
+    """
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, id_col, "left_semi")
+    sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def _hash64(col, seed: int):
     """Deterministic seeded 64-bit hash. xxhash64 is JVM-native and
     ~20× cheaper than an md5+conv chain — it dominates MinHash cost
@@ -140,11 +183,16 @@ def minhash_lsh_pairs(
 
     Banding: num_hashes/bands rows per band; docs agreeing on all rows
     of any band become candidates (shuffle keyed by (band, bucket)).
-    Candidates are then re-scored with exact shingle Jaccard, so the
-    output is exact — LSH only prunes the pair space, which is what
-    makes this run at 100 TB where the all-pairs join cannot."""
+    Candidates are then re-scored with exact shingle Jaccard RESTRICTED
+    to the candidate list (``jaccard_for_candidates``), so the output is
+    exact on candidates while every stage stays linear-ish in corpus
+    size — LSH prunes the pair space AND the verification join, which is
+    what makes this run at 100 TB where the all-pairs join cannot."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sh = shingle_table(df, text_col, id_col, n)
+    sig = sh.groupBy(id_col).agg(
+        *[F.min(_hash64(F.col("shingle"), s)).alias(f"mh_{s}") for s in range(num_hashes)]
+    )
     buckets = []
     for band in range(bands):
         cols = [F.col(f"mh_{band * rows + r}") for r in range(rows)]
@@ -169,8 +217,7 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(df, text_col, id_col, n, threshold)
-    return exact.join(cand, ["id_a", "id_b"], "left_semi")
+    return jaccard_for_candidates(sh, cand, id_col, threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

@@ -13,11 +13,12 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.ml.feature import BucketedRandomProjectionLSH, HashingTF, MinHashLSH
-from pyspark.ml.linalg import Vectors, VectorUDT
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.linalg import Vectors
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from csdid_pyspark_spark.operators.dedup import jaccard_pairs
+from csdid_pyspark_spark.operators.dedup import jaccard_for_candidates, shingle_table
 
 
 def _shingle_vectors(df: DataFrame, text_col: str, id_col: str, n: int, num_features: int) -> DataFrame:
@@ -62,8 +63,8 @@ def minhash_lsh_pairs_mllib(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(df, text_col, id_col, n, threshold)
-    return exact.join(cand, ["id_a", "id_b"], "left_semi")
+    sh = shingle_table(df, text_col, id_col, n)
+    return jaccard_for_candidates(sh, cand, id_col, threshold)
 
 
 def ann_topk_mllib(
@@ -78,9 +79,14 @@ def ann_topk_mllib(
 ) -> DataFrame:
     """Approximate top-k by euclidean distance via MLlib
     BucketedRandomProjectionLSH approxNearestNeighbors. Returns
-    (id, dist) — euclidean, the metric that LSH family supports."""
-    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
-    feats = df.select(F.col(id_col), to_vec(F.col(vec_col)).alias("features"))
+    (id, dist) — euclidean, the metric that LSH family supports.
+
+    array→Vector runs JVM-side via ``pyspark.ml.functions.array_to_vector``
+    (no BatchEvalPython in the plan), so candidate generation never drops
+    to row-at-a-time Python."""
+    feats = df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
     brp = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes",
         bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
@@ -112,8 +118,11 @@ def build_ivf_index(
     repeated queries."""
     from pyspark.ml.clustering import KMeans
 
-    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
-    feats = df.select(F.col(id_col), F.col(vec_col), to_vec(F.col(vec_col)).alias("features"))
+    feats = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cluster")
     model = km.fit(feats)
     assigned = model.transform(feats).select(id_col, vec_col, "cluster")

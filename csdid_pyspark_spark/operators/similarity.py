@@ -127,6 +127,16 @@ def neardup_pairs_cosine(
     )
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """LIMIT-1 probe for the embedding dimensionality (fetches one array
+    size, not a vector). Callers that know the dim should pass it and
+    keep plan construction action-free."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is None or row["n"] is None:
+        raise ValueError("cannot infer embedding dim from an empty DataFrame; pass dim=")
+    return int(row["n"])
+
+
 def _flip_bit(sig: F.Column, i: int, n_bits: int) -> F.Column:
     """Signature string with bit i (0-based) flipped."""
     flipped = F.when(F.substring(sig, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
@@ -148,6 +158,7 @@ def neardup_pairs_lsh(
     vec_col: str = "embedding",
     seed: int = 42,
     probe_hamming: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: `n_tables` independent
     random-hyperplane signatures; candidates are pairs whose signatures
@@ -161,9 +172,13 @@ def neardup_pairs_lsh(
     and threshold 0.4 this is >0.99 while candidates stay ~n^2/2^planes
     per table. Both sides scale: the join shuffles on the bucket key
     with bounded bucket sizes, and dedup of candidate pairs happens
-    before the (cheap) verification. (Scale extension, SURVEY.md §7/M6.)"""
+    before the (cheap) verification. (Scale extension, SURVEY.md §7/M6.)
+
+    Pass ``dim`` when known; otherwise it is inferred with a LIMIT-1
+    probe job — the only case where plan construction touches data."""
     v = as_double_array(vec_col)
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
     proj = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
     sig_cols = []
     for t in range(n_tables):

@@ -129,7 +129,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, no cross join). Rows-only driver check; the test suite
     measures recall against `dedup_embedding_cosine`."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.neardup_pairs_lsh(e, threshold=0.4, n_planes=4, n_tables=8).select(
+    return similarity.neardup_pairs_lsh(e, threshold=0.4, n_planes=4, n_tables=8, dim=64).select(
         "id_a", "id_b", F.round("cosine", 5).alias("cosine")
     )
 
@@ -561,20 +561,26 @@ SELECT node AS doc_id, MIN(r) AS comp_id FROM reach GROUP BY node
 
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact TF-IDF over whitespace tokens: tf = in-doc term count,
-    idf = ln((N+1)/(df+1)) + 1 (smooth — scikit-learn convention). The
-    term-document frequency join broadcasts (vocab << corpus), so the
-    plan is one explode + two aggregations regardless of corpus size."""
+    idf = ln((N+1)/(df+1)) + 1 (smooth — scikit-learn convention).
+
+    Document frequency is a window count over the tf table partitioned
+    by term — one shuffle keyed by term, NO vocabulary broadcast and no
+    duplicated scan of the tokenization subtree. (A broadcast of the raw
+    whitespace vocab is unbounded at corpus scale: billions of distinct
+    terms would OOM the driver; the window keeps df computation fully
+    distributed.) The only broadcast left is the 1-row corpus count."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     ).filter(F.length("term") > 0)
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfc = F.count("*").over(Window.partitionBy("term"))
     nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
-    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (dfc + F.lit(1.0))) + F.lit(1.0)
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(nd))
+        tf.crossJoin(F.broadcast(nd))
         .select("doc_id", "term", "tf", F.round(F.col("tf") * idf, 6).alias("tfidf"))
     )
 
