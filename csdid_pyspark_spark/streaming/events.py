@@ -176,6 +176,18 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
     return stream.join(F.broadcast(dim), on, "left")
 
 
+def write_idempotent_batch(bdf: DataFrame, data_dir: str, batch_id: int) -> None:
+    """Land one micro-batch in its own ``batch_id=N`` partition directory
+    with overwrite: a replayed batch id replaces its earlier attempt
+    rather than appending a second copy."""
+    bdf.write.mode("overwrite").parquet(f"{data_dir}/batch_id={batch_id}")
+
+
+def accumulated_batches(spark: SparkSession, data_dir: str) -> DataFrame:
+    """All batches landed so far, without the bookkeeping partition col."""
+    return spark.read.parquet(data_dir).drop("batch_id")
+
+
 def incremental_refresh(stream: DataFrame, recompute, work_dir: str, timeout: int = 300):
     """Streaming materialized view via ``foreachBatch``: append each
     micro-batch to an accumulating parquet table, then recompute a
@@ -183,19 +195,26 @@ def incremental_refresh(stream: DataFrame, recompute, work_dir: str, timeout: in
     Streaming escape hatch for logic the incremental operators can't
     express — e.g. refreshing a full DiD estimator fit as events
     arrive. The recompute is a bounded batch job per trigger (pair it
-    with a processingTime trigger sized to the refit cost); exactly-once
-    append is guaranteed by the checkpointed batch id.
+    with a processingTime trigger sized to the refit cost).
 
-    ``recompute`` receives the accumulated DataFrame; the LAST batch's
-    result is returned after the stream terminates.
+    The write is IDEMPOTENT under micro-batch retry: each batch lands in
+    its own ``batch_id=N`` partition directory with overwrite, so a batch
+    replayed after a failure (e.g. recompute threw after the write)
+    replaces its earlier attempt instead of appending duplicate rows —
+    the foreachBatch exactly-once recipe (sink dedup keyed on the
+    checkpointed batch id; the checkpoint alone only gives at-least-once).
+
+    ``recompute`` receives the accumulated DataFrame (without the
+    bookkeeping ``batch_id`` column); the LAST batch's result is
+    returned after the stream terminates.
     """
     spark = stream.sparkSession
     data_dir = f"{work_dir}/data"
     out: dict[str, Any] = {}
 
     def on_batch(bdf: DataFrame, batch_id: int) -> None:
-        bdf.write.mode("append").parquet(data_dir)
-        out["result"] = recompute(spark.read.parquet(data_dir))
+        write_idempotent_batch(bdf, data_dir, batch_id)
+        out["result"] = recompute(accumulated_batches(spark, data_dir))
 
     q = (
         stream.writeStream.foreachBatch(on_batch)

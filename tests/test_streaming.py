@@ -130,3 +130,25 @@ def test_incremental_attgt_refresh_matches_batch(spark, tmp_path):
     }
     est.unpersist()
     assert got == want
+
+
+def test_idempotent_batch_write_replaces_on_retry(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must replace its earlier
+    attempt, not append a duplicate — the failure mode is a retry after
+    the write succeeded but the recompute threw."""
+    from csdid_pyspark_spark.streaming.events import (
+        accumulated_batches,
+        write_idempotent_batch,
+    )
+
+    data_dir = str(tmp_path / "mv")
+    b0 = spark.range(10).withColumn("v", F.col("id") * 2)
+    b1 = spark.range(10, 15).withColumn("v", F.col("id") * 2)
+    write_idempotent_batch(b0, data_dir, 0)
+    write_idempotent_batch(b1, data_dir, 1)
+    # retry of batch 1 (e.g. recompute raised after the first write)
+    write_idempotent_batch(b1, data_dir, 1)
+    acc = accumulated_batches(spark, data_dir)
+    assert acc.count() == 15
+    assert acc.columns == ["id", "v"]
+    assert acc.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(15))
