@@ -59,9 +59,13 @@ class ATTgt:
         weights_name: str | None = None,
         alp: float = 0.05,
         biters: int = 999,
-        clustervars: str | None = None,
+        clustervars: str | list[str] | None = None,
         seed: int = 42,
+        rc_slice: str = "did",
     ):
+        if rc_slice not in ("did", "reference"):
+            raise DidError("rc_slice must be 'did' or 'reference'")
+        self.rc_slice = rc_slice
         self.alp = alp
         self.biters = biters
         self.seed = seed
@@ -114,7 +118,11 @@ class ATTgt:
             uh = F.xxhash64("uid")
         else:
             cell_df = cells_mod.build_cell_table_rc(
-                pdata, sdf, self.control_group, self.anticipation
+                pdata,
+                sdf,
+                self.control_group,
+                self.anticipation,
+                ref_preslice=self.rc_slice == "reference",
             ).persist()
             if callable(est_method):
                 ests, if_raw = estimate_custom(cell_df, pdata.covariates, est_method, self.spark, rc=True)

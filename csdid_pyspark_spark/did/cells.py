@@ -137,10 +137,23 @@ def build_cell_table_panel(
 
 
 def build_cell_table_rc(
-    pdata: PanelData, spec: DataFrame, control_group: str, anticipation: int
+    pdata: PanelData,
+    spec: DataFrame,
+    control_group: str,
+    anticipation: int,
+    ref_preslice: bool = False,
 ) -> DataFrame:
     """Repeated-cross-section cell table: one row per (cell, observation)
-    with that row's own post indicator. Broadcast join only — no shuffle."""
+    with that row's own post indicator. Broadcast join only — no shuffle.
+
+    ``ref_preslice=True`` reproduces the reference's exact row slice
+    (reference ATTgt.py:381-389: ``GmC & post | tPret`` — Python
+    precedence makes this ``(GmC ∧ post) ∨ tPret``, so EVERY unit's
+    pre-period row enters the cell, including other treated cohorts
+    outside the control set). The default (False) keeps only treated ∪
+    control rows in both periods — the R ``did`` semantics. The compat
+    mode exists so golden-parity tests can reproduce the reference's
+    published numbers bit-for-bit; analyses should use the default."""
     df = pdata.df
     xcols = pdata.covariates
     long = df.join(
@@ -148,6 +161,8 @@ def build_cell_table_rc(
     )
     is_treat = F.col(G) == F.col("cg")
     keep = is_treat | control_pred(control_group, anticipation)
+    if ref_preslice:
+        keep = keep | (F.col(T) == F.col("pret"))
     return long.filter(keep).select(
         "cid",
         F.col(ID).alias("uid"),
