@@ -261,7 +261,7 @@ def compute_aggte(
         se_o = _se_of(if_o, n)
         if bstrap:
             bt = if_o.select(F.lit(0).alias("key"), "uh", "inf")
-            if attgt.clustervars:
+            if attgt.pdata.has_cluster:
                 bt = attgt._cluster_collapse(bt, "key", "inf")
                 n_b = attgt._n_clusters()
             else:
@@ -309,7 +309,7 @@ def compute_aggte(
     ]
     crit = z
     if bstrap:
-        if attgt.clustervars:
+        if attgt.pdata.has_cluster:
             bt, n_b = attgt._cluster_collapse(if_u, "key", "inf"), attgt._n_clusters()
         else:
             bt, n_b = if_u, n
@@ -370,7 +370,7 @@ def compute_aggte(
     se_o = _se_of(if_o, n)
     if bstrap:
         bt = if_o.select(F.lit(0).alias("key"), "uh", "inf")
-        if attgt.clustervars:
+        if attgt.pdata.has_cluster:
             bt, n_b = attgt._cluster_collapse(bt, "key", "inf"), attgt._n_clusters()
         else:
             n_b = n

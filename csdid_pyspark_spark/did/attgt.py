@@ -156,8 +156,9 @@ class ATTgt:
         crit_val = float(norm_ppf(1 - self.alp / 2))
 
         if bstrap:
-            boot_if = self._cluster_collapse(if_df) if self.clustervars else if_df
-            n_boot = self._n_clusters() if self.clustervars else n
+            has_cl = self.pdata.has_cluster  # False when clustervars was just the id
+            boot_if = self._cluster_collapse(if_df) if has_cl else if_df
+            n_boot = self._n_clusters() if has_cl else n
             mb = mboot(
                 boot_if,
                 "cid",

@@ -116,6 +116,8 @@ class MbootResult:
     crit_val: float
     bres: np.ndarray  # biters × n_keys (sqrt(n)·mean of v·IF)
     keys: list[int]
+    V: np.ndarray | None = None  # bootstrap covariance over non-degenerate keys
+    # (reference mboot.py:125 — np.cov(bres); may be defective in degenerate cases)
 
 
 def mboot(
@@ -156,9 +158,11 @@ def mboot(
 
     se_arr = np.full(len(keys), np.nan)
     se_arr[ndg] = sig / np.sqrt(n)
+    V = np.cov(b_use, rowvar=False) if b_use.shape[1] else None
     return MbootResult(
         se={k: float(se_arr[i]) for i, k in enumerate(keys)},
         crit_val=crit_val,
         bres=bres,
         keys=[int(k) for k in keys],
+        V=V,
     )

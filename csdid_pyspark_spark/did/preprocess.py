@@ -58,11 +58,28 @@ def preprocess_did(
     control_group: str = "nevertreated",
     anticipation: int = 0,
     weights_name: str | None = None,
-    clustervars: str | None = None,
+    clustervars: str | list[str] | None = None,
 ) -> PanelData:
     if control_group not in ("nevertreated", "notyettreated"):
         raise DidError(f"control_group must be nevertreated|notyettreated, got {control_group!r}")
     warns: list[str] = []
+
+    # --- cluster variables: the reference's intended ≤2-way semantics ------
+    # (reference mboot.py:85-99): the unit id is always an implicit
+    # cluster, so it is dropped from the list; at most ONE other
+    # cluster variable is supported, and it must be time-invariant
+    # within unit (checked below once the frame exists).
+    cvars = [clustervars] if isinstance(clustervars, str) else list(clustervars or [])
+    if idname in cvars:
+        cvars.remove(idname)
+    if len(cvars) > 1:
+        raise DidError(
+            "can't handle more than one cluster variable besides the unit id "
+            "(reference mboot.py:93-94 intends ≤2-way with idname implicit)"
+        )
+    clustervar = cvars[0] if cvars else None
+    if clustervar is not None and clustervar not in data.columns:
+        raise DidError(f"cluster variable not in data: {clustervar!r}")
 
     # --- project to canonical columns (reference ATTgt.py:74-98) -----------
     user_covs = [c for c in parse_formula(xfmla) if c != INTERCEPT]
@@ -81,12 +98,29 @@ def preprocess_did(
         F.lit(1.0).alias("_x0"),
         *[F.col(c).cast("double").alias(xmap[c]) for c in user_covs],
     ]
-    if clustervars:
-        sel.append(F.col(clustervars).alias(CL))
+    if clustervar:
+        sel.append(F.col(clustervar).alias(CL))
     # cache the projected base: preprocessing runs several independent
     # aggregation actions over it, and the caller's input may itself be
     # an expensive lineage (e.g. an aggregation over raw events)
     df = data.select(*sel).persist()
+
+    if clustervar:
+        # time-invariance within unit (reference mboot.py:96-99 intent;
+        # its pandas-on-Spark check crashes — SURVEY.md §2.8.6). One
+        # aggregation, only on the rarely-taken clustered path.
+        varying = (
+            df.groupBy(ID)
+            .agg(F.countDistinct(CL).alias("ncl"))
+            .filter(F.col("ncl") > 1)
+            .limit(1)
+            .count()
+        )
+        if varying:
+            raise DidError(
+                f"cluster variable {clustervar!r} varies over time within unit; "
+                "clustering requires a time-invariant cluster assignment"
+            )
 
     # null audit + period structure in ONE grouped action; cohort
     # structure in a second (null G is recoded, not dropped —
@@ -243,6 +277,6 @@ def preprocess_did(
         tname=tname,
         yname=yname,
         gname=gname,
-        has_cluster=bool(clustervars),
+        has_cluster=bool(clustervar),
         warnings_=warns,
     )

@@ -129,6 +129,46 @@ def test_clustered_aggte_bootstrap(spark):
     assert oc.overall_att == pytest.approx(op.overall_att, abs=1e-9)  # point est unchanged
     assert abs(oc.overall_se - op.overall_se) > 1e-7  # clustering changes the SE
 
+    # reference mboot.py:85-99 intended ≤2-way semantics: idname is an
+    # implicit cluster — [idname, cl] ≡ "cl"; a second non-id var errors
+    two_way = ATTgt(sdf, "y", "t", "id", "g", clustervars=["id", "cl"], biters=199,
+                    seed=5, allow_unbalanced_panel=False)
+    two_way.fit("reg", bstrap=True)
+    ot = two_way.compute_aggte("simple", bstrap=True)
+    assert ot.overall_se == pytest.approx(oc.overall_se, abs=1e-12)
+
+    id_only = ATTgt(sdf, "y", "t", "id", "g", clustervars=["id"], biters=199,
+                    seed=5, allow_unbalanced_panel=False)
+    id_only.fit("reg", bstrap=True)
+    oi = id_only.compute_aggte("simple", bstrap=True)
+    assert oi.overall_se == pytest.approx(op.overall_se, abs=1e-12)
+
+    from csdid_pyspark_spark.did.preprocess import DidError
+
+    with pytest.raises(DidError, match="more than one cluster variable"):
+        ATTgt(sdf, "y", "t", "id", "g", clustervars=["cl", "g"])
+    with pytest.raises(DidError, match="not in data"):
+        ATTgt(sdf, "y", "t", "id", "g", clustervars="nope")
+
+
+def test_time_varying_cluster_variable_rejected(spark):
+    """A cluster assignment that changes within unit over time is
+    rejected (reference mboot.py:96-99 intent; its own check crashes)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(40):
+        g = 3.0 if i % 2 else 0.0
+        for t in (1, 2, 3):
+            rows.append((i, t, g, float(i + t), (i + t) % 5))  # cl varies with t
+    pdf = pd.DataFrame(rows, columns=["id", "t", "g", "y", "cl"])
+    sdf = spark.createDataFrame(pdf)
+
+    from csdid_pyspark_spark.did.preprocess import DidError
+
+    with pytest.raises(DidError, match="varies over time"):
+        ATTgt(sdf, "y", "t", "id", "g", clustervars="cl", allow_unbalanced_panel=False)
+
 
 def test_plot_data_accessors(spark, dgp):
     """Plot-data frames are available without matplotlib."""
@@ -141,3 +181,28 @@ def test_plot_data_accessors(spark, dgp):
     out = est.compute_aggte("dynamic")
     pd_aggte = aggte_plot_data(out)
     assert "phase" in pd_aggte.columns and len(pd_aggte) == len(out.egt)
+
+
+def test_mboot_covariance_matrix(spark):
+    """K9: MbootResult.V is the bootstrap covariance of the draws
+    (reference mboot.py:125, np.cov(bres, rowvar=False)) — diagonal
+    consistent with the IQR-based SEs up to the sqrt(n) scaling."""
+    import pandas as pd
+
+    from csdid_pyspark_spark.did.mboot import mboot
+
+    rng = np.random.default_rng(3)
+    n = 400
+    rows = []
+    for u in range(n):
+        for k in (0, 1):
+            rows.append((k, u, float(rng.normal(0, 1 + k))))
+    if_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cid", "uh", "inf_sc"])
+    )
+    mb = mboot(if_df, "cid", "uh", "inf_sc", n, biters=499, seed=11)
+    assert mb.V is not None and mb.V.shape == (2, 2)
+    assert np.allclose(mb.V, mb.V.T)
+    # Var(bres_k) ≈ (sqrt(n)·se_k)² within bootstrap noise
+    for i, k in enumerate(mb.keys):
+        assert mb.V[i, i] == pytest.approx(n * mb.se[k] ** 2, rel=0.25)
