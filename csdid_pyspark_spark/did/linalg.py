@@ -114,18 +114,25 @@ def irls_logit(
     spark: SparkSession,
     active_cids: list[int],
     max_iter: int = 25,
-    tol: float = 1e-10,
+    tol: float = 1e-8,
     init: dict[int, np.ndarray] | None = None,
 ) -> dict[int, np.ndarray | None]:
     """Weighted logistic regression of d on X per cell, all cells
     simultaneously: each IRLS iteration is one aggregation pass over the
-    (cached) cell table; the p×p solves happen on the driver.
+    (cached) cell table; the p×p solves happen on the driver. Converged
+    cells leave the broadcast join, so late iterations aggregate only
+    the stragglers.
 
     ``init`` warm-starts the intercept (e.g. logit of the cell's
     treatment share) — the fixed point is unchanged, it just converges
-    in fewer full-table passes.
+    in fewer full-table passes. tol is a Newton STEP bound: quadratic
+    convergence means a step below 1e-8 leaves the iterate within
+    ~1e-15 of the fixed point, so kernel parity at 1e-8 is unaffected
+    while typical cells need one fewer full-table pass than tol=1e-10.
 
-    Returns per-cell gamma-hat (None where the fit failed/separated)."""
+    Returns per-cell gamma-hat; None where the fit failed/separated OR
+    never met tol within max_iter (an unconverged iterate must not be
+    silently used as if it were the MLE)."""
     p = len(xcols)
     beta: dict[int, np.ndarray | None] = {
         cid: (init[cid].copy() if init and cid in init else np.zeros(p))
@@ -159,4 +166,6 @@ def irls_logit(
                 next_active.add(cid)
             beta[cid] = new
         active = next_active
+    for cid in active:  # still unconverged after max_iter
+        beta[cid] = None
     return beta

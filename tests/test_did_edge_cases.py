@@ -95,3 +95,24 @@ def test_universal_base_notyettreated(spark):
     for _, r in post.iterrows():
         truth = r["t"] - r["g"] + 1
         assert abs(r["att"] - truth) < 4 * r["se"] + 0.15
+
+
+def test_irls_nonconvergence_returns_none(spark):
+    """Perfect separation never meets tol: irls_logit must return None
+    for that cell (an unconverged iterate is not an MLE) rather than
+    silently using the last iterate."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from csdid_pyspark_spark.did.linalg import irls_logit
+
+    rows = []
+    for i in range(200):
+        x = (i % 20) / 10.0 - 1.0
+        d = 1.0 if x > 0 else 0.0  # d is a deterministic function of x
+        rows.append((0, d, 1.0, 1.0, x))
+    cell = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cid", "d", "w", "_x0", "_x1"])
+    )
+    out = irls_logit(cell, ["_x0", "_x1"], spark, [0], max_iter=8)
+    assert out[0] is None
