@@ -144,6 +144,74 @@ def _se_of(if_tbl: DataFrame, n: int) -> float:
     return float(se)
 
 
+def build_per_egt_if(
+    spark,
+    if_df: DataFrame,
+    unitw: DataFrame,
+    groups: dict[float, list[dict]],
+    use_wif: bool,
+    equal_w: bool = False,
+):
+    """Build the per-egt aggregated IF table for ALL egt values in one
+    pass: a single (cid, key, theta) broadcast join + one
+    groupBy(key, uh), plus one broadcast-joined wif pass — instead of
+    one shuffle chain per event time. The full IF table is read EXACTLY
+    ONCE regardless of how many egt values are aggregated (the plan
+    property tests/test_plans.py asserts). Returns (egt_sorted, atts,
+    DataFrame(key, uh, inf))."""
+    egts = sorted(groups)
+    atts, weight_rows = [], []
+    wif_scalars, wif_gmap = [], []
+    for idx, e in enumerate(egts):
+        ks = groups[e]
+        tot = sum(k["pg"] for k in ks)
+        if equal_w:
+            weight_rows += [(k["cid"], idx, 1.0 / len(ks)) for k in ks]
+            atts.append(sum(k["att"] for k in ks) / len(ks))
+        else:
+            weight_rows += [(k["cid"], idx, k["pg"] / tot) for k in ks]
+            atts.append(sum(k["att"] * k["pg"] / tot for k in ks))
+        if use_wif:
+            P = sum(k["pg"] for k in ks)
+            Sa = sum(k["att"] * k["pg"] for k in ks)
+            wif_scalars.append((idx, Sa, P))
+            per_g: dict[float, list[float]] = {}
+            for k in ks:
+                a, c = per_g.get(k["g"], [0.0, 0.0])
+                per_g[k["g"]] = [a + k["att"], c + 1.0]
+            wif_gmap += [(idx, g, a, c) for g, (a, c) in per_g.items()]
+    wdf = spark.createDataFrame(weight_rows, "cid int, key int, theta double")
+    part = (
+        if_df.join(F.broadcast(wdf), "cid")
+        .groupBy("key", "uh")
+        .agg(F.sum(F.col("theta") * F.col("inf_sc")).alias("inf"))
+    )
+    if not use_wif:
+        return egts, atts, part.persist()
+    sdf = spark.createDataFrame(wif_scalars, "key int, sa double, p double")
+    gdf = spark.createDataFrame(wif_gmap, "key int, g_u double, alpha double, cnt double")
+    u = (
+        unitw.crossJoin(F.broadcast(sdf))
+        .join(F.broadcast(gdf), ["key", "g_u"], "left")
+        .na.fill({"alpha": 0.0, "cnt": 0.0})
+    )
+    wifv = (F.col("w_u") * F.col("alpha") - F.col("sa")) / F.col("p") - (
+        (F.col("w_u") * F.col("cnt") - F.col("p")) * F.col("sa") / (F.col("p") * F.col("p"))
+    )
+    wif_tbl = u.select("key", "uh", wifv.alias("wifv"))
+    combined = (
+        part.join(wif_tbl, ["key", "uh"], "full")
+        .select(
+            "key",
+            "uh",
+            (
+                F.coalesce(F.col("inf"), F.lit(0.0)) + F.coalesce(F.col("wifv"), F.lit(0.0))
+            ).alias("inf"),
+        )
+    )
+    return egts, atts, combined.persist()
+
+
 def compute_aggte(
     attgt,
     typec: str = "group",
@@ -191,62 +259,7 @@ def compute_aggte(
     infos = [cell_info(r) for r in cells.itertuples()]
 
     def per_egt_if(groups: dict[float, list[dict]], use_wif: bool, equal_w: bool = False):
-        """Build the per-egt aggregated IF table for ALL egt values in
-        one pass: a single (cid, key, theta) broadcast join + one
-        groupBy(key, uh), plus one broadcast-joined wif pass — instead
-        of one shuffle chain per event time. Returns (egt_sorted, atts,
-        DataFrame(key, uh, inf))."""
-        egts = sorted(groups)
-        atts, weight_rows = [], []
-        wif_scalars, wif_gmap = [], []
-        for idx, e in enumerate(egts):
-            ks = groups[e]
-            tot = sum(k["pg"] for k in ks)
-            if equal_w:
-                weight_rows += [(k["cid"], idx, 1.0 / len(ks)) for k in ks]
-                atts.append(sum(k["att"] for k in ks) / len(ks))
-            else:
-                weight_rows += [(k["cid"], idx, k["pg"] / tot) for k in ks]
-                atts.append(sum(k["att"] * k["pg"] / tot for k in ks))
-            if use_wif:
-                P = sum(k["pg"] for k in ks)
-                Sa = sum(k["att"] * k["pg"] for k in ks)
-                wif_scalars.append((idx, Sa, P))
-                per_g: dict[float, list[float]] = {}
-                for k in ks:
-                    a, c = per_g.get(k["g"], [0.0, 0.0])
-                    per_g[k["g"]] = [a + k["att"], c + 1.0]
-                wif_gmap += [(idx, g, a, c) for g, (a, c) in per_g.items()]
-        wdf = spark.createDataFrame(weight_rows, "cid int, key int, theta double")
-        part = (
-            fr.if_df.join(F.broadcast(wdf), "cid")
-            .groupBy("key", "uh")
-            .agg(F.sum(F.col("theta") * F.col("inf_sc")).alias("inf"))
-        )
-        if not use_wif:
-            return egts, atts, part.persist()
-        sdf = spark.createDataFrame(wif_scalars, "key int, sa double, p double")
-        gdf = spark.createDataFrame(wif_gmap, "key int, g_u double, alpha double, cnt double")
-        u = (
-            unitw.crossJoin(F.broadcast(sdf))
-            .join(F.broadcast(gdf), ["key", "g_u"], "left")
-            .na.fill({"alpha": 0.0, "cnt": 0.0})
-        )
-        wifv = (F.col("w_u") * F.col("alpha") - F.col("sa")) / F.col("p") - (
-            (F.col("w_u") * F.col("cnt") - F.col("p")) * F.col("sa") / (F.col("p") * F.col("p"))
-        )
-        wif_tbl = u.select("key", "uh", wifv.alias("wifv"))
-        combined = (
-            part.join(wif_tbl, ["key", "uh"], "full")
-            .select(
-                "key",
-                "uh",
-                (
-                    F.coalesce(F.col("inf"), F.lit(0.0)) + F.coalesce(F.col("wifv"), F.lit(0.0))
-                ).alias("inf"),
-            )
-        )
-        return egts, atts, combined.persist()
+        return build_per_egt_if(spark, fr.if_df, unitw, groups, use_wif, equal_w)
 
     # ----- build groups per type ------------------------------------------
     if typec == "simple":
@@ -286,13 +299,21 @@ def compute_aggte(
         egts, atts, if_u = per_egt_if(groups, use_wif=True)
     else:  # dynamic
         groups = {}
+        tl = attgt.pdata.tlist
+        span = max(tl) - min(tl)
         for k in infos:
             e = k["t"] - k["g"]
             if not (min_e <= e <= max_e):
                 continue
             if balance_e is not None:
                 max_t = max(i["t"] for i in infos)
-                if max_t - k["g"] < balance_e or e > balance_e:
+                # R did balanced event-study window: cohorts observed
+                # for >= balance_e post periods, event times trimmed to
+                # balance_e - (t2 - t1) <= e <= balance_e — the lower
+                # trim keeps cohort composition IDENTICAL across every
+                # retained event time (without it, deep-negative e
+                # averages over a different cohort mix).
+                if max_t - k["g"] < balance_e or e > balance_e or e < balance_e - span:
                     continue
             groups.setdefault(e, []).append(k)
         egts, atts, if_u = per_egt_if(groups, use_wif=True)

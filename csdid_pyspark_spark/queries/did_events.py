@@ -753,8 +753,12 @@ def did_aggte_simple_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DID_AGGTE_SIMPLE_SE_SQL = (
-    "WITH " + PANEL_CTE + "," + """
+# Shared influence-function core for the aggte-SE oracles: two-period
+# diffs, per-cell reg estimates, the unit universe, and cohort shares.
+# (Intercept-only reg/never-treated, so the per-unit cell IF has the
+# closed form d(dy-η_t)/Σd − (1−d)(dy-η_c)/Σ(1−d), which is exactly
+# the engine's inf_sc/n.)
+_IF_CORE = """
 periods AS (SELECT DISTINCT period FROM panel),
 cells AS (
   SELECT gg.g AS cg, t.period AS ct, LEAST(gg.g, t.period) - 1 AS pret,
@@ -782,7 +786,11 @@ nu AS (SELECT COUNT(*) AS n FROM units),
 pg AS (
   SELECT g, CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM nu) AS pg
   FROM units WHERE g > 0 GROUP BY g
-),
+)
+"""
+
+DID_AGGTE_SIMPLE_SE_SQL = (
+    "WITH " + PANEL_CTE + "," + _IF_CORE + "," + """
 keepers AS (  -- post-treatment cells with att + cohort share
   SELECT s.cg, s.ct, s.eta_t - s.eta_c AS att, pg.pg
   FROM stats s JOIN pg ON pg.g = s.cg WHERE s.post = 1
@@ -825,3 +833,176 @@ FROM per_unit
 
 QUERIES["did_aggte_simple_se"] = did_aggte_simple_se
 ORACLES["did_aggte_simple_se"] = DID_AGGTE_SIMPLE_SE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Per-egt aggregation SEs, oracle-checked (VERDICT r1 next-steps #9):
+# the same full-influence-function technique as did_aggte_simple_se,
+# extended to every event time / cohort / calendar period. Semantics
+# mirror R `did` (and reference utils_aggte.py get_agg_inf_func/wif):
+#   dynamic  — per-e θ_k = pg/Σpg WITH the wif weight-estimation
+#              correction; overall = equal-weight mean over e ≥ 0.
+#   calendar — per-t θ_k = pg/Σpg with wif (cells g ≤ t, t ≥ min g);
+#              overall = equal-weight mean over t.
+#   group    — per-g equal weights 1/|cells| and NO wif (within a
+#              cohort the pg weights cancel exactly); overall =
+#              pgg-weighted mean over cohorts with a cohort-level wif.
+# ---------------------------------------------------------------------------
+
+def _aggte_se_df(spark: SparkSession, sf_dir: str, typec: str) -> DataFrame:
+    est = _fit_attgt(spark, sf_dir, "nevertreated")
+    out = est.compute_aggte(typec)
+    rows = [
+        (float(e), round(float(a), 6), round(float(s), 6))
+        for e, a, s in zip(out.egt, out.att_egt, out.se_egt)
+    ]
+    rows.append((-1.0, round(float(out.overall_att), 6), round(float(out.overall_se), 6)))
+    return spark.createDataFrame(rows, "egt double, att double, se double")
+
+
+def did_aggte_dynamic_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggte_se_df(spark, sf_dir, "dynamic")
+
+
+def did_aggte_group_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggte_se_df(spark, sf_dir, "group")
+
+
+def did_aggte_calendar_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggte_se_df(spark, sf_dir, "calendar")
+
+
+# Per-key wif + cellterm + per-unit totals, parameterized by the key
+# expression. The wif term is the exact if1−if2 algebra per unit u:
+#   ((w·α_{g_u} − Σ att·pg)/P − (w·cnt_{g_u} − P)·Σ att·pg / P²) / n
+_KEYED_IF_SQL = """
+eg AS (SELECT key, SUM(pg) AS p_tot, SUM(att * pg) AS sa FROM attcells GROUP BY key),
+gmap AS (
+  SELECT key, cg AS g, SUM(att) AS alpha, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM attcells GROUP BY key, cg
+),
+cellterm AS (
+  SELECT a.key, d.id,
+    SUM((a.pg / eg.p_tot) *
+        (d.d * (d.dy - a.eta_t) / a.swt - (1 - d.d) * (d.dy - a.eta_c) / a.swc)
+    ) AS ct_u
+  FROM dy d
+  JOIN attcells a ON d.cg = a.cg AND d.ct = a.ct
+  JOIN eg ON eg.key = a.key
+  GROUP BY a.key, d.id
+),
+wif AS (
+  SELECT eg.key, u.id, eg.sa, eg.p_tot,
+    ((COALESCE(g.alpha, 0) - eg.sa) / eg.p_tot
+     - (COALESCE(g.cnt, 0) - eg.p_tot) * eg.sa / (eg.p_tot * eg.p_tot))
+    / (SELECT n FROM nu) AS wif_u
+  FROM units u CROSS JOIN eg
+  LEFT JOIN gmap g ON g.key = eg.key AND g.g = u.g
+),
+per_unit AS (
+  SELECT w.key, w.id, COALESCE(c.ct_u, 0) + w.wif_u AS total
+  FROM wif w LEFT JOIN cellterm c ON c.key = w.key AND c.id = w.id
+),
+per_key AS (
+  SELECT p.key, eg.sa / eg.p_tot AS att, SQRT(SUM(p.total * p.total)) AS se
+  FROM per_unit p JOIN eg ON eg.key = p.key
+  GROUP BY p.key, eg.sa, eg.p_tot
+)
+"""
+
+DID_AGGTE_DYNAMIC_SE_SQL = (
+    "WITH " + PANEL_CTE + "," + _IF_CORE + "," + """
+attcells AS (
+  SELECT s.ct - s.cg AS key, s.cg, s.ct, s.eta_t - s.eta_c AS att,
+         pg.pg, s.swt, s.swc, s.eta_t, s.eta_c
+  FROM stats s JOIN pg ON pg.g = s.cg
+),""" + _KEYED_IF_SQL + """,
+overall AS (  -- equal-weight mean of the post-treatment per-e IFs
+  SELECT id, SUM(total) / (SELECT COUNT(*) FROM eg WHERE key >= 0) AS tot
+  FROM per_unit WHERE key >= 0 GROUP BY id
+)
+SELECT CAST(key AS DOUBLE) AS egt, ROUND(att, 6) AS att, ROUND(se, 6) AS se FROM per_key
+UNION ALL
+SELECT -1.0,
+  (SELECT ROUND(AVG(sa / p_tot), 6) FROM eg WHERE key >= 0),
+  (SELECT ROUND(SQRT(SUM(tot * tot)), 6) FROM overall)
+"""
+)
+
+DID_AGGTE_CALENDAR_SE_SQL = (
+    "WITH " + PANEL_CTE + "," + _IF_CORE + "," + """
+attcells AS (
+  SELECT s.ct AS key, s.cg, s.ct, s.eta_t - s.eta_c AS att,
+         pg.pg, s.swt, s.swc, s.eta_t, s.eta_c
+  FROM stats s JOIN pg ON pg.g = s.cg
+  WHERE s.cg <= s.ct AND s.ct >= (SELECT MIN(g) FROM pg)
+),""" + _KEYED_IF_SQL + """,
+overall AS (
+  SELECT id, SUM(total) / (SELECT COUNT(*) FROM eg) AS tot
+  FROM per_unit GROUP BY id
+)
+SELECT CAST(key AS DOUBLE) AS egt, ROUND(att, 6) AS att, ROUND(se, 6) AS se FROM per_key
+UNION ALL
+SELECT -1.0,
+  (SELECT ROUND(AVG(sa / p_tot), 6) FROM eg),
+  (SELECT ROUND(SQRT(SUM(tot * tot)), 6) FROM overall)
+"""
+)
+
+DID_AGGTE_GROUP_SE_SQL = (
+    "WITH " + PANEL_CTE + "," + _IF_CORE + "," + """
+attcells AS (  -- post-treatment cells only; equal weights within cohort
+  SELECT s.cg, s.ct, s.eta_t - s.eta_c AS att, s.swt, s.swc, s.eta_t, s.eta_c
+  FROM stats s WHERE s.cg <= s.ct
+),
+gg AS (
+  SELECT cg, CAST(COUNT(*) AS DOUBLE) AS cnt, AVG(att) AS att_g
+  FROM attcells GROUP BY cg
+),
+cellterm AS (  -- per-cohort IF: Σ_k u_ku / cnt_g, NO wif (pg cancels)
+  SELECT a.cg, d.id,
+    SUM((d.d * (d.dy - a.eta_t) / a.swt - (1 - d.d) * (d.dy - a.eta_c) / a.swc)
+        / gg.cnt) AS total
+  FROM dy d
+  JOIN attcells a ON d.cg = a.cg AND d.ct = a.ct
+  JOIN gg ON gg.cg = a.cg
+  GROUP BY a.cg, d.id
+),
+per_g AS (
+  SELECT c.cg, gg.att_g AS att, SQRT(SUM(c.total * c.total)) AS se
+  FROM cellterm c JOIN gg ON gg.cg = c.cg GROUP BY c.cg, gg.att_g
+),
+scalars AS (
+  SELECT SUM(pg.pg) AS p_tot, SUM(gg.att_g * pg.pg) AS sa
+  FROM gg JOIN pg ON pg.g = gg.cg
+),
+octerm AS (  -- Σ_g θ_g · IF_g,u with θ_g = pgg/Σpgg
+  SELECT c.id, SUM((pg.pg / sc.p_tot) * c.total) AS o
+  FROM cellterm c JOIN pg ON pg.g = c.cg CROSS JOIN scalars sc
+  GROUP BY c.id
+),
+overall AS (  -- cohort-level wif: keepers are the cohorts, cnt = 1
+  SELECT u.id,
+    COALESCE(oc.o, 0)
+    + ((COALESCE(gg2.att_g, 0) - sc.sa) / sc.p_tot
+       - ((CASE WHEN gg2.cg IS NULL THEN 0.0 ELSE 1.0 END) - sc.p_tot)
+         * sc.sa / (sc.p_tot * sc.p_tot)) / (SELECT n FROM nu) AS tot
+  FROM units u
+  CROSS JOIN scalars sc
+  LEFT JOIN gg gg2 ON gg2.cg = u.g
+  LEFT JOIN octerm oc ON oc.id = u.id
+)
+SELECT CAST(cg AS DOUBLE) AS egt, ROUND(att, 6) AS att, ROUND(se, 6) AS se FROM per_g
+UNION ALL
+SELECT -1.0,
+  (SELECT ROUND(sa / p_tot, 6) FROM scalars),
+  (SELECT ROUND(SQRT(SUM(tot * tot)), 6) FROM overall)
+"""
+)
+
+QUERIES["did_aggte_dynamic_se"] = did_aggte_dynamic_se
+ORACLES["did_aggte_dynamic_se"] = DID_AGGTE_DYNAMIC_SE_SQL
+QUERIES["did_aggte_group_se"] = did_aggte_group_se
+ORACLES["did_aggte_group_se"] = DID_AGGTE_GROUP_SE_SQL
+QUERIES["did_aggte_calendar_se"] = did_aggte_calendar_se
+ORACLES["did_aggte_calendar_se"] = DID_AGGTE_CALENDAR_SE_SQL

@@ -175,3 +175,40 @@ def test_na_rm(spark, dgp):
         est.compute_aggte("simple")
     out = est.compute_aggte("simple", na_rm=True)
     assert np.isfinite(out.overall_att)
+
+
+def test_dynamic_balance_e_window(spark):
+    """balance_e keeps only cohorts observed >= balance_e post periods
+    AND trims event times to [balance_e - (t2-t1), balance_e] (the R
+    did balanced event-study window — the lower trim guards cohort
+    composition; ADVICE r2)."""
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(240):
+        g = float([0, 3, 4][i % 3])
+        fe = rng.normal()
+        for t in (1, 2, 3, 4, 5):
+            scale = 3.0 if g == 4 else 1.0  # cohort effects differ, so the
+            # balanced e=0 (cohort 3 only) is visibly different from the
+            # mixed-cohort full-sample e=0
+            tau = scale * (t - g + 1.0) if 0 < g <= t else 0.0
+            rows.append((i, t, g, fe + 0.1 * t + tau + rng.normal(0, 0.2)))
+    pdf = pd.DataFrame(rows, columns=["id", "t", "g", "y"])
+    est = ATTgt(spark.createDataFrame(pdf), "y", "t", "id", "g",
+                allow_unbalanced_panel=False)
+    est.fit("reg")
+
+    full = est.compute_aggte("dynamic")
+    assert sorted(full.egt) == [-2.0, -1.0, 0.0, 1.0, 2.0]
+
+    bal = est.compute_aggte("dynamic", balance_e=2)
+    # only cohort 3 is observed 2 post periods; window is [2-4, 2]
+    assert sorted(bal.egt) == [-1.0, 0.0, 1.0, 2.0]
+    # balanced e=0 is ATT(3,3) alone — different from the mixed-cohort
+    # full-sample e=0 (which averages ATT(3,3) and ATT(4,4))
+    e0_full = full.att_egt[full.egt.index(0.0)]
+    e0_bal = bal.att_egt[bal.egt.index(0.0)]
+    att33 = float(est.fit_result.table.query("g == 3 and t == 3")["att"].iloc[0])
+    assert e0_bal == pytest.approx(att33, abs=1e-9)
+    assert abs(e0_full - e0_bal) > 1e-3
+    est.unpersist()

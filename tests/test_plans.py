@@ -85,3 +85,54 @@ def test_asof_join_single_window_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Window" in plan
+
+
+def test_dynamic_aggte_single_pass_over_if_table(spark):
+    """The per-egt aggregation path must read the (persisted) IF table
+    exactly once no matter how many event times are aggregated — the
+    single-pass design that keeps aggte O(|IF|) instead of
+    O(|egt|·|IF|). Guarded at the plan level: one cache scan, weights
+    and wif joined via broadcast only, a single non-broadcast shuffle
+    for the (key, uh) reduction plus one for the wif alignment join."""
+    import pandas as pd
+
+    from csdid_pyspark_spark.did import ATTgt
+    from csdid_pyspark_spark.did.aggte import build_per_egt_if
+
+    rows = []
+    for i in range(120):
+        g = float([0, 3, 4][i % 3])
+        for t in (1, 2, 3, 4):
+            tau = 1.0 if 0 < g <= t else 0.0
+            rows.append((i, t, g, 0.1 * t + tau + (i % 7) * 0.01))
+    sdf = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "t", "g", "y"]))
+    est = ATTgt(sdf, "y", "t", "id", "g", allow_unbalanced_panel=False)
+    est.fit("reg")
+
+    infos = [
+        {"cid": int(r.cid), "g": float(r.g), "t": float(r.t), "att": 0.5, "pg": 0.33}
+        for r in est.fit_result.cell_map.itertuples()
+    ]
+    groups: dict = {}
+    for k in infos:
+        groups.setdefault(k["t"] - k["g"], []).append(k)
+    _, _, if_u = build_per_egt_if(
+        spark, est.fit_result.if_df, est._unit_weights(), groups, use_wif=True
+    )
+    plan = if_u._jdf.queryExecution().executedPlan().toString()
+    if_u.unpersist()
+    est.unpersist()
+    # the cached IF table (columns cid, uh, inf_sc) is scanned exactly
+    # once inside the whole nested plan
+    if_scans = [
+        ln for ln in plan.splitlines()
+        if "InMemoryTableScan" in ln and "inf_sc" in ln
+    ]
+    assert len(if_scans) == 1, plan
+    # weights and wif joins are broadcast-only; the live shuffles of the
+    # aggte path (keyed on the aggregation key) are exactly the (key,uh)
+    # reduction and the wif alignment — lineage exchanges inside the
+    # cached IF relation are replay text, keyed on (cid,_id), not these
+    live_shuffles = plan.count("Exchange hashpartitioning(key#")
+    assert live_shuffles <= 2, plan
+    assert plan.count("SortMergeJoin") <= 1, plan  # only the (key,uh) full join
