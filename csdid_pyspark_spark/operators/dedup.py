@@ -122,12 +122,16 @@ def jaccard_for_candidates(
     (A self-join over even the candidate docs' postings would re-pay
     quadratic cost on hot shingles; the pair-list join cannot.)
     """
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh_c = sh.join(cand_ids, id_col, "left_semi")
+    # Both intermediates below are bounded by the CANDIDATE set (the
+    # whole point of LSH pruning), so persisting them is cheap at any
+    # corpus size — and essential: each is consumed by 2-3 downstream
+    # joins, and without a cache Spark would re-derive the full
+    # postings lineage once per consumer.
+    cand = cand.persist()
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    sh_c = sh.join(cand_ids, id_col, "left_semi").persist()
     sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
@@ -193,19 +197,22 @@ def minhash_lsh_pairs(
     sig = sh.groupBy(id_col).agg(
         *[F.min(_hash64(F.col("shingle"), s)).alias(f"mh_{s}") for s in range(num_hashes)]
     )
-    buckets = []
+    # one (band, bucket) struct per band, exploded from a SINGLE pass
+    # over the signature table — a per-band union would embed the whole
+    # corpus->signature subtree once per band per join side (observed:
+    # 8+ duplicated scans in the physical plan)
+    band_structs = []
     for band in range(bands):
         cols = [F.col(f"mh_{band * rows + r}") for r in range(rows)]
-        buckets.append(
-            sig.select(
-                F.col(id_col),
+        band_structs.append(
+            F.struct(
                 F.lit(band).alias("band"),
                 F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
             )
         )
-    bucketed = buckets[0]
-    for bdf in buckets[1:]:
-        bucketed = bucketed.unionByName(bdf)
+    bucketed = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(
