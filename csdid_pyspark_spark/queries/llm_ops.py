@@ -682,3 +682,246 @@ SELECT doc_id, bucket, lang, n_chars FROM b WHERE bucket < 10
 
 QUERIES["sample_hash"] = sample_hash
 ORACLES["sample_hash"] = SAMPLE_HASH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Round-2 pipeline widening: chunking, repetition scoring, stratified
+# sampling, embedding statistics, n-gram counting, exact quantiles.
+# All built-in column expressions (no Python UDFs), each with a DuckDB
+# oracle. At 100 TB each is a narrow scan plus at most one shuffle.
+# ---------------------------------------------------------------------------
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunks with overlap (size 32, stride 24) — the
+    standard training-data windowing op. Emits one row per chunk with a
+    content hash instead of the text, so the result stays narrow. Pure
+    array expressions: one scan, no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim("text"), r"\s+")
+    d = d.select("doc_id", tk.alias("tk"))
+    starts = F.expr("sequence(0, greatest(0, cast(ceil((size(tk) - 1) / 24.0) as int) - 1))")
+    chunks = d.select(
+        "doc_id",
+        F.explode(starts).alias("chunk_id"),
+        F.col("tk"),
+    ).filter(F.col("chunk_id") * 24 < F.size("tk"))
+    chunk = F.expr("slice(tk, chunk_id * 24 + 1, 32)")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+TEXT_CHUNKING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+),
+ids AS (
+  SELECT doc_id, tk,
+         UNNEST(range(0, greatest(1, CAST(ceil((len(tk) - 1) / 24.0) AS BIGINT)))) AS chunk_id
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         tk[chunk_id*24+1 : chunk_id*24+32] AS chunk
+  FROM ids WHERE chunk_id*24 < len(tk)
+)
+SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM chunks
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition score per document: total vs distinct
+    word trigrams and the dominant trigram's share. Docs shorter than
+    3 tokens are excluded. One explode + two aggregations (the second
+    is map-side partial over the first's output)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim("text"), r"\s+")
+    tri = F.expr(
+        "transform(sequence(1, size(tk) - 2), i -> tk[i-1] || ' ' || tk[i] || ' ' || tk[i+1])"
+    )
+    per_tri = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", F.explode(tri).alias("tri"))
+        .groupBy("doc_id", "tri")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_tri.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tri"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 6).alias("rep_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_share"),
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(1, len(tk) - 1)),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tri
+  FROM toks WHERE len(tk) >= 3
+),
+per_tri AS (
+  SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2
+)
+SELECT doc_id, SUM(c) AS n_tri, COUNT(*) AS n_distinct,
+       ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS rep_ratio,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share
+FROM per_tri GROUP BY doc_id
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: top-5 docs per language by md5
+    of the id — reproducible train/eval splits with per-stratum quotas.
+    One shuffle (the per-stratum window)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+"""
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding corpus — the
+    whitening/normalization statistics a vector pipeline computes
+    before indexing. posexplode + one aggregation; at scale this is the
+    outer-product-free way to get diagonal covariance."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean"),
+            F.round(F.var_pop(F.col("v").cast("double")), 6).alias("var"),
+        )
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+SELECT CAST(i AS INT) AS dim,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean,
+       ROUND(VAR_POP(CAST(embedding[i] AS DOUBLE)), 6) AS var
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+GROUP BY i
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (centroid) in long form (label, dim,
+    mean) — class prototypes / mean-pooling. Long form keeps the
+    oracle exact and the shuffle key (label, dim) well-distributed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean"))
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, CAST(i AS INT) AS dim,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+GROUP BY label, i
+"""
+
+
+def text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams by document frequency-weighted
+    count — the n-gram table that feeds LM-style filtering. Explode +
+    one aggregation + TakeOrdered (no global sort at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim("text"), r"\s+")
+    bi = F.expr("transform(sequence(1, size(tk) - 1), i -> tk[i-1] || ' ' || tk[i])")
+    return (
+        d.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(F.explode(bi).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+TEXT_NGRAM_TOP_SQL = r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents
+),
+bi AS (
+  SELECT UNNEST(list_transform(range(1, greatest(1, len(tk))),
+                               i -> tk[i] || ' ' || tk[i+1])) AS bigram
+  FROM toks WHERE len(tk) >= 2
+)
+SELECT bigram, COUNT(*) AS cnt FROM bi GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC LIMIT 20
+"""
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of event value per type (p50/p90/
+    p99) — Spark's exact `percentile` vs DuckDB `quantile_cont`, both
+    linear interpolation. The scale path swaps in approx_percentile
+    with a documented error bound; the exact form is the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+EVENTS_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "text_chunking": text_chunking,
+        "text_repetition": text_repetition,
+        "sample_stratified": sample_stratified,
+        "embedding_dim_stats": embedding_dim_stats,
+        "embedding_centroids": embedding_centroids,
+        "text_ngram_top": text_ngram_top,
+        "events_value_quantiles": events_value_quantiles,
+    }
+)
+ORACLES.update(
+    {
+        "text_chunking": TEXT_CHUNKING_SQL,
+        "text_repetition": TEXT_REPETITION_SQL,
+        "sample_stratified": SAMPLE_STRATIFIED_SQL,
+        "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+        "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
+        "text_ngram_top": TEXT_NGRAM_TOP_SQL,
+        "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,
+    }
+)
