@@ -48,12 +48,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # Registration order matters operationally: external harnesses that cap the
-# number of checked queries take them in dict order, so the flagship did_*
-# estimator queries and the LLM-pipeline operators register first; the
-# relational micro-queries (already extensively plan- and oracle-tested
-# repo-side) fill the remainder.
+# number of checked queries take them in dict order (the round-1 run checked
+# exactly the first 50). _WINDOW_PRIORITY front-loads every query that has
+# not yet received an external correctness signal — the did_* estimator
+# family plus the LLM-pipeline operators added after round 1 — followed by a
+# rotation of previously-green oracle queries as regression sentinels. Any
+# NEW query should be appended to this list until an external run confirms
+# it; everything not listed follows in module order.
+_WINDOW_PRIORITY = [
+    # llm_ops queries with no external signal yet (did_* already lead the
+    # did_events module, so they need no entries here).
+    "events_sessionize",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "text_bpe_tokens",
+    "stats_aggs",
+    "events_asof_join",
+    "dedup_components",
+    "text_tfidf",
+    "multimodal_features",
+    "sample_hash",
+    "text_chunking",
+    "text_repetition",
+    "sample_stratified",
+    "embedding_dim_stats",
+    "embedding_centroids",
+    "text_ngram_top",
+    "events_value_quantiles",
+    "text_decontaminate",
+    "quality_filter",
+    # previously-green regression sentinels (round-1 hash-match) filling the
+    # remainder of the 50-query window.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "join_star_broadcast",
+    "grouping_sets_revenue",
+    "dedup_exact_groups",
+    "dedup_jaccard",
+    "sim_topk_bruteforce",
+    "text_stats",
+]
+
+_raw: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 for mod in (did_events, llm_ops, relational):
-    QUERIES.update({name: _tuned(fn) for name, fn in mod.QUERIES.items()})
+    _raw.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
+
+_did_names = [n for n in did_events.QUERIES if n not in _WINDOW_PRIORITY]
+_ordered = _did_names + [n for n in _WINDOW_PRIORITY if n in _raw]
+_ordered += [n for n in _raw if n not in _ordered]
+QUERIES.update({name: _tuned(_raw[name]) for name in _ordered})
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -925,3 +925,162 @@ ORACLES.update(
         "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination and composite quality filtering — the two curation ops
+# every pretraining pipeline runs before anything else ships to training.
+# ---------------------------------------------------------------------------
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination: word 5-gram overlap of every
+    train document against the eval split (deterministic md5 split,
+    first hex digit 0-3 ≈ 25% here; in production the eval set is a
+    fixed benchmark corpus). Emits per-train-doc gram counts, hit
+    counts, and the contamination rate.
+
+    Scale shape: the eval n-gram set is DISTINCT-reduced and tiny
+    relative to the corpus (benchmarks are thousands of docs, the
+    corpus is billions), so the left join is broadcast-able — AQE makes
+    that call from the measured size rather than a forced hint. The
+    train side is one explode + one aggregation keyed by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim("text"), r"\s+")
+    grams = F.expr(
+        "transform(sequence(1, size(tk) - 4), "
+        "i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1], tk[i+2], tk[i+3]))"
+    )
+    g = (
+        d.select("doc_id", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("h"), tk.alias("tk"))
+        .filter(F.size("tk") >= 5)
+        .select("doc_id", "h", F.explode(grams).alias("ng"))
+    )
+    is_eval = F.col("h").isin("0", "1", "2", "3")
+    ev = g.filter(is_eval).select("ng").distinct().withColumn("hit", F.lit(1))
+    tr = g.filter(~is_eval)
+    return (
+        tr.join(ev, "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+            F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*"), 6).alias("contam_rate"),
+        )
+    )
+
+
+TEXT_DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+         string_split_regex(trim(text), '\s+') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, h,
+         UNNEST(list_transform(range(1, greatest(1, len(tk) - 3)),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS ng
+  FROM toks WHERE len(tk) >= 5
+),
+ev AS (SELECT DISTINCT ng, 1 AS hit FROM g WHERE h IN ('0','1','2','3')),
+tr AS (SELECT doc_id, ng FROM g WHERE h NOT IN ('0','1','2','3'))
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hit,
+       ROUND(SUM(COALESCE(hit, 0)) / CAST(COUNT(*) AS DOUBLE), 6) AS contam_rate
+FROM tr LEFT JOIN ev USING (ng)
+GROUP BY doc_id
+"""
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation decision per document: too-short, too-
+    repetitive (trigram duplication), and stopword-saturated checks
+    combined into a keep flag plus a stable comma-joined reason string.
+    This is the gate stage of a data pipeline — everything is built-in
+    column expressions over one scan plus the trigram aggregation, so
+    at 100 TB it is two narrow shuffles keyed by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim("text"), r"\s+")
+    base = d.select("doc_id", tk.alias("tk")).select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.filter("tk", lambda t: t.isin("a", "the"))).alias("n_stop"),
+    )
+    tri = F.expr(
+        "transform(sequence(1, size(tk) - 2), i -> tk[i-1] || ' ' || tk[i] || ' ' || tk[i+1])"
+    )
+    rep = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", F.explode(tri).alias("tri"))
+        .groupBy("doc_id", "tri")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.lit(1.0) - F.count("*") / F.sum("c")).alias("rep_ratio"))
+    )
+    j = base.join(rep, "doc_id", "left").withColumn(
+        "rep_ratio", F.coalesce(F.col("rep_ratio"), F.lit(0.0))
+    )
+    short = F.col("n_tokens") < 20
+    repet = F.col("rep_ratio") > 0.2
+    stop = F.col("n_stop") / F.col("n_tokens") > 0.3
+    reasons = F.concat_ws(
+        ",",
+        F.when(short, F.lit("too_short")),
+        F.when(repet, F.lit("repetitive")),
+        F.when(stop, F.lit("stopword_heavy")),
+    )
+    return j.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("rep_ratio", 6).alias("rep_ratio"),
+        (~(short | repet | stop)).alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+QUALITY_FILTER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+),
+base AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         len(list_filter(tk, t -> t IN ('a', 'the'))) AS n_stop
+  FROM toks
+),
+tri AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(1, len(tk) - 1)),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tri
+  FROM toks WHERE len(tk) >= 3
+),
+per_tri AS (SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id, 1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+  FROM per_tri GROUP BY doc_id
+),
+j AS (
+  SELECT b.doc_id, b.n_tokens, b.n_stop, COALESCE(r.rep_ratio, 0.0) AS rep_ratio
+  FROM base b LEFT JOIN rep r USING (doc_id)
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, ROUND(rep_ratio, 6) AS rep_ratio,
+       NOT (n_tokens < 20 OR rep_ratio > 0.2 OR n_stop / CAST(n_tokens AS DOUBLE) > 0.3) AS keep,
+       concat_ws(',',
+         CASE WHEN n_tokens < 20 THEN 'too_short' END,
+         CASE WHEN rep_ratio > 0.2 THEN 'repetitive' END,
+         CASE WHEN n_stop / CAST(n_tokens AS DOUBLE) > 0.3 THEN 'stopword_heavy' END) AS reasons
+FROM j
+"""
+
+
+QUERIES.update(
+    {
+        "text_decontaminate": text_decontaminate,
+        "quality_filter": quality_filter,
+    }
+)
+ORACLES.update(
+    {
+        "text_decontaminate": TEXT_DECONTAMINATE_SQL,
+        "quality_filter": QUALITY_FILTER_SQL,
+    }
+)

@@ -49,9 +49,12 @@ def test_splitmix_sign_deterministic_and_balanced(uhs, seed):
     s2 = _splitmix_sign(arr, 3, seed)
     assert (s1 == s2).all()
     assert set(np.unique(s1)) <= {-1.0, 1.0}
-    # different draw index decorrelates
+    # different draw index decorrelates: the collision chance is
+    # 2^-distinct (identical hashes share one coin flip), so only
+    # assert when there are enough DISTINCT hashes to make a repeat
+    # astronomically unlikely, not merely enough array elements.
     s3 = _splitmix_sign(arr, 4, seed)
-    assert len(arr) < 8 or not (s1 == s3).all()
+    assert len(np.unique(arr)) < 8 or not (s1 == s3).all()
 
 
 def test_salted_join_equivalence(spark):
