@@ -77,6 +77,8 @@ _WINDOW_PRIORITY = [
     "events_value_quantiles",
     "text_decontaminate",
     "quality_filter",
+    "source_mixture",
+    "dedup_keep_list",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

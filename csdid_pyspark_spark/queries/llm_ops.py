@@ -1084,3 +1084,125 @@ ORACLES.update(
         "quality_filter": QUALITY_FILTER_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Data mixing and end-to-end dedup decisions
+# ---------------------------------------------------------------------------
+
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget for mixture reweighting: doc/token counts,
+    the source's share of corpus tokens, and the up/down-sampling weight
+    that moves the mixture to uniform-over-sources (capped at 10x — the
+    usual guard against minting thousands of epochs of a tiny source).
+
+    One aggregation keyed by source; the share/weight step is a window
+    over the already-aggregated per-source frame (rows = #sources, so
+    the unpartitioned window is a deliberate single-partition pass over
+    a handful of rows, not a data-scale shuffle)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(F.least(target / share, F.lit(10.0)), 6).alias("sample_weight"),
+    )
+
+
+SOURCE_MIXTURE_SQL = r"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS token_share,
+       ROUND(LEAST((1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ()), 10.0), 6)
+         AS sample_weight
+FROM per
+"""
+
+
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final emission: every document with its
+    near-dup cluster id and the keep/drop decision (survivor = smallest
+    doc_id in the cluster; singletons keep themselves). Left join of the
+    corpus against the component labels — at scale the component table
+    is a small fraction of the corpus (only docs that appeared in a
+    near-dup pair), so AQE broadcasts it."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.5)
+    comp = dedup.components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("comp")
+    )
+    return (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("comp_id"),
+            (F.coalesce("comp", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+DEDUP_KEEP_LIST_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, GREATEST(len(tokens) - 1, 1)),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+  FROM toks WHERE len(tokens) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.r
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp_id,
+       COALESCE(c.comp, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+QUERIES.update(
+    {
+        "source_mixture": source_mixture,
+        "dedup_keep_list": dedup_keep_list,
+    }
+)
+ORACLES.update(
+    {
+        "source_mixture": SOURCE_MIXTURE_SQL,
+        "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
+    }
+)
