@@ -79,6 +79,10 @@ _WINDOW_PRIORITY = [
     "quality_filter",
     "source_mixture",
     "dedup_keep_list",
+    "q4_late_shipping",
+    "q10_returned_revenue",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

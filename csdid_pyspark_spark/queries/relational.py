@@ -1007,3 +1007,163 @@ ORACLES.update(
         "q18_large_orders": Q18_SQL,
     }
 )
+
+
+# --- Q4-shape: correlated-EXISTS semi-join with non-equi predicate ----------
+
+def q4_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority census of orders with at least one line shipped
+    after the order date (TPC-H Q4 shape: EXISTS → left-semi join with
+    an extra non-equi condition; Catalyst keeps it a hash semi-join on
+    l_orderkey with the date predicate as a post-join filter)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q10-shape: returned-item customer revenue, top 20 ----------------------
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns per customer (TPC-H Q10 shape): fact-fact
+    join orders⋈lineitem filtered to returnflag='R', aggregate by
+    customer, broadcast-join the customer dimension, global top-20 via
+    TakeOrderedAndProject (sorted on the ROUNDED revenue so the cut is
+    deterministic across engines)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", F.col("c_acctbal"), "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "revenue"
+        )
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, revenue
+FROM (
+  SELECT o_custkey,
+         ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE), 4) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  GROUP BY o_custkey
+) r JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- Q12-shape: join + conditional two-way counts ---------------------------
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return-flag counts of lines on critical (urgent/high) vs
+    other orders (TPC-H Q12 shape: fact-fact equi-join + CASE'd partial
+    aggregation — the conditional sums combine map-side before the
+    single shuffle on the 3-value grouping key)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("bigint").alias("critical_lines"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("bigint").alias("other_lines"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS critical_lines,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS other_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag
+"""
+
+
+# --- Q14-shape: global conditional-ratio aggregate --------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from promo parts in one quarter (TPC-H Q14
+    shape): broadcast part dimension into the filtered fact scan, one
+    global aggregate producing a conditional-sum ratio."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(F.lit(100.0) * _dsum(promo) / _dsum(rev), 6).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0
+         * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE),
+       6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+"""
+
+
+QUERIES.update(
+    {
+        "q4_late_shipping": q4_late_shipping,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_priority_shipping": q12_priority_shipping,
+        "q14_promo_revenue": q14_promo_revenue,
+    }
+)
+ORACLES.update(
+    {
+        "q4_late_shipping": Q4_SQL,
+        "q10_returned_revenue": Q10_SQL,
+        "q12_priority_shipping": Q12_SQL,
+        "q14_promo_revenue": Q14_SQL,
+    }
+)

@@ -136,3 +136,24 @@ def test_dynamic_aggte_single_pass_over_if_table(spark):
     live_shuffles = plan.count("Exchange hashpartitioning(key#")
     assert live_shuffles <= 2, plan
     assert plan.count("SortMergeJoin") <= 1, plan  # only the (key,uh) full join
+
+
+def test_q4_semi_join_with_nonequi_condition(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_late_shipping")
+    assert "LeftSemi" in plan
+    # date-range filter pushed into the orders scan, not evaluated post-join
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q10_topk_and_broadcast_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q14_broadcasts_part_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
