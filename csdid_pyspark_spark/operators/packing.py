@@ -1,0 +1,191 @@
+"""Sequence packing for training-data pipelines.
+
+Packing concatenates tokenized documents into fixed-size context
+windows ("bins") of ``budget`` tokens. Two standard disciplines:
+
+* **Split-allowed packing** (`packed_offsets`): documents form one
+  contiguous token stream per source (deterministic order); a document
+  starting at global offset ``s`` with length ``L`` occupies bins
+  ``floor(s/B) .. floor((s+L-1)/B)``. Zero waste, documents may span a
+  bin boundary. The core primitive is an **exclusive prefix sum** over
+  an ordered stream — an operation Spark has no built-in for at scale:
+  a naive ``Window.partitionBy(source)`` funnels each source through a
+  single reducer, so a dominant source (common in web corpora) becomes
+  a straggler at 100 TB. `packed_offsets` implements the classic
+  two-phase distributed scan instead:
+
+    1. range-repartition + sort by the stream key (the only shuffle);
+    2. one light pass computes per-(partition, stream) token totals —
+       O(partitions × streams) rows to the driver, AQE-stats-sized;
+    3. exclusive per-stream partition base offsets go back as a
+       broadcast join, and an Arrow-batched ``mapInPandas`` adds the
+       within-partition running sum (sequential per partition, all
+       partitions in parallel — no per-stream reducer anywhere).
+
+  `packed_offsets_window` is the declarative single-window variant —
+  same result, fine when no stream is huge; it doubles as the oracle
+  semantics (a SQL window cumsum).
+
+* **Greedy next-fit packing** (`pack_greedy`): documents are never
+  split; the current bin is closed whenever the next document would
+  overflow it. Inherently sequential per stream (the bin id of row i
+  depends on a running fill with resets — not window-expressible), so
+  it runs as ``applyInPandas`` per source: Arrow-batched, O(n) per
+  stream, parallel across streams. For a corpus where one stream is
+  too big for a single task, salt the stream into sub-streams first
+  (exact stream order is rarely semantically required for packing).
+
+The reference engine has no packing surface (csdids/*.py is an
+estimator); this is part of the LLM-pipeline extension inventory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["packed_offsets", "packed_offsets_window", "pack_greedy"]
+
+
+def _ordered(df: DataFrame, len_col: str, stream_col: str, id_col: str) -> DataFrame:
+    """Deterministic stream order: content-addressed (md5 of the id)
+    so packing is independent of ingest order, with the id itself as
+    the tiebreak."""
+    return df.select(
+        F.col(id_col),
+        F.col(stream_col),
+        F.col(len_col).cast("bigint").alias("tok_len"),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
+    )
+
+
+def packed_offsets_window(
+    df: DataFrame, len_col: str, stream_col: str = "source", id_col: str = "doc_id", budget: int = 2048
+) -> DataFrame:
+    """Single-window exclusive prefix sum per stream (declarative
+    variant; one reducer per stream — use `packed_offsets` when a
+    stream can be huge)."""
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _finish(
+        _ordered(df, len_col, stream_col, id_col).withColumn(
+            "start_offset", F.sum("tok_len").over(w) - F.col("tok_len")
+        ),
+        stream_col,
+        id_col,
+        budget,
+    )
+
+
+def packed_offsets(
+    df: DataFrame,
+    len_col: str,
+    stream_col: str = "source",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-phase distributed scan: exclusive per-stream token offsets
+    without a per-stream reducer. Exactly equals
+    `packed_offsets_window` (tested), but the heavy pass is
+    partition-parallel regardless of stream skew."""
+    o = _ordered(df, len_col, stream_col, id_col)
+    n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
+    # The only full-data shuffle: range partition by the total order so
+    # each partition holds a contiguous slice of every stream it sees.
+    part = o.repartitionByRange(n, "_ord", id_col).sortWithinPartitions("_ord", id_col)
+    part = part.withColumn("_pid", F.spark_partition_id())
+    # Persist is CORRECTNESS, not just perf: repartitionByRange samples
+    # range boundaries per execution, and the per-partition base offsets
+    # below are valid only for the boundaries of THIS execution. Both
+    # passes must read the same materialized partitioning.
+    part = part.persist()
+    # Light pass: per-(partition, stream) totals — tiny (P × streams).
+    totals = part.groupBy("_pid", stream_col).agg(F.sum("tok_len").alias("_tot")).collect()
+    base: dict[tuple[int, str], int] = {}
+    acc: dict[str, int] = {}
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        key = row[stream_col]
+        base[(row["_pid"], key)] = acc.get(key, 0)
+        acc[key] = acc.get(key, 0) + row["_tot"]
+    spark = df.sparkSession
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, s, b) for (p, s), b in base.items()],
+            schema=f"_pid int, {stream_col} string, _base bigint",
+        )
+    )
+    schema = f"{id_col} bigint, {stream_col} string, tok_len bigint, _ord string, _pid int, _base bigint, start_offset bigint"
+
+    def add_running(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One partition = one sorted slice; running per-stream sums
+        # carry across Arrow batches.
+        running: dict[str, int] = {}
+        for pdf in batches:
+            starts = []
+            for s, ln, b in zip(pdf[stream_col], pdf["tok_len"], pdf["_base"]):
+                cur = running.get(s, 0)
+                starts.append(int(b) + cur)
+                running[s] = cur + int(ln)
+            pdf = pdf.assign(start_offset=pd.Series(starts, index=pdf.index, dtype="int64"))
+            yield pdf
+
+    with_base = part.join(base_df, ["_pid", stream_col])
+    # mapInPandas preserves partitioning/order of its child; re-sort
+    # within partitions after the broadcast join to be explicit.
+    offs = with_base.sortWithinPartitions("_ord", id_col).mapInPandas(add_running, schema=schema)
+    return _finish(offs, stream_col, id_col, budget)
+
+
+def _finish(offs: DataFrame, stream_col: str, id_col: str, budget: int) -> DataFrame:
+    b = F.lit(int(budget)).cast("bigint")
+    return offs.select(
+        F.col(id_col),
+        F.col(stream_col),
+        F.col("tok_len").cast("int").alias("tok_len"),
+        F.col("start_offset"),
+        F.floor(F.col("start_offset") / b).cast("bigint").alias("first_bin"),
+        (F.floor((F.col("start_offset") + F.col("tok_len") - 1) / b) - F.floor(F.col("start_offset") / b) + 1)
+        .cast("int")
+        .alias("n_bins"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame, len_col: str, stream_col: str = "source", id_col: str = "doc_id", budget: int = 2048
+) -> DataFrame:
+    """Greedy next-fit bin assignment per stream (documents never
+    split; close the bin when the next document would overflow).
+    Deterministic given the content-addressed order."""
+    o = _ordered(df, len_col, stream_col, id_col)
+    schema = f"{id_col} bigint, {stream_col} string, tok_len int, bin bigint, bin_fill bigint"
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", id_col]).reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for ln in pdf["tok_len"]:
+            ln = int(ln)
+            if fill > 0 and fill + ln > budget:
+                bin_id += 1
+                fill = 0
+            fill += ln
+            bins.append(bin_id)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                stream_col: pdf[stream_col],
+                "tok_len": pdf["tok_len"].astype("int32"),
+                "bin": pd.Series(bins, dtype="int64"),
+                "bin_fill": pd.Series(fills, dtype="int64"),
+            }
+        )
+
+    return o.groupBy(stream_col).applyInPandas(assign, schema=schema)

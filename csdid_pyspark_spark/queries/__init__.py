@@ -83,6 +83,8 @@ _WINDOW_PRIORITY = [
     "q10_returned_revenue",
     "q12_priority_shipping",
     "q14_promo_revenue",
+    "pack_offsets",
+    "pack_greedy",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

@@ -16,7 +16,7 @@ from csdid_pyspark_spark.functions.text import (
     token_count,
 )
 from csdid_pyspark_spark.functions.text import lang_id as lang_id_col
-from csdid_pyspark_spark.operators import dedup, sessionize, similarity
+from csdid_pyspark_spark.operators import dedup, packing, sessionize, similarity
 from csdid_pyspark_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1204,5 +1204,92 @@ ORACLES.update(
     {
         "source_mixture": SOURCE_MIXTURE_SQL,
         "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (fixed token-budget context windows)
+# ---------------------------------------------------------------------------
+
+def pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-allowed sequence packing: per-source token-stream offsets
+    and bin spans at a 2048-token budget, via the two-phase distributed
+    prefix scan in ``operators/packing.py`` (no per-stream reducer —
+    the shape that survives a dominant source at 100 TB). The oracle
+    expresses the same semantics as a SQL window cumsum."""
+    d = load_table(spark, sf_dir, "documents").withColumn("tok_len", token_count("text"))
+    return packing.packed_offsets(d, "tok_len", stream_col="source", id_col="doc_id", budget=2048)
+
+
+PACK_OFFSETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok_len
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, tok_len,
+         SUM(tok_len) OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok_len AS start_offset
+  FROM toks
+)
+SELECT doc_id, source, CAST(tok_len AS INT) AS tok_len, start_offset,
+       CAST(FLOOR(start_offset / 2048) AS BIGINT) AS first_bin,
+       CAST(FLOOR((start_offset + tok_len - 1) / 2048)
+            - FLOOR(start_offset / 2048) + 1 AS INT) AS n_bins
+FROM c
+"""
+
+
+def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit packing (documents never split; close the bin
+    when the next doc would overflow a 256-token budget). The running
+    fill-with-reset is not window-expressible, so the engine runs an
+    Arrow-batched ``applyInPandas`` per source; the oracle replays the
+    same recurrence as a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents").withColumn("tok_len", token_count("text"))
+    return packing.pack_greedy(d, "tok_len", stream_col="source", id_col="doc_id", budget=256)
+
+
+PACK_GREEDY_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok_len
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, source, tok_len,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM toks
+),
+rec AS (
+  SELECT doc_id, source, tok_len, rn,
+         CAST(0 AS BIGINT) AS bin, tok_len AS bin_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.source, o.tok_len, o.rn,
+         CASE WHEN r.bin_fill + o.tok_len > 256 THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.bin_fill + o.tok_len > 256 THEN o.tok_len
+              ELSE r.bin_fill + o.tok_len END
+  FROM rec r JOIN ordered o ON o.source = r.source AND o.rn = r.rn + 1
+)
+SELECT doc_id, source, CAST(tok_len AS INT) AS tok_len, bin, bin_fill FROM rec
+"""
+
+
+QUERIES.update(
+    {
+        "pack_offsets": pack_offsets,
+        "pack_greedy": pack_greedy,
+    }
+)
+ORACLES.update(
+    {
+        "pack_offsets": PACK_OFFSETS_SQL,
+        "pack_greedy": PACK_GREEDY_SQL,
     }
 )

@@ -265,3 +265,45 @@ def test_jaccard_max_df_cap(spark):
     }
     assert exact and capped == exact
     assert dedup.jaccard_pairs(docs, threshold=0.5, max_df=1).count() == 0
+
+
+def test_packed_offsets_scan_equals_window(spark):
+    """The two-phase distributed scan must produce bit-identical
+    offsets to the declarative single-window variant, across several
+    partition counts (partition boundaries must not leak into the
+    result)."""
+    from csdid_pyspark_spark.functions.text import token_count
+    from csdid_pyspark_spark.operators import packing
+
+    d = load_table(spark, SF, "documents").withColumn("tok_len", token_count("text"))
+    want = sorted(
+        tuple(r)
+        for r in packing.packed_offsets_window(d, "tok_len", budget=512).collect()
+    )
+    for n in (1, 3, 16):
+        got = sorted(
+            tuple(r)
+            for r in packing.packed_offsets(d, "tok_len", budget=512, num_partitions=n).collect()
+        )
+        assert got == want, f"num_partitions={n}"
+
+
+def test_pack_greedy_invariants(spark):
+    """Next-fit invariants: per-stream bins are contiguous from 0,
+    running fill never exceeds the budget unless a single document is
+    itself over budget, and every document is assigned exactly once."""
+    from csdid_pyspark_spark.functions.text import token_count
+    from csdid_pyspark_spark.operators import packing
+
+    budget = 200
+    d = load_table(spark, SF, "documents").withColumn("tok_len", token_count("text"))
+    rows = packing.pack_greedy(d, "tok_len", budget=budget).collect()
+    assert len(rows) == d.count()
+    by_stream: dict[str, list] = {}
+    for r in rows:
+        by_stream.setdefault(r["source"], []).append(r)
+    for src, rs in by_stream.items():
+        bins = sorted({r["bin"] for r in rs})
+        assert bins == list(range(len(bins))), src
+        for r in rs:
+            assert r["bin_fill"] <= budget or r["tok_len"] > budget, (src, r)
