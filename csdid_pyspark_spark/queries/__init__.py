@@ -85,6 +85,10 @@ _WINDOW_PRIORITY = [
     "q14_promo_revenue",
     "pack_offsets",
     "pack_greedy",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

@@ -1167,3 +1167,158 @@ ORACLES.update(
         "q14_promo_revenue": Q14_SQL,
     }
 )
+
+
+# --- Q13-shape: left-outer join + count distribution ------------------------
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order counts including zero-order
+    customers (TPC-H Q13 shape): LEFT OUTER join then two cascaded
+    aggregations. The outer join preserves customers with no orders —
+    a count of a column (not *) yields 0 for them, which the second
+    aggregation groups into the c_count=0 bucket."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) a
+GROUP BY c_count
+"""
+
+
+# --- Q17-shape: correlated scalar subquery (per-group average) --------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue from small-quantity lines of one brand
+    (TPC-H Q17 shape): the correlated subquery `l_quantity <
+    0.2*avg(l_quantity where same part)` decorrelates into a per-part
+    aggregate joined back to the fact — the form Catalyst can pick a
+    broadcast for when the part side is small."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
+    )
+    per_part = l.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    small = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+    )
+    return small.agg(
+        F.round(_dsum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_size < 15
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+# --- Q19-shape: disjunctive OR-of-ANDs predicate join -----------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR of conjunctive brand/size/quantity bands
+    (TPC-H Q19 shape). The join key is shared across all disjuncts, so
+    the equi-join stays a hash join and the disjunction is a residual
+    filter; per-side conjuncts (l_quantity bounds, p_size bounds) are
+    still pushed below the join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(5, 20))
+           & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(10, 40))
+           & (F.col("l_quantity").between(20, 40)))
+    )
+    return j.filter(disj).agg(
+        F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# --- Q22-shape: scalar subquery + anti-join ---------------------------------
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers in selected nations with no orders
+    (TPC-H Q22 shape): a global scalar aggregate (avg positive balance)
+    feeds a filter, then a LEFT ANTI join removes customers that have
+    orders. The scalar lands as a broadcast single-row cross join; the
+    anti join needs only the orders key column."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    dormant = rich.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("numcust"),
+        F.round(_dsum("c_acctbal"), 4).alias("totacctbal"),
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE), 4) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+QUERIES.update(
+    {
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_dormant_customers": q22_dormant_customers,
+    }
+)
+ORACLES.update(
+    {
+        "q13_order_count_distribution": Q13_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+        "q19_disjunctive_revenue": Q19_SQL,
+        "q22_dormant_customers": Q22_SQL,
+    }
+)

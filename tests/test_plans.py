@@ -157,3 +157,24 @@ def test_q14_broadcasts_part_dim(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q14_promo_revenue")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q13_outer_join_preserved(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q13_order_count_distribution")
+    assert "LeftOuter" in plan
+    # the priority filter is part of the join condition, NOT a post-join
+    # filter (which would wrongly drop zero-order customers)
+    assert "Filter isnotnull(o_custkey" not in plan
+
+
+def test_q19_pushes_conjunct_bounds_to_scans(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the disjunction's shared l_quantity/p_size bounds reach the scans
+    # as Or-ed pushed filters rather than being evaluated only post-join
+    assert "PushedFilters: [" in plan and "Or(" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in plan
