@@ -89,6 +89,9 @@ _WINDOW_PRIORITY = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "pii_redact",
+    "dedup_paragraphs",
+    "lm_score",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

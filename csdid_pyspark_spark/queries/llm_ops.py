@@ -1293,3 +1293,156 @@ ORACLES.update(
         "pack_greedy": PACK_GREEDY_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction, paragraph-level dedup, n-gram LM quality scoring
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrubbing (emails, phone-like digit runs, IPv4) with
+    per-class hit counts — the standard pre-training redaction pass.
+    Pure `regexp_replace`/`regexp_count` column expressions: one scan,
+    no shuffle, no UDF; the patterns are dialect-portable so DuckDB
+    reproduces byte-identical redacted text."""
+    d = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("int").alias("n_email"),
+        F.regexp_count("text", F.lit(_PII_IP)).cast("int").alias("n_ip"),
+        F.md5(red).alias("redacted_hash"),
+        F.length(red).cast("int").alias("redacted_len"),
+    )
+
+
+PII_REDACT_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS INT) AS redacted_len
+FROM documents
+"""
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb/C4 line-dedup shape):
+    explode sentence-ish units, fingerprint each, and report per-unit
+    frequency with the survivor (minimum doc_id). At 100 TB this is one
+    explode + one hash-shuffle aggregation on the fingerprint — the
+    explode multiplies rows but each row is a short hash, not the text."""
+    d = load_table(spark, sf_dir, "documents")
+    para = (
+        d.select("doc_id", F.explode(F.split("text", r"\.\s+")).alias("p"))
+        .select("doc_id", F.trim("p").alias("p"))
+        .filter(F.length("p") >= 20)
+    )
+    return (
+        para.groupBy(F.md5(F.lower("p")).alias("p_hash"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("survivor_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+DEDUP_PARAGRAPHS_SQL = r"""
+WITH para AS (
+  SELECT doc_id, trim(p) AS p
+  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '\.\s+')) AS p FROM documents)
+  WHERE length(trim(p)) >= 20
+)
+SELECT md5(lower(p)) AS p_hash,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS survivor_doc
+FROM para
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics language-model proxy score (the KenLM-style
+    quality signal without an external model): per-document mean log10
+    corpus frequency of its bigrams. Rare/garbled text scores low,
+    formulaic boilerplate scores high. Two aggregations: corpus bigram
+    counts (one shuffle), then a join back to per-doc bigrams and a
+    per-doc mean. The bigram table is corpus-wide state that AQE can
+    broadcast when small and shuffle-join when not — no forced hint."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim("text")), r"\s+")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)),
+                ),
+                lambda s: s != "",
+            )
+        ).alias("bigram"),
+    ).filter(F.size(tk) >= 2)
+    counts = grams.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    return (
+        grams.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log10("cnt")), 6).alias("lm_score"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
+LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tokens FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(tokens)),
+                               i -> tokens[i] || ' ' || tokens[i+1])) AS bigram
+  FROM toks WHERE len(tokens) >= 2
+),
+counts AS (SELECT bigram, COUNT(*) AS cnt FROM grams GROUP BY 1)
+SELECT doc_id, ROUND(AVG(log10(cnt)), 6) AS lm_score, COUNT(*) AS n_bigrams
+FROM grams JOIN counts USING (bigram)
+GROUP BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "pii_redact": pii_redact,
+        "dedup_paragraphs": dedup_paragraphs,
+        "lm_score": lm_score,
+    }
+)
+ORACLES.update(
+    {
+        "pii_redact": PII_REDACT_SQL,
+        "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
+        "lm_score": LM_SCORE_SQL,
+    }
+)

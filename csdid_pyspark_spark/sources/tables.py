@@ -78,3 +78,13 @@ def load_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — same predicate-pushdown/column-pruning contract as
     parquet (both are Catalyst FileScan sources with min/max stats)."""
     return spark.read.orc(path)
+
+
+def load_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Raw text source: one row per line (``value`` column), or one row
+    per file with ``wholetext`` — the raw-corpus ingest path for the
+    document pipeline (each file/line then flows through fingerprinting,
+    language ID, and quality scoring). Line mode splits on newlines at
+    HDFS-block granularity, so a 100 TB corpus parallelizes without any
+    per-file driver listing cost beyond the initial file index."""
+    return spark.read.text(path, wholetext=whole)

@@ -224,3 +224,35 @@ def incremental_refresh(stream: DataFrame, recompute, work_dir: str, timeout: in
     )
     q.awaitTermination(timeout)
     return out.get("result")
+
+
+def join_stream_pairs(
+    stream: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each `left_type`
+    event with the same user's `right_type` events that follow within
+    `within_minutes` (the click→conversion attribution shape). Both
+    sides carry a watermark and the join condition bounds event-time
+    distance, so Spark can expire buffered state — without the time
+    bound a stream-stream join would buffer both streams forever. State
+    is hash-partitioned by user_id; per-user state is O(events inside
+    the watermark horizon)."""
+    l = stream.filter(F.col("event_type") == left_type).withWatermark("ts", watermark).alias("l")
+    r = stream.filter(F.col("event_type") == right_type).withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {int(within_minutes)} MINUTES"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.ts").alias("purchase_ts"),
+        F.col("r.value").alias("purchase_value"),
+    )

@@ -178,3 +178,15 @@ def test_q19_pushes_conjunct_bounds_to_scans(spark, sf_dir):
 def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_dormant_customers")
     assert "LeftAnti" in plan
+
+
+def test_pack_offsets_no_extra_shuffle(spark, sf_dir):
+    """The two-phase scan's output plan must move data only through the
+    (persisted) range partitioning plus a broadcast of the tiny
+    per-partition base offsets — no hash shuffle, no single-partition
+    funnel, no row-at-a-time Python."""
+    plan = _plan(spark, sf_dir, "pack_offsets")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

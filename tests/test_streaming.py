@@ -152,3 +152,35 @@ def test_idempotent_batch_write_replaces_on_retry(spark, tmp_path):
     assert acc.count() == 15
     assert acc.columns == ["id", "v"]
     assert acc.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(15))
+
+
+def test_join_stream_pairs_matches_batch(spark):
+    from csdid_pyspark_spark.streaming.events import join_stream_pairs
+
+    stream = stream_events(spark, SF)
+    _run_to_memory(
+        join_stream_pairs(stream, within_minutes=60), "pairs_test", "append"
+    )
+    got = {
+        (r["click_id"], r["purchase_id"]) for r in spark.table("pairs_test").collect()
+    }
+    ev = load_table(spark, SF, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    expected = {
+        (r["cid"], r["pid"])
+        for r in clicks.join(
+            buys,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 MINUTES")),
+        ).collect()
+    }
+    # the watermark may hold back pairs near the stream tail; everything
+    # emitted must be a true pair and coverage must be near-complete
+    assert got <= expected
+    assert len(got) >= int(0.9 * len(expected))
