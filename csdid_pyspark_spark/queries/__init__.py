@@ -92,6 +92,8 @@ _WINDOW_PRIORITY = [
     "pii_redact",
     "dedup_paragraphs",
     "lm_score",
+    "q7_nation_volume",
+    "embedding_quantize",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

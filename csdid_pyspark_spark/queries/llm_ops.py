@@ -1446,3 +1446,47 @@ ORACLES.update(
         "lm_score": LM_SCORE_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (vector compression for ANN serving)
+# ---------------------------------------------------------------------------
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i / scale) — the standard compression step before
+    shipping vectors to an ANN index (4× smaller than float32). Pure
+    array expressions over the embedding column; all arithmetic is
+    promoted to double on BOTH engines so the rounded codes agree
+    bit-for-bit. One scan, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    amax = F.array_max(absd)
+    scale = F.greatest(amax / F.lit(127.0), F.lit(1e-30))
+    q = F.transform("embedding", lambda x: F.round(x.cast("double") / scale).cast("int"))
+    return e.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        q.alias("q"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v).alias("q_sq_norm"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         GREATEST(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+  FROM embeddings
+)
+SELECT vec_id, ROUND(scale, 9) AS scale,
+       list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INT)) AS q,
+       list_sum(list_transform(embedding,
+                x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INT)
+                     * CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INT) AS BIGINT))) AS q_sq_norm
+FROM s
+"""
+
+
+QUERIES["embedding_quantize"] = embedding_quantize
+ORACLES["embedding_quantize"] = EMBEDDING_QUANTIZE_SQL
