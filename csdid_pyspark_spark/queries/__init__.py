@@ -94,6 +94,8 @@ _WINDOW_PRIORITY = [
     "lm_score",
     "q7_nation_volume",
     "embedding_quantize",
+    "q8_market_share",
+    "q9_product_profit",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

@@ -1383,3 +1383,106 @@ GROUP BY supp_nation, cust_nation, l_year
 
 QUERIES["q7_nation_volume"] = q7_nation_volume
 ORACLES["q7_nation_volume"] = Q7_SQL
+
+
+# --- Q8-shape: market-share ratio within group over a wide join tree --------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of revenue by order year (TPC-H Q8 shape):
+    a five-table join tree feeding a grouped conditional-sum ratio —
+    the share numerator is a CASE inside the same aggregate pass, so
+    no second join or self-union is needed."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.round(
+            _dsum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+            / _dsum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(CAST(CASE WHEN n_name = 'NATION_5'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE),
+             6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# --- Q9-shape: profit by nation-year (expression agg over 4-way join) -------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit (revenue − retail cost proxy) per supplier nation and
+    ship year for a part-name pattern (TPC-H Q9 shape): LIKE-filtered
+    part dim broadcast into the fact, arithmetic over columns of two
+    tables inside one aggregate pass."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    j = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return j.groupBy(
+        "nation", F.year("l_shipdate").cast("int").alias("o_year")
+    ).agg(F.round(_dsum(amount), 4).alias("sum_profit"))
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           - p_retailprice * l_quantity * 0.1 AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+    }
+)
+ORACLES.update(
+    {
+        "q8_market_share": Q8_SQL,
+        "q9_product_profit": Q9_SQL,
+    }
+)

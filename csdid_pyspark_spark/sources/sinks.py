@@ -73,3 +73,24 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster the data layout on ``cluster_by``: range-repartition so
+    each output file owns a disjoint key range, then sort within files
+    so parquet min/max statistics are tight. A selective predicate on
+    the cluster key then skips whole files and row groups at scan time
+    — the poor man's Z-ORDER, and the single biggest read-amplification
+    lever for a 100 TB table queried by range (time, id prefix)."""
+    (
+        df.repartitionByRange(num_files, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
