@@ -96,6 +96,8 @@ _WINDOW_PRIORITY = [
     "embedding_quantize",
     "q8_market_share",
     "q9_product_profit",
+    "join_skew_salted",
+    "window_rank_funcs",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

@@ -1486,3 +1486,82 @@ ORACLES.update(
         "q9_product_profit": Q9_SQL,
     }
 )
+
+
+# --- salted skew join, oracle-checked (salting is result-transparent) -------
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders⋈customer via the 16-way salted join (operators/skew.py):
+    the shuffle key becomes (custkey, salt) so a power-law hot key
+    spreads over 16 tasks. Salting MUST be invisible in the result —
+    the oracle is the plain equi-join, so the driver's hash check
+    proves transparency end-to-end."""
+    from csdid_pyspark_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(o, c.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey", salt=16)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(_dsum("o_totalprice"), 4).alias("total"),
+    )
+
+
+JOIN_SKEW_SALTED_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 4) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --- ranking window-function family -----------------------------------------
+
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window (per-segment
+    customers by balance): rank / dense_rank / percent_rank / cume_dist
+    / ntile — one shuffle on the partition key, all five functions in
+    the same Window operator."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    ).filter(F.col("rnk") <= 50)
+
+
+WINDOW_RANK_SQL = """
+SELECT c_custkey, c_mktsegment, rnk, drnk, prnk, cdist, quartile
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         CAST(RANK() OVER w AS INT) AS rnk,
+         CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+         ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+         ROUND(CUME_DIST() OVER w, 6) AS cdist,
+         CAST(NTILE(4) OVER w AS INT) AS quartile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+) t
+WHERE rnk <= 50
+"""
+
+
+QUERIES.update(
+    {
+        "join_skew_salted": join_skew_salted,
+        "window_rank_funcs": window_rank_funcs,
+    }
+)
+ORACLES.update(
+    {
+        "join_skew_salted": JOIN_SKEW_SALTED_SQL,
+        "window_rank_funcs": WINDOW_RANK_SQL,
+    }
+)
