@@ -98,6 +98,7 @@ _WINDOW_PRIORITY = [
     "q9_product_profit",
     "join_skew_salted",
     "window_rank_funcs",
+    "curation_pipeline",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

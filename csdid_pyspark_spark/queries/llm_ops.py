@@ -1490,3 +1490,128 @@ FROM s
 
 QUERIES["embedding_quantize"] = embedding_quantize
 ORACLES["embedding_quantize"] = EMBEDDING_QUANTIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (the "switch your pipeline here" query)
+# ---------------------------------------------------------------------------
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full training-data curation decision per document, composing the
+    individually-oracled stages: eval-split carve-out → exact-dedup
+    survivorship → quality gate → n-gram decontamination → deterministic
+    train/holdout split. One status per doc with precedence
+    eval_split > duplicate > low_quality > contaminated > kept.
+
+    Scale shape: every stage is a narrow per-doc signal joined back on
+    doc_id — the composition adds joins, not new wide shuffles; the
+    doc_id join keys let AQE coalesce the whole chain into a handful of
+    co-partitioned stages."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    base = d.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("h"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("bigint")
+            % 100
+        ).alias("bucket"),
+    )
+    survivor = base.groupBy("fp").agg(F.min("doc_id").alias("survivor_id"))
+    q = quality_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("q_keep"), "n_tokens")
+    contam = text_decontaminate(spark, sf_dir).select("doc_id", "contam_rate")
+    j = (
+        base.join(survivor, "fp")
+        .join(q, "doc_id")
+        .join(contam, "doc_id", "left")
+        .withColumn("contam_rate", F.coalesce("contam_rate", F.lit(0.0)))
+    )
+    is_eval = F.col("h").isin("0", "1", "2", "3")
+    status = (
+        F.when(is_eval, "eval_split")
+        .when(F.col("doc_id") != F.col("survivor_id"), "duplicate")
+        .when(~F.col("q_keep"), "low_quality")
+        .when(F.col("contam_rate") > 0.1, "contaminated")
+        .otherwise("kept")
+    )
+    return j.select(
+        "doc_id",
+        status.alias("status"),
+        F.when(status == "kept", F.when(F.col("bucket") < 10, "holdout").otherwise("train"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("split"),
+        "n_tokens",
+    )
+
+
+CURATION_PIPELINE_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS BIGINT) AS bucket,
+         string_split_regex(trim(text), '\s+') AS tk
+  FROM documents
+),
+survivor AS (SELECT fp, MIN(doc_id) AS survivor_id FROM base GROUP BY fp),
+tri AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, GREATEST(len(tk) - 1, 1)),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t
+  FROM base WHERE len(tk) >= 3
+),
+rep AS (
+  SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(*) AS rep_ratio
+  FROM tri GROUP BY doc_id
+),
+qual AS (
+  SELECT b.doc_id,
+         CAST(len(b.tk) AS INT) AS n_tokens,
+         COALESCE(r.rep_ratio, 0.0) AS rep_ratio,
+         CAST(len(list_filter(b.tk, x -> x IN ('a', 'the'))) AS DOUBLE) AS n_stop
+  FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+),
+qkeep AS (
+  SELECT doc_id, n_tokens,
+         NOT (n_tokens < 20 OR rep_ratio > 0.2 OR n_stop / n_tokens > 0.3) AS q_keep
+  FROM qual
+),
+grams AS (
+  SELECT doc_id, h, UNNEST(list_transform(range(1, GREATEST(len(tk) - 3, 1)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS ng
+  FROM base WHERE len(tk) >= 5
+),
+ev AS (SELECT DISTINCT ng FROM grams WHERE h IN ('0','1','2','3')),
+contam AS (
+  SELECT g.doc_id,
+         CAST(SUM(CASE WHEN ev.ng IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contam_rate
+  FROM grams g LEFT JOIN ev ON g.ng = ev.ng
+  WHERE g.h NOT IN ('0','1','2','3')
+  GROUP BY g.doc_id
+),
+final AS (
+  SELECT b.doc_id, q.n_tokens,
+         CASE
+           WHEN b.h IN ('0','1','2','3') THEN 'eval_split'
+           WHEN b.doc_id <> s.survivor_id THEN 'duplicate'
+           WHEN NOT q.q_keep THEN 'low_quality'
+           WHEN COALESCE(c.contam_rate, 0.0) > 0.1 THEN 'contaminated'
+           ELSE 'kept'
+         END AS status,
+         b.bucket
+  FROM base b
+  JOIN survivor s USING (fp)
+  JOIN qkeep q ON b.doc_id = q.doc_id
+  LEFT JOIN contam c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, status,
+       CASE WHEN status = 'kept'
+            THEN CASE WHEN bucket < 10 THEN 'holdout' ELSE 'train' END
+       END AS split,
+       n_tokens
+FROM final
+"""
+
+
+QUERIES["curation_pipeline"] = curation_pipeline
+ORACLES["curation_pipeline"] = CURATION_PIPELINE_SQL
