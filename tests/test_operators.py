@@ -307,3 +307,52 @@ def test_pack_greedy_invariants(spark):
         assert bins == list(range(len(bins))), src
         for r in rs:
             assert r["bin_fill"] <= budget or r["tok_len"] > budget, (src, r)
+
+
+def test_packing_matches_python_reference_on_skewed_streams(spark):
+    """Seeded synthetic corpus with a dominant stream (90% of rows in
+    one source — the shape that breaks per-stream-reducer designs):
+    both packing variants must match a pure-Python reference exactly."""
+    import hashlib
+    import random
+
+    from csdid_pyspark_spark.operators import packing
+
+    rng = random.Random(7)
+    rows = [
+        (i, "big" if rng.random() < 0.9 else f"s{rng.randrange(5)}", rng.randrange(0, 400))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok_len int")
+
+    def ordkey(r):
+        return (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+
+    # python reference: per-stream exclusive prefix + greedy next-fit
+    by_stream: dict[str, list] = {}
+    for r in sorted(rows, key=ordkey):
+        by_stream.setdefault(r[1], []).append(r)
+    want_off, want_greedy = {}, {}
+    budget = 512
+    for src, rs in by_stream.items():
+        cum = 0
+        bin_id, fill = 0, 0
+        for did, _, ln in rs:
+            want_off[did] = cum
+            cum += ln
+            if fill > 0 and fill + ln > budget:
+                bin_id += 1
+                fill = 0
+            fill += ln
+            want_greedy[did] = (bin_id, fill)
+
+    got_off = {
+        r["doc_id"]: r["start_offset"]
+        for r in packing.packed_offsets(df, "tok_len", budget=budget, num_partitions=7).collect()
+    }
+    assert got_off == want_off
+    got_greedy = {
+        r["doc_id"]: (r["bin"], r["bin_fill"])
+        for r in packing.pack_greedy(df, "tok_len", budget=budget).collect()
+    }
+    assert got_greedy == want_greedy
