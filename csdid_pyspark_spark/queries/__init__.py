@@ -99,6 +99,8 @@ _WINDOW_PRIORITY = [
     "join_skew_salted",
     "window_rank_funcs",
     "curation_pipeline",
+    "events_retention",
+    "events_funnel",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

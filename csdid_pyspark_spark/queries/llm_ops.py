@@ -1615,3 +1615,105 @@ FROM final
 
 QUERIES["curation_pipeline"] = curation_pipeline
 ORACLES["curation_pipeline"] = CURATION_PIPELINE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention and ordered funnel (event analytics shapes)
+# ---------------------------------------------------------------------------
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted per day-offset of return activity. Two aggregations and a
+    broadcast-able cohort join keyed by user — the standard product-
+    analytics rollup, linear in events at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+cohort AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY 1)
+SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(d - cohort_day AS INT) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM e JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage's
+    timestamp must follow the previous stage's first occurrence for the
+    same user. Three per-user conditional-min aggregations chained by
+    join — no window over the full event stream, so the plan stays a
+    cascade of user-keyed shuffles that AQE co-partitions."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("vts"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n"))
+        .select(F.lit("1_view").alias("stage"), F.col("n").cast("bigint").alias("n_users"))
+        .union(
+            c.agg(F.count("*").alias("n")).select(
+                F.lit("2_click").alias("stage"), F.col("n").cast("bigint").alias("n_users")
+            )
+        )
+        .union(
+            p.agg(F.count("*").alias("n")).select(
+                F.lit("3_purchase").alias("stage"), F.col("n").cast("bigint").alias("n_users")
+            )
+        )
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS cts
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.vts GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS pts
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.cts GROUP BY 1)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click' AS stage, COUNT(*) AS n_users FROM c
+UNION ALL
+SELECT '3_purchase' AS stage, COUNT(*) AS n_users FROM p
+"""
+
+
+QUERIES.update(
+    {
+        "events_retention": events_retention,
+        "events_funnel": events_funnel,
+    }
+)
+ORACLES.update(
+    {
+        "events_retention": EVENTS_RETENTION_SQL,
+        "events_funnel": EVENTS_FUNNEL_SQL,
+    }
+)
