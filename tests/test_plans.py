@@ -190,3 +190,14 @@ def test_pack_offsets_no_extra_shuffle(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q7_q8_q9_dim_broadcasts_no_cartesian(spark, sf_dir):
+    """The wide TPC-H join trees must broadcast their dimension sides
+    (incl. both nation role-aliases in Q7) and never degrade to a
+    nested-loop/cartesian plan."""
+    for q in ("q7_nation_volume", "q8_market_share", "q9_product_profit"):
+        plan = _plan(spark, sf_dir, q)
+        assert plan.count("BroadcastHashJoin") >= 2, q
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
