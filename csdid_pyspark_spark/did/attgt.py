@@ -307,3 +307,32 @@ class ATTgt:
         out = compute_aggte(self, typec=typec, **kwargs)
         self.summary_aggte[typec] = out
         return out
+
+
+def att_gt(
+    data,
+    yname: str,
+    tname: str,
+    idname: str,
+    gname: str,
+    est_method: str = "dr",
+    base_period: str = "varying",
+    bstrap: bool = False,
+    cband: bool = False,
+    **kwargs,
+):
+    """R ``did::att_gt``-style one-call convenience: construct the
+    estimator and fit in one step, returning the fitted ``ATTgt``
+    (whose ``fit_result.table`` is the ATT(g,t) frame). Keyword names
+    follow this engine's ``ATTgt`` constructor; R users migrating from
+    ``att_gt(yname=..., gname=..., control_group=...)`` keep the same
+    call shape."""
+    est = ATTgt(data, yname=yname, tname=tname, idname=idname, gname=gname, **kwargs)
+    est.fit(est_method=est_method, base_period=base_period, bstrap=bstrap, cband=cband)
+    return est
+
+
+def aggte(est: "ATTgt", typec: str = "group", **kwargs):
+    """R ``did::aggte``-style helper: aggregate a fitted ``ATTgt``
+    (``type`` in R = ``typec`` here: simple/group/calendar/dynamic)."""
+    return est.compute_aggte(typec, **kwargs)

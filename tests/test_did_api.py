@@ -206,3 +206,21 @@ def test_mboot_covariance_matrix(spark):
     # Var(bres_k) ≈ (sqrt(n)·se_k)² within bootstrap noise
     for i, k in enumerate(mb.keys):
         assert mb.V[i, i] == pytest.approx(n * mb.se[k] ** 2, rel=0.25)
+
+
+def test_att_gt_aggte_convenience_wrappers(spark, dgp):
+    """R did-style one-call API (att_gt/aggte) must produce the
+    identical table and aggregation as the explicit
+    construct-then-fit path."""
+    from csdid_pyspark_spark.did import aggte, att_gt
+
+    df = spark.createDataFrame(dgp)
+    est = att_gt(df, yname="Y", tname="period", idname="id", gname="G",
+                 est_method="reg", allow_unbalanced_panel=False)
+    explicit = ATTgt(df, "Y", "period", "id", "G", allow_unbalanced_panel=False)
+    explicit.fit(est_method="reg")
+    a, b = est.fit_result.table, explicit.fit_result.table
+    assert np.allclose(a["att"].to_numpy(), b["att"].to_numpy(), equal_nan=True)
+    agg = aggte(est, "simple")
+    explicit_agg = explicit.compute_aggte("simple")
+    assert np.isclose(agg.overall_att, explicit_agg.overall_att)
