@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["packed_offsets", "packed_offsets_window", "pack_greedy"]
+__all__ = ["packed_offsets", "packed_offsets_window", "pack_greedy", "global_row_number"]
 
 
 def _ordered(df: DataFrame, len_col: str, stream_col: str, id_col: str) -> DataFrame:
@@ -189,3 +189,41 @@ def pack_greedy(
         )
 
     return o.groupBy(stream_col).applyInPandas(assign, schema=schema)
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], out_col: str = "rn", num_partitions: int | None = None
+) -> DataFrame:
+    """Global 1-based row numbers in ``order_cols`` order WITHOUT the
+    classic scale trap (``Window.orderBy`` with no partition key =
+    every row through ONE reducer). Same two-phase scan as
+    `packed_offsets`: range-shuffle on the order key, per-partition
+    counts to the driver (one tiny row per partition), exclusive bases
+    broadcast back, sequential numbering within partitions. Ties are
+    broken by the order columns themselves — pass a unique tiebreak
+    column for fully deterministic output."""
+    o = df
+    n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
+    part = (
+        o.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # correctness: both passes must see one materialized partitioning
+    # (range boundaries are sampled per execution — see packed_offsets)
+    part = part.persist()
+    counts = {r["_pid"]: r["c"] for r in part.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    base, acc = {}, 0
+    for pid in sorted(counts):
+        base[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    base_df = F.broadcast(
+        spark.createDataFrame([(p, b) for p, b in base.items()], "_pid int, _base bigint")
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.join(base_df, "_pid")
+        .withColumn(out_col, (F.row_number().over(w) + F.col("_base")).cast("bigint"))
+        .drop("_pid", "_base")
+    )

@@ -101,6 +101,7 @@ _WINDOW_PRIORITY = [
     "curation_pipeline",
     "events_retention",
     "events_funnel",
+    "global_row_number",
     # previously-green regression sentinels (round-1 hash-match) filling the
     # remainder of the 50-query window.
     "q1_pricing_summary",

@@ -1565,3 +1565,31 @@ ORACLES.update(
         "window_rank_funcs": WINDOW_RANK_SQL,
     }
 )
+
+
+# --- global row numbering without a single-reducer window -------------------
+
+def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank of every customer by balance (unique tiebreak on
+    custkey) via the two-phase distributed scan — `ROW_NUMBER() OVER
+    (ORDER BY ...)` semantics with NO single-partition exchange
+    anywhere in the plan (the naive window funnels the whole table
+    through one reducer; this shape survives 100 TB)."""
+    from csdid_pyspark_spark.operators.packing import global_row_number as grn
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = grn(c, ["c_acctbal", "c_custkey"])
+    return ranked.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "rn"
+    )
+
+
+GLOBAL_ROW_NUMBER_SQL = """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal,
+       ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+FROM customer
+"""
+
+
+QUERIES["global_row_number"] = global_row_number
+ORACLES["global_row_number"] = GLOBAL_ROW_NUMBER_SQL

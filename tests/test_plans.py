@@ -201,3 +201,11 @@ def test_q7_q8_q9_dim_broadcasts_no_cartesian(spark, sf_dir):
         assert plan.count("BroadcastHashJoin") >= 2, q
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_global_row_number_no_single_partition_exchange(spark, sf_dir):
+    """ROW_NUMBER-over-everything semantics must NOT funnel the table
+    through one reducer: no SinglePartition exchange anywhere."""
+    plan = _plan(spark, sf_dir, "global_row_number")
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
