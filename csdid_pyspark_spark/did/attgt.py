@@ -302,7 +302,7 @@ class ATTgt:
 
     # ------------------------------------------------------------------
     def compute_aggte(self, typec: str = "group", **kwargs):
-        from csdid_pyspark_spark.did.aggte import compute_aggte
+        from csdid_pyspark_spark.did.aggte_ops import compute_aggte
 
         out = compute_aggte(self, typec=typec, **kwargs)
         self.summary_aggte[typec] = out

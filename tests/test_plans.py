@@ -97,7 +97,7 @@ def test_dynamic_aggte_single_pass_over_if_table(spark):
     import pandas as pd
 
     from csdid_pyspark_spark.did import ATTgt
-    from csdid_pyspark_spark.did.aggte import build_per_egt_if
+    from csdid_pyspark_spark.did.aggte_ops import build_per_egt_if
 
     rows = []
     for i in range(120):
