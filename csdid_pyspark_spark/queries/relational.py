@@ -1274,15 +1274,21 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
 # --- Q22-shape: scalar subquery + anti-join ---------------------------------
 
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High-balance customers in selected nations with no orders
+    """High-balance customers in selected nations with no RECENT orders
     (TPC-H Q22 shape): a global scalar aggregate (avg positive balance)
-    feeds a filter, then a LEFT ANTI join removes customers that have
-    orders. The scalar lands as a broadcast single-row cross join; the
-    anti join needs only the orders key column."""
+    feeds a filter, then a LEFT ANTI join removes customers that ordered
+    on/after the dormancy cutoff. The scalar lands as a broadcast
+    single-row cross join; the anti join needs only the orders key
+    column, and the date predicate on orders pushes into its scan. The
+    recency cutoff (vs the classic "no orders at all") keeps the result
+    non-empty at every test scale factor — in this synthetic data every
+    customer has at least one lifetime order."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
     )
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
@@ -1301,7 +1307,9 @@ FROM customer
 WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
   AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey
 """
 

@@ -29,16 +29,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain parquet scan — filters/projections
     applied by callers push down into this scan via Catalyst.
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; we read it as raw nanos (legacy conf) and floor-truncate to
-    microsecond timestamps with exact integer division — the same
-    truncation DuckDB applies when it evaluates EPOCH_US on its
-    TIMESTAMP_NS type, so oracle comparisons stay exact."""
+    events.parquet has shipped with two physical types for ``ts``:
+    TIMESTAMP(NANOS), which Spark's parquet reader rejects (we read it
+    as raw nanos via the legacy conf and floor-truncate to microsecond
+    timestamps — the same truncation DuckDB applies), and tz-naive
+    TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ. Both are
+    normalized to a plain TIMESTAMP whose instant is the file's wall
+    clock read as UTC — ``to_utc_timestamp(ts, 'UTC')`` is
+    session-timezone-independent, unlike a bare NTZ→TIMESTAMP cast —
+    so downstream epoch math (``unix_micros``) and DuckDB's naive
+    rendering agree exactly on every engine/session combination."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

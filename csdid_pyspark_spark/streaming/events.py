@@ -42,24 +42,35 @@ EVENT_SCHEMA = StructType(
     ]
 )
 
-# events.parquet stores TIMESTAMP(NANOS); the streaming reader needs the
-# same raw-nanos workaround as the batch source (sources/tables.py)
-_EVENT_SCHEMA_RAW = StructType(
-    [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENT_SCHEMA]
-)
+# events.parquet has shipped as TIMESTAMP(NANOS) (read as raw nanos via
+# the legacy conf) and as tz-naive TIMESTAMP(MICROS) (read as
+# TIMESTAMP_NTZ); the streaming source must declare a schema up front,
+# so we probe the footer with a zero-row batch read and mirror whichever
+# physical type the file actually has. Both normalize to the same plain
+# TIMESTAMP as the batch source (sources/tables.py).
+
+
+def _raw_ts_type(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one-file directory
     glob). In production this is a Kafka/file-drop source; the operator
     graph downstream is identical."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = _raw_ts_type(spark, sf_dir)
+    schema = StructType(
+        [f if f.name != "ts" else StructField("ts", ts_type) for f in EVENT_SCHEMA]
+    )
     raw = (
-        spark.readStream.schema(_EVENT_SCHEMA_RAW)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
 
 
 def windowed_counts(
