@@ -41,13 +41,58 @@ estimator); this is part of the LLM-pipeline extension inventory.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["packed_offsets", "packed_offsets_window", "pack_greedy", "global_row_number"]
+__all__ = [
+    "packed_offsets",
+    "packed_offsets_window",
+    "pack_greedy",
+    "global_row_number",
+    "release_cache",
+    "cache_scope",
+]
+
+
+def _attach_cache(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Record the persisted intermediate a two-phase operator depends
+    on. The persist must OUTLIVE the returned (lazy) DataFrame until
+    the caller's final action — range boundaries are sampled per
+    execution, so recomputing the partitioning would invalidate the
+    broadcast base offsets. The caller releases it explicitly with
+    :func:`release_cache` (or wraps the whole thing in
+    :func:`cache_scope`); one-shot query runs may skip release and let
+    session teardown reclaim it."""
+    result._two_phase_cache = cached  # type: ignore[attr-defined]
+    return result
+
+
+def release_cache(df: DataFrame) -> None:
+    """Unpersist the intermediate partitioning a two-phase operator
+    (`packed_offsets`, `global_row_number`) materialized for ``df``.
+    Call after the final action on ``df``; calling earlier forces a
+    recompute whose resampled range boundaries no longer match the
+    broadcast base offsets."""
+    cached = getattr(df, "_two_phase_cache", None)
+    if cached is not None:
+        cached.unpersist()
+        df._two_phase_cache = None  # type: ignore[attr-defined]
+
+
+@contextmanager
+def cache_scope(df: DataFrame):
+    """``with cache_scope(packed_offsets(...)) as offs: offs.write...``
+    — guarantees the operator's persisted intermediate is released when
+    the block exits, for service loops that pack repeatedly on one
+    long-lived session."""
+    try:
+        yield df
+    finally:
+        release_cache(df)
 
 
 def _ordered(df: DataFrame, len_col: str, stream_col: str, id_col: str) -> DataFrame:
@@ -140,7 +185,7 @@ def packed_offsets(
     # mapInPandas preserves partitioning/order of its child; re-sort
     # within partitions after the broadcast join to be explicit.
     offs = with_base.sortWithinPartitions("_ord", id_col).mapInPandas(add_running, schema=schema)
-    return _finish(offs, stream_col, id_col, budget)
+    return _attach_cache(_finish(offs, stream_col, id_col, budget), part)
 
 
 def _finish(offs: DataFrame, stream_col: str, id_col: str, budget: int) -> DataFrame:
@@ -222,8 +267,9 @@ def global_row_number(
         spark.createDataFrame([(p, b) for p, b in base.items()], "_pid int, _base bigint")
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    return _attach_cache(
         part.join(base_df, "_pid")
         .withColumn(out_col, (F.row_number().over(w) + F.col("_base")).cast("bigint"))
-        .drop("_pid", "_base")
+        .drop("_pid", "_base"),
+        part,
     )

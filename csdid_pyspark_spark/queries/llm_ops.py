@@ -36,8 +36,56 @@ FROM documents GROUP BY 1
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard — definitionally uncapped so it matches
+    the exact oracle; pipeline consumers go through the df-capped
+    :func:`_neardup_pairs` (or the LSH path) instead."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(d, n=3, threshold=0.5)
+
+
+# Document-frequency cap for every PIPELINE consumer of the Jaccard
+# pair graph (components, keep-list). A shingle in k docs contributes
+# k² postings-join rows; capping df bounds the join at
+# O(Σ min(df, max_df)²) so one boilerplate phrase shared by 1M docs
+# can't go quadratic. 1000 is far above any threshold-relevant overlap,
+# and above the whole corpus at the oracle-checked scale factors, so
+# checked results are identical to the exact graph.
+NEARDUP_MAX_DF = 1000
+
+
+def _neardup_pairs(d: DataFrame) -> DataFrame:
+    """The near-dup pair graph every dedup pipeline stage consumes:
+    exact Jaccard over df-capped postings (operators/dedup.py:62)."""
+    return dedup.jaccard_pairs(d, n=3, threshold=0.5, max_df=NEARDUP_MAX_DF)
+
+
+# SQL rendering of the same capped pair graph (shared CTE prefix of the
+# components / keep-list oracles). Shingles with df > NEARDUP_MAX_DF are
+# anti-joined out BEFORE sizes and intersections, mirroring
+# jaccard_pairs' candidate-generation cap exactly.
+_NEARDUP_PAIRS_CTES = r"""toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+sh_all AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, GREATEST(len(tokens) - 1, 1)),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+  FROM toks WHERE len(tokens) >= 3
+),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > %d),
+sh AS (SELECT sh_all.doc_id, sh_all.shingle FROM sh_all ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+)""" % NEARDUP_MAX_DF
 
 
 DEDUP_JACCARD_SQL = r"""
@@ -510,38 +558,18 @@ ORACLES["events_asof_join"] = ASOF_SQL
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation (operators/dedup.py::components) over the
-    exact-Jaccard near-dup pairs; the oracle replays reachability with
-    a recursive CTE. comp = smallest doc_id in the duplicate cluster
-    (the canonical survivor a dedup pipeline keeps)."""
+    df-capped Jaccard near-dup pairs (:func:`_neardup_pairs`); the
+    oracle replays reachability with a recursive CTE. comp = smallest
+    doc_id in the duplicate cluster (the canonical survivor a dedup
+    pipeline keeps)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.5)
-    return dedup.components(pairs).select(
+    return dedup.components(_neardup_pairs(d)).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("comp_id")
     )
 
 
 DEDUP_COMPONENTS_SQL = r"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-         UNNEST(list_transform(range(1, GREATEST(len(tokens) - 1, 1)),
-                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
-  FROM toks WHERE len(tokens) >= 3
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-),
+WITH RECURSIVE """ + _NEARDUP_PAIRS_CTES + r""",
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION SELECT id_b, id_a FROM pairs
@@ -1139,10 +1167,11 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id in the cluster; singletons keep themselves). Left join of the
     corpus against the component labels — at scale the component table
     is a small fraction of the corpus (only docs that appeared in a
-    near-dup pair), so AQE broadcasts it."""
+    near-dup pair), so AQE broadcasts it. Pairs come from the df-capped
+    graph (:func:`_neardup_pairs`) — the uncapped postings self-join
+    goes quadratic on one hot shingle at corpus scale."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.5)
-    comp = dedup.components(pairs).select(
+    comp = dedup.components(_neardup_pairs(d)).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("comp")
     )
     return (
@@ -1157,27 +1186,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_KEEP_LIST_SQL = r"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-         UNNEST(list_transform(range(1, GREATEST(len(tokens) - 1, 1)),
-                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
-  FROM toks WHERE len(tokens) >= 3
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-),
+WITH RECURSIVE """ + _NEARDUP_PAIRS_CTES + r""",
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION SELECT id_b, id_a FROM pairs

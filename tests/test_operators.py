@@ -356,3 +356,33 @@ def test_packing_matches_python_reference_on_skewed_streams(spark):
         for r in packing.pack_greedy(df, "tok_len", budget=budget).collect()
     }
     assert got_greedy == want_greedy
+
+
+def test_two_phase_cache_lifecycle(spark):
+    """packed_offsets / global_row_number persist their range-shuffled
+    partitioning (two passes must see one materialization); release_cache
+    must drop it so repeated calls in a service loop don't accumulate
+    cached RDDs in the session."""
+    from csdid_pyspark_spark.functions.text import token_count
+    from csdid_pyspark_spark.operators import packing
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_cached()
+    d = load_table(spark, SF, "documents").withColumn("tok_len", token_count("text"))
+
+    offs = packing.packed_offsets(d, "tok_len", budget=512, num_partitions=4)
+    assert offs.count() > 0
+    assert n_cached() > base
+    packing.release_cache(offs)
+    assert n_cached() == base
+
+    with packing.cache_scope(
+        packing.global_row_number(d.select("doc_id"), ["doc_id"], num_partitions=4)
+    ) as rn:
+        assert rn.count() > 0
+        assert n_cached() > base
+    assert n_cached() == base
+    # idempotent / no-op on operators that cache nothing
+    packing.release_cache(d)

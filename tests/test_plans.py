@@ -209,3 +209,16 @@ def test_global_row_number_no_single_partition_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "global_row_number")
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_neardup_pairs_cap_hot_shingles(spark, sf_dir):
+    """The dedup-pipeline pair graph (dedup_components / dedup_keep_list)
+    must candidate-generate from df-capped postings: the hot-shingle
+    anti-join has to appear in the plan, or one boilerplate phrase in
+    1M docs turns the postings self-join quadratic at corpus scale."""
+    from csdid_pyspark_spark.queries.llm_ops import _neardup_pairs
+    from csdid_pyspark_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _neardup_pairs(d)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # df>max_df shingles removed before the self-join
