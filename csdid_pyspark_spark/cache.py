@@ -1,0 +1,55 @@
+"""Right-sized persistence for reused intermediates.
+
+``persist()`` freezes whatever partitioning the materializing plan
+happened to produce — and AQE's runtime coalescing does NOT apply to
+reads of an InMemoryRelation. A small intermediate (a derived panel, a
+cell table, an influence-function table) materialized from a
+32-partition shuffle is then re-read as 32 near-empty partitions by
+EVERY downstream aggregation pass, so each pass pays full task-launch
+overhead for no parallelism benefit. The estimator runs a fixed dozen
+such passes; on a loaded host that fixed overhead dominates its wall
+time.
+
+``persist_rightsized`` measures the materialized row count (the count
+doubles as the materializing action, which callers need anyway) and,
+only when the data is small, re-caches it coalesced to
+``ceil(rows / target_rows)`` partitions. At scale the condition never
+fires — a 10⁹-row table keeps every partition and the helper is a
+plain persist+count — so this is purely an adaptive floor on task
+granularity, not a parallelism cap. ``coalesce`` on a cached frame
+reads the existing cache (no shuffle), and the oversized parent cache
+is dropped after the compact copy materializes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+# ~1M rows per partition ≈ tens of MB for the narrow numeric schemas
+# these intermediates carry — the same order as AQE's advisory
+# partition size, which is the coalescing this helper reinstates for
+# cached data.
+TARGET_ROWS_PER_PARTITION = 1_000_000
+
+
+def persist_rightsized(
+    df: DataFrame, target_rows: int = TARGET_ROWS_PER_PARTITION
+) -> tuple[DataFrame, int]:
+    """Persist ``df``, materialize it, and compact the cache when the
+    measured size doesn't justify its partition count.
+
+    Returns ``(cached_df, row_count)`` — callers that need the count
+    (most do) get it without an extra action.
+    """
+    df = df.persist()
+    n = df.count()
+    parts = df.rdd.getNumPartitions()
+    want = max(1, min(parts, math.ceil(n / max(1, target_rows))))
+    if want < parts:
+        compact = df.coalesce(want).persist()
+        compact.count()  # materialize from the parent cache, then drop it
+        df.unpersist()
+        return compact, n
+    return df, n

@@ -107,23 +107,29 @@ class ATTgt:
             pdata.tlist, pdata.glist, base_period, self.anticipation
         )
         sdf = cells_mod.spec_df(self.spark, specs)
+        from csdid_pyspark_spark.cache import persist_rightsized
+
         if pdata.panel:
-            cell_df = cells_mod.build_cell_table_panel(
-                pdata, sdf, self.control_group, self.anticipation
-            ).persist()
+            cell_df, _ = persist_rightsized(
+                cells_mod.build_cell_table_panel(
+                    pdata, sdf, self.control_group, self.anticipation
+                )
+            )
             if callable(est_method):
                 ests, if_raw = estimate_custom(cell_df, pdata.covariates, est_method, self.spark, rc=False)
             else:
                 ests, if_raw = estimate_panel(cell_df, pdata.covariates, est_method, self.spark)
             uh = F.xxhash64("uid")
         else:
-            cell_df = cells_mod.build_cell_table_rc(
-                pdata,
-                sdf,
-                self.control_group,
-                self.anticipation,
-                ref_preslice=self.rc_slice == "reference",
-            ).persist()
+            cell_df, _ = persist_rightsized(
+                cells_mod.build_cell_table_rc(
+                    pdata,
+                    sdf,
+                    self.control_group,
+                    self.anticipation,
+                    ref_preslice=self.rc_slice == "reference",
+                )
+            )
             if callable(est_method):
                 ests, if_raw = estimate_custom(cell_df, pdata.covariates, est_method, self.spark, rc=True)
             else:
@@ -138,14 +144,12 @@ class ATTgt:
             (e.cid, n / e.n1 if e.n1 else 0.0) for e in ests if not e.skipped
         ]
         scale_df = self.spark.createDataFrame(scale_rows, "cid int, if_scale double")
-        if_df = (
-            if_raw.join(F.broadcast(scale_df), "cid")
-            .select(
+        if_df, _ = persist_rightsized(
+            if_raw.join(F.broadcast(scale_df), "cid").select(
                 "cid",
                 uh.alias("uh"),
                 (F.col("inf") * F.col("if_scale")).alias("inf_sc"),
             )
-            .persist()
         )
 
         # analytic SEs: one aggregation over the IF table

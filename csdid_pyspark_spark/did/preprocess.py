@@ -102,8 +102,12 @@ def preprocess_did(
         sel.append(F.col(clustervar).alias(CL))
     # cache the projected base: preprocessing runs several independent
     # aggregation actions over it, and the caller's input may itself be
-    # an expensive lineage (e.g. an aggregation over raw events)
-    df = data.select(*sel).persist()
+    # an expensive lineage (e.g. an aggregation over raw events).
+    # Right-sized so a small panel isn't re-read as dozens of
+    # near-empty partitions by every pass (csdid_pyspark_spark/cache.py).
+    from csdid_pyspark_spark.cache import persist_rightsized
+
+    df, _ = persist_rightsized(data.select(*sel))
 
     if clustervar:
         # time-invariance within unit (reference mboot.py:96-99 intent;

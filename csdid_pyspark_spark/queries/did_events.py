@@ -120,7 +120,9 @@ def panel_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _PANEL_CACHE.get(key)
     if hit is not None:
         return hit
-    panel = derive_panel(load_table(spark, sf_dir, "events")).persist()
+    from csdid_pyspark_spark.cache import persist_rightsized
+
+    panel, _ = persist_rightsized(derive_panel(load_table(spark, sf_dir, "events")))
     _PANEL_CACHE[key] = panel
     return panel
 

@@ -224,3 +224,32 @@ def test_att_gt_aggte_convenience_wrappers(spark, dgp):
     agg = aggte(est, "simple")
     explicit_agg = explicit.compute_aggte("simple")
     assert np.isclose(agg.overall_att, explicit_agg.overall_att)
+
+
+def test_plot_data_golden_errorbar_semantics(spark, dgp):
+    """Golden data-level parity with the reference's gplot/splot
+    (reference plots.py:14-18, 62-68): every drawn error bar is
+    symmetric, att ± c·att_se, points split by the post flag, and the
+    dynamic event-study phase boundary sits at e == 0. Rendering
+    cosmetics aside, these frames ARE the plots."""
+    from csdid_pyspark_spark.did.plots import aggte_plot_data, attgt_plot_data
+
+    est = _fit(spark, dgp)
+    table = est.fit_result.table
+    crit = est.fit_result.crit_val
+
+    data = attgt_plot_data(table)
+    # reference gplot: yerr = c * att_se, centered on att
+    np.testing.assert_allclose(data["att"] - data["lower"], crit * data["se"], rtol=1e-12)
+    np.testing.assert_allclose(data["upper"] - data["att"], crit * data["se"], rtol=1e-12)
+    # reference pre/post split: post flag partitions the points
+    merged = data.merge(table[["g", "t", "post"]], on=["g", "t"])
+    assert (merged.loc[merged["post"] == 1, "phase"] == "post").all()
+    assert (merged.loc[merged["post"] == 0, "phase"] == "pre").all()
+
+    out = est.compute_aggte("dynamic")
+    dyn = aggte_plot_data(out)
+    np.testing.assert_allclose(dyn["att"] - dyn["lower"], out.crit_val_egt * dyn["se"], rtol=1e-12)
+    np.testing.assert_allclose(dyn["upper"] - dyn["att"], out.crit_val_egt * dyn["se"], rtol=1e-12)
+    assert (dyn.loc[dyn["egt"] >= 0, "phase"] == "post").all()
+    assert (dyn.loc[dyn["egt"] < 0, "phase"] == "pre").all()
