@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csdid_pyspark_spark.cache import persist_rightsized
 from csdid_pyspark_spark.did.mboot import mboot
 from csdid_pyspark_spark.did.preprocess import DidError
 from csdid_pyspark_spark.did.stats import norm_ppf
@@ -187,7 +188,7 @@ def build_per_egt_if(
         .agg(F.sum(F.col("theta") * F.col("inf_sc")).alias("inf"))
     )
     if not use_wif:
-        return egts, atts, part.persist()
+        return egts, atts, persist_rightsized(part)[0]
     sdf = spark.createDataFrame(wif_scalars, "key int, sa double, p double")
     gdf = spark.createDataFrame(wif_gmap, "key int, g_u double, alpha double, cnt double")
     u = (
@@ -209,7 +210,7 @@ def build_per_egt_if(
             ).alias("inf"),
         )
     )
-    return egts, atts, combined.persist()
+    return egts, atts, persist_rightsized(combined)[0]
 
 
 def compute_aggte(

@@ -126,7 +126,11 @@ def jaccard_for_candidates(
     # whole point of LSH pruning), so persisting them is cheap at any
     # corpus size — and essential: each is consumed by 2-3 downstream
     # joins, and without a cache Spark would re-derive the full
-    # postings lineage once per consumer.
+    # postings lineage once per consumer. Deliberately a PLAIN persist,
+    # not persist_rightsized: each is consumed only 2-3 times, and the
+    # right-sizing count would force an extra eager materialization of
+    # the expensive banding lineage (measured +1-2 s at sf0.1 for no
+    # downstream saving).
     cand = cand.persist()
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
@@ -308,9 +312,12 @@ def components(
     of the component; only nodes that appear in ``pairs`` are emitted
     (singletons are their own trivial component).
     """
+    from csdid_pyspark_spark.cache import persist_rightsized
+
     fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
-    edges = fwd.unionByName(rev).distinct().persist()
+    # read once per propagation round: right-sized cache
+    edges, _ = persist_rightsized(fwd.unionByName(rev).distinct())
     # each round MUST truncate lineage: without a checkpoint the plan
     # nests the whole history and grows exponentially (observed: JVM OOM
     # from plan bloat at iteration ~8). localCheckpoint is the local-mode
