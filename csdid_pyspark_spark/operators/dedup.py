@@ -43,20 +43,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distinct (id, shingle) postings: word n-gram shingles of the
     whitespace-tokenized text. 0-based Spark array subscripts; docs
-    shorter than n tokens produce no shingles."""
+    shorter than n tokens produce no shingles. ``carry_cols`` ride
+    along unchanged (e.g. a blocking key)."""
+    carry = list(carry_cols or [])
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    df = df.select(F.col(id_col), toks.alias("tokens"))
+    df = df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("tokens"))
     parts = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(n))
     shingles = F.expr(
         f"CASE WHEN size(tokens) >= {n} "
         f"THEN transform(sequence(0, size(tokens) - {n}), i -> {parts}) "
         f"ELSE array() END"
     )
-    return df.select(id_col, F.explode(shingles).alias("shingle")).distinct()
+    return df.select(id_col, *carry, F.explode(shingles).alias("shingle")).distinct()
 
 
 def jaccard_pairs(
@@ -66,6 +72,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs that share ≥1
     shingle. Postings self-join: shuffle keyed by shingle (skew-safe
@@ -80,8 +87,15 @@ def jaccard_pairs(
     shingles are that common may be missed (such pairs are far below any
     useful threshold anyway). Intersections are still computed over the
     capped postings, so set max_df well above threshold-relevant overlap
-    (e.g. 1000) at corpus scale; None = exact."""
-    sh = shingle_table(df, text_col, id_col, n)
+    (e.g. 1000) at corpus scale; None = exact.
+
+    ``block_col`` restricts pairs to documents sharing a blocking key
+    (e.g. same source/domain/language) by folding the key into the
+    self-join condition — the classic blocked-dedup trick: candidate
+    volume drops from O(df²) per shingle to O(Σ df_block²), and the
+    shuffle key (shingle, block) splits hot shingles across blocks."""
+    carry = [block_col] if block_col else None
+    sh = shingle_table(df, text_col, id_col, n, carry_cols=carry)
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("df_sh")).filter(
             F.col("df_sh") > max_df
@@ -89,8 +103,13 @@ def jaccard_pairs(
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     inter = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, cond)
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )

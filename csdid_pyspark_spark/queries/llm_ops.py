@@ -1733,3 +1733,165 @@ ORACLES.update(
         "events_funnel": EVENTS_FUNNEL_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding L2 normalization (retrieval-prep unit vectors)
+# ---------------------------------------------------------------------------
+
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize every embedding (the standard prep before cosine
+    retrieval / ANN indexing): per-vector L2 norm plus an md5 digest of
+    the normalized vector rendered as ppm-scaled integers — integer
+    rendering is bit-identical across engines, where raw float-to-string
+    is not. Pure array expressions, one scan, no shuffle; the fold runs
+    left-to-right on both engines so the norm is bit-equal too."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = F.sqrt(sq)
+    unit_ppm = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") / norm * 1000000.0).cast("bigint"),
+    )
+    return e.filter(norm > 0).select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.md5(F.concat_ws(" ", unit_ppm.cast("array<string>"))).alias("unit_md5"),
+    )
+
+
+EMBEDDING_L2_SQL = r"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+)
+SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
+       md5(array_to_string(list_transform(embedding,
+           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) / nrm * 1000000.0) AS BIGINT) AS VARCHAR)), ' ')) AS unit_md5
+FROM s WHERE nrm > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage (BPE-prep corpus statistic)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 1000
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage of a top-K corpus vocabulary: what
+    fraction of a doc's token INSTANCES a K-entry tokenizer vocabulary
+    would cover — the first statistic computed before training a
+    BPE/unigram tokenizer. Two aggregations: a global token count
+    (shuffle on token) reduced to a TakeOrdered top-K (never a global
+    sort), then the K-row vocab broadcast back against the exploded
+    corpus. Ties at the frequency boundary break on the token string so
+    both engines pick the same vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(VOCAB_TOP_K)
+        .select("tok")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("bigint").alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_in_vocab",
+            F.round(F.col("n_in_vocab") / F.col("n_tok"), 6).alias("coverage"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 1000
+)
+SELECT t.doc_id, COUNT(*) AS n_tok,
+       CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+       ROUND(CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS coverage
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked near-dup pairs (same-source blocking key)
+# ---------------------------------------------------------------------------
+
+def dedup_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs restricted to documents from the SAME source —
+    the standard blocking strategy when near-dups are known to stay
+    within a site/domain/shard: the blocking key rides in the postings
+    self-join condition, cutting candidate volume from O(df²) per
+    shingle to O(Σ df_block²) and splitting hot shingles across blocks
+    (operators/dedup.py::jaccard_pairs block_col)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        d, n=3, threshold=0.5, max_df=NEARDUP_MAX_DF, block_col="source"
+    )
+
+
+DEDUP_BLOCKED_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, source,
+         UNNEST(list_transform(range(1, GREATEST(len(tokens) - 1, 1)),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+  FROM toks WHERE len(tokens) >= 3
+),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000),
+sh AS (SELECT sh_all.doc_id, sh_all.source, sh_all.shingle FROM sh_all ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+QUERIES.update(
+    {
+        "embedding_l2_normalize": embedding_l2_normalize,
+        "vocab_coverage": vocab_coverage,
+        "dedup_blocked_jaccard": dedup_blocked_jaccard,
+    }
+)
+ORACLES.update(
+    {
+        "embedding_l2_normalize": EMBEDDING_L2_SQL,
+        "vocab_coverage": VOCAB_COVERAGE_SQL,
+        "dedup_blocked_jaccard": DEDUP_BLOCKED_SQL,
+    }
+)
