@@ -27,11 +27,14 @@ import math
 
 from pyspark.sql import DataFrame
 
-# ~1M rows per partition ≈ tens of MB for the narrow numeric schemas
-# these intermediates carry — the same order as AQE's advisory
-# partition size, which is the coalescing this helper reinstates for
-# cached data.
-TARGET_ROWS_PER_PARTITION = 1_000_000
+# Floor on task granularity, NOT a parallelism target: a cached
+# partition below ~64k narrow numeric rows (a few MB) costs more in
+# task launch than it buys in parallelism. The helper caps the result
+# at the existing partition count, so a table big enough to fill every
+# partition past this floor keeps ALL its parallelism — e.g. a 4M-row
+# panel stays at 32 partitions on local[32], while a 9k-row derived
+# panel compacts to 1.
+TARGET_ROWS_PER_PARTITION = 65_536
 
 
 def persist_rightsized(

@@ -152,6 +152,7 @@ def build_per_egt_if(
     groups: dict[float, list[dict]],
     use_wif: bool,
     equal_w: bool = False,
+    cache: bool = True,
 ):
     """Build the per-egt aggregated IF table for ALL egt values in one
     pass: a single (cid, key, theta) broadcast join + one
@@ -188,7 +189,7 @@ def build_per_egt_if(
         .agg(F.sum(F.col("theta") * F.col("inf_sc")).alias("inf"))
     )
     if not use_wif:
-        return egts, atts, persist_rightsized(part)[0]
+        return egts, atts, (persist_rightsized(part)[0] if cache else part)
     sdf = spark.createDataFrame(wif_scalars, "key int, sa double, p double")
     gdf = spark.createDataFrame(wif_gmap, "key int, g_u double, alpha double, cnt double")
     u = (
@@ -210,7 +211,7 @@ def build_per_egt_if(
             ).alias("inf"),
         )
     )
-    return egts, atts, persist_rightsized(combined)[0]
+    return egts, atts, (persist_rightsized(combined)[0] if cache else combined)
 
 
 def compute_aggte(

@@ -331,12 +331,23 @@ def components(
     of the component; only nodes that appear in ``pairs`` are emitted
     (singletons are their own trivial component).
     """
-    from csdid_pyspark_spark.cache import persist_rightsized
+    import math as _math
+
+    from csdid_pyspark_spark.cache import TARGET_ROWS_PER_PARTITION, persist_rightsized
 
     fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
-    # read once per propagation round: right-sized cache
-    edges, _ = persist_rightsized(fwd.unionByName(rev).distinct())
+    # read once per propagation round: right-sized cache; the measured
+    # edge count also sizes every round's label checkpoint below, so a
+    # small graph doesn't pay 32-task overhead per round and a huge one
+    # keeps its parallelism
+    edges, n_edges = persist_rightsized(fwd.unionByName(rev).distinct())
+    # labels ≤ 2·edges nodes; cap at the shuffle width the groupBy
+    # produces anyway so a planet-scale graph never over-coalesces
+    shuffle_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    label_parts = min(
+        shuffle_parts, max(1, _math.ceil(n_edges / TARGET_ROWS_PER_PARTITION))
+    )
     # each round MUST truncate lineage: without a checkpoint the plan
     # nests the whole history and grows exponentially (observed: JVM OOM
     # from plan bloat at iteration ~8). localCheckpoint is the local-mode
@@ -346,6 +357,7 @@ def components(
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
+        .coalesce(label_parts)
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -356,6 +368,7 @@ def components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            .coalesce(label_parts)
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -116,11 +116,15 @@ def test_dynamic_aggte_single_pass_over_if_table(spark):
     groups: dict = {}
     for k in infos:
         groups.setdefault(k["t"] - k["g"], []).append(k)
+    # cache=False: assert on the LAZY single-pass plan. The production
+    # path wraps the same plan in a right-sized cache (persist_rightsized),
+    # whose InMemoryRelation nests this plan as replay text — counting
+    # scan lines across that nesting would double-count the one real scan.
     _, _, if_u = build_per_egt_if(
-        spark, est.fit_result.if_df, est._unit_weights(), groups, use_wif=True
+        spark, est.fit_result.if_df, est._unit_weights(), groups, use_wif=True,
+        cache=False,
     )
     plan = if_u._jdf.queryExecution().executedPlan().toString()
-    if_u.unpersist()
     est.unpersist()
     # the cached IF table (columns cid, uh, inf_sc) is scanned exactly
     # once inside the whole nested plan
