@@ -38,14 +38,43 @@ TARGET_ROWS_PER_PARTITION = 65_536
 
 
 def persist_rightsized(
-    df: DataFrame, target_rows: int = TARGET_ROWS_PER_PARTITION
-) -> tuple[DataFrame, int]:
-    """Persist ``df``, materialize it, and compact the cache when the
-    measured size doesn't justify its partition count.
+    df: DataFrame,
+    target_rows: int = TARGET_ROWS_PER_PARTITION,
+    known_rows: int | None = None,
+    measure: bool = False,
+) -> tuple[DataFrame, int | None]:
+    """Persist ``df``, compacting the cache when its size doesn't
+    justify its partition count. Three regimes:
 
-    Returns ``(cached_df, row_count)`` — callers that need the count
-    (most do) get it without an extra action.
+    - ``known_rows`` given (an exact count or a driver-side upper
+      bound the caller already holds): the partition count is decided
+      BEFORE persisting and applied as a plain ``coalesce`` on the
+      plan — ZERO extra passes over the data at any scale, lazy
+      materialization. An overestimated bound merely compacts less
+      (safe). This is the path every hot estimator site uses; at
+      100 TB an extra materializing pass per cache would erase the
+      design's fixed-pass-count property.
+    - ``measure=True``: materialize via ``count()`` and compact from
+      the already-cached parent. Costs one cache-read pass — only for
+      sites where nothing is known driver-side and the consumer runs
+      MANY subsequent passes over an expensive lineage (e.g. label
+      propagation over a pair graph).
+    - neither: plain lazy ``persist()`` — identical to stock Spark.
+
+    Returns ``(cached_df, row_count_or_bound_or_None)``.
     """
+    if known_rows is not None:
+        want = max(1, math.ceil(known_rows / max(1, target_rows)))
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        if want < shuffle_parts:
+            df = df.coalesce(want)
+        # lazy: the caller's first action materializes the cache with
+        # the compact partitioning — no dedicated pass here
+        return df.persist(), known_rows
+    if not measure:
+        return df.persist(), None
     df = df.persist()
     n = df.count()
     parts = df.rdd.getNumPartitions()
@@ -56,3 +85,5 @@ def persist_rightsized(
         df.unpersist()
         return compact, n
     return df, n
+
+

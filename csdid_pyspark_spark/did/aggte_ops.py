@@ -153,6 +153,7 @@ def build_per_egt_if(
     use_wif: bool,
     equal_w: bool = False,
     cache: bool = True,
+    n_hint: int | None = None,
 ):
     """Build the per-egt aggregated IF table for ALL egt values in one
     pass: a single (cid, key, theta) broadcast join + one
@@ -188,8 +189,14 @@ def build_per_egt_if(
         .groupBy("key", "uh")
         .agg(F.sum(F.col("theta") * F.col("inf_sc")).alias("inf"))
     )
+    # ≤ one row per (unit, egt): driver-known bound, zero-pass sizing
+    if_u_bound = n_hint * max(1, len(egts)) if n_hint else None
     if not use_wif:
-        return egts, atts, (persist_rightsized(part)[0] if cache else part)
+        return (
+            egts,
+            atts,
+            (persist_rightsized(part, known_rows=if_u_bound)[0] if cache else part),
+        )
     sdf = spark.createDataFrame(wif_scalars, "key int, sa double, p double")
     gdf = spark.createDataFrame(wif_gmap, "key int, g_u double, alpha double, cnt double")
     u = (
@@ -211,7 +218,11 @@ def build_per_egt_if(
             ).alias("inf"),
         )
     )
-    return egts, atts, (persist_rightsized(combined)[0] if cache else combined)
+    return (
+        egts,
+        atts,
+        (persist_rightsized(combined, known_rows=if_u_bound)[0] if cache else combined),
+    )
 
 
 def compute_aggte(
@@ -261,7 +272,9 @@ def compute_aggte(
     infos = [cell_info(r) for r in cells.itertuples()]
 
     def per_egt_if(groups: dict[float, list[dict]], use_wif: bool, equal_w: bool = False):
-        return build_per_egt_if(spark, fr.if_df, unitw, groups, use_wif, equal_w)
+        return build_per_egt_if(
+            spark, fr.if_df, unitw, groups, use_wif, equal_w, n_hint=n
+        )
 
     # ----- build groups per type ------------------------------------------
     if typec == "simple":

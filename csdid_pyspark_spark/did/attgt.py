@@ -62,6 +62,7 @@ class ATTgt:
         clustervars: str | list[str] | None = None,
         seed: int = 42,
         rc_slice: str = "did",
+        rows_hint: int | None = None,
     ):
         if rc_slice not in ("did", "reference"):
             raise DidError("rc_slice must be 'did' or 'reference'")
@@ -86,6 +87,7 @@ class ATTgt:
             anticipation=anticipation,
             weights_name=weights_name,
             clustervars=clustervars,
+            rows_hint=rows_hint,
         )
         self.fit_result: FitResult | None = None
         self.summary_aggte: dict = {}
@@ -109,11 +111,17 @@ class ATTgt:
         sdf = cells_mod.spec_df(self.spark, specs)
         from csdid_pyspark_spark.cache import persist_rightsized
 
+        # driver-known upper bound on cell-table rows (each inference
+        # unit appears at most once per active cell) — sizes the cache
+        # partition count with zero extra passes (cache.py)
+        active_cells = sum(1 for s in specs if s.pret is not None and not s.zero)
+        cell_bound = max(1, pdata.n * max(1, active_cells))
         if pdata.panel:
             cell_df, _ = persist_rightsized(
                 cells_mod.build_cell_table_panel(
                     pdata, sdf, self.control_group, self.anticipation
-                )
+                ),
+                known_rows=cell_bound,
             )
             if callable(est_method):
                 ests, if_raw = estimate_custom(cell_df, pdata.covariates, est_method, self.spark, rc=False)
@@ -128,7 +136,8 @@ class ATTgt:
                     self.control_group,
                     self.anticipation,
                     ref_preslice=self.rc_slice == "reference",
-                )
+                ),
+                known_rows=cell_bound,
             )
             if callable(est_method):
                 ests, if_raw = estimate_custom(cell_df, pdata.covariates, est_method, self.spark, rc=True)
@@ -144,12 +153,15 @@ class ATTgt:
             (e.cid, n / e.n1 if e.n1 else 0.0) for e in ests if not e.skipped
         ]
         scale_df = self.spark.createDataFrame(scale_rows, "cid int, if_scale double")
+        # exact driver-known row count: one IF row per (cell, unit)
+        if_rows = int(sum(e.n1 for e in ests if not e.skipped)) or 1
         if_df, _ = persist_rightsized(
             if_raw.join(F.broadcast(scale_df), "cid").select(
                 "cid",
                 uh.alias("uh"),
                 (F.col("inf") * F.col("if_scale")).alias("inf_sc"),
-            )
+            ),
+            known_rows=if_rows,
         )
 
         # analytic SEs: one aggregation over the IF table

@@ -59,6 +59,7 @@ def preprocess_did(
     anticipation: int = 0,
     weights_name: str | None = None,
     clustervars: str | list[str] | None = None,
+    rows_hint: int | None = None,
 ) -> PanelData:
     if control_group not in ("nevertreated", "notyettreated"):
         raise DidError(f"control_group must be nevertreated|notyettreated, got {control_group!r}")
@@ -102,12 +103,14 @@ def preprocess_did(
         sel.append(F.col(clustervar).alias(CL))
     # cache the projected base: preprocessing runs several independent
     # aggregation actions over it, and the caller's input may itself be
-    # an expensive lineage (e.g. an aggregation over raw events).
-    # Right-sized so a small panel isn't re-read as dozens of
-    # near-empty partitions by every pass (csdid_pyspark_spark/cache.py).
+    # an expensive lineage (e.g. an aggregation over raw events). When
+    # the caller knows the row count (rows_hint), the cache partition
+    # count is decided up front — a tiny panel then isn't re-read as
+    # dozens of near-empty partitions by every preprocessing and fit
+    # pass, and NO extra pass is spent either way (cache.py).
     from csdid_pyspark_spark.cache import persist_rightsized
 
-    df, _ = persist_rightsized(data.select(*sel))
+    df, _ = persist_rightsized(data.select(*sel), known_rows=rows_hint)
 
     if clustervar:
         # time-invariance within unit (reference mboot.py:96-99 intent;

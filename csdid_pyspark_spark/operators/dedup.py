@@ -341,7 +341,7 @@ def components(
     # edge count also sizes every round's label checkpoint below, so a
     # small graph doesn't pay 32-task overhead per round and a huge one
     # keeps its parallelism
-    edges, n_edges = persist_rightsized(fwd.unionByName(rev).distinct())
+    edges, n_edges = persist_rightsized(fwd.unionByName(rev).distinct(), measure=True)
     # labels ≤ 2·edges nodes; cap at the shuffle width the groupBy
     # produces anyway so a planet-scale graph never over-coalesces
     shuffle_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))

@@ -88,6 +88,7 @@ pg AS (
 # events table, shared by every estimator query in a session. Keyed by
 # Spark application id so a fresh session never sees a stale plan.
 _PANEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PANEL_ROWS: dict[tuple[str, str], int] = {}
 
 
 def derive_panel(events: DataFrame) -> DataFrame:
@@ -122,8 +123,11 @@ def panel_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     from csdid_pyspark_spark.cache import persist_rightsized
 
-    panel, _ = persist_rightsized(derive_panel(load_table(spark, sf_dir, "events")))
+    panel, n = persist_rightsized(
+        derive_panel(load_table(spark, sf_dir, "events")), measure=True
+    )
     _PANEL_CACHE[key] = panel
+    _PANEL_ROWS[key] = n
     return panel
 
 
@@ -206,6 +210,7 @@ def _fit_attgt(spark: SparkSession, sf_dir: str, control: str, est_method: str =
         panel=True,
         allow_unbalanced_panel=False,
         control_group=control,
+        rows_hint=_PANEL_ROWS.get((spark.sparkContext.applicationId, sf_dir)),
     )
     est.fit(est_method=est_method)
     _FIT_CACHE[key] = est
