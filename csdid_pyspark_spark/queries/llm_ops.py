@@ -1895,3 +1895,117 @@ ORACLES.update(
         "dedup_blocked_jaccard": DEDUP_BLOCKED_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram (packing-budget tuning)
+# ---------------------------------------------------------------------------
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token-wide histogram of document lengths — the first thing a
+    pipeline engineer looks at before choosing a packing budget or a
+    truncation threshold. One scan, one tiny aggregation; the bucket
+    arithmetic is a column expression so the scan stays whole-stage
+    codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    bucket = (F.floor(n_tok / 64) * 64).cast("bigint")
+    return (
+        d.select(bucket.alias("bucket_start"), n_tok.alias("n_tok"))
+        .groupBy("bucket_start")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+TOKEN_LENGTH_HIST_SQL = r"""
+SELECT CAST(FLOOR(len(string_split_regex(trim(text), '\s+')) / 64) * 64 AS BIGINT) AS bucket_start,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup rate by source (dedup diagnostics)
+# ---------------------------------------------------------------------------
+
+def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do the near-dups live? Per source: document count, pairs
+    with BOTH endpoints in the source, pairs crossing into another
+    source — the diagnostic that decides whether blocking dedup by
+    source (dedup_blocked_jaccard) is safe. Built on the df-capped pair
+    graph; the doc→source map joins broadcast-small onto the pair
+    list."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _neardup_pairs(d)
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b"), "id_b")
+    )
+    per_side = lab.select(
+        F.col("src_a").alias("source"), (F.col("src_a") == F.col("src_b")).alias("same")
+    ).unionAll(
+        lab.select(
+            F.col("src_b").alias("source"), (F.col("src_a") == F.col("src_b")).alias("same")
+        )
+    )
+    counts = per_side.groupBy("source").agg(
+        (F.sum(F.when(F.col("same"), 1).otherwise(0)) / 2).cast("bigint").alias("n_pairs_within"),
+        F.sum(F.when(F.col("same"), 0).otherwise(1)).cast("bigint").alias("n_pairs_cross"),
+    )
+    docs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        docs.join(counts, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_pairs_within", F.lit(0)).alias("n_pairs_within"),
+            F.coalesce("n_pairs_cross", F.lit(0)).alias("n_pairs_cross"),
+        )
+    )
+
+
+NEARDUP_RATE_SQL = r"""
+WITH """ + _NEARDUP_PAIRS_CTES + r""",
+lab AS (
+  SELECT p.id_a, p.id_b, da.source AS src_a, db.source AS src_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+),
+per_side AS (
+  SELECT src_a AS source, (src_a = src_b) AS same FROM lab
+  UNION ALL
+  SELECT src_b AS source, (src_a = src_b) AS same FROM lab
+),
+counts AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) / 2 AS BIGINT) AS n_pairs_within,
+         CAST(SUM(CASE WHEN same THEN 0 ELSE 1 END) AS BIGINT) AS n_pairs_cross
+  FROM per_side GROUP BY source
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       COALESCE(ANY_VALUE(c.n_pairs_within), 0) AS n_pairs_within,
+       COALESCE(ANY_VALUE(c.n_pairs_cross), 0) AS n_pairs_cross
+FROM documents d LEFT JOIN counts c ON c.source = d.source
+GROUP BY d.source
+"""
+
+
+QUERIES.update(
+    {
+        "token_length_histogram": token_length_histogram,
+        "neardup_rate_by_source": neardup_rate_by_source,
+    }
+)
+ORACLES.update(
+    {
+        "token_length_histogram": TOKEN_LENGTH_HIST_SQL,
+        "neardup_rate_by_source": NEARDUP_RATE_SQL,
+    }
+)
