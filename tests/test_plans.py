@@ -226,3 +226,21 @@ def test_pipeline_neardup_pairs_cap_hot_shingles(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     plan = _neardup_pairs(d)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan  # df>max_df shingles removed before the self-join
+
+
+def test_vocab_coverage_topk_and_broadcast(spark, sf_dir):
+    """The top-K vocabulary must come from a heap (TakeOrdered), never a
+    global sort, and join back broadcast — the only shuffles are the
+    token count and the per-doc reduction."""
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_only_queries_have_no_shuffle(spark, sf_dir):
+    """Per-row vector/text transforms must stay shuffle-free: one scan,
+    whole-stage codegen, nothing exchanged."""
+    for q in ("embedding_l2_normalize", "embedding_quantize"):
+        plan = _plan(spark, sf_dir, q)
+        assert "Exchange" not in plan, q
