@@ -216,7 +216,11 @@ def minhash_lsh_pairs(
     size — LSH prunes the pair space AND the verification join, which is
     what makes this run at 100 TB where the all-pairs join cannot."""
     rows = num_hashes // bands
-    sh = shingle_table(df, text_col, id_col, n)
+    # the postings table feeds BOTH the signature aggregation and the
+    # exact-Jaccard verification below; uncached, the shingle explode +
+    # distinct (the single most expensive stage of this pipeline) would
+    # run once per consumer
+    sh = shingle_table(df, text_col, id_col, n).persist()
     sig = sh.groupBy(id_col).agg(
         *[F.min(_hash64(F.col("shingle"), s)).alias(f"mh_{s}") for s in range(num_hashes)]
     )
