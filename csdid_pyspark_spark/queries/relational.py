@@ -1601,3 +1601,148 @@ FROM customer
 
 QUERIES["global_row_number"] = global_row_number
 ORACLES["global_row_number"] = GLOBAL_ROW_NUMBER_SQL
+
+
+# --- Q15-shape: scalar-max over an aggregate (top revenue supplier) ---------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue (TPC-H Q15 shape:
+    aggregate → global scalar max → filter back). The per-supplier
+    revenue aggregates in one shuffle; the max collapses the ALREADY
+    AGGREGATED |suppliers|-row table, then lands as a broadcast
+    single-row cross join — the global max never sees base rows, so no
+    single-reducer pass over lineitem exists anywhere."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# --- Q2-shape: correlated min subquery, decorrelated ------------------------
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each part of a brand, the supplier(s) quoting the minimum
+    average unit price (TPC-H Q2's correlated-min shape without the
+    partsupp table: unit prices derived from lineitem). The correlated
+    subquery decorrelates into a per-part aggregate joined back on
+    (partkey, price) equality — two shuffles keyed on part, never a
+    per-part loop; the brand filter pushes into the part scan and
+    prunes both sides via the join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    unit = (
+        l.join(F.broadcast(p.select("p_partkey", "p_name")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_price")
+        )
+    )
+    mins = unit.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        unit.join(
+            mins,
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "unit_price",
+        )
+    )
+
+
+Q2_SQL = """
+WITH unit AS (
+  SELECT l_partkey, p_name, l_suppkey,
+         ROUND(AVG(l_extendedprice / l_quantity), 4) AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+  GROUP BY l_partkey, p_name, l_suppkey
+)
+SELECT l_partkey AS p_partkey, p_name, l_suppkey AS s_suppkey, unit_price
+FROM unit u
+WHERE unit_price = (SELECT MIN(unit_price) FROM unit m WHERE m.l_partkey = u.l_partkey)
+"""
+
+
+# --- Q16-shape: distinct-count with an exclusion anti-join ------------------
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, size band), excluding
+    suppliers in deficit (TPC-H Q16's COUNT(DISTINCT ps_suppkey) with a
+    NOT IN exclusion): the exclusion list is tiny → broadcast LEFT ANTI
+    before the distinct aggregation, so excluded rows never enter the
+    shuffle. COUNT(DISTINCT) over (brand, band) keys is a two-phase
+    partial-distinct aggregate — no row explosion, skew-safe under AQE."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", (F.floor(F.col("p_size") / 10) * 10).cast("int").alias("size_band")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        l.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "size_band")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, CAST(FLOOR(p_size / 10) * 10 AS INT) AS size_band,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, 2
+"""
+
+
+QUERIES.update(
+    {
+        "q15_top_supplier": q15_top_supplier,
+        "q2_min_price_supplier": q2_min_price_supplier,
+        "q16_supplier_variety": q16_supplier_variety,
+    }
+)
+ORACLES.update(
+    {
+        "q15_top_supplier": Q15_SQL,
+        "q2_min_price_supplier": Q2_SQL,
+        "q16_supplier_variety": Q16_SQL,
+    }
+)

@@ -244,3 +244,25 @@ def test_scan_only_queries_have_no_shuffle(spark, sf_dir):
     for q in ("embedding_l2_normalize", "embedding_quantize"):
         plan = _plan(spark, sf_dir, q)
         assert "Exchange" not in plan, q
+
+
+def test_q15_q2_q16_shapes(spark, sf_dir):
+    """Q15: the global max collapses the aggregated supplier table and
+    lands as a broadcast single-row join — never a sort or single
+    reducer over base rows. Q2: the correlated min decorrelates into
+    equality joins (no nested-loop). Q16: the exclusion list anti-joins
+    broadcast BEFORE the distinct aggregation."""
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    # the scalar-max equality pushes INTO the broadcast join (hash, not
+    # nested-loop); the only single-partition exchange is the global max
+    # over the already-aggregated |suppliers|-row table, never base rows
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(spark, sf_dir, "q2_min_price_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(spark, sf_dir, "q16_supplier_variety")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
