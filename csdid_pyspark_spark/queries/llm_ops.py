@@ -2009,3 +2009,42 @@ ORACLES.update(
         "neardup_rate_by_source": NEARDUP_RATE_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear trend (regression-by-aggregation)
+# ---------------------------------------------------------------------------
+
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time: slope/intercept
+    from the closed-form least-squares identities (cov/var), computed
+    entirely with JVM-side aggregates in ONE shuffle — the grouped-
+    regression shape that needs no per-group model loop and no UDF.
+    x = hours since epoch (exact integer micros → double division, so
+    both engines see bit-identical regressors)."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / F.lit(3_600_000_000.0)).alias("x")
+    d = e.select(F.col("event_type"), x, F.col("value").alias("y"))
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(slope, 8).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(F.corr("x", "y"), 6).alias("r"),
+    )
+
+
+EVENTS_TREND_SQL = """
+WITH d AS (
+  SELECT event_type, EPOCH_US(ts) / 3600000000.0 AS x, value AS y FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       ROUND(COVAR_POP(x, y) / VAR_POP(x), 8) AS slope,
+       ROUND(AVG(y) - (COVAR_POP(x, y) / VAR_POP(x)) * AVG(x), 6) AS intercept,
+       ROUND(CORR(x, y), 6) AS r
+FROM d GROUP BY event_type
+"""
+
+
+QUERIES["events_value_trend"] = events_value_trend
+ORACLES["events_value_trend"] = EVENTS_TREND_SQL
