@@ -31,6 +31,16 @@ def _ensure_tuned(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 200 default shuffle partitions means every iterative stage
+        # (label propagation rounds, LSH banding) schedules 200 mostly
+        # empty tasks at test scale; match the session's core count
+        # instead. AQE still widens big shuffles via skew-split, and on
+        # a real cluster spark-submit sets this explicitly anyway —
+        # only override a still-default value, never an operator's
+        # explicit choice.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores)))
     except Exception:
         pass  # conf locked down — proceed with whatever the session has
 
