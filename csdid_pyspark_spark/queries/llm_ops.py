@@ -2048,3 +2048,117 @@ FROM d GROUP BY event_type
 
 QUERIES["events_value_trend"] = events_value_trend
 ORACLES["events_value_trend"] = EVENTS_TREND_SQL
+
+
+# ---------------------------------------------------------------------------
+# Forward + tolerance-bounded as-of joins (the operator's other modes)
+# ---------------------------------------------------------------------------
+
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each view matched to the user's NEXT purchase at
+    or after it — time-to-conversion attribution. Same single-shuffle
+    union-window plan as the backward direction (operators/asof.py);
+    DuckDB's native ASOF can only look backward, so the oracle flips
+    the time axis (negated epoch) to express the forward match."""
+    from csdid_pyspark_spark.operators import asof
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.col("value").alias("view_value")
+    )
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    j = asof.asof_join(
+        views, buys, on="user_id", ts_col="ts",
+        value_cols=["purchase_value"], direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("view_value", 4).alias("view_value"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+        (F.unix_micros("ts_right") - F.unix_micros("ts")).alias("us_to_purchase"),
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH views AS (
+  SELECT event_id, user_id, -EPOCH_US(ts) AS nts, value FROM events WHERE event_type = 'view'
+),
+buys AS (
+  SELECT user_id, -EPOCH_US(ts) AS nts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT v.event_id, v.user_id, ROUND(v.value, 4) AS view_value,
+       ROUND(b.purchase_value, 4) AS purchase_value,
+       v.nts - b.nts AS us_to_purchase
+FROM views v ASOF LEFT JOIN buys b
+  ON v.user_id = b.user_id AND v.nts >= b.nts
+"""
+
+
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 30-minute tolerance: a click only matches
+    a view within the attribution window; older matches null out. The
+    tolerance is a post-window filter on the matched timestamp — the
+    plan is identical to the unbounded as-of (one shuffle per side)."""
+    from csdid_pyspark_spark.operators import asof
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    j = asof.asof_join(
+        clicks, views, on="user_id", ts_col="ts",
+        value_cols=["view_value"], tolerance_us=30 * 60 * 1_000_000,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("click_value", 4).alias("click_value"),
+        F.round("view_value", 4).alias("view_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("us_since_view"),
+    )
+
+
+ASOF_TOLERANCE_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+m AS (
+  SELECT c.event_id, c.user_id, c.value AS click_value, v.view_value,
+         EPOCH_US(c.ts) - EPOCH_US(v.ts) AS us_since_view
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+)
+SELECT event_id, user_id, ROUND(click_value, 4) AS click_value,
+       CASE WHEN us_since_view <= 1800000000 THEN ROUND(view_value, 4) END AS view_value,
+       CASE WHEN us_since_view <= 1800000000 THEN us_since_view END AS us_since_view
+FROM m
+"""
+
+
+QUERIES.update(
+    {
+        "events_asof_forward": events_asof_forward,
+        "events_asof_tolerance": events_asof_tolerance,
+    }
+)
+ORACLES.update(
+    {
+        "events_asof_forward": ASOF_FORWARD_SQL,
+        "events_asof_tolerance": ASOF_TOLERANCE_SQL,
+    }
+)
