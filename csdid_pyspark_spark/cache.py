@@ -37,6 +37,17 @@ from pyspark.sql import DataFrame
 TARGET_ROWS_PER_PARTITION = 65_536
 
 
+def _shuffle_partitions(spark, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, degrading to the
+    stock default on non-numeric values (managed platforms set 'auto')
+    — this sits on the hot estimator cache path, where a config-format
+    surprise must tune conservatively, never crash."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (ValueError, TypeError):
+        return default
+
+
 def persist_rightsized(
     df: DataFrame,
     target_rows: int = TARGET_ROWS_PER_PARTITION,
@@ -65,9 +76,7 @@ def persist_rightsized(
     """
     if known_rows is not None:
         want = max(1, math.ceil(known_rows / max(1, target_rows)))
-        shuffle_parts = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        shuffle_parts = _shuffle_partitions(df.sparkSession)
         if want < shuffle_parts:
             df = df.coalesce(want)
         # lazy: the caller's first action materializes the cache with

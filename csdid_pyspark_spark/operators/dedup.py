@@ -337,7 +337,11 @@ def components(
     """
     import math as _math
 
-    from csdid_pyspark_spark.cache import TARGET_ROWS_PER_PARTITION, persist_rightsized
+    from csdid_pyspark_spark.cache import (
+        TARGET_ROWS_PER_PARTITION,
+        _shuffle_partitions,
+        persist_rightsized,
+    )
 
     fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
@@ -348,7 +352,7 @@ def components(
     edges, n_edges = persist_rightsized(fwd.unionByName(rev).distinct(), measure=True)
     # labels ≤ 2·edges nodes; cap at the shuffle width the groupBy
     # produces anyway so a planet-scale graph never over-coalesces
-    shuffle_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    shuffle_parts = _shuffle_partitions(pairs.sparkSession)
     label_parts = min(
         shuffle_parts, max(1, _math.ceil(n_edges / TARGET_ROWS_PER_PARTITION))
     )

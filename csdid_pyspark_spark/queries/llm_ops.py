@@ -1864,7 +1864,7 @@ sh_all AS (
                                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
   FROM toks WHERE len(tokens) >= 3
 ),
-hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 1000),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > %d),
 sh AS (SELECT sh_all.doc_id, sh_all.source, sh_all.shingle FROM sh_all ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -1878,7 +1878,7 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-"""
+""" % NEARDUP_MAX_DF
 
 
 QUERIES.update(
@@ -2025,7 +2025,12 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     x = (F.unix_micros("ts") / F.lit(3_600_000_000.0)).alias("x")
     d = e.select(F.col("event_type"), x, F.col("value").alias("y"))
-    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    # Zero-variance guard: on a degenerate group Spark's non-ANSI
+    # division yields NULL while DuckDB's IEEE division yields inf/nan;
+    # guarding BOTH sides (NULLIF in the oracle) keeps them aligned.
+    slope = F.when(
+        F.var_pop("x") != 0, F.covar_pop("x", "y") / F.var_pop("x")
+    )
     return d.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(slope, 8).alias("slope"),
@@ -2039,8 +2044,8 @@ WITH d AS (
   SELECT event_type, EPOCH_US(ts) / 3600000000.0 AS x, value AS y FROM events
 )
 SELECT event_type, COUNT(*) AS n,
-       ROUND(COVAR_POP(x, y) / VAR_POP(x), 8) AS slope,
-       ROUND(AVG(y) - (COVAR_POP(x, y) / VAR_POP(x)) * AVG(x), 6) AS intercept,
+       ROUND(COVAR_POP(x, y) / NULLIF(VAR_POP(x), 0), 8) AS slope,
+       ROUND(AVG(y) - (COVAR_POP(x, y) / NULLIF(VAR_POP(x), 0)) * AVG(x), 6) AS intercept,
        ROUND(CORR(x, y), 6) AS r
 FROM d GROUP BY event_type
 """

@@ -1617,9 +1617,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
     )
     rev = l.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.round(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "30,6"), 2
+        ).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")
@@ -1637,7 +1637,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_SQL = """
 WITH rev AS (
-  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey,
+         ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
   GROUP BY l_suppkey

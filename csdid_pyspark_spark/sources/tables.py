@@ -35,10 +35,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps — the same truncation DuckDB applies), and tz-naive
     TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ. Both are
     normalized to a plain TIMESTAMP whose instant is the file's wall
-    clock read as UTC — ``to_utc_timestamp(ts, 'UTC')`` is
-    session-timezone-independent, unlike a bare NTZ→TIMESTAMP cast —
-    so downstream epoch math (``unix_micros``) and DuckDB's naive
-    rendering agree exactly on every engine/session combination."""
+    clock read as UTC. The NTZ→TIMESTAMP cast interprets the wall
+    clock in the SESSION timezone; ``from_utc_timestamp(...,
+    current_timezone())`` shifts that instant back by the same offset,
+    so the round trip pins wall-clock-as-UTC independently of
+    ``spark.sql.session.timeZone`` — a bare cast (or a cast followed
+    by ``to_utc_timestamp(ts, 'UTC')``, which is a no-op) would shift
+    every instant on any non-UTC session. Downstream epoch math
+    (``unix_micros``) and DuckDB's naive rendering then agree exactly
+    on every engine/session combination."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -46,7 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "from_utc_timestamp(cast(ts as timestamp), current_timezone())"
+                ),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -70,7 +70,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(ts_type, LongType):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return raw.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
+    # Session-tz-independent wall-clock-as-UTC normalization — same
+    # recipe as sources/tables.py::load_table (the NTZ cast uses the
+    # session tz; from_utc_timestamp(..., current_timezone()) undoes it).
+    return raw.withColumn(
+        "ts",
+        F.expr("from_utc_timestamp(cast(ts as timestamp), current_timezone())"),
+    )
 
 
 def windowed_counts(

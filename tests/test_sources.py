@@ -38,3 +38,44 @@ def test_clustered_write_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges  # disjoint (boundary key may be shared)
+
+
+def test_events_ts_session_timezone_independent(spark):
+    """Regression (ADVICE r3): the events NTZ→TIMESTAMP normalization
+    must yield the same instants (wall clock read as UTC) under ANY
+    spark.sql.session.timeZone — a bare NTZ cast (or a cast followed by
+    to_utc_timestamp(..., 'UTC'), which is a no-op) shifts every
+    instant on a non-UTC session and breaks all events/asof/trend
+    oracles."""
+    from pyspark.sql import functions as F
+
+    from csdid_pyspark_spark.sources.tables import load_table
+
+    tz_key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(tz_key)
+
+    def span():
+        e = load_table(spark, "/root/testdata/sf0.001", "events")
+        return e.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+
+    try:
+        spark.conf.set(tz_key, "UTC")
+        utc = span()
+        spark.conf.set(tz_key, "America/New_York")
+        ny = span()
+        spark.conf.set(tz_key, "Asia/Kathmandu")  # non-hour offset
+        ktm = span()
+    finally:
+        spark.conf.set(tz_key, orig)
+    assert (utc["lo"], utc["hi"]) == (ny["lo"], ny["hi"]) == (ktm["lo"], ktm["hi"])
+
+    import duckdb
+
+    lo, hi = duckdb.sql(
+        "SELECT epoch_us(min(ts)), epoch_us(max(ts))"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()
+    assert (utc["lo"], utc["hi"]) == (lo, hi)
