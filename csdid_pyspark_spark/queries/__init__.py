@@ -62,24 +62,32 @@ ORACLES: dict[str, str] = {}
 # exactly the first 50 of 77). The rotation below is AUTOMATIC: it reads the
 # harness's own CORRECTNESS_r*.json verdicts from the repo root and
 # front-loads (1) any query whose last external check FAILED, then (2) every
-# query that has never received an external check, then (3) previously-green
-# queries as regression sentinels — all in stable module order, estimator
-# (did_*) queries first within each class. New queries therefore enter the
-# checked window on the next run with zero bookkeeping, and green queries
-# rotate out to make room.
+# query that has never received an external check (including ones whose only
+# checks so far were rows-only but which now carry an oracle — their first
+# HASH check is still outstanding), then (3) previously-green queries as
+# regression sentinels ordered OLDEST-CHECKED FIRST, so sentinel staleness is
+# bounded at ceil(registry/window) rounds. Estimator (did_*) queries sort
+# first within each tier. New queries therefore enter the checked window on
+# the next run with zero bookkeeping, and green queries rotate out to make
+# room.
 
 
-def _externally_green() -> tuple[set[str], set[str]]:
-    """Names with a green external verdict, and names whose LATEST
-    verdict is a failure (any error/mismatch other than the rows-only
-    'no_oracle' gate)."""
+def _externally_green() -> tuple[set[str], set[str], set[str], dict[str, int]]:
+    """Names with a green external verdict, names whose LATEST verdict
+    is a failure (any error/mismatch other than the rows-only
+    'no_oracle' gate), names that have a HASH-green verdict (not just
+    the weaker rows-only acceptance), and the last round each name was
+    checked in."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     green: set[str] = set()
     failed: set[str] = set()
+    hash_green: set[str] = set()
+    last_checked: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -88,9 +96,12 @@ def _externally_green() -> tuple[set[str], set[str]]:
             continue
         if not isinstance(verdicts, dict):
             continue
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         for name, v in verdicts.items():
             if not isinstance(v, dict):
                 continue
+            last_checked[name] = max(rnd, last_checked.get(name, 0))
             ok = (
                 v.get("hash_match") is True
                 or (v.get("err") == "no_oracle" and v.get("spark_rows") is not None)
@@ -98,9 +109,11 @@ def _externally_green() -> tuple[set[str], set[str]]:
             if ok:
                 green.add(name)
                 failed.discard(name)
+                if v.get("hash_match") is True:
+                    hash_green.add(name)
             else:
                 failed.add(name)
-    return green, failed
+    return green, failed, hash_green, last_checked
 
 
 _raw: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -108,17 +121,37 @@ for mod in (did_events, llm_ops, relational):
     _raw.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
-_green, _failed = _externally_green()
+# Seeded-deterministic queries with no ANSI-SQL formulation get pinned
+# VALUES-literal oracles (generated by tools/gen_golden_oracles.py from
+# the sf0.01 driver testdata) so they pass the same hash gate as every
+# SQL-expressible query instead of the weaker rows-only check.
+from csdid_pyspark_spark.queries.golden_values import GOLDEN_ORACLES
+
+for _name, _sql in GOLDEN_ORACLES.items():
+    ORACLES.setdefault(_name, _sql)
+
+_green, _failed, _hash_green, _last_checked = _externally_green()
 
 
-def _rank(name: str) -> tuple[int, int]:
+def _rank(name: str) -> tuple[int, int, int]:
     if name in _failed:
         cls = 0  # failed last check: re-check first
     elif name not in _green:
         cls = 1  # never externally checked
+    elif name not in _hash_green and name in ORACLES:
+        # previously only rows-only-checked but an oracle now exists
+        # (e.g. a pinned VALUES golden): its first HASH check is still
+        # outstanding — front-load with the never-checked class
+        cls = 1
     else:
         cls = 2  # green sentinel
-    return (cls, 0 if name.startswith("did_") else 1)
+    # Green sentinels rotate OLDEST-CHECKED first (recency tiebreak):
+    # with a 50-query external window over a larger registry, this
+    # bounds any query's staleness at ceil(registry/window) rounds —
+    # without it a query last hash-checked in round 1 and one checked
+    # last round rank identically and the window never advances.
+    staleness = _last_checked.get(name, 0) if cls == 2 else 0
+    return (cls, staleness, 0 if name.startswith("did_") else 1)
 
 
 _module_order = list(_raw)

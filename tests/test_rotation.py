@@ -63,3 +63,55 @@ def test_window_covers_all_non_green_queries_or_registry_is_small():
     non_green = [n for n in names if n not in green]
     if len(non_green) <= WINDOW:
         assert set(non_green) <= set(names[: len(non_green)])
+
+
+def test_rows_only_queries_with_new_oracles_front_loaded():
+    """A query whose external checks were all rows-only but which now
+    carries an oracle (pinned VALUES golden) has its first HASH check
+    outstanding — it must sit inside the checked window."""
+    from csdid_pyspark_spark.queries import ORACLES
+
+    hash_green = set()
+    for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for name, v in json.load(f).items():
+                if isinstance(v, dict) and v.get("hash_match") is True:
+                    hash_green.add(name)
+    names = list(QUERIES)
+    window = set(names[:WINDOW])
+    pending_first_hash = [
+        n for n in names if n in ORACLES and n not in hash_green
+    ]
+    outside = [n for n in pending_first_hash if n not in window]
+    assert not outside, f"queries awaiting their first hash check outside window: {outside}"
+
+
+def test_green_sentinels_rotate_oldest_first():
+    """Within the green-sentinel tier, last-checked round must be
+    non-decreasing down the registry — the staleness bound that makes
+    every query re-checked within ceil(registry/window) rounds."""
+    green, failed = _verdict_classes()
+    last = {}
+    for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        with open(path) as f:
+            for name, v in json.load(f).items():
+                if isinstance(v, dict):
+                    last[name] = max(rnd, last.get(name, 0))
+    from csdid_pyspark_spark.queries import ORACLES
+
+    hash_green = set()
+    for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for name, v in json.load(f).items():
+                if isinstance(v, dict) and v.get("hash_match") is True:
+                    hash_green.add(name)
+    names = list(QUERIES)
+    sentinels = [
+        n for n in names
+        if n in green and n not in failed and (n in hash_green or n not in ORACLES)
+    ]
+    rounds = [last[n] for n in sentinels]
+    assert rounds == sorted(rounds), (
+        f"green sentinels not oldest-first: {list(zip(sentinels, rounds))[:10]}"
+    )
