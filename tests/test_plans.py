@@ -266,3 +266,67 @@ def test_q15_q2_q16_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q16_supplier_variety")
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _synth_panel(spark, n_units=150, periods=(1, 2, 3, 4)):
+    import pandas as pd
+
+    rows = []
+    for i in range(n_units):
+        g = float([0, 3, 4][i % 3])
+        for t in periods:
+            tau = 1.0 if 0 < g <= t else 0.0
+            rows.append((i, t, g, 0.1 * t + tau + (i % 7) * 0.01))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["id", "t", "g", "y"]))
+
+
+def test_attgt_cell_spec_join_broadcast_one_shuffle(spark):
+    """The cell table is the estimator's backbone: the tiny cell-spec
+    frame must join BROADCAST (a SortMergeJoin here would shuffle the
+    full panel once per fit at 100 TB), and the only exchange in the
+    whole cell-table plan is the one (cid, id) reduction."""
+    from csdid_pyspark_spark.did import ATTgt
+    from csdid_pyspark_spark.did import cells as cells_mod
+
+    est = ATTgt(_synth_panel(spark), "y", "t", "id", "g", allow_unbalanced_panel=False)
+    pdata = est.pdata
+    specs = cells_mod.build_cell_specs(pdata.tlist, pdata.glist, "varying", 0)
+    sdf = cells_mod.spec_df(spark, specs)
+    cell = cells_mod.build_cell_table_panel(pdata, sdf, "nevertreated", 0)
+    plan = cell._jdf.queryExecution().executedPlan().toString()
+    est.unpersist()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # disjunctive non-equi spec condition -> broadcast nested loop over
+    # the |specs|-row build side (tiny by construction), never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_attgt_if_table_cached_and_se_pass_reads_cache(spark):
+    """fit() persists the influence-function table; every SE/aggte pass
+    must re-read that InMemoryRelation, not re-derive the kernel
+    lineage (which would multiply the fixed pass count the design
+    promises). Gated on the live SE aggregation plan."""
+    from pyspark.sql import functions as F
+
+    from csdid_pyspark_spark.did import ATTgt
+
+    est = ATTgt(_synth_panel(spark), "y", "t", "id", "g", allow_unbalanced_panel=False)
+    est.fit("reg")
+    if_df = est.fit_result.if_df
+    assert if_df.storageLevel.useMemory, "IF table must be persisted after fit()"
+    se_agg = if_df.groupBy("cid").agg(
+        (F.sqrt(F.sum(F.col("inf_sc") * F.col("inf_sc"))) / est.fit_result.n).alias("se")
+    )
+    plan = se_agg._jdf.queryExecution().executedPlan().toString()
+    est.unpersist()
+    # Everything after the first InMemoryRelation is the cached table's
+    # stored-lineage replay text (it embeds the whole kernel plan);
+    # the LIVE pass is the segment before it: partial agg -> one cid
+    # shuffle -> final agg, reading the cache, no joins.
+    head = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in head, plan
+    assert head.count("Exchange hashpartitioning") <= 1, plan
+    assert "Join" not in head, plan
