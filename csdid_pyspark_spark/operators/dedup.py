@@ -65,6 +65,32 @@ def shingle_table(
     return df.select(id_col, *carry, F.explode(shingles).alias("shingle")).distinct()
 
 
+# Above this corpus size an UNCAPPED postings self-join (max_df=None,
+# no blocking) is a known quadratic foot-gun: one boilerplate shingle
+# shared by k docs contributes k² join rows. The exact variant exists
+# as the verification baseline for the capped/blocked/LSH paths, so it
+# refuses to run past this size instead of melting the cluster.
+EXACT_PAIRS_LIMIT = 100_000
+
+
+def _guard_exact_allpairs(df: DataFrame, limit: int | None, what: str, alternative: str) -> None:
+    """Raise when an exact all-pairs baseline is pointed at a corpus too
+    large for its quadratic candidate space. ``limit=None`` disables
+    (caller explicitly accepts the cost). The count is one cheap
+    metadata-backed action at guard time — nothing at 100 TB ever
+    reaches it, because the guard fires first."""
+    if limit is None:
+        return
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{what} is an exact all-pairs baseline (quadratic candidate space) "
+            f"and refuses corpora above exact_limit={limit} rows (got {n}). "
+            f"Use {alternative} for production-scale runs, or pass "
+            f"exact_limit=None to accept the cost."
+        )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -73,6 +99,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     block_col: str | None = None,
+    exact_limit: int | None = EXACT_PAIRS_LIMIT,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs that share ≥1
     shingle. Postings self-join: shuffle keyed by shingle (skew-safe
@@ -93,7 +120,17 @@ def jaccard_pairs(
     (e.g. same source/domain/language) by folding the key into the
     self-join condition — the classic blocked-dedup trick: candidate
     volume drops from O(df²) per shingle to O(Σ df_block²), and the
-    shuffle key (shingle, block) splits hot shingles across blocks."""
+    shuffle key (shingle, block) splits hot shingles across blocks.
+
+    With NEITHER cap nor blocking this is the exact quadratic baseline:
+    ``exact_limit`` (default ``EXACT_PAIRS_LIMIT``) refuses corpora
+    above that size — use ``max_df``/``block_col`` or
+    :func:`minhash_lsh_pairs` at scale."""
+    if max_df is None and block_col is None:
+        _guard_exact_allpairs(
+            df, exact_limit, "jaccard_pairs(max_df=None, block_col=None)",
+            "max_df/block_col or minhash_lsh_pairs",
+        )
     carry = [block_col] if block_col else None
     sh = shingle_table(df, text_col, id_col, n, carry_cols=carry)
     if max_df is not None:

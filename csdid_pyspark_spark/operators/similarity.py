@@ -107,17 +107,30 @@ def ann_topk_lsh(
     )
 
 
+# An exact broadcast self-join is O(n²) comparisons AND broadcasts the
+# full vector table; past this row count use neardup_pairs_lsh.
+EXACT_COSINE_LIMIT = 50_000
+
+
 def neardup_pairs_cosine(
     df: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_limit: int | None = EXACT_COSINE_LIMIT,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: every (a, b) with
     id_a < id_b and cosine >= threshold. Broadcast self-join — the exact
     baseline, correct at any threshold but O(n^2) comparisons; it is the
     oracle for :func:`neardup_pairs_lsh`, which is the 100 TB path.
+    ``exact_limit`` (default ``EXACT_COSINE_LIMIT``) refuses inputs too
+    large for the quadratic/broadcast cost — pass ``None`` to accept it.
     (No reference analog — scale extension per SURVEY.md §7/M6.)"""
+    from csdid_pyspark_spark.operators.dedup import _guard_exact_allpairs
+
+    _guard_exact_allpairs(
+        df, exact_limit, "neardup_pairs_cosine", "neardup_pairs_lsh"
+    )
     a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("_vb"))
     return (

@@ -386,3 +386,31 @@ def test_two_phase_cache_lifecycle(spark):
     assert n_cached() == base
     # idempotent / no-op on operators that cache nothing
     packing.release_cache(d)
+
+
+def test_exact_allpairs_baselines_guarded(spark):
+    """The deliberately-quadratic exact baselines must refuse oversized
+    corpora with a pointer to the scalable variant (and stay usable
+    under the limit / with exact_limit=None)."""
+    import pytest
+
+    from csdid_pyspark_spark.operators import dedup, similarity
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        dedup.jaccard_pairs(docs, exact_limit=3).collect()
+    # capped/blocked paths are not quadratic -> never guarded
+    dedup.jaccard_pairs(docs, max_df=1000, exact_limit=3).collect()
+    # under the limit (or explicitly waived) the exact path still runs
+    assert dedup.jaccard_pairs(docs, exact_limit=None).count() > 0
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(6)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="neardup_pairs_lsh"):
+        similarity.neardup_pairs_cosine(vecs, exact_limit=3).collect()
+    assert similarity.neardup_pairs_cosine(vecs, exact_limit=None).count() > 0
