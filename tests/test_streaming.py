@@ -184,3 +184,164 @@ def test_join_stream_pairs_matches_batch(spark):
     # emitted must be a true pair and coverage must be near-complete
     assert got <= expected
     assert len(got) >= int(0.9 * len(expected))
+
+
+# ---------------------------------------------------------------------------
+# Late-data / retry-semantics depth tests (multi-batch file streams with
+# controlled file order via mtime — FileStreamSource processes oldest-first)
+# ---------------------------------------------------------------------------
+
+def _land_file(spark, rows, watch_dir, name, mtime, schema):
+    """Write one parquet FILE into the watched stream directory with a
+    pinned mtime, so maxFilesPerTrigger=1 yields one deterministic
+    micro-batch per file in mtime order."""
+    import glob
+    import os
+    import shutil
+
+    tmp = f"{watch_dir}__stage_{name}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(tmp + "/part-*.parquet")[0]
+    os.makedirs(watch_dir, exist_ok=True)
+    dst = os.path.join(watch_dir, name + ".parquet")
+    shutil.copy(part, dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+_EV_SCHEMA = "event_type string, ts timestamp, value double"
+
+
+def test_watermark_drops_late_rows_deterministically(spark, tmp_path):
+    """Golden late-data semantics: a row arriving in a later batch whose
+    window is already finalized below the watermark is DROPPED — and a
+    full re-run from a fresh checkpoint drops it identically (replay
+    determinism, the property retries rely on).
+
+    Watermark semantics being pinned: while a window's state is LIVE,
+    later-batch arrivals below the watermark may still merge (the
+    watermark is a lower bound, not an input filter); once the window
+    has been finalized+evicted — here, across a query restart — a
+    below-watermark arrival MUST be dropped, and in append mode the
+    finalized window must never be emitted a second time."""
+    import datetime as dt
+    import time
+
+    def d(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def scenario(tag):
+        watch = str(tmp_path / f"in_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        outdir = str(tmp_path / f"out_{tag}")
+        now = time.time()
+
+        def run():
+            # parquet sink: the memory sink cannot recover from a
+            # checkpoint, and restart recovery is the point here
+            stream = (
+                spark.readStream.schema(_EV_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(watch)
+            )
+            q = (
+                windowed_counts(stream, duration="1 hour", watermark="1 hour")
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            rows = spark.read.parquet(outdir).collect()
+            emitted = {}
+            for r in rows:
+                k = (r["window_start"], r["event_type"])
+                assert k not in emitted, f"window emitted twice in append mode: {k}"
+                emitted[k] = r["n_events"]
+            return emitted
+
+        # run 1: on-time rows; watermark commits at 13:00 (max 14:00 -
+        # 1h), finalizing + evicting the 10:00 window with n=2
+        _land_file(
+            spark,
+            [("view", d(10, 0), 1.0), ("view", d(10, 30), 1.0), ("view", d(14, 0), 1.0)],
+            watch, "a", now - 100, _EV_SCHEMA,
+        )
+        out1 = run()
+        # run 2 (restart from the same checkpoint): 10:15 and 11:30 sit
+        # below the restored 13:00 watermark with their windows closed
+        # -> dropped; 15:00 is on time and advances the watermark
+        _land_file(
+            spark,
+            [("view", d(10, 15), 1.0), ("view", d(11, 30), 1.0), ("view", d(15, 0), 1.0)],
+            watch, "b", now - 50, _EV_SCHEMA,
+        )
+        cumulative = run()  # sink dir accumulates across runs
+        out2 = {k: v for k, v in cumulative.items() if k not in out1}
+        return out1, out2
+
+    out1, out2 = scenario("r1")
+    # run 1 finalized the 10:00 window from on-time rows only
+    assert out1[(d(10), "view")] == 2
+    # the late arrivals neither resurrect finalized windows (duplicate
+    # append emission) nor create new below-watermark windows
+    assert (d(10), "view") not in out2
+    assert (d(11), "view") not in out2
+    assert all(ws >= d(13) for ws, _ in out2)
+    # identical drop decisions on a full clean re-run
+    assert scenario("r2") == (out1, out2)
+
+
+def test_incremental_refresh_exactly_once_after_recompute_crash(spark, tmp_path):
+    """End-to-end retry semantics for the foreachBatch materialized
+    view: the recompute CRASHES after batch 1's data write; restarting
+    from the same checkpoint replays batch 1, whose partition-overwrite
+    replaces the earlier attempt — the accumulated table ends exactly
+    once, and the refreshed result equals the batch answer."""
+    import time
+
+    from csdid_pyspark_spark.streaming.events import (
+        accumulated_batches,
+        incremental_refresh,
+    )
+
+    watch = str(tmp_path / "in")
+    now = time.time()
+    _land_file(
+        spark, [("view", None, float(i)) for i in range(10)],
+        watch, "a", now - 100, _EV_SCHEMA,
+    )
+    _land_file(
+        spark, [("view", None, float(i)) for i in range(10, 15)],
+        watch, "b", now - 50, _EV_SCHEMA,
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(_EV_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watch)
+        )
+
+    work = str(tmp_path / "w")
+    calls = {"n": 0}
+
+    def flaky(df):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("refresh crashed mid-batch")
+        return df.agg(F.sum("value")).first()[0]
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        incremental_refresh(stream(), flaky, work)
+    # batch 1's DATA write already landed before the crash
+    assert calls["n"] == 2
+
+    result = incremental_refresh(stream(), lambda df: df.agg(F.sum("value")).first()[0], work)
+    acc = accumulated_batches(spark, work + "/data")
+    assert acc.count() == 15  # replayed batch replaced, not appended
+    assert result == sum(float(i) for i in range(15))
