@@ -253,3 +253,56 @@ def test_plot_data_golden_errorbar_semantics(spark, dgp):
     np.testing.assert_allclose(dyn["upper"] - dyn["att"], out.crit_val_egt * dyn["se"], rtol=1e-12)
     assert (dyn.loc[dyn["egt"] >= 0, "phase"] == "post").all()
     assert (dyn.loc[dyn["egt"] < 0, "phase"] == "pre").all()
+
+
+def test_plot_rendering_gated_and_smoke(spark):
+    """Figure rendering (reference plots.py gplot/splot equivalents):
+    without matplotlib the render functions must raise a pointed
+    ImportError (the data-level functions stay available); with it, the
+    figures must carry one axes per cohort / one errorbar series."""
+    import pandas as pd
+    import pytest
+
+    from csdid_pyspark_spark.did import plots
+
+    table = pd.DataFrame(
+        {
+            "g": [3.0, 3.0, 4.0, 4.0],
+            "t": [2.0, 3.0, 2.0, 4.0],
+            "post": [0, 1, 0, 1],
+            "att": [0.1, 0.5, -0.1, 0.4],
+            "se": [0.05, 0.06, 0.05, 0.07],
+            "lower": [0.0, 0.38, -0.2, 0.26],
+            "upper": [0.2, 0.62, 0.0, 0.54],
+        }
+    )
+    try:
+        import matplotlib  # noqa: F401
+        have_mpl = True
+    except ImportError:
+        have_mpl = False
+
+    if not have_mpl:
+        with pytest.raises(ImportError, match="attgt_plot_data"):
+            plots.plot_attgt(table)
+        return
+
+    fig = plots.plot_attgt(table)
+    assert len(fig.axes) == 2  # one facet per cohort
+    class _Dyn:
+        typec = "dynamic"
+        overall_att = 0.3
+        overall_se = 0.05
+        table = pd.DataFrame(
+            {
+                "egt": [-1.0, 0.0, 1.0],
+                "att": [0.0, 0.3, 0.5],
+                "se": [0.04, 0.05, 0.06],
+                "lower": [-0.08, 0.2, 0.38],
+                "upper": [0.08, 0.4, 0.62],
+            }
+        )
+
+    fig2 = plots.plot_aggte(_Dyn())
+    assert len(fig2.axes) == 1
+    assert len(fig2.axes[0].collections) >= 1  # the scatter series
