@@ -1,31 +1,76 @@
-"""Scale rehearsal: the README's 4M-row measurement, reproducible.
+"""Scale rehearsal: reproducible large-input measurements off the bench path.
 
-Synthesizes a 200k-unit × 20-period staggered-adoption panel (8 cohorts,
-known dynamic treatment effects, one confounding covariate) entirely
-executor-side (no driver materialization), runs the doubly-robust fit +
-dynamic event-study aggregation, and prints one JSON line with wall
-times and max |ATT(g,t) − truth|.
+Two modes, both synthesizing their input entirely executor-side (no
+driver materialization) so the only driver traffic is the estimator's
+O(cells·p²) Grams / the dedup pipeline's scalar counts:
 
-DGP: cohort g treated from period g with effect tau·(t − g + 1);
-y_it = unit_fe + 0.5·x_i + 0.1·t + effect + N(0,1) noise. x shifts
-cohort assignment so the unadjusted contrast is biased — the DR kernel
-must actually use the covariate.
+``panel`` (default) — a staggered-adoption panel (8 cohorts, known
+dynamic treatment effects, one confounding covariate); runs the
+doubly-robust fit + dynamic event-study aggregation and reports wall
+times and max |ATT(g,t) − truth|. DGP: cohort g treated from period g
+with effect tau·(t − g + 1); y_it = unit_fe + 0.5·x_i + 0.1·t + effect
++ noise. x shifts cohort assignment so the unadjusted contrast is
+biased — the DR kernel must actually use the covariate.
 
-Usage: python stress.py [n_units] [n_periods]
+``docs`` — a document corpus with planted near-duplicate cliques (one
+mutated token per copy); runs the production dedup pipeline
+(MinHash-LSH candidates → exact-Jaccard verification → connected
+components → keep-list) and the two sequence-packing operators, and
+reports per-stage wall times plus planted-clique recall.
+
+Both report driver peak RSS (Python driver AND the Spark JVM child) so
+"no driver growth at N×" is a measured number, not a claim.
+
+Usage:
+    python stress.py panel [n_units] [n_periods]   # default 200k x 20 = 4M rows
+    python stress.py docs  [n_docs]                # default 25_000
+    python stress.py [n_units] [n_periods]         # legacy: panel mode
 """
 
 from __future__ import annotations
 
 import json
+import resource
 import sys
 import time
 
 from pyspark.sql import functions as F
 
 from csdid_pyspark_spark.did import ATTgt
+from csdid_pyspark_spark.operators import dedup, packing
 from csdid_pyspark_spark.session import get_spark
 
 TAU = 0.1
+
+
+def _driver_memory() -> dict:
+    """Peak RSS in MiB: the Python driver process (ru_maxrss, KiB on
+    Linux) and the live local-mode JVM child (VmHWM from /proc — the
+    JVM hasn't exited, so RUSAGE_CHILDREN would miss it)."""
+    import os
+    import re
+
+    self_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    jvm_kb = 0
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().split()
+            if int(parts[3]) != me or "java" not in parts[1]:
+                continue
+            with open(f"/proc/{pid}/status") as f:
+                m = re.search(r"VmHWM:\s+(\d+) kB", f.read())
+            if m:
+                jvm_kb = max(jvm_kb, int(m.group(1)))
+        except (OSError, IndexError, ValueError):
+            continue
+    return {
+        "driver_py_peak_mib": round(self_kb / 1024, 1),
+        "jvm_peak_mib": round(jvm_kb / 1024, 1),
+    }
 
 
 def synth_panel(spark, n_units: int, n_periods: int):
@@ -65,12 +110,46 @@ def synth_panel(spark, n_units: int, n_periods: int):
     )
 
 
-def main() -> None:
-    n_units = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    n_periods = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    spark = get_spark("csdid-pyspark-stress")
-    spark.sparkContext.setLogLevel("ERROR")
+CLIQUE = 4  # planted near-duplicate clique size
 
+
+def synth_docs(spark, n_docs: int, vocab: int = 5000):
+    """Deterministic corpus with planted near-dup cliques: doc ids
+    {b, b+1, .., b+CLIQUE-1} share base text derived from b; the non-base
+    members mutate exactly one token, so pairwise shingle Jaccard stays
+    well above the 0.5 threshold and ground-truth components are the
+    cliques themselves. Built with sequence/transform — no driver rows."""
+    d = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.col("id") % CLIQUE).alias("base"),
+        F.concat(F.lit("src_"), F.pmod(F.xxhash64("id", F.lit("s")), 10).cast("string")).alias(
+            "source"
+        ),
+    )
+    d = d.withColumn("len", (F.pmod(F.xxhash64("base", F.lit("L")), 60) + 40).cast("int"))
+    mut_pos = F.pmod(F.xxhash64("doc_id", F.lit("m")), F.col("len"))
+    idx = F.sequence(F.lit(0), F.col("len") - 1)
+    tok = F.transform(
+        idx,
+        lambda i: F.when(
+            (F.col("doc_id") % CLIQUE != 0) & (i == mut_pos),
+            F.concat(F.lit("mut"), F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("base") * 1000 + i), vocab).cast("string"),
+            )
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.array_join(tok, " ").alias("text"),
+        F.col("len").cast("long").alias("tok_len"),
+    )
+
+
+def run_panel(spark, n_units: int, n_periods: int) -> dict:
     panel = synth_panel(spark, n_units, n_periods).persist()
     n_rows = panel.count()
 
@@ -91,19 +170,99 @@ def main() -> None:
     truth = TAU * (post["t"] - post["g"] + 1)
     max_err = float((post["att"] - truth).abs().max())
 
-    print(
-        json.dumps(
-            {
-                "metric": "stress_4m_panel",
-                "rows": n_rows,
-                "cells": int(len(table)),
-                "event_times": len(dyn.egt),
-                "fit_dr_sec": round(fit_s, 1),
-                "aggte_dynamic_sec": round(agg_s, 1),
-                "max_abs_att_error": round(max_err, 4),
-            }
-        )
-    )
+    return {
+        "metric": "stress_panel",
+        "rows": n_rows,
+        "cells": int(len(table)),
+        "event_times": len(dyn.egt),
+        "fit_dr_sec": round(fit_s, 1),
+        "aggte_dynamic_sec": round(agg_s, 1),
+        "max_abs_att_error": round(max_err, 4),
+        **_driver_memory(),
+    }
+
+
+def run_docs(spark, n_docs: int) -> dict:
+    docs = synth_docs(spark, n_docs).persist()
+    n = docs.count()
+
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    ).persist()
+    n_pairs = pairs.count()
+    lsh_s = time.perf_counter() - t0
+
+    # ground truth: every within-clique pair should be found (near-dups
+    # differ by ONE token out of >=40 so Jaccard >> 0.5); recall is
+    # found-in-clique pairs / planted pairs
+    planted = n // CLIQUE * (CLIQUE * (CLIQUE - 1) // 2)
+    in_clique = pairs.filter(
+        (F.col("id_a") - F.col("id_a") % CLIQUE) == (F.col("id_b") - F.col("id_b") % CLIQUE)
+    ).count()
+
+    t0 = time.perf_counter()
+    comp = dedup.components(pairs).persist()
+    n_comp_nodes = comp.count()
+    n_comps = comp.select("comp").distinct().count()
+    comp_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    keep = docs.join(
+        comp, on=docs["doc_id"] == comp["node"], how="left"
+    ).filter(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
+    n_keep = keep.count()
+    keep_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    offs = packing.packed_offsets(docs, "tok_len", "source", "doc_id", budget=2048)
+    n_offs = offs.count()
+    off_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bins = packing.pack_greedy(docs, "tok_len", "source", "doc_id", budget=2048)
+    n_bins = bins.select("source", "bin").distinct().count()
+    pack_s = time.perf_counter() - t0
+
+    pairs.unpersist()
+    comp.unpersist()
+    docs.unpersist()
+    return {
+        "metric": "stress_docs",
+        "docs": n,
+        "lsh_pairs": n_pairs,
+        "planted_pair_recall": round(in_clique / planted, 4) if planted else None,
+        "components": n_comps,
+        "component_nodes": n_comp_nodes,
+        "kept_docs": n_keep,
+        "offset_rows": n_offs,
+        "pack_bins": n_bins,
+        "minhash_lsh_sec": round(lsh_s, 1),
+        "components_sec": round(comp_s, 1),
+        "keeplist_sec": round(keep_s, 1),
+        "packed_offsets_sec": round(off_s, 1),
+        "pack_greedy_sec": round(pack_s, 1),
+        **_driver_memory(),
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    mode = "panel"
+    if args and args[0] in ("panel", "docs"):
+        mode = args.pop(0)
+    spark = get_spark("csdid-pyspark-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if mode == "docs":
+        n_docs = int(args[0]) if args else 25_000
+        out = run_docs(spark, n_docs)
+    else:
+        n_units = int(args[0]) if args else 200_000
+        n_periods = int(args[1]) if len(args) > 1 else 20
+        out = run_panel(spark, n_units, n_periods)
+
+    print(json.dumps(out))
     spark.stop()
 
 
