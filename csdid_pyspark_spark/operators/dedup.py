@@ -212,6 +212,76 @@ def jaccard_for_candidates(
     )
 
 
+def jaccard_pairs_between(
+    delta: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental dedup: exact shingle Jaccard between a DELTA batch
+    and an existing CORPUS — the ingestion-time shape (reference runs
+    whole-corpus dedup only; a 100 TB pipeline re-pairs each day's crawl
+    against the index, never the index against itself).
+
+    The postings join is delta ⋈ corpus keyed by shingle, so candidate
+    cost is O(Σ_sh df_delta·df_corpus) — linear in the corpus for a
+    bounded delta, vs the self-join's quadratic df². The corpus side is
+    first SEMI-JOIN-PRUNED to shingles that occur in the delta at all:
+    at scale almost all corpus postings drop before the wide join (and
+    parquet bloom/dictionary filters make that prune a scan-side win).
+    Corpus-doc sizes are computed from the UNPRUNED postings, so the
+    Jaccard denominator is exact.
+
+    ``max_df`` caps document frequency measured on the CORPUS side (the
+    scale risk — a boilerplate shingle in 1M corpus docs would fan every
+    delta occurrence out 1M ways); capped shingles leave both sides
+    before sizes, mirroring :func:`jaccard_pairs` semantics.
+
+    Columns: delta_id, corpus_id, jaccard (≥ ``threshold``)."""
+    sh_d = shingle_table(delta, text_col, id_col, n)
+    sh_c = shingle_table(corpus, text_col, id_col, n)
+    if max_df is not None:
+        hot = (
+            sh_c.groupBy("shingle")
+            .agg(F.count("*").alias("df_sh"))
+            .filter(F.col("df_sh") > max_df)
+            .select("shingle")
+        )
+        sh_d = sh_d.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_c = sh_c.join(F.broadcast(hot), "shingle", "left_anti")
+    # postings feed sizes AND the intersection join on each side
+    sh_d = sh_d.persist()
+    sizes_d = sh_d.groupBy(id_col).agg(F.count("*").alias("n_d"))
+    sizes_c = sh_c.groupBy(id_col).agg(F.count("*").alias("n_c"))
+    # only corpus postings sharing a shingle with the delta can reach an
+    # intersection; no explicit broadcast — a big delta must shuffle,
+    # AQE picks broadcast when the delta's shingle set is small
+    sh_c_pruned = sh_c.join(sh_d.select("shingle").distinct(), "shingle", "left_semi")
+    d, c = sh_d.alias("d"), sh_c_pruned.alias("c")
+    inter = (
+        d.join(c, F.col("d.shingle") == F.col("c.shingle"))
+        .groupBy(
+            F.col(f"d.{id_col}").alias("delta_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sd = sizes_d.select(F.col(id_col).alias("delta_id"), "n_d")
+    sc = sizes_c.select(F.col(id_col).alias("corpus_id"), "n_c")
+    return (
+        inter.join(sd, "delta_id")
+        .join(sc, "corpus_id")
+        .withColumn(
+            "jaccard", F.col("n_inter") / (F.col("n_d") + F.col("n_c") - F.col("n_inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("delta_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def _hash64(col, seed: int):
     """Deterministic seeded 64-bit hash. xxhash64 is JVM-native and
     ~20× cheaper than an md5+conv chain — it dominates MinHash cost

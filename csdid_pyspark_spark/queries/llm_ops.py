@@ -2167,3 +2167,59 @@ ORACLES.update(
         "events_asof_tolerance": ASOF_TOLERANCE_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new snapshot (delta) against the existing corpus
+# ---------------------------------------------------------------------------
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: every tenth document plays the DELTA batch
+    (the day's crawl) and the rest the existing CORPUS; a delta doc is a
+    near-dup if its shingle Jaccard against ANY corpus doc clears 0.5.
+    The operator (operators/dedup.py::jaccard_pairs_between) pairs only
+    delta x corpus — never corpus x corpus — so re-ingesting a bounded
+    delta stays linear in the corpus at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup.jaccard_pairs_between(
+        delta, corpus, n=3, threshold=0.5, max_df=NEARDUP_MAX_DF
+    )
+
+
+DEDUP_INCREMENTAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+sh_all AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, GREATEST(len(tokens) - 1, 1)),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+  FROM toks WHERE len(tokens) >= 3
+),
+sh_c_all AS (SELECT doc_id, shingle FROM sh_all WHERE mod(doc_id, 10) <> 0),
+hot AS (SELECT shingle FROM sh_c_all GROUP BY shingle HAVING COUNT(*) > %d),
+sh_d AS (
+  SELECT s.doc_id, s.shingle FROM sh_all s ANTI JOIN hot USING (shingle)
+  WHERE mod(s.doc_id, 10) = 0
+),
+sh_c AS (SELECT s.doc_id, s.shingle FROM sh_c_all s ANTI JOIN hot USING (shingle)),
+sizes_d AS (SELECT doc_id, COUNT(*) AS n_d FROM sh_d GROUP BY doc_id),
+sizes_c AS (SELECT doc_id, COUNT(*) AS n_c FROM sh_c GROUP BY doc_id),
+inter AS (
+  SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id, COUNT(*) AS n_inter
+  FROM sh_d d JOIN sh_c c ON d.shingle = c.shingle
+  GROUP BY 1, 2
+)
+SELECT delta_id, corpus_id,
+       ROUND(CAST(n_inter AS DOUBLE) / (sd.n_d + sc.n_c - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes_d sd ON sd.doc_id = delta_id
+JOIN sizes_c sc ON sc.doc_id = corpus_id
+WHERE CAST(n_inter AS DOUBLE) / (sd.n_d + sc.n_c - n_inter) >= 0.5
+""" % NEARDUP_MAX_DF
+
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLES["dedup_incremental"] = DEDUP_INCREMENTAL_SQL

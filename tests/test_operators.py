@@ -414,3 +414,45 @@ def test_exact_allpairs_baselines_guarded(spark):
     with pytest.raises(ValueError, match="neardup_pairs_lsh"):
         similarity.neardup_pairs_cosine(vecs, exact_limit=3).collect()
     assert similarity.neardup_pairs_cosine(vecs, exact_limit=None).count() > 0
+
+
+def test_jaccard_pairs_between_delta_vs_corpus_only(spark):
+    """Incremental dedup pairs delta docs against corpus docs ONLY:
+    corpus-internal duplicates must not appear, exact Jaccard values
+    match the self-join operator on the union, and the corpus-side df
+    cap drops boilerplate shingles from both denominators."""
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                      # near-dup of delta doc 100
+            (2, base + " again"),           # near-dup of 1 AND of 100
+            (3, "completely different words about spark query planning"),
+        ],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, base), (101, "unrelated fresh content with novel tokens here")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["delta_id"], r["corpus_id"]): r["jaccard"]
+        for r in dedup.jaccard_pairs_between(delta, corpus, threshold=0.5).collect()
+    }
+    # delta 100 matches corpus 1 (identical -> 1.0) and corpus 2; the
+    # corpus-internal (1, 2) duplicate pair never appears
+    assert got[(100, 1)] == 1.0
+    assert (100, 2) in got and 0.5 <= got[(100, 2)] < 1.0
+    assert all(k[0] in (100, 101) for k in got)
+    assert not any(k == (101, c) for k in got for c in (1, 2, 3))
+
+    # parity with the self-join operator restricted to cross pairs
+    both = dedup.jaccard_pairs(delta.unionByName(corpus), threshold=0.5).collect()
+    expected = {
+        (r["id_b"], r["id_a"]): r["jaccard"] for r in both if r["id_b"] >= 100 > r["id_a"]
+    }
+    assert got == expected
+
+    # max_df=1: every shingle shared by >1 corpus doc is dropped from both
+    # sides, so the identical pair keeps jaccard on the surviving shingles
+    capped = dedup.jaccard_pairs_between(delta, corpus, threshold=0.1, max_df=1)
+    assert all(r["delta_id"] in (100, 101) for r in capped.collect())

@@ -21,7 +21,7 @@ WINDOW = 50
 
 
 def _verdict_classes():
-    green, failed = set(), set()
+    green, failed, hash_green = set(), set(), set()
     for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             verdicts = json.load(f)
@@ -34,13 +34,15 @@ def _verdict_classes():
             if ok:
                 green.add(name)
                 failed.discard(name)
+                if v.get("hash_match") is True:
+                    hash_green.add(name)
             else:
                 failed.add(name)
-    return green, failed
+    return green, failed, hash_green
 
 
 def test_failed_and_unchecked_queries_front_loaded():
-    green, failed = _verdict_classes()
+    green, failed, hash_green = _verdict_classes()
     names = list(QUERIES)
     window = set(names[:WINDOW])
 
@@ -49,20 +51,25 @@ def test_failed_and_unchecked_queries_front_loaded():
     assert not missing, f"last-check-failed queries outside the checked window: {missing}"
 
     never_checked = [n for n in names if n not in green and n not in failed]
-    # Every never-checked query must precede every green sentinel.
-    first_green_pos = min(
-        (names.index(n) for n in names if n in green), default=len(names)
+    # Every never-checked query must precede every HASH-green sentinel.
+    # (Rows-only-green queries that newly gained an oracle share the
+    # front-loaded tier with never-checked ones, so they may interleave.)
+    first_sentinel_pos = min(
+        (names.index(n) for n in names if n in hash_green), default=len(names)
     )
-    stragglers = [n for n in never_checked if names.index(n) > first_green_pos]
-    assert not stragglers, f"never-checked queries ranked after green ones: {stragglers}"
+    stragglers = [n for n in never_checked if names.index(n) > first_sentinel_pos]
+    assert not stragglers, f"never-checked queries ranked after hash-green ones: {stragglers}"
 
 
 def test_window_covers_all_non_green_queries_or_registry_is_small():
-    green, failed = _verdict_classes()
+    green, failed, hash_green = _verdict_classes()
     names = list(QUERIES)
-    non_green = [n for n in names if n not in green]
-    if len(non_green) <= WINDOW:
-        assert set(non_green) <= set(names[: len(non_green)])
+    # everything outside the hash-green sentinel class still needs a
+    # (first or re-) hash check: failed, never-checked, and rows-only
+    # queries that now carry an oracle — all must fit the front window
+    pending = [n for n in names if n not in hash_green]
+    if len(pending) <= WINDOW:
+        assert set(pending) <= set(names[: len(pending)])
 
 
 def test_rows_only_queries_with_new_oracles_front_loaded():
@@ -90,7 +97,7 @@ def test_green_sentinels_rotate_oldest_first():
     """Within the green-sentinel tier, last-checked round must be
     non-decreasing down the registry — the staleness bound that makes
     every query re-checked within ceil(registry/window) rounds."""
-    green, failed = _verdict_classes()
+    green, failed, _hash_green = _verdict_classes()
     last = {}
     for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
