@@ -149,7 +149,7 @@ def synth_docs(spark, n_docs: int, vocab: int = 5000):
     )
 
 
-def run_panel(spark, n_units: int, n_periods: int) -> dict:
+def run_panel(spark, n_units: int, n_periods: int, bstrap: bool = False) -> dict:
     panel = synth_panel(spark, n_units, n_periods).persist()
     n_rows = panel.count()
 
@@ -159,7 +159,7 @@ def run_panel(spark, n_units: int, n_periods: int) -> dict:
         yname="y", tname="t", idname="id", gname="g",
         xfmla="y ~ x", panel=True, allow_unbalanced_panel=False,
     )
-    table = est.fit(est_method="dr")
+    table = est.fit(est_method="dr", bstrap=bstrap, cband=bstrap)
     fit_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -171,7 +171,7 @@ def run_panel(spark, n_units: int, n_periods: int) -> dict:
     max_err = float((post["att"] - truth).abs().max())
 
     return {
-        "metric": "stress_panel",
+        "metric": "stress_panel_bstrap" if bstrap else "stress_panel",
         "rows": n_rows,
         "cells": int(len(table)),
         "event_times": len(dyn.egt),
@@ -258,9 +258,11 @@ def main() -> None:
         n_docs = int(args[0]) if args else 25_000
         out = run_docs(spark, n_docs)
     else:
+        bstrap = "bstrap" in args
+        args = [a for a in args if a != "bstrap"]
         n_units = int(args[0]) if args else 200_000
         n_periods = int(args[1]) if len(args) > 1 else 20
-        out = run_panel(spark, n_units, n_periods)
+        out = run_panel(spark, n_units, n_periods, bstrap=bstrap)
 
     print(json.dumps(out))
     spark.stop()
