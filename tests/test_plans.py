@@ -330,3 +330,13 @@ def test_attgt_if_table_cached_and_se_pass_reads_cache(spark):
     assert "InMemoryTableScan" in head, plan
     assert head.count("Exchange hashpartitioning") <= 1, plan
     assert "Join" not in head, plan
+
+def test_incremental_dedup_caps_and_prunes_corpus_side(spark, sf_dir):
+    """Incremental dedup's physical plan must show (a) the broadcast
+    hot-shingle anti-join (corpus-side df cap) and (b) the semi-join
+    prune of corpus postings down to delta shingles — the two pieces
+    that keep a re-ingest linear in the corpus at 100 TB."""
+    plan = _plan(spark, sf_dir, "dedup_incremental")
+    assert "LeftAnti" in plan           # df cap applied before the wide join
+    assert "LeftSemi" in plan           # corpus postings pruned to delta shingles
+    assert "BroadcastHashJoin" in plan  # the cap's hot list rides broadcast
