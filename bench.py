@@ -40,6 +40,7 @@ HEADLINE = [
     "did_aggte_dynamic",
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "sim_topk_bruteforce",
     "text_stats",
     "text_tfidf",

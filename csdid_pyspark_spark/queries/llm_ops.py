@@ -2223,3 +2223,60 @@ WHERE CAST(n_inter AS DOUBLE) / (sd.n_d + sc.n_c - n_inter) >= 0.5
 
 QUERIES["dedup_incremental"] = dedup_incremental
 ORACLES["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated spans (exact-substring dedup primitive)
+# ---------------------------------------------------------------------------
+
+REPEATED_SPAN_W = 10
+
+
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token spans of width W that recur across documents — the
+    primitive behind exact-substring dedup (cut memorized spans out of
+    training text, not whole documents). Every W-token window is hashed
+    (md5 of the space-joined span — portable to the oracle), one
+    explode + one groupBy(span) shuffle; spans seen in ≥2 distinct docs
+    survive. Linear in corpus token count at any scale, and the hot
+    spans the shuffle concentrates are exactly the boilerplate being
+    hunted. Unlike text_winnow_fingerprint (sampled fingerprints for
+    doc-level matching), this is the full-fidelity span table."""
+    w = REPEATED_SPAN_W
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tokens"))
+    spans = F.expr(
+        f"CASE WHEN size(tokens) >= {w} "
+        f"THEN transform(sequence(0, size(tokens) - {w}), "
+        f"i -> md5(concat_ws(' ', slice(tokens, i + 1, {w})))) "
+        f"ELSE array() END"
+    )
+    return (
+        d.select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+TEXT_REPEATED_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(tokens) - %d + 2),
+                               i -> md5(array_to_string(tokens[i:i + %d - 1], ' ')))) AS span
+  FROM toks WHERE len(tokens) >= %d
+)
+SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ, MIN(doc_id) AS first_doc
+FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+""" % (REPEATED_SPAN_W, REPEATED_SPAN_W, REPEATED_SPAN_W)
+
+
+QUERIES["text_repeated_spans"] = text_repeated_spans
+ORACLES["text_repeated_spans"] = TEXT_REPEATED_SPANS_SQL
