@@ -99,6 +99,61 @@ def extract_features(assets: DataFrame, batch_rows: int = 1024) -> DataFrame:
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("byte_offset", IntegerType(), False),
+        StructField("frame_byte", IntegerType(), True),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, max_frames: int = 8, bytes_per_frame: int = 64
+) -> DataFrame:
+    """Evenly-spaced frame sampling over binary payloads — the 1→k
+    fan-out shape a video frame extractor has (one asset row in, k
+    frame rows out of the same Arrow batch). The per-frame "decode" is
+    a STUB (the sampled payload byte stands in for a decoded frame); a
+    production build replaces the inner loop with av/ffmpeg extraction
+    without touching the mapInPandas signature, batching, or schema.
+    Frame count is size-derived (min(max_frames, n_bytes //
+    bytes_per_frame)) so row fan-out stays bounded per asset at any
+    corpus scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "byte_offset": [],
+                "frame_byte": [],
+            }
+            for aid, payload, nb in zip(
+                pdf["asset_id"], pdf["payload"], pdf["n_bytes"]
+            ):
+                if payload is None or not nb:
+                    continue
+                k = max(1, min(max_frames, int(nb) // bytes_per_frame))
+                for j in range(k):
+                    off = j * int(nb) // k
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(j)
+                    out["byte_offset"].append(off)
+                    out["frame_byte"].append(payload[off])
+            yield pd.DataFrame(out).astype(
+                {
+                    "asset_id": "int64",
+                    "frame_idx": "int32",
+                    "byte_offset": "int32",
+                    "frame_byte": "int32",
+                }
+            )
+
+    return assets.mapInPandas(run, FRAME_SCHEMA)
+
+
 def size_partitioned(assets: DataFrame, target_mb: int = 128) -> DataFrame:
     """Repartition by payload volume, not row count — media rows are
     wildly variable-sized, so row-count partitioning creates stragglers

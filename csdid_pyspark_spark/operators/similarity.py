@@ -228,6 +228,45 @@ def neardup_pairs_lsh(
     ).filter(F.col("cosine") >= threshold)
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    cluster_col: str = "label",
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): pairs within the same cluster whose embedding
+    cosine is >= ``threshold``; a vector with a lower-id neighbor above
+    threshold is the one a keep-list drops. The join is an EQUI-join on
+    the cluster key — cost is O(sum c_i^2) over cluster sizes, bounded
+    by the clustering granularity, never global n^2. At 100 TB the
+    cluster id comes from a k-means/LSH assignment step and each
+    cluster's pair block fits a single task, so the shuffle is one
+    hash-partition on the cluster key. (Scale extension, SURVEY.md
+    §7/M6 — no reference analog.)"""
+    a = df.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("id_a"),
+        as_double_array(vec_col).alias("_va"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("_cb"),
+        F.col(id_col).alias("id_b"),
+        as_double_array(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, (F.col("_c") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.col("_c").alias(cluster_col),
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def knn_join_bruteforce(
     left: DataFrame,
     right: DataFrame,

@@ -2280,3 +2280,139 @@ FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
 
 QUERIES["text_repeated_spans"] = text_repeated_spans
 ORACLES["text_repeated_spans"] = TEXT_REPEATED_SPANS_SQL
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bounded semantic dedup over embeddings
+# ---------------------------------------------------------------------------
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-stats per cluster: within each ``label`` cluster,
+    a vector with a lower-id neighbor at cosine >= 0.4 is dropped; the
+    rest survive. The pair search is an equi-join on the cluster key
+    (operators/similarity.py::semantic_dedup_pairs) — O(sum c_i^2),
+    bounded by cluster granularity, never a global n^2 — which is
+    exactly how SemDeDup scales semantic dedup to web corpora: k-means
+    first, pairwise cosine only inside each cluster."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(e, cluster_col="label", threshold=0.4)
+    dupes = pairs.groupBy("label").agg(
+        F.countDistinct("id_b").alias("_nd")
+    )
+    base = e.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    nd = F.coalesce(F.col("_nd"), F.lit(0)).cast("bigint")
+    return (
+        base.join(dupes, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            nd.alias("n_dupes"),
+            (F.col("n_vecs") - nd).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+DEDUP_SEMANTIC_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.label, b.vec_id AS dup
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+),
+d AS (SELECT label, COUNT(DISTINCT dup) AS n_dupes FROM p GROUP BY 1),
+base AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1)
+SELECT base.label, base.n_vecs,
+       CAST(COALESCE(d.n_dupes, 0) AS BIGINT) AS n_dupes,
+       CAST(base.n_vecs - COALESCE(d.n_dupes, 0) AS BIGINT) AS n_kept
+FROM base LEFT JOIN d ON base.label = d.label
+"""
+
+
+QUERIES["dedup_semantic"] = dedup_semantic
+ORACLES["dedup_semantic"] = DEDUP_SEMANTIC_SQL
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy / lexical diversity (quality filtering)
+# ---------------------------------------------------------------------------
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy (nats) + type-token ratio per document —
+    the lexical-diversity signals a quality filter thresholds on
+    (low-entropy text is boilerplate/spam; TTR near 0 is repetition).
+    One explode + two partial-aggregated shuffles ((doc,token) then
+    doc), each with map-side combine: entropy = ln(N) - sum(c*ln c)/N
+    needs only per-(doc,token) counts, never a vocabulary broadcast,
+    and the second shuffle moves one row per (doc,token), not per
+    token occurrence."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("double")
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n, 6
+        ).alias("entropy"),
+        F.round(F.count("*") / n, 6).alias("ttr"),
+    )
+
+
+TEXT_TOKEN_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       ROUND(LN(CAST(SUM(c) AS DOUBLE))
+             - SUM(c * LN(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS entropy,
+       ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr
+FROM tf GROUP BY doc_id
+"""
+
+
+QUERIES["text_token_entropy"] = text_token_entropy
+ORACLES["text_token_entropy"] = TEXT_TOKEN_ENTROPY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling (1→k fan-out plumbing over binary payloads)
+# ---------------------------------------------------------------------------
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame samples from every video asset via the
+    Arrow mapInPandas fan-out operator; the oracle re-derives the
+    deterministic fake-decode arithmetic (payload byte (i*31+j*7)%256,
+    size-derived frame count) the same way multimodal_features does."""
+    from csdid_pyspark_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, 256).filter(
+        F.col("modality") == "video"
+    )
+    return multimodal.sample_frames(assets, max_frames=8, bytes_per_frame=64)
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH a AS (
+  SELECT i, 128 + (i % 5) * 64 AS n_bytes
+  FROM generate_series(0, 255) t(i) WHERE i % 3 = 2
+),
+f AS (SELECT i, n_bytes, LEAST(8, n_bytes // 64) AS k FROM a),
+fr AS (SELECT i AS asset_id, n_bytes, k, UNNEST(range(0, k)) AS j FROM f)
+SELECT asset_id,
+       CAST(j AS INT) AS frame_idx,
+       CAST(j * n_bytes // k AS INT) AS byte_offset,
+       CAST((asset_id * 31 + (j * n_bytes // k) * 7) % 256 AS INT) AS frame_byte
+FROM fr
+"""
+
+
+QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+ORACLES["multimodal_frame_sample"] = MULTIMODAL_FRAMES_SQL

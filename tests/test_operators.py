@@ -456,3 +456,52 @@ def test_jaccard_pairs_between_delta_vs_corpus_only(spark):
     # sides, so the identical pair keeps jaccard on the surviving shingles
     capped = dedup.jaccard_pairs_between(delta, corpus, threshold=0.1, max_df=1)
     assert all(r["delta_id"] in (100, 101) for r in capped.collect())
+
+
+def test_semantic_dedup_pairs_cluster_bounded(spark):
+    emb = load_table(spark, SF, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(emb, cluster_col="label", threshold=0.4)
+    rows = pairs.collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(r["cosine"] >= 0.4 for r in rows)
+    # every emitted pair shares its cluster: the subset of the exact
+    # all-pairs baseline whose endpoints have equal labels
+    lbl = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert all(lbl[r["id_a"]] == lbl[r["id_b"]] for r in rows)
+    exact = similarity.neardup_pairs_cosine(emb, threshold=0.4).collect()
+    expect = {
+        (r["id_a"], r["id_b"]) for r in exact if lbl[r["id_a"]] == lbl[r["id_b"]]
+    }
+    assert {(r["id_a"], r["id_b"]) for r in rows} == expect
+    # the cluster join must be an equi-join, never a nested-loop product
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_sample_frames_fanout_and_determinism(spark):
+    assets = multimodal.synthetic_assets(spark, n=30)
+    frames = multimodal.sample_frames(assets, max_frames=8, bytes_per_frame=64)
+    assert frames.schema == multimodal.FRAME_SCHEMA
+    rows = frames.collect()
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    meta = {r["asset_id"]: r for r in assets.collect()}
+    for aid, fr in by_asset.items():
+        nb = meta[aid]["n_bytes"]
+        k = max(1, min(8, nb // 64))
+        assert len(fr) == k
+        assert sorted(r["frame_idx"] for r in fr) == list(range(k))
+        payload = meta[aid]["payload"]
+        for r in fr:
+            assert r["byte_offset"] == r["frame_idx"] * nb // k
+            assert r["frame_byte"] == payload[r["byte_offset"]]
+    # null payloads contribute zero frames instead of crashing the batch
+    from pyspark.sql import Row
+
+    null_asset = spark.createDataFrame(
+        [Row(asset_id=99, modality="video", mime=None, payload=None, n_bytes=0)],
+        multimodal.ASSET_SCHEMA,
+    )
+    assert multimodal.sample_frames(null_asset).count() == 0
