@@ -2416,3 +2416,108 @@ FROM fr
 
 QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 ORACLES["multimodal_frame_sample"] = MULTIMODAL_FRAMES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Robust per-source length outliers (median/MAD quality gate)
+# ---------------------------------------------------------------------------
+
+def quality_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier stats on document length: median and
+    MAD (median absolute deviation), plus how many documents sit more
+    than 3 MAD from the median — the robust alternative to mean/stddev
+    gates, which a handful of giant documents would drag. Two grouped
+    percentile passes with a broadcast join of the tiny per-source
+    stats between them (source cardinality is bounded — a mixture
+    config, not data-sized)."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    med = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("_med")
+    )
+    dev = d.join(F.broadcast(med), "source").withColumn(
+        "_adev", F.abs(F.col("n_chars") - F.col("_med"))
+    )
+    # the 3-MAD count needs the finished MAD, so it is a second pass
+    # over the deviation table, not an agg-of-agg in one pass
+    return (
+        dev.join(
+            F.broadcast(
+                dev.groupBy("source").agg(
+                    F.expr("percentile(_adev, 0.5)").alias("_mad")
+                )
+            ),
+            "source",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.first("_med"), 4).alias("med_chars"),
+            F.round(F.first("_mad"), 4).alias("mad_chars"),
+            F.sum(
+                F.when(F.col("_adev") > 3 * F.col("_mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+QUALITY_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS m FROM documents GROUP BY 1
+),
+dev AS (
+  SELECT d.source, d.n_chars, med.m, ABS(d.n_chars - med.m) AS adev
+  FROM documents d JOIN med ON d.source = med.source
+),
+mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT dev.source,
+       COUNT(*) AS n_docs,
+       ROUND(MIN(dev.m), 4) AS med_chars,
+       ROUND(MIN(mad.mad), 4) AS mad_chars,
+       CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad ON dev.source = mad.source
+GROUP BY dev.source
+"""
+
+
+QUERIES["quality_length_outliers"] = quality_length_outliers
+ORACLES["quality_length_outliers"] = QUALITY_OUTLIERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group reservoir sample (k docs per source)
+# ---------------------------------------------------------------------------
+
+def sample_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-source sample, content-addressed: rank docs inside
+    each source by md5(doc_id) and keep the first 5. Unlike rand()
+    sampling this is reproducible across engines/partitionings/reruns,
+    and unlike a global hash-bucket filter it guarantees per-group
+    quota — the shape eval-set carving needs. One window shuffle keyed
+    by source; at scale the same plan holds because group count grows
+    with the corpus while k stays fixed."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SAMPLE_GROUP_RESERVOIR_SQL = """
+SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 5
+"""
+
+
+QUERIES["sample_group_reservoir"] = sample_group_reservoir
+ORACLES["sample_group_reservoir"] = SAMPLE_GROUP_RESERVOIR_SQL
