@@ -2521,3 +2521,64 @@ SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
 
 QUERIES["sample_group_reservoir"] = sample_group_reservoir
 ORACLES["sample_group_reservoir"] = SAMPLE_GROUP_RESERVOIR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Per-document span novelty (boilerplate / memorization-risk score)
+# ---------------------------------------------------------------------------
+
+def text_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's W-token spans that appear in no
+    other document — the per-doc counterpart of text_repeated_spans: a
+    low novelty score means the document is mostly boilerplate shared
+    with the rest of the corpus (dedup/memorization risk); 1.0 means
+    fully unique text. Span df is aggregated (one row per span) and
+    joined back to the occurrence table on the span key — both sides
+    shuffle-partition on span with bounded per-key state, unlike a
+    collect_set window, which would buffer every doc id of a hot
+    boilerplate span in one task. No span-table broadcast anywhere —
+    the same discipline as TF-IDF, so it holds at corpus scale."""
+    w = REPEATED_SPAN_W
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tokens"))
+    spans = F.expr(
+        f"CASE WHEN size(tokens) >= {w} "
+        f"THEN transform(sequence(0, size(tokens) - {w}), "
+        f"i -> md5(concat_ws(' ', slice(tokens, i + 1, {w})))) "
+        f"ELSE array() END"
+    )
+    sp = d.select("doc_id", F.explode(spans).alias("span"))
+    sdf = sp.groupBy("span").agg(F.countDistinct("doc_id").alias("ddf"))
+    scored = sp.join(sdf, "span").withColumn(
+        "_novel", F.when(F.col("ddf") == 1, 1).otherwise(0)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("_novel").cast("bigint").alias("n_novel"),
+        F.round(F.sum("_novel") / F.count("*").cast("double"), 6).alias("novelty"),
+    )
+
+
+TEXT_SPAN_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(tokens) - %d + 2),
+                               i -> md5(array_to_string(tokens[i:i + %d - 1], ' ')))) AS span
+  FROM toks WHERE len(tokens) >= %d
+),
+sdf AS (SELECT span, COUNT(DISTINCT doc_id) AS ddf FROM spans GROUP BY 1)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN sdf.ddf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN sdf.ddf = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM spans s JOIN sdf ON s.span = sdf.span
+GROUP BY s.doc_id
+""" % (REPEATED_SPAN_W, REPEATED_SPAN_W, REPEATED_SPAN_W)
+
+
+QUERIES["text_span_novelty"] = text_span_novelty
+ORACLES["text_span_novelty"] = TEXT_SPAN_NOVELTY_SQL
