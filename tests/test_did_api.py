@@ -306,3 +306,51 @@ def test_plot_rendering_gated_and_smoke(spark):
     fig2 = plots.plot_aggte(_Dyn())
     assert len(fig2.axes) == 1
     assert len(fig2.axes[0].collections) >= 1  # the scatter series
+
+
+def test_chi2_sf_reference_values():
+    from csdid_pyspark_spark.did.stats import chi2_sf
+
+    # (x, k, scipy.stats.chi2.sf reference)
+    for x, k, want in [
+        (3.841458820694124, 1, 0.05),
+        (5.991464547107979, 2, 0.05),
+        (18.307038053275146, 10, 0.05),
+        (124.34211340445888, 100, 0.05),
+        (2.705543454095404, 1, 0.10),
+        (1.0, 3, 0.8012519569012008),
+        (50.0, 7, 1.4444852779215397e-08),
+    ]:
+        assert chi2_sf(x, k) == pytest.approx(want, rel=1e-9, abs=1e-15)
+    assert chi2_sf(0.0, 5) == 1.0
+    assert chi2_sf(float("inf"), 5) == 0.0
+    with pytest.raises(ValueError):
+        chi2_sf(1.0, 0)
+
+
+def test_pretrend_test_null_vs_violation(spark):
+    # Null: make_panel_dgp satisfies parallel trends by construction
+    pdf = make_panel_dgp(n_units=400, periods=(1, 2, 3, 4, 5), cohorts=(0, 4, 5), seed=7)
+    est = _fit(spark, pdf)
+    null_res = est.pretrend_test()
+    assert null_res["n_pre"] > 0 and null_res["dof"] >= 1
+    assert np.isfinite(null_res["W"]) and null_res["W"] >= 0
+    # under H0 an extreme p-value is (very) unlikely at this n
+    assert null_res["pvalue"] > 1e-4
+
+    # Violation: treated cohorts drift upward BEFORE treatment
+    bad = pdf.copy()
+    bad["Y"] = bad["Y"] + np.where(bad["G"] > 0, 1.5 * bad["period"], 0.0)
+    est2 = _fit(spark, bad)
+    bad_res = est2.pretrend_test()
+    assert bad_res["pvalue"] < 1e-3
+    assert bad_res["W"] > null_res["W"]
+
+
+def test_pretrend_requires_fit(spark, dgp):
+    est = ATTgt(spark.createDataFrame(dgp), "Y", "period", "id", "G",
+                xfmla="Y ~ x1", allow_unbalanced_panel=False)
+    from csdid_pyspark_spark.did.preprocess import DidError
+
+    with pytest.raises(DidError):
+        est.pretrend_test()
