@@ -75,6 +75,50 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_mb: int = 512,
+) -> int:
+    """Small-file compaction: rewrite a parquet location into files of
+    roughly ``target_mb`` each; returns the file count written. A
+    streaming/incremental pipeline leaves thousands of KB-sized files;
+    every later scan then pays per-file open/footer costs and the
+    driver pays listing memory — at 100 TB this is a scheduled
+    maintenance pass. Target file count comes from the on-disk byte
+    size in the file index (a metadata call, no data pass), and
+    ``coalesce`` merges scan splits WITHOUT a shuffle, so compaction
+    is pure sequential I/O: read k small files, write n big ones."""
+    total_bytes = _dir_bytes(spark, path)
+    n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(out_path, "**", "*.parquet"), recursive=True))
+
+
+def _dir_bytes(spark, path: str) -> int:
+    """Recursive byte size of a location via the Hadoop FileSystem API
+    (works on HDFS/S3A/file: — one namenode/liststore call, no data
+    read), falling back to a local glob when no JVM gateway exists."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(p).getLength())
+    except Exception:
+        import glob
+        import os
+
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(f)
+        )
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

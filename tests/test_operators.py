@@ -505,3 +505,31 @@ def test_sample_frames_fanout_and_determinism(spark):
         multimodal.ASSET_SCHEMA,
     )
     assert multimodal.sample_frames(null_asset).count() == 0
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from csdid_pyspark_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    df = load_table(spark, SF, "lineitem")
+    # simulate an incremental writer's debris: 64 tiny files
+    df.repartition(64).write.parquet(src)
+    import glob
+    import os
+
+    n_before = len(glob.glob(os.path.join(src, "*.parquet")))
+    assert n_before >= 32
+    n_after = compact_parquet(spark, src, out, target_mb=512)
+    assert n_after < n_before and n_after >= 1
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # coalesce, not repartition: the rewrite plan must contain no shuffle
+    plan = (
+        spark.read.parquet(src)
+        .coalesce(1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
