@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -84,3 +86,21 @@ def F_col(name):
     from pyspark.sql import functions as F
 
     return F.col(name)
+
+
+@given(
+    st.floats(min_value=0.01, max_value=200.0),
+    st.integers(min_value=1, max_value=150),
+)
+@settings(max_examples=200, deadline=None)
+def test_chi2_sf_properties(x, k):
+    from csdid_pyspark_spark.did.stats import chi2_sf
+
+    p = chi2_sf(x, k)
+    assert 0.0 <= p <= 1.0
+    # monotone decreasing in x, increasing in k (larger dof shifts mass right)
+    assert chi2_sf(x * 1.5, k) <= p + 1e-12
+    assert chi2_sf(x, k + 1) >= p - 1e-12
+    # closed forms: k=2 is Exp(1/2); k=1 is a squared standard normal
+    assert chi2_sf(x, 2) == pytest.approx(math.exp(-x / 2), rel=1e-12)
+    assert chi2_sf(x, 1) == pytest.approx(math.erfc(math.sqrt(x / 2)), rel=1e-10, abs=1e-300)
