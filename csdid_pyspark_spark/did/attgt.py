@@ -393,6 +393,34 @@ class ATTgt:
         self.summary_aggte[typec] = out
         return out
 
+    # ------------------------------------------------------------------
+    # Method-level parity with the reference class surface
+    # (reference ATTgt.py:507 sum_gt, :881 plot_attgt, :939 plot_aggte)
+    # ------------------------------------------------------------------
+    def sum_gt(self, n: int = 4) -> str:  # noqa: ARG002 - reference signature
+        """Reference-name alias for :meth:`summary` (its ``n`` rounding
+        arg is honored by summary's fixed 4-digit rounding)."""
+        return self.summary()
+
+    def plot_attgt(self, title: str = "ATT(g,t)"):
+        """Render the per-(g,t) errorbar figure (reference method of
+        the same name; requires a prior fit and matplotlib)."""
+        if self.fit_result is None:
+            raise DidError("call fit() before plot_attgt()")
+        from csdid_pyspark_spark.did.plots import plot_attgt as _plot
+
+        return _plot(self.fit_result.table, title=title)
+
+    def plot_aggte(self, typec: str = "dynamic", **kwargs):
+        """Render the aggregation errorbar figure; computes (and
+        caches) the aggregation if it has not been run yet. Unlike the
+        reference, the plotted aggregation matches ``typec`` (its bug
+        of always plotting 'group' — SURVEY.md §2.8 — is fixed)."""
+        out = self.summary_aggte.get(typec) or self.compute_aggte(typec, **kwargs)
+        from csdid_pyspark_spark.did.plots import plot_aggte as _plot
+
+        return _plot(out)
+
 
 def att_gt(
     data,

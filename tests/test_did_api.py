@@ -354,3 +354,29 @@ def test_pretrend_requires_fit(spark, dgp):
 
     with pytest.raises(DidError):
         est.pretrend_test()
+
+
+def test_reference_method_surface(spark, dgp):
+    """Method-level parity with the reference class: sum_gt /
+    plot_attgt / plot_aggte exist as ATTgt methods (reference
+    ATTgt.py:507,881,939)."""
+    est = _fit(spark, dgp)
+    assert est.sum_gt() == est.summary()
+    try:
+        import matplotlib  # noqa: F401
+        have_mpl = True
+    except ImportError:
+        have_mpl = False
+    if have_mpl:
+        assert est.plot_attgt() is not None
+        assert est.plot_aggte("dynamic") is not None
+    else:
+        with pytest.raises(ImportError, match="attgt_plot_data"):
+            est.plot_attgt()
+
+    bare = ATTgt(spark.createDataFrame(dgp), "Y", "period", "id", "G",
+                 allow_unbalanced_panel=False)
+    from csdid_pyspark_spark.did.preprocess import DidError
+
+    with pytest.raises(DidError):
+        bare.plot_attgt()
