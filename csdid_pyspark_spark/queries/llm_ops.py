@@ -2582,3 +2582,70 @@ GROUP BY s.doc_id
 
 QUERIES["text_span_novelty"] = text_span_novelty
 ORACLES["text_span_novelty"] = TEXT_SPAN_NOVELTY_SQL
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized top-k similarity (the 4x-smaller-scan ANN path)
+# ---------------------------------------------------------------------------
+
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by int8-quantized dot product against vec_id=0: codes use
+    the same symmetric per-vector quantization as embedding_quantize
+    (scale = max|x|/127), the scan reads ONE byte per dimension instead
+    of four — the memory-bandwidth trade that makes brute-force rescan
+    viable at 100 TB — and the score de-quantizes as dot(q_a, q_b) ·
+    scale_a · scale_b. Integer-valued dots are exact in doubles, so
+    Spark and DuckDB order identically; tests measure recall against
+    the float top-k (operator docs: operators/similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    scale = F.greatest(F.array_max(absd) / F.lit(127.0), F.lit(1e-30))
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") / scale).cast("double")
+    )
+    qv = e.select("vec_id", scale.alias("s"), q.alias("q"))
+    probe = qv.filter(F.col("vec_id") == 0).select(
+        F.col("s").alias("s0"), F.col("q").alias("q0")
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "q0", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        qv.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            dot.cast("bigint").alias("dot_q"),
+            F.round(dot * F.col("s") * F.col("s0"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
+SIM_TOPK_INT8_SQL = """
+WITH qv AS (
+  SELECT vec_id,
+         GREATEST(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS s,
+         list_transform(embedding,
+                  x -> round(CAST(x AS DOUBLE) /
+                       GREATEST(list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))) / 127.0, 1e-30))) AS q
+  FROM embeddings
+),
+probe AS (SELECT s AS s0, q AS q0 FROM qv WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(list_dot_product(qv.q, probe.q0) AS BIGINT) AS dot_q,
+       ROUND(list_dot_product(qv.q, probe.q0) * qv.s * probe.s0, 6) AS score
+FROM qv, probe
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+QUERIES["sim_topk_int8"] = sim_topk_int8
+ORACLES["sim_topk_int8"] = SIM_TOPK_INT8_SQL

@@ -533,3 +533,15 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_int8_topk_recall_vs_float(spark):
+    from csdid_pyspark_spark.queries.llm_ops import sim_topk_int8
+    from csdid_pyspark_spark.queries.llm_ops import sim_topk_bruteforce
+
+    sf = "/root/testdata/sf0.001"
+    int8 = [r["vec_id"] for r in sim_topk_int8(spark, sf).collect()]
+    flt = [r["vec_id"] for r in sim_topk_bruteforce(spark, sf).collect()]
+    assert len(int8) == 10
+    # int8 quantization error is ~1/254 per dim; top-k overlap stays high
+    assert len(set(int8) & set(flt)) >= 7
