@@ -1747,3 +1747,77 @@ ORACLES.update(
         "q16_supplier_variety": Q16_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS over the
+# same fact table, the hardest classic join shape (adapted: testdata has
+# no receipt/commit dates, so "late" = shipped >90 days after the order
+# date; the multi-supplier EXISTS / sole-blame NOT EXISTS structure is
+# the original's)
+# ---------------------------------------------------------------------------
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated by hand into the plan a correlated-subquery
+    optimizer should reach: the EXISTS becomes a LEFT SEMI join on the
+    order key (any other supplier on the order), the NOT EXISTS a LEFT
+    ANTI join against the late-rows table (no OTHER supplier was also
+    late), both with the supplier-inequality as a residual join
+    condition — never a per-row subquery. The late set is computed once
+    and reused for both the probe side and the anti side; at scale all
+    three joins shuffle on l_orderkey, so AQE can reuse the exchange."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F' AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
+ORACLES["q21_waiting_suppliers"] = Q21_SQL
