@@ -1821,3 +1821,46 @@ LIMIT 20
 
 QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
 ORACLES["q21_waiting_suppliers"] = Q21_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: GROUP BY ... HAVING agg > scalar-subquery fraction of the
+# global total (adapted: no partsupp table in the testdata, so "value"
+# is revenue per supplier; the having-vs-global-scalar structure is the
+# original's)
+# ---------------------------------------------------------------------------
+
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose revenue exceeds 1.05% of global revenue. The
+    scalar subquery decorrelates to a 1-row broadcast crossJoin: the
+    per-supplier aggregation and the global total share one scan
+    subtree but aggregate independently (two passes — at 100 TB the
+    global total is the cheap pass, the grouped one the real work),
+    then HAVING is a post-agg filter against the broadcast scalar.
+    Revenue accumulates in DECIMAL(30,6) on both engines (the module's
+    float discipline) so the >-threshold cut is bit-identical."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    per = l.groupBy("l_suppkey").agg(F.sum(rev).alias("_v"))
+    total = l.agg((F.sum(rev) * F.lit(0.0105)).cast("decimal(38,10)").alias("_cut"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("_v").cast("decimal(38,10)") > F.col("_cut"))
+        .select("l_suppkey", F.col("_v").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_suppkey")
+    )
+
+
+Q11_SQL = """
+SELECT l_suppkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS value
+FROM lineitem GROUP BY l_suppkey
+HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) >
+       (SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) * 0.0105
+        FROM lineitem)
+ORDER BY value DESC, l_suppkey
+"""
+
+
+QUERIES["q11_important_suppliers"] = q11_important_suppliers
+ORACLES["q11_important_suppliers"] = Q11_SQL
