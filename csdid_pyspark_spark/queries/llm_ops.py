@@ -2649,3 +2649,110 @@ LIMIT 10
 
 QUERIES["sim_topk_int8"] = sim_topk_int8
 ORACLES["sim_topk_int8"] = SIM_TOPK_INT8_SQL
+
+
+# ---------------------------------------------------------------------------
+# Marketing-style attribution and recency decay over the event stream
+# ---------------------------------------------------------------------------
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the most
+    recent preceding view/click by the same user ('none' when the
+    purchase has no prior touch). One window pass per user — the touch
+    type propagates forward with last(ignorenulls) over (ts, event_id)
+    order, so the stream is scanned once, partitioned by user, with no
+    self-join; purchase value accumulates in DECIMAL so the per-channel
+    totals are engine-exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touched = e.withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH touched AS (
+  SELECT user_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'none') AS touch_type,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score per user: each event's value is
+    discounted by exp(-0.05 · age_in_days) relative to the corpus's
+    newest event — the freshness weighting a ranking/curation pipeline
+    applies before mixing engagement into a quality score. The corpus
+    max timestamp is a 1-row broadcast scalar; the score is a single
+    user-keyed aggregation over integral microsecond arithmetic, so
+    both engines compute identical exponents."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    mx = e.agg(F.unix_micros(F.max("ts")).alias("mx_us"))
+    age_days = (F.col("mx_us") - F.unix_micros(F.col("ts"))) / F.lit(86400e6)
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.exp(-0.05 * age_days)), 6).alias(
+                "decayed_value"
+            ),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+EVENTS_DECAYED_SQL = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM events)
+SELECT user_id,
+       ROUND(SUM(value * EXP(-0.05 * ((mx.mx_us - epoch_us(ts)) / 86400e6))), 6)
+         AS decayed_value,
+       COUNT(*) AS n_events
+FROM events, mx
+GROUP BY user_id
+"""
+
+
+QUERIES.update(
+    {
+        "events_attribution_last_touch": events_attribution_last_touch,
+        "events_decayed_value": events_decayed_value,
+    }
+)
+ORACLES.update(
+    {
+        "events_attribution_last_touch": EVENTS_ATTRIBUTION_SQL,
+        "events_decayed_value": EVENTS_DECAYED_SQL,
+    }
+)

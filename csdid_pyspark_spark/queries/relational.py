@@ -1864,3 +1864,230 @@ ORDER BY value DESC, l_suppkey
 
 QUERIES["q11_important_suppliers"] = q11_important_suppliers
 ORACLES["q11_important_suppliers"] = Q11_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: triple-nested IN — suppliers of prefix-named parts whose
+# standing supply comfortably exceeds one year's demand (adapted: the
+# testdata has no partsupp.availqty, so "available" is the supplier's
+# all-time shipped quantity of the part; the part-name IN + correlated
+# quantity-threshold structure is the original's). Completes the
+# TPC-H Q1-Q22 join-shape inventory.
+# ---------------------------------------------------------------------------
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in two nations able to promote 'small%' parts: their
+    all-time shipped quantity of the part exceeds twice what ALL of 1998
+    demanded from them. Both correlated scalars (all-time supply and
+    1998 demand per (part, supplier)) come out of ONE conditional
+    aggregation over a single LIKE-pruned fact scan — the broadcast
+    part filter cuts lineitem before the only shuffle, and the original
+    query's two nested subqueries never rescan the fact. The qualifying
+    supplier keys then reach the tiny supplier dim as a LEFT SEMI join.
+    Quantities are integral, so double sums are exact and the strict
+    threshold compare is engine-independent."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    in_1998 = (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    qual = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(F.when(in_1998, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "qty_1998"
+            ),
+        )
+        .filter((F.col("qty_1998") > 0) & (F.col("total_qty") > 2 * F.col("qty_1998")))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(3, 5))
+    return (
+        s.join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_nationkey IN (3, 5) AND s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_partkey, l_suppkey,
+           SUM(l_quantity) AS total_qty,
+           SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                     AND l_shipdate < TIMESTAMP '1999-01-01'
+                    THEN l_quantity ELSE 0 END) AS qty_1998
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_partkey, l_suppkey
+  ) q WHERE qty_1998 > 0 AND total_qty > 2 * qty_1998
+)
+ORDER BY s_name
+"""
+
+
+QUERIES["q20_potential_promotion"] = q20_potential_promotion
+ORACLES["q20_potential_promotion"] = Q20_SQL
+
+
+# ---------------------------------------------------------------------------
+# Dimension maintenance: CDC merge-upsert and SCD2 effective ranges —
+# the two table-maintenance primitives a warehouse/lakehouse pipeline
+# runs on every ingest batch (MERGE INTO semantics expressed as
+# key-partitioned joins, so they scale as ordinary shuffles)
+# ---------------------------------------------------------------------------
+
+def dim_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO expressed declaratively: the update batch (each
+    customer's freshest order, found with one ROW_NUMBER window over
+    the CDC stream) LEFT-joins onto the base dimension; matched rows
+    take the update's value, unmatched keep the current one. Both
+    sides shuffle once on the merge key and AQE co-partitions them —
+    the exact plan a Delta/Iceberg MERGE compiles to for the
+    matched-update case, with no table format required."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("old_bal")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    upd = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.round("o_totalprice", 2).alias("new_bal"))
+    )
+    return c.join(upd, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey",
+        "c_name",
+        "old_bal",
+        F.coalesce(F.col("new_bal"), F.col("old_bal")).alias("merged_bal"),
+        F.col("new_bal").isNotNull().alias("updated"),
+    )
+
+
+DIM_MERGE_SQL = """
+WITH upd AS (
+  SELECT o_custkey, ROUND(o_totalprice, 2) AS new_bal
+  FROM (
+    SELECT o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS old_bal,
+       COALESCE(new_bal, ROUND(c_acctbal, 2)) AS merged_bal,
+       new_bal IS NOT NULL AS updated
+FROM customer LEFT JOIN upd ON c_custkey = o_custkey
+"""
+
+
+def scd2_status_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 compaction of each customer's
+    order-status history: consecutive repeats collapse (a row survives
+    only when its status differs from the previous one), then each
+    surviving change gets its effective range [from, next-change) with
+    an open end on the current version. Two window passes over the
+    same (customer, time) ordering — one shuffle, the second window
+    reuses the first's sort. This is the standard CDC→SCD2 derivation
+    run per ingest batch."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = o.withColumn("prev", F.lag("o_orderstatus").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("eff_from"),
+        F.date_format(F.lead("o_orderdate").over(w2), "yyyy-MM-dd").alias("eff_to"),
+        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+WITH changes AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+  QUALIFY prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey, o_orderstatus AS status,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS eff_from,
+       STRFTIME(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                '%Y-%m-%d') AS eff_to,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+FROM changes
+"""
+
+
+QUERIES["dim_merge_upsert"] = dim_merge_upsert
+ORACLES["dim_merge_upsert"] = DIM_MERGE_SQL
+QUERIES["scd2_status_ranges"] = scd2_status_ranges
+ORACLES["scd2_status_ranges"] = SCD2_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bloom-style semi-join reduction: prune the fact scan with a broadcast
+# hash-bucket fingerprint of the build side's keys BEFORE the shuffle
+# join (operators/prejoin.py). False positives are removed by the exact
+# join, so the result — and the oracle — is the plain join's.
+# ---------------------------------------------------------------------------
+
+def join_prefilter_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag on urgent orders, with lineitem pruned by
+    the bucket pre-filter before the orders⋈lineitem shuffle. At 100 TB
+    the urgent-orders key set is millions of rows (un-broadcastable as
+    rows) while its bucket fingerprint stays ≤8 MB — the pre-filter
+    drops ~80% of lineitem ahead of the expensive shuffle. Correctness
+    does not depend on the filter: it only prunes."""
+    from csdid_pyspark_spark.operators.prejoin import hash_bucket_prefilter
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    l_pruned = hash_bucket_prefilter(l, "l_orderkey", o, "o_orderkey")
+    return (
+        l_pruned.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "30,6"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+JOIN_PREFILTER_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                  AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
+QUERIES["join_prefilter_bloom"] = join_prefilter_bloom
+ORACLES["join_prefilter_bloom"] = JOIN_PREFILTER_SQL

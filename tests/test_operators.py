@@ -545,3 +545,43 @@ def test_int8_topk_recall_vs_float(spark):
     assert len(int8) == 10
     # int8 quantization error is ~1/254 per dim; top-k overlap stays high
     assert len(set(int8) & set(flt)) >= 7
+
+
+def test_hash_bucket_prefilter_no_false_negatives(spark):
+    """The bloom-style pre-filter may keep extra rows (false positives)
+    but must never drop a row whose key IS in the build side — the
+    exact-join composition property join_prefilter_bloom relies on.
+    With few buckets the FP rate is high, which stresses exactly the
+    property that matters (supersets are fine, subsets are bugs)."""
+    from csdid_pyspark_spark.operators.prejoin import hash_bucket_prefilter
+
+    fact = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    build = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey")
+    )
+    pruned = hash_bucket_prefilter(fact, "l_orderkey", build, "o_orderkey", 256)
+    exact = fact.join(
+        build, fact.l_orderkey == build.o_orderkey, "left_semi"
+    )
+    # every exact-semi row survives the pre-filter
+    assert exact.join(pruned, ["l_orderkey", "l_quantity"], "left_anti").count() == 0
+    # composing with the exact join reproduces the plain join
+    n_plain = fact.join(build, fact.l_orderkey == build.o_orderkey).count()
+    n_pref = pruned.join(build, pruned.l_orderkey == build.o_orderkey).count()
+    assert n_plain == n_pref
+    # tight bucket space actually prunes: the pre-filter is not a no-op
+    assert pruned.count() < fact.count()
+
+
+def test_hash_bucket_prefilter_broadcast_plan(spark):
+    """The bucket set must reach the fact side as a BROADCAST semi join
+    — an exchange here would defeat the operator's purpose."""
+    from csdid_pyspark_spark.operators.prejoin import hash_bucket_prefilter
+
+    fact = load_table(spark, SF, "lineitem")
+    build = load_table(spark, SF, "orders").select("o_orderkey")
+    pruned = hash_bucket_prefilter(fact, "l_orderkey", build, "o_orderkey")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
