@@ -1013,3 +1013,64 @@ QUERIES["did_aggte_group_se"] = did_aggte_group_se
 ORACLES["did_aggte_group_se"] = DID_AGGTE_GROUP_SE_SQL
 QUERIES["did_aggte_calendar_se"] = did_aggte_calendar_se
 ORACLES["did_aggte_calendar_se"] = DID_AGGTE_CALENDAR_SE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Parallel-trends Wald pre-test and cluster bootstrap as query rows —
+# both deterministic (the cluster path under its fixed seed), so they
+# carry pinned VALUES goldens and get the full external hash gate
+# instead of pytest-only coverage.
+# ---------------------------------------------------------------------------
+
+def did_pretrend_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald parallel-trends pre-test (R did's Wpval; the reference has
+    no pre-test) on the cached never-treated fit: W = att_pre'
+    V_pre^-1 att_pre, V assembled distributed from the long IF table
+    (attgt.py::pretrend_test — O(m^2) driver scalars regardless of n).
+    Deterministic given the data; pinned VALUES golden."""
+    est = _fit_attgt(spark, sf_dir, "nevertreated")
+    r = est.pretrend_test()
+    rows = [
+        (
+            round(float(r["W"]), 6),
+            int(r["dof"]),
+            round(float(r["pvalue"]), 6),
+            int(r["n_pre"]),
+            int(bool(r["singular"])),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "wald double, dof int, pvalue double, n_pre int, singular int"
+    )
+
+
+def did_attgt_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATT(g,t) with CLUSTERED bootstrap SEs: units share a
+    time-invariant cluster (id % 40), the multiplier draw is one
+    Rademacher per cluster (reference §2.8.6's crash path, fixed here),
+    biters=199 seed=42 — deterministic, pinned VALUES golden. The
+    point estimates must equal the unclustered fit's; only the SEs
+    change, which the golden pins."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    panel = panel_from_events(spark, sf_dir).withColumn(
+        "cluster", (F.col("id") % 40).cast("bigint")
+    )
+    est = ATTgt(
+        panel,
+        yname="y", tname="period", idname="id", gname="g",
+        panel=True, allow_unbalanced_panel=False,
+        clustervars="cluster",
+        biters=199, seed=42,
+    )
+    est.fit(est_method="reg", bstrap=True)
+    rows = [
+        (int(r.g), int(r.t), round(float(r.att), 6), round(float(r.se), 6))
+        for r in est.fit_result.table.itertuples()
+    ]
+    est.unpersist()
+    return spark.createDataFrame(rows, "g int, t int, att double, se_clust double")
+
+
+QUERIES["did_pretrend_wald"] = did_pretrend_wald
+QUERIES["did_attgt_cluster"] = did_attgt_cluster
