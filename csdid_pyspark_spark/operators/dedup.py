@@ -138,6 +138,10 @@ def jaccard_pairs(
             F.col("df_sh") > max_df
         )
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # the postings feed sizes AND both sides of the self-join: persist
+    # once (the same postings-persisted-once policy as the LSH path) so
+    # the explode+distinct shuffle runs once, not three times
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
@@ -242,7 +246,10 @@ def jaccard_pairs_between(
 
     Columns: delta_id, corpus_id, jaccard (≥ ``threshold``)."""
     sh_d = shingle_table(delta, text_col, id_col, n)
-    sh_c = shingle_table(corpus, text_col, id_col, n)
+    # corpus postings feed the hot-df measurement, corpus-doc sizes AND
+    # the intersection join — persist once instead of re-running the
+    # corpus-wide explode+distinct (the dominant cost) three times
+    sh_c = shingle_table(corpus, text_col, id_col, n).persist()
     if max_df is not None:
         hot = (
             sh_c.groupBy("shingle")

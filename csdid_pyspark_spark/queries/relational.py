@@ -546,9 +546,34 @@ def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sketch aggregates — the shape the 100 TB counting path
+    actually runs (per-dimension dashboards, not one global number):
+    per event type, HLL++ distinct users and KLL-style approximate
+    value quantiles. Partial sketches merge map-side per group, so the
+    shuffle carries one O(sketch)-sized state per (task, group) — the
+    exact grouped distinct would instead shuffle every (type, user)
+    pair. Deterministic on fixed data; pinned VALUES golden."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("ndv_users"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9)), 10000
+        ).alias("q"),
+        F.count("*").cast("bigint").alias("n_events"),
+    ).select(
+        "event_type",
+        "ndv_users",
+        F.round(F.col("q")[0], 6).alias("value_p50"),
+        F.round(F.col("q")[1], 6).alias("value_p90"),
+        "n_events",
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "sketch_cardinality": sketch_cardinality,
+    "sketch_grouped_stats": sketch_grouped_stats,
     "project_compute": project_compute,
     "filter_predicates": filter_predicates,
     "isin_filter": isin_filter,
@@ -602,6 +627,51 @@ ORACLES = {
     "cube_lineitem": CUBE_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
 }
+
+
+# --- Time-RANGE window frame (trailing 1-hour aggregate per user) -----------
+
+def window_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: that user's event count and summed value over the
+    TRAILING HOUR — a RANGE frame over epoch seconds, not a ROWS frame,
+    so simultaneous events all see the same trailing window regardless
+    of tie order (which is why the result is engine-deterministic with
+    no tiebreak column). The rate-limiting / burst-detection window
+    shape; one shuffle on user, sorted once, frame evaluated by a
+    sliding two-pointer inside the sort — no self-join."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "sec", (F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_trailing_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double"), 4
+        ).alias("value_trailing_1h"),
+    )
+
+
+WINDOW_TRAILING_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE), 4)
+         AS value_trailing_1h
+FROM (SELECT *, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES["window_trailing_1h"] = window_trailing_1h
+ORACLES["window_trailing_1h"] = WINDOW_TRAILING_SQL
 
 
 # --- Running window aggregate (cumulative sum per key) ----------------------
