@@ -585,3 +585,49 @@ def test_hash_bucket_prefilter_broadcast_plan(spark):
     pruned = hash_bucket_prefilter(fact, "l_orderkey", build, "o_orderkey")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_scd2_ranges_partition_history(spark):
+    """SCD2 invariants: per customer, ranges are chronological and
+    chained (each eff_to equals the next eff_from), exactly one open
+    current row, and consecutive statuses always differ."""
+    from csdid_pyspark_spark.queries import QUERIES
+
+    rows = QUERIES["scd2_status_ranges"](spark, SF).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    assert by_cust
+    for hist in by_cust.values():
+        hist.sort(key=lambda r: r["eff_from"])
+        assert sum(1 for r in hist if r["is_current"]) == 1
+        assert hist[-1]["is_current"] and hist[-1]["eff_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["eff_to"] == b["eff_from"]
+            assert a["status"] != b["status"]
+
+
+def test_merge_upsert_semantics(spark):
+    """Every base row survives exactly once; updated rows carry the
+    update value, untouched rows keep the base value."""
+    from csdid_pyspark_spark.queries import QUERIES
+
+    out = QUERIES["dim_merge_upsert"](spark, SF)
+    rows = out.collect()
+    base_n = load_table(spark, SF, "customer").count()
+    assert len(rows) == base_n
+    assert len({r["c_custkey"] for r in rows}) == base_n
+    # updated == customer has >=1 order; merged value comes from the
+    # freshest order for updated rows, from the base row otherwise
+    latest = {
+        r["o_custkey"]: round(r["o_totalprice"], 2)
+        for r in load_table(spark, SF, "orders")
+        .orderBy("o_orderdate", "o_orderkey")
+        .collect()
+    }
+    for r in rows:
+        if r["updated"]:
+            assert r["merged_bal"] == latest[r["c_custkey"]]
+        else:
+            assert r["c_custkey"] not in latest
+            assert r["merged_bal"] == r["old_bal"]

@@ -340,3 +340,57 @@ def test_incremental_dedup_caps_and_prunes_corpus_side(spark, sf_dir):
     assert "LeftAnti" in plan           # df cap applied before the wide join
     assert "LeftSemi" in plan           # corpus postings pruned to delta shingles
     assert "BroadcastHashJoin" in plan  # the cap's hot list rides broadcast
+
+
+def test_q20_broadcast_prune_and_single_agg_shuffle(spark, sf_dir):
+    """Q20: the LIKE-filtered part dim must broadcast into the fact
+    scan (pruning lineitem before its only shuffle) and both correlated
+    scalars must come from ONE aggregation — a second scan of lineitem
+    would double the fact cost at 100 TB."""
+    plan = _plan(spark, sf_dir, "q20_potential_promotion")
+    assert "BroadcastHashJoin" in plan
+    assert "StartsWith(p_name, small)" in plan or "PushedFilters: [IsNotNull(p_name), StringStartsWith(p_name,small)" in plan
+    # exactly one scan of lineitem feeds the plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "LeftSemi" in plan
+
+
+def test_scd2_single_sort_shared_by_both_windows(spark, sf_dir):
+    """Both window passes (change detection, effective ranges) use the
+    same (customer, time) ordering: the plan must shuffle+sort orders
+    ONCE and reuse that ordering for the second Window — a second
+    exchange would double the cost of every SCD2 batch."""
+    plan = _plan(spark, sf_dir, "scd2_status_ranges")
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1, plan
+    assert plan.count("Sort [o_custkey") <= 2  # second sort may elide; never re-exchanges
+
+
+def test_prefilter_bloom_prunes_before_shuffle_join(spark, sf_dir):
+    """The bucket pre-filter must reach lineitem as a BROADCAST semi
+    join BEFORE the orders join; the exact join may then broadcast or
+    shuffle as sizes dictate, but the semi reduction must not itself
+    shuffle the fact."""
+    plan = _plan(spark, sf_dir, "join_prefilter_bloom")
+    i_semi = plan.find("LeftSemi")
+    assert i_semi > 0
+    # the semi join is a broadcast, not a shuffled join
+    seg = plan[max(0, i_semi - 200):i_semi + 50]
+    assert "BroadcastHashJoin" in seg, seg
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """Last-touch attribution must be ONE window pass over the event
+    stream (single user-keyed exchange), not a purchases-to-touches
+    self-join."""
+    plan = _plan(spark, sf_dir, "events_attribution_last_touch")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_trailing_range_window_no_self_join(spark, sf_dir):
+    """The trailing-hour aggregate must be a RANGE window frame, never
+    an events-to-events range self-join (quadratic per user)."""
+    plan = _plan(spark, sf_dir, "window_trailing_1h")
+    assert "Window" in plan
+    assert "Join" not in plan, plan
