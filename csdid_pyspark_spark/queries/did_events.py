@@ -1074,3 +1074,40 @@ def did_attgt_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["did_pretrend_wald"] = did_pretrend_wald
 QUERIES["did_attgt_cluster"] = did_attgt_cluster
+
+
+# ---------------------------------------------------------------------------
+# Balanced event study: balance_e trims cohorts AND event times so the
+# cohort composition is identical at every retained event time (R did's
+# balance_e; reference lacks it). Point estimates are SQL-expressible,
+# so this variant gets a full ANSI oracle rather than a golden.
+# ---------------------------------------------------------------------------
+
+def did_aggte_dynamic_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dynamic aggregation with balance_e=2: only cohorts observed for
+    >= 2 post periods, event times trimmed to 2-span <= e <= 2
+    (aggte_ops.py:323-331 — the R-correct lower trim)."""
+    est = _fit_attgt(spark, sf_dir, "nevertreated")
+    out = est.compute_aggte("dynamic", balance_e=2)
+    rows = [(float(e), round(float(a), 6)) for e, a in zip(out.egt, out.att_egt)]
+    rows.append((-99.0, round(float(out.overall_att), 6)))  # overall row
+    return spark.createDataFrame(rows, "egt double, att double")
+
+
+DID_AGGTE_DYN_BAL_SQL = _AGG_PRELUDE + """
+, bounds AS (SELECT MAX(period) - MIN(period) AS span FROM panel0),
+mx AS (SELECT MAX(t) AS max_t FROM att_tbl),
+per_e AS (
+  SELECT t - g AS e, SUM(att * pg) / SUM(pg) AS att
+  FROM att_tbl JOIN pg USING (g), bounds, mx
+  WHERE mx.max_t - g >= 2 AND t - g <= 2 AND t - g >= 2 - bounds.span
+  GROUP BY t - g
+)
+SELECT CAST(e AS DOUBLE) AS egt, ROUND(att, 6) AS att FROM per_e
+UNION ALL
+SELECT -99.0, ROUND(AVG(att), 6) FROM per_e WHERE e >= 0
+"""
+
+
+QUERIES["did_aggte_dynamic_balanced"] = did_aggte_dynamic_balanced
+ORACLES["did_aggte_dynamic_balanced"] = DID_AGGTE_DYN_BAL_SQL

@@ -2756,3 +2756,42 @@ ORACLES.update(
         "events_decayed_value": EVENTS_DECAYED_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over the embedding corpus (whitening / intrinsic-dim
+# diagnostics before indexing)
+# ---------------------------------------------------------------------------
+
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal variances (covariance eigenvalues) of the
+    embedding corpus with explained-variance ratios. The corpus is
+    reduced to O(batches · p²) Gram partials executor-side
+    (operators/gram.py — one Arrow batch → one partial row, the same
+    fixed-driver-traffic shape as the estimator kernels); the 64×64
+    eigendecomposition is driver numpy. Eigenvalues round to 4
+    decimals so partition-layout float drift (~1e-12 relative) cannot
+    surface; pinned VALUES golden."""
+    from csdid_pyspark_spark.operators.gram import (
+        covariance_from_partials,
+        partial_gram,
+    )
+
+    rows = partial_gram(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    ).collect()
+    n, cov = covariance_from_partials(rows)
+    import numpy as np
+
+    w = np.linalg.eigvalsh(cov)[::-1]
+    trace = float(w.sum())
+    out = [
+        (i + 1, round(float(w[i]), 4), round(float(w[i] / trace), 4))
+        for i in range(8)
+    ]
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, explained double"
+    )
+
+
+QUERIES["embedding_pca_variance"] = embedding_pca_variance
