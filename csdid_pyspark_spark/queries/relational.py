@@ -2161,3 +2161,141 @@ GROUP BY l_returnflag
 
 QUERIES["join_prefilter_bloom"] = join_prefilter_bloom
 ORACLES["join_prefilter_bloom"] = JOIN_PREFILTER_SQL
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation: classify every key of two table versions as
+# added / removed / changed / unchanged — the audit pass run after any
+# ingest/merge batch. One full-outer join on the key; per-class counts
+# plus a key checksum so the oracle pins membership, not just counts.
+# ---------------------------------------------------------------------------
+
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff the customer dim against a deterministically mutated v2
+    (every 97th key deleted, balances refreshed from each customer's
+    freshest order, every 89th key re-inserted shifted by 100000 as a
+    new row). The diff itself — the operator under test — is one
+    key-partitioned FULL OUTER join with null-side classification;
+    both snapshots shuffle once on the key and AQE co-partitions
+    them, so reconciliation costs one pass at any scale."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    upd = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.round("o_totalprice", 2).alias("new_bal"))
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .join(upd, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey", F.coalesce("new_bal", "bal").alias("bal")
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 89 == 0).select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"), "bal"
+            )
+        )
+    )
+    a = c.select(F.col("c_custkey").alias("k"), F.col("bal").alias("bal_v1"))
+    b = v2.select(F.col("c_custkey").alias("k"), F.col("bal").alias("bal_v2"))
+    diff = a.join(b, "k", "full_outer").select(
+        "k",
+        F.when(F.col("bal_v1").isNull(), "added")
+        .when(F.col("bal_v2").isNull(), "removed")
+        .when(F.col("bal_v1") != F.col("bal_v2"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return diff.groupBy("change").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+    )
+
+
+TABLE_DIFF_SQL = """
+WITH c AS (SELECT c_custkey, ROUND(c_acctbal, 2) AS bal FROM customer),
+upd AS (
+  SELECT o_custkey, ROUND(o_totalprice, 2) AS new_bal
+  FROM (SELECT o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+),
+v2 AS (
+  SELECT c_custkey, COALESCE(new_bal, bal) AS bal
+  FROM c LEFT JOIN upd ON c_custkey = o_custkey
+  WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 100000, bal FROM c WHERE c_custkey % 89 = 0
+),
+diff AS (
+  SELECT COALESCE(a.c_custkey, b.c_custkey) AS k,
+         CASE WHEN a.c_custkey IS NULL THEN 'added'
+              WHEN b.c_custkey IS NULL THEN 'removed'
+              WHEN a.bal <> b.bal THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM c a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey
+)
+SELECT change, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_checksum
+FROM diff GROUP BY change
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join, binned: overlapping per-day activity windows
+# across users. The classic scalable theta-join shape — bin intervals
+# by a coarse key (day) so the join is an EQUI join with a cheap
+# overlap verification, never an unbounded interval × interval
+# nested loop.
+# ---------------------------------------------------------------------------
+
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: how many user pairs had overlapping activity windows
+    ([first event, last event] that day). The day bin is the shuffle
+    key; inside a bin the overlap predicate is a post-join filter over
+    already-co-partitioned rows. At 100 TB the bin granularity is the
+    tuning knob (finer bins → smaller per-bin candidate sets; an
+    interval spanning bins explodes to one row per bin it touches —
+    here intervals are within-day by construction)."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.min("ts").alias("ts_s"), F.max("ts").alias("ts_e"))
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.ts_s") <= F.col("b.ts_e"))
+        & (F.col("b.ts_s") <= F.col("a.ts_e")),
+    )
+    return pairs.groupBy(
+        F.date_format(F.col("a.d"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n_overlapping_pairs"))
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, MIN(ts) AS ts_s, MAX(ts) AS ts_e
+  FROM events GROUP BY 1, 2
+)
+SELECT STRFTIME(a.d, '%Y-%m-%d') AS day, COUNT(*) AS n_overlapping_pairs
+FROM iv a JOIN iv b
+  ON a.d = b.d AND a.user_id < b.user_id
+ AND a.ts_s <= b.ts_e AND b.ts_s <= a.ts_e
+GROUP BY 1
+"""
+
+
+QUERIES["table_diff"] = table_diff
+ORACLES["table_diff"] = TABLE_DIFF_SQL
+QUERIES["interval_overlap_pairs"] = interval_overlap_pairs
+ORACLES["interval_overlap_pairs"] = INTERVAL_OVERLAP_SQL
