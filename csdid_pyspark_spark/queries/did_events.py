@@ -1111,3 +1111,45 @@ SELECT -99.0, ROUND(AVG(att), 6) FROM per_e WHERE e >= 0
 
 QUERIES["did_aggte_dynamic_balanced"] = did_aggte_dynamic_balanced
 ORACLES["did_aggte_dynamic_balanced"] = DID_AGGTE_DYN_BAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Unbalanced panel (reference's LIVE default: allow_unbalanced_panel=True
+# flips panel->False internally, ATTgt.py:162-188). A deterministic 10%
+# puncture of unit-periods exercises the flip; the oracle is the RC
+# closed form over the same punctured rows.
+# ---------------------------------------------------------------------------
+
+def did_attgt_unbalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATT(g,t) on a panel with holes: (id*7 + period) % 10 == 0 rows
+    dropped, allow_unbalanced_panel=True. The engine detects the
+    imbalance and estimates via the repeated-cross-section kernels
+    (each surviving observation its own inference unit) — the exact
+    semantics of the reference's default configuration."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    panel = panel_from_events(spark, sf_dir).filter(
+        (F.col("id") * 7 + F.col("period")) % 10 != 0
+    )
+    est = ATTgt(
+        panel,
+        yname="y", tname="period", idname="id", gname="g",
+        panel=True, allow_unbalanced_panel=True,
+    )
+    est.fit(est_method="reg")
+    out = _attgt_result_df(spark, est)
+    est.unpersist()
+    return out
+
+
+_RC_BODY = DID_ATTGT_RC_SQL.split(PANEL_CTE, 1)[1]
+DID_ATTGT_UNBAL_SQL = (
+    "WITH "
+    + PANEL_CTE
+    + ",\npunct AS (SELECT * FROM panel0 WHERE (id * 7 + period) % 10 <> 0)"
+    + _RC_BODY.replace("panel0", "punct")
+)
+
+
+QUERIES["did_attgt_unbalanced"] = did_attgt_unbalanced
+ORACLES["did_attgt_unbalanced"] = DID_ATTGT_UNBAL_SQL
