@@ -159,3 +159,62 @@ def size_partitioned(assets: DataFrame, target_mb: int = 128) -> DataFrame:
     wildly variable-sized, so row-count partitioning creates stragglers
     at scale. Uses range partitioning on cumulative-size-friendly key."""
     return assets.repartitionByRange(F.col("n_bytes").desc(), F.col("asset_id"))
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("chunk_idx", IntegerType(), False),
+        StructField("start_ms", IntegerType(), False),
+        StructField("end_ms", IntegerType(), False),
+        StructField("chunk_byte", IntegerType(), True),
+    ]
+)
+
+
+def chunk_audio(
+    assets: DataFrame, chunk_ms: int = 100, stride_ms: int = 80
+) -> DataFrame:
+    """Overlapping fixed-duration chunking over audio payloads — the
+    windowing an ASR/audio-embedding pipeline runs before batching
+    (chunk 100 ms, stride 80 ms → 20 ms overlap). Same Arrow fan-out
+    shape as :func:`sample_frames`: one asset row in, k bounded chunk
+    rows out of the same batch. The "decode" (duration = n_bytes * 2 ms,
+    chunk checksum = payload byte at the chunk start) is the
+    deterministic STUB; a production build swaps in soundfile/ffmpeg
+    without touching the signature, batching, or schema. Chunk count is
+    duration-derived and bounded per asset, so fan-out stays linear in
+    corpus bytes at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "chunk_idx": [], "start_ms": [], "end_ms": [],
+                "chunk_byte": [],
+            }
+            for aid, payload, nb in zip(
+                pdf["asset_id"], pdf["payload"], pdf["n_bytes"]
+            ):
+                if payload is None or not nb:
+                    continue
+                dur = int(nb) * 2
+                if dur <= chunk_ms:
+                    k = 1
+                else:
+                    k = 1 + (dur - chunk_ms) // stride_ms
+                for j in range(k):
+                    start = j * stride_ms
+                    end = min(start + chunk_ms, dur)
+                    out["asset_id"].append(int(aid))
+                    out["chunk_idx"].append(j)
+                    out["start_ms"].append(start)
+                    out["end_ms"].append(end)
+                    out["chunk_byte"].append(payload[start // 2])
+            yield pd.DataFrame(out).astype(
+                {
+                    "asset_id": "int64", "chunk_idx": "int32",
+                    "start_ms": "int32", "end_ms": "int32", "chunk_byte": "int32",
+                }
+            )
+
+    return assets.mapInPandas(run, CHUNK_SCHEMA)

@@ -2418,6 +2418,43 @@ QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 ORACLES["multimodal_frame_sample"] = MULTIMODAL_FRAMES_SQL
 
 
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 100ms/80ms chunk windows over every audio asset via
+    the Arrow fan-out operator (operators/multimodal.py::chunk_audio);
+    the oracle re-derives the deterministic fake-decode arithmetic
+    (duration = n_bytes*2 ms, payload byte (i*31+j*7)%256) exactly as
+    the frame-sample oracle does."""
+    from csdid_pyspark_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, 256).filter(
+        F.col("modality") == "audio"
+    )
+    return multimodal.chunk_audio(assets, chunk_ms=100, stride_ms=80)
+
+
+MULTIMODAL_CHUNKS_SQL = """
+WITH a AS (
+  SELECT i, 128 + (i % 5) * 64 AS n_bytes
+  FROM generate_series(0, 255) t(i) WHERE i % 3 = 1
+),
+d AS (SELECT i, n_bytes, n_bytes * 2 AS dur,
+             CASE WHEN n_bytes * 2 <= 100 THEN 1
+                  ELSE 1 + (n_bytes * 2 - 100) // 80 END AS k
+      FROM a),
+ch AS (SELECT i AS asset_id, dur, UNNEST(range(0, k)) AS j FROM d)
+SELECT asset_id,
+       CAST(j AS INT) AS chunk_idx,
+       CAST(j * 80 AS INT) AS start_ms,
+       CAST(LEAST(j * 80 + 100, dur) AS INT) AS end_ms,
+       CAST((asset_id * 31 + (j * 80 // 2) * 7) % 256 AS INT) AS chunk_byte
+FROM ch
+"""
+
+
+QUERIES["multimodal_audio_chunks"] = multimodal_audio_chunks
+ORACLES["multimodal_audio_chunks"] = MULTIMODAL_CHUNKS_SQL
+
+
 # ---------------------------------------------------------------------------
 # Robust per-source length outliers (median/MAD quality gate)
 # ---------------------------------------------------------------------------
