@@ -1,0 +1,69 @@
+"""General graph propagation operators over edge DataFrames.
+
+Complements the dedup-specific label propagation
+(dedup.py::components): PageRank-style score propagation is the
+centrality pass a crawl-curation pipeline runs over link / similarity
+graphs (rank canonical pages among duplicates, weight hosts by link
+structure). Expressed as the classic join-aggregate iteration — each
+round is one shuffle keyed by destination node, partial-aggregated
+map-side, so a round costs O(|E|) shuffle rows however large the
+graph; iteration count is fixed (power iteration), so total cost is
+iters × one-join-one-agg with no driver-side per-node state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_undirected(
+    pairs: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Power-iteration PageRank over an undirected pair list.
+
+    Each (a,b) contributes both directions. Ranks start uniform at
+    1/N; every node in a pair list has degree >= 1, so there is no
+    dangling mass. Per round the previous rank vector joins the edge
+    list on the source and aggregates by destination — the degree
+    table and edge list are built once and persisted; the rank vector
+    is re-persisted per round and the predecessor released, keeping
+    lineage depth constant (the same discipline as label
+    propagation). Returns (node, rank)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .persist()
+    )
+    nodes = edges.select(F.col("s").alias("node")).distinct().persist()
+    n = nodes.count()
+    deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "s")
+            .join(ranks.select(F.col("node").alias("s"), "rank"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        new = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .persist()
+        )
+        new.count()  # materialize before releasing the predecessor
+        ranks.unpersist()
+        ranks = new
+    edges.unpersist()
+    nodes.unpersist()  # the final rank vector is already materialized
+    return ranks

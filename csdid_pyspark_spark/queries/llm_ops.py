@@ -2456,6 +2456,62 @@ ORACLES["multimodal_audio_chunks"] = MULTIMODAL_CHUNKS_SQL
 
 
 # ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup pair graph (rank canonical
+# representatives among duplicates by connectivity)
+# ---------------------------------------------------------------------------
+
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-round power-iteration PageRank (d=0.85) over the df-capped
+    near-dup pair graph (operators/graph.py::pagerank_undirected — one
+    edge-join + dst-aggregation shuffle per round, constant lineage
+    depth). The oracle unrolls the same five iterations as chained
+    CTEs; ranks round to 8 decimals, far above the ~1e-14
+    aggregation-order noise floor."""
+    from csdid_pyspark_spark.operators.graph import pagerank_undirected
+
+    d = load_table(spark, sf_dir, "documents")
+    r = pagerank_undirected(_neardup_pairs(d), iters=5, damping=0.85)
+    return r.select(
+        F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
+    )
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    prev = "r0"
+    body = """, nodes AS (SELECT id_a AS n FROM pairs UNION SELECT id_b AS n FROM pairs),
+nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+ed AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS (SELECT s, COUNT(*) AS deg FROM ed GROUP BY s),
+r0 AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes)"""
+    for k in range(1, iters + 1):
+        body += f""",
+r{k} AS (
+  SELECT nodes.n,
+         (1 - {damping}) / (SELECT cnt FROM nn)
+         + {damping} * COALESCE(SUM({prev}.r / deg.deg), 0) AS r
+  FROM nodes
+  LEFT JOIN ed ON ed.d = nodes.n
+  LEFT JOIN deg ON deg.s = ed.s
+  LEFT JOIN {prev} ON {prev}.n = ed.s
+  GROUP BY nodes.n
+)"""
+        prev = f"r{k}"
+    return (
+        "WITH "
+        + _NEARDUP_PAIRS_CTES
+        + body
+        + f"\nSELECT n AS doc_id, ROUND(r, 8) AS rank FROM {prev}"
+    )
+
+
+DEDUP_PAGERANK_SQL = _pagerank_sql()
+
+
+QUERIES["dedup_graph_pagerank"] = dedup_graph_pagerank
+ORACLES["dedup_graph_pagerank"] = DEDUP_PAGERANK_SQL
+
+
+# ---------------------------------------------------------------------------
 # Robust per-source length outliers (median/MAD quality gate)
 # ---------------------------------------------------------------------------
 

@@ -631,3 +631,19 @@ def test_merge_upsert_semantics(spark):
         else:
             assert r["c_custkey"] not in latest
             assert r["merged_bal"] == r["old_bal"]
+
+
+def test_pagerank_star_graph_properties(spark):
+    """On a star graph the hub must outrank every leaf, all leaves tie,
+    and total rank mass stays 1 (undirected graphs have no dangling
+    loss)."""
+    from csdid_pyspark_spark.operators.graph import pagerank_undirected
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank_undirected(pairs, iters=10).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    leaves = [v for k, v in r.items() if k != 0]
+    assert all(r[0] > v for v in leaves)
+    assert max(leaves) - min(leaves) < 1e-12
