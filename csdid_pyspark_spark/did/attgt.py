@@ -211,6 +211,7 @@ class ATTgt:
             [(s.cid, s.g, s.t, s.post) for s in specs if s.pret is not None and not s.zero],
             columns=["cid", "g", "t", "post"],
         )
+        self._aggte_memo = {}  # a refit invalidates memoized aggregations
         self.fit_result = FitResult(
             table=table,
             crit_val=crit_val,
@@ -387,9 +388,20 @@ class ATTgt:
 
     # ------------------------------------------------------------------
     def compute_aggte(self, typec: str = "group", **kwargs):
+        """Aggregate the fitted ATT(g,t) table. Results are memoized
+        per (typec, kwargs): an aggregation is a pure function of the
+        fit, and real sessions request the same one repeatedly (table
+        + plot + bands), so repeats must not re-run the IF aggregation
+        passes. fit() invalidates the memo."""
         from csdid_pyspark_spark.did.aggte_ops import compute_aggte
 
-        out = compute_aggte(self, typec=typec, **kwargs)
+        key = (typec, tuple(sorted(kwargs.items())))
+        cache = getattr(self, "_aggte_memo", None)
+        if cache is None:
+            cache = self._aggte_memo = {}
+        if key not in cache:
+            cache[key] = compute_aggte(self, typec=typec, **kwargs)
+        out = cache[key]
         self.summary_aggte[typec] = out
         return out
 

@@ -41,6 +41,18 @@ def _ensure_tuned(spark: SparkSession) -> None:
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
             cores = spark.sparkContext.defaultParallelism
             spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores)))
+        # Default 128 MB input splits serialize a scan of a
+        # tens-of-MB parquet file onto 1-3 tasks — a 32-core session
+        # then runs its scan-heavy aggregations at 1/10th parallelism.
+        # 16 MB keeps such tables core-count parallel; files smaller
+        # than a split are unaffected, and on a real cluster (where
+        # 128 MB is right for multi-TB scans) spark-submit sets this
+        # explicitly — as above, only an untouched default is replaced.
+        if (
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            in ("134217728", "134217728b")
+        ):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "16777216b")
     except Exception:
         pass  # conf locked down — proceed with whatever the session has
 

@@ -212,3 +212,22 @@ def test_dynamic_balance_e_window(spark):
     assert e0_bal == pytest.approx(att33, abs=1e-9)
     assert abs(e0_full - e0_bal) > 1e-3
     est.unpersist()
+
+
+def test_compute_aggte_memoized_and_invalidated_on_refit(spark):
+    """Aggregations are pure functions of the fit: repeat calls with the
+    same arguments return the memoized result (no re-run of the IF
+    aggregation passes); a refit invalidates the memo."""
+    pdf = make_panel_dgp(n_units=120, periods=(1, 2, 3, 4), cohorts=(0, 3, 4), seed=3)
+    est = ATTgt(spark.createDataFrame(pdf), "Y", "period", "id", "G",
+                allow_unbalanced_panel=False)
+    est.fit(est_method="reg")
+    a = est.compute_aggte("dynamic")
+    b = est.compute_aggte("dynamic")
+    assert a is b  # memo hit
+    c = est.compute_aggte("dynamic", balance_e=1)
+    assert c is not a  # distinct args → distinct entry
+    est.fit(est_method="reg")
+    d = est.compute_aggte("dynamic")
+    assert d is not a  # refit invalidates
+    assert abs(d.overall_att - a.overall_att) < 1e-12  # same fit → same numbers
