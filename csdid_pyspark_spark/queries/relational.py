@@ -2299,3 +2299,116 @@ QUERIES["table_diff"] = table_diff
 ORACLES["table_diff"] = TABLE_DIFF_SQL
 QUERIES["interval_overlap_pairs"] = interval_overlap_pairs
 ORACLES["interval_overlap_pairs"] = INTERVAL_OVERLAP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite: the dbt-test / expectations pass a
+# pipeline runs after every load — uniqueness, referential integrity,
+# null rates, accepted ranges — emitted as one row per check so the
+# report is a tiny fixed-size table however large the inputs.
+# ---------------------------------------------------------------------------
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five standard expectations over the orders/customer pair. Each
+    check is a full-scan aggregate (count/distinct/conditional-sum)
+    that partial-aggregates map-side; the orphan-FK check is a
+    broadcastable anti-join count. One row per check: measured metric
+    and pass flag — the shape monitoring systems ingest."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    pk = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias("m")
+    ).select(F.lit("orders_pk_unique").alias("check"), "m", (F.col("m") == 0).alias("pass"))
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("m"))
+        .select(F.lit("orders_fk_customer").alias("check"), "m", (F.col("m") == 0).alias("pass"))
+    )
+    nulls = o.agg(
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("m")
+    ).select(F.lit("orderdate_not_null").alias("check"), "m", (F.col("m") == 0).alias("pass"))
+    rng = o.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).cast("bigint").alias("m")
+    ).select(F.lit("totalprice_positive").alias("check"), "m", (F.col("m") == 0).alias("pass"))
+    accepted = o.agg(
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).cast("bigint").alias("m")
+    ).select(
+        F.lit("orderstatus_accepted_values").alias("check"),
+        "m",
+        (F.col("m") == 0).alias("pass"),
+    )
+    return pk.unionByName(orphans).unionByName(nulls).unionByName(rng).unionByName(accepted)
+
+
+DQ_CHECKS_SQL = """
+SELECT 'orders_pk_unique' AS check, COUNT(*) - COUNT(DISTINCT o_orderkey) AS m,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS pass FROM orders
+UNION ALL
+SELECT 'orders_fk_customer', COUNT(*), COUNT(*) = 0
+FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'orderdate_not_null',
+       SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+UNION ALL
+SELECT 'totalprice_positive',
+       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END),
+       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 FROM orders
+UNION ALL
+SELECT 'orderstatus_accepted_values',
+       SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END),
+       SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) = 0
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): join keys where
+# NULL must match NULL — the semantic CDC/merge pipelines need when the
+# key is an optional attribute rather than a primary key.
+# ---------------------------------------------------------------------------
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders bucketed by a NULLABLE derived attribute (priority digit,
+    NULL for '4-NOT SPECIFIED') joined null-safely to the distinct
+    attribute list — plain equality would silently drop every NULL-key
+    row (here ~20% of orders). Spark's eqNullSafe compiles to the same
+    hash join as = (NULL hashes like a value), so null-safety costs
+    nothing at scale."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "prio_digit",
+        F.when(
+            F.col("o_orderpriority") != "4-NOT SPECIFIED",
+            F.substring("o_orderpriority", 1, 1).cast("int"),
+        ),
+    )
+    dims = o.select("prio_digit").distinct()
+    return (
+        o.join(dims.withColumnRenamed("prio_digit", "k"), F.col("prio_digit").eqNullSafe(F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH o AS (
+  SELECT CASE WHEN o_orderpriority <> '4-NOT SPECIFIED'
+              THEN CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) END AS prio_digit
+  FROM orders
+),
+dims AS (SELECT DISTINCT prio_digit AS k FROM o)
+SELECT k, COUNT(*) AS n_orders
+FROM o JOIN dims ON prio_digit IS NOT DISTINCT FROM k
+GROUP BY k
+"""
+
+
+QUERIES["dq_checks"] = dq_checks
+ORACLES["dq_checks"] = DQ_CHECKS_SQL
+QUERIES["join_null_safe"] = join_null_safe
+ORACLES["join_null_safe"] = JOIN_NULL_SAFE_SQL
