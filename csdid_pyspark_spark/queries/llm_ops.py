@@ -2512,6 +2512,61 @@ ORACLES["dedup_graph_pagerank"] = DEDUP_PAGERANK_SQL
 
 
 # ---------------------------------------------------------------------------
+# Built-in session_window sessionizer (the Structured-Streaming-native
+# operator, vs the window-lag sessionizer in operators/sessionize.py)
+# ---------------------------------------------------------------------------
+
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session count and longest within-session activity span
+    via Spark's native ``session_window`` (30-minute gap) — the same
+    grouping a readStream pipeline gets with watermarked state, here
+    exercised in batch. Oracle reproduces the gap semantics exactly: an
+    event at >= gap after its predecessor opens a NEW session (Spark's
+    window end is last_ts + gap, exclusive). Span is integral
+    microseconds, so the comparison is engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    per_session = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.max("span_us").cast("bigint").alias("max_session_span_us"),
+    )
+
+
+EVENTS_SESSION_WINDOW_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id,
+         MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(MAX(span_us) AS BIGINT) AS max_session_span_us
+FROM per_session GROUP BY user_id
+"""
+
+
+QUERIES["events_session_window_builtin"] = events_session_window_builtin
+ORACLES["events_session_window_builtin"] = EVENTS_SESSION_WINDOW_SQL
+
+
+# ---------------------------------------------------------------------------
 # Robust per-source length outliers (median/MAD quality gate)
 # ---------------------------------------------------------------------------
 

@@ -2412,3 +2412,63 @@ QUERIES["dq_checks"] = dq_checks
 ORACLES["dq_checks"] = DQ_CHECKS_SQL
 QUERIES["join_null_safe"] = join_null_safe
 ORACLES["join_null_safe"] = JOIN_NULL_SAFE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance ≤ 1) token matching via deletion-neighborhood
+# blocking — the SymSpell trick: two strings are within one edit iff
+# their single-deletion neighborhoods intersect, so candidate
+# generation is an EQUI join on deletion keys (O(vocab · token_len)
+# keys) instead of a quadratic cross join, and an exact levenshtein
+# verification removes the rare key collisions at distance 2.
+# ---------------------------------------------------------------------------
+
+def fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 pairs over the corpus token vocabulary plus a
+    deterministic typo set (each token minus its first character —
+    the testdata vocabulary has no natural typos). The oracle is the
+    exact quadratic levenshtein join, so this checks that blocking
+    finds EVERY pair the cross join finds; at scale only the blocked
+    path is runnable (candidates linear in vocabulary, never vocab²)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+        .filter(F.length("tok") >= 4)
+        .distinct()
+    )
+    vocab = toks.unionByName(
+        toks.select(F.substring("tok", 2, 10_000).alias("tok"))
+    ).distinct()
+    keys = vocab.select(
+        "tok",
+        F.explode(
+            F.expr(
+                "array_union(array(tok), transform(sequence(1, length(tok)), "
+                "i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1, length(tok)))))"
+            )
+        ).alias("k"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.tok") < F.col("b.tok")))
+        .select(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("tok_a", "tok_b") <= 1).orderBy("tok_a", "tok_b")
+
+
+FUZZY_TOKEN_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT lower(t.tok) AS tok
+  FROM documents, UNNEST(string_split_regex(trim(lower(text)), '\s+')) t(tok)
+  WHERE len(t.tok) >= 4
+),
+vocab AS (SELECT tok FROM toks UNION SELECT substring(tok, 2) FROM toks)
+SELECT a.tok AS tok_a, b.tok AS tok_b
+FROM vocab a JOIN vocab b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+ORDER BY tok_a, tok_b
+"""
+
+
+QUERIES["fuzzy_token_pairs"] = fuzzy_token_pairs
+ORACLES["fuzzy_token_pairs"] = FUZZY_TOKEN_SQL
