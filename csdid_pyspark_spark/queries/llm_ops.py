@@ -2567,6 +2567,55 @@ ORACLES["events_session_window_builtin"] = EVENTS_SESSION_WINDOW_SQL
 
 
 # ---------------------------------------------------------------------------
+# Per-document keyword extraction (top-k TF-IDF terms)
+# ---------------------------------------------------------------------------
+
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword/tag extraction
+    step of a document-indexing pipeline. Reuses the no-vocabulary-
+    broadcast TF-IDF shape (window df over the term key) and ranks
+    INSIDE each document partition with row_number over the ROUNDED
+    score (+ term tiebreak), so the cut is engine-deterministic and the
+    per-doc state is bounded by the doc's own term count."""
+    from pyspark.sql import Window
+
+    scored = QUERIES["text_tfidf"](spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tfidf")
+    )
+
+
+TEXT_KEYWORDS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (LN((nd.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf FROM ranked WHERE rk <= 3
+"""
+
+
+QUERIES["text_keywords"] = text_keywords
+ORACLES["text_keywords"] = TEXT_KEYWORDS_SQL
+
+
+# ---------------------------------------------------------------------------
 # Robust per-source length outliers (median/MAD quality gate)
 # ---------------------------------------------------------------------------
 

@@ -2472,3 +2472,90 @@ ORDER BY tok_a, tok_b
 
 QUERIES["fuzzy_token_pairs"] = fuzzy_token_pairs
 ORACLES["fuzzy_token_pairs"] = FUZZY_TOKEN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (frequent-pairs with support and lift) —
+# the association-rules primitive. The pair space is bounded by the
+# per-basket self-join (Σ basket_size², baskets are small), never a
+# catalog-wide cross join; a broadcast of per-item supports supplies
+# the lift denominator.
+# ---------------------------------------------------------------------------
+
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part-brand pairs co-occurring within an order: support
+    (co-occurrence count), each side's marginal basket count, and lift
+    = P(a,b) / (P(a)·P(b)). Brands (25 distinct) keep the demo output
+    compact; the plan is the production one for item-level pairs —
+    per-basket distinct, basket self-join on the order key, pair
+    aggregation, broadcast marginals."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    # basket total as a lazy 1-row broadcast scalar (q15 pattern) —
+    # no eager driver action at plan-build time
+    nb = items.agg(F.countDistinct("l_orderkey").cast("double").alias("n_baskets"))
+    marg = items.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n_brand")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    ma = marg.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a"))
+    mb = marg.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.round(
+                F.col("support") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+BASKET_LIFT_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+marg AS (SELECT p_brand AS brand, COUNT(*) AS n_brand FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, support,
+       ROUND(support * (SELECT CAST(n AS DOUBLE) FROM nb) / (ma.n_brand * mb.n_brand), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.brand = brand_a
+JOIN marg mb ON mb.brand = brand_b
+ORDER BY support DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
+QUERIES["basket_pair_lift"] = basket_pair_lift
+ORACLES["basket_pair_lift"] = BASKET_LIFT_SQL
