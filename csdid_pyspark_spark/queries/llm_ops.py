@@ -2616,6 +2616,31 @@ ORACLES["text_keywords"] = TEXT_KEYWORDS_SQL
 
 
 # ---------------------------------------------------------------------------
+# Declarative k-means over the embedding corpus
+# ---------------------------------------------------------------------------
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes after 5 declarative Lloyd iterations
+    (operators/kmeans.py — assignment and centroid update as
+    DataFrame passes, O(k·p) driver traffic per iteration).
+    Deterministic on fixed data (lowest-id init, struct-tiebreak
+    argmin); pinned VALUES golden."""
+    from csdid_pyspark_spark.operators.kmeans import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .select(F.col("cluster").cast("int").alias("cluster"), "n_members")
+        .orderBy("cluster")
+    )
+
+
+QUERIES["embedding_kmeans"] = embedding_kmeans
+
+
+# ---------------------------------------------------------------------------
 # Robust per-source length outliers (median/MAD quality gate)
 # ---------------------------------------------------------------------------
 

@@ -647,3 +647,24 @@ def test_pagerank_star_graph_properties(spark):
     leaves = [v for k, v in r.items() if k != 0]
     assert all(r[0] > v for v in leaves)
     assert max(leaves) - min(leaves) < 1e-12
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    """Two well-separated blobs must be recovered exactly in one
+    Lloyd pass from lowest-id init (one seed lands in each blob since
+    ids 0 and 1 belong to different blobs here)."""
+    from csdid_pyspark_spark.operators.kmeans import kmeans_lloyd
+
+    rows = []
+    for i in range(40):
+        blob = i % 2
+        base = 10.0 if blob else -10.0
+        rows.append((i, [base + 0.01 * (i % 7), base, base + 0.005 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, "embedding", "vec_id", k=2, iters=3).collect()
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] % 2)
+    assert len(by_cluster) == 2
+    for members in by_cluster.values():
+        assert len(members) == 1  # each cluster is pure
