@@ -1153,3 +1153,37 @@ DID_ATTGT_UNBAL_SQL = (
 
 QUERIES["did_attgt_unbalanced"] = did_attgt_unbalanced
 ORACLES["did_attgt_unbalanced"] = DID_ATTGT_UNBAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Doubly-robust estimation WITH a real covariate: the full IRLS logit
+# propensity + outcome-regression + DR influence-function path that
+# intercept-only reductions cannot exercise. Logit MLEs have no SQL
+# closed form, so the row is pinned as a VALUES golden (IRLS on fixed
+# data converges deterministically; independent 1e-8 parity vs the
+# NumPy reference kernels lives in tests/test_ref_kernels.py).
+# ---------------------------------------------------------------------------
+
+def did_attgt_dr_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DR estimator with unit covariate x = (id % 7) - 3: per-cell
+    IRLS propensity fit (did/linalg.py — Gram aggregations per
+    iteration, driver sees p×p scalars), weighted outcome regression,
+    and the Sant'Anna–Zhao DR influence function with both correction
+    terms live."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    pdf = panel_from_events(spark, sf_dir).withColumn(
+        "x", (F.col("id") % 7 - 3).cast("double")
+    )
+    est = ATTgt(
+        pdf,
+        yname="y", tname="period", idname="id", gname="g", xfmla="y ~ x",
+        panel=True, allow_unbalanced_panel=False,
+    )
+    est.fit(est_method="dr")
+    out = _attgt_rows_nullable_se(spark, est)
+    est.unpersist()
+    return out
+
+
+QUERIES["did_attgt_dr_covariate"] = did_attgt_dr_covariate
