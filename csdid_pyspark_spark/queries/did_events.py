@@ -1187,3 +1187,48 @@ def did_attgt_dr_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["did_attgt_dr_covariate"] = did_attgt_dr_covariate
+
+
+def did_attgt_ipw_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Std-IPW with the live covariate: the Horvitz-Thompson reweighting
+    actually depends on the IRLS propensity here (intercept-only IPW
+    collapses to the mean contrast). Pinned VALUES golden."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    pdf = panel_from_events(spark, sf_dir).withColumn(
+        "x", (F.col("id") % 7 - 3).cast("double")
+    )
+    est = ATTgt(
+        pdf,
+        yname="y", tname="period", idname="id", gname="g", xfmla="y ~ x",
+        panel=True, allow_unbalanced_panel=False,
+    )
+    est.fit(est_method="ipw")
+    out = _attgt_rows_nullable_se(spark, est)
+    est.unpersist()
+    return out
+
+
+def did_attgt_rc_dr_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-cross-section DR with the live covariate — the heaviest
+    kernel (four outcome regressions + propensity, reference
+    drdid.py::drdid_rc): every Gram/IRLS pass runs with p=2. Pinned
+    VALUES golden; NumPy-reference parity in tests/test_ref_kernels.py."""
+    from csdid_pyspark_spark.did import ATTgt
+
+    pdf = panel_from_events(spark, sf_dir).withColumn(
+        "x", (F.col("id") % 7 - 3).cast("double")
+    )
+    est = ATTgt(
+        pdf,
+        yname="y", tname="period", idname="id", gname="g", xfmla="y ~ x",
+        panel=False,
+    )
+    est.fit(est_method="dr")
+    out = _attgt_rows_nullable_se(spark, est)
+    est.unpersist()
+    return out
+
+
+QUERIES["did_attgt_ipw_covariate"] = did_attgt_ipw_covariate
+QUERIES["did_attgt_rc_dr_covariate"] = did_attgt_rc_dr_covariate
