@@ -2346,22 +2346,23 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DQ_CHECKS_SQL = """
-SELECT 'orders_pk_unique' AS check, COUNT(*) - COUNT(DISTINCT o_orderkey) AS m,
+SELECT 'orders_pk_unique' AS check,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS m,
        COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS pass FROM orders
 UNION ALL
-SELECT 'orders_fk_customer', COUNT(*), COUNT(*) = 0
+SELECT 'orders_fk_customer', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
 FROM orders ANTI JOIN customer ON o_custkey = c_custkey
 UNION ALL
 SELECT 'orderdate_not_null',
-       SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
 UNION ALL
 SELECT 'totalprice_positive',
-       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
        SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 FROM orders
 UNION ALL
 SELECT 'orderstatus_accepted_values',
-       SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT),
        SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) = 0
 FROM orders
 """
