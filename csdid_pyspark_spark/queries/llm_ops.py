@@ -3017,3 +3017,67 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_pca_variance"] = embedding_pca_variance
+
+
+# ---------------------------------------------------------------------------
+# Time-series grid: hourly gap-fill with linear interpolation
+# ---------------------------------------------------------------------------
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type grid over each type's observed range with
+    gap hours linearly interpolated (operators/timeseries.py). The
+    hypertable-style continuous-rollup shape: the only event-scale pass
+    is the map-side-combine hourly groupBy; the grid and both window
+    passes operate on the bounded (series × hours) table."""
+    from csdid_pyspark_spark.operators.timeseries import hourly_grid_fill
+
+    e = load_table(spark, sf_dir, "events")
+    return hourly_grid_fill(e).withColumnRenamed("series", "event_type")
+
+
+# The interpolation fraction divides exact integer time deltas (micros in
+# Spark, seconds here) — the same rational number, so the correctly-rounded
+# double quotients are bit-identical. Hourly means divide an exact DECIMAL
+# sum by the count on both engines.
+EVENTS_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type AS series, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT series, UNNEST(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+  FROM hourly GROUP BY series
+),
+g AS (
+  SELECT s.series, s.h, hourly.n_events, hourly.avg_value,
+         CAST(epoch(s.h) AS BIGINT) AS eh
+  FROM spine s LEFT JOIN hourly ON s.series = hourly.series AND s.h = hourly.h
+),
+filled AS (
+  SELECT series, h, n_events, avg_value, eh,
+    LAST_VALUE(avg_value IGNORE NULLS) OVER
+      (PARTITION BY series ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+    LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN eh END IGNORE NULLS) OVER
+      (PARTITION BY series ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e_prev,
+    FIRST_VALUE(avg_value IGNORE NULLS) OVER
+      (PARTITION BY series ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+    FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN eh END IGNORE NULLS) OVER
+      (PARTITION BY series ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS e_next
+  FROM g
+)
+SELECT series AS event_type,
+       STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                  ELSE v_prev + (v_next - v_prev)
+                       * (CAST(eh - e_prev AS DOUBLE) / CAST(e_next - e_prev AS DOUBLE))
+             END, 6) AS value_filled,
+       (avg_value IS NULL) AS is_gap
+FROM filled
+"""
+
+
+QUERIES["events_gapfill"] = events_gapfill
+ORACLES["events_gapfill"] = EVENTS_GAPFILL_SQL

@@ -668,3 +668,40 @@ def test_kmeans_recovers_separated_blobs(spark):
     assert len(by_cluster) == 2
     for members in by_cluster.values():
         assert len(members) == 1  # each cluster is pure
+
+
+def test_hourly_grid_fill_interpolates_interior_gaps(spark):
+    """A 3-hour interior gap between hourly means 10 and 50 must fill
+    with the linear ramp 20/30/40, n_events=0, is_gap=True; observed
+    hours keep their exact hourly mean."""
+    from datetime import datetime
+
+    from csdid_pyspark_spark.operators.timeseries import hourly_grid_fill
+
+    rows = [
+        # hour 00: two events, mean 10.0
+        (1, datetime(2024, 3, 1, 0, 10), "a", 8.0),
+        (2, datetime(2024, 3, 1, 0, 50), "a", 12.0),
+        # hours 01-03 missing
+        (3, datetime(2024, 3, 1, 4, 30), "a", 50.0),
+        # second series: no gaps, single hour
+        (4, datetime(2024, 3, 1, 2, 0), "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["series"], r["window_start"]): r
+        for r in hourly_grid_fill(df).collect()
+    }
+    assert len(out) == 6  # a: 5 grid hours, b: 1
+    a0 = out[("a", "2024-03-01 00:00:00")]
+    assert (a0["n_events"], a0["value_filled"], a0["is_gap"]) == (2, 10.0, False)
+    for hour, want in [(1, 20.0), (2, 30.0), (3, 40.0)]:
+        r = out[("a", f"2024-03-01 0{hour}:00:00")]
+        assert (r["n_events"], r["is_gap"]) == (0, True)
+        assert abs(r["value_filled"] - want) < 1e-9
+    a4 = out[("a", "2024-03-01 04:00:00")]
+    assert (a4["n_events"], a4["value_filled"]) == (1, 50.0)
+    b = out[("b", "2024-03-01 02:00:00")]
+    assert (b["n_events"], b["value_filled"], b["is_gap"]) == (1, 7.0, False)
