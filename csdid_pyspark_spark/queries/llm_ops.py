@@ -5,7 +5,7 @@ same semantics; LSH candidate generation is Spark-only (rows check).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csdid_pyspark_spark.functions.text import (
@@ -3081,3 +3081,194 @@ FROM filled
 
 QUERIES["events_gapfill"] = events_gapfill
 ORACLES["events_gapfill"] = EVENTS_GAPFILL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Event anomaly detection: per-type z-score outliers + per-user CUSUM
+# changepoint peaks
+# ---------------------------------------------------------------------------
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is ≥ 2.5 population-σ from their type's mean.
+    One map-side-combine groupBy builds the per-type stats (exact
+    DECIMAL sums of v and v² so mean/variance are bit-deterministic
+    under any partial-agg order), broadcast back onto the stream —
+    at 100 TB the stats table stays O(#types) and the scan is a single
+    filter pass."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("s"),
+        F.sum((F.col("value").cast("decimal(27,6)") * F.col("value").cast("decimal(27,6)"))).cast("double").alias("ssq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ssq") / F.col("n") - mean * mean
+    stats = stats.select("event_type", mean.alias("mu"), F.sqrt(var).alias("sigma"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) >= 2.5)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS mu_num,
+         CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS ssq,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ROUND((e.value - (s.s / s.n))
+               / SQRT(s.ssq / s.n - (s.s / s.n) * (s.s / s.n)), 4) AS z
+  FROM events e JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type, value, z FROM z WHERE ABS(z) >= 2.5
+"""
+
+
+def events_cusum_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint diagnostic: running sum of deviations
+    from the user's mean (ordered by ts), reporting the peak |CUSUM|
+    and when it occurs. The running sum is an exact DECIMAL prefix
+    S_k, so cusum_k = S_k − k·(S_n/n) is computed from exact sums with
+    identical double scalar ops on both engines — no float
+    accumulation-order sensitivity. One shuffle keyed by user (the
+    same per-entity ordered-scan shape as sessionize); the peak filter
+    reuses the same partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w_ord = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("user_id")
+    vd = F.col("value").cast("decimal(27,6)")
+    base = e.select("user_id", "ts", "event_id", "value").withColumns(
+        {
+            "s_k": F.sum(vd).over(w_ord).cast("double"),
+            "k": F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+            "s_n": F.sum(vd).over(w_all).cast("double"),
+            "n": F.count("*").over(w_all),
+        }
+    )
+    rabs = F.round(
+        F.abs(F.col("s_k") - F.col("k") * (F.col("s_n") / F.col("n"))), 6
+    )
+    base = base.withColumn("rabs", rabs).withColumn(
+        "peak", F.max("rabs").over(w_all)
+    )
+    return (
+        base.filter(F.col("rabs") == F.col("peak"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("peak").alias("peak_cusum"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("peak_ts"),
+        )
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id, value,
+    CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s_k,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k,
+    CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (PARTITION BY user_id) AS DOUBLE) AS s_n,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+scored AS (
+  SELECT user_id, ts, n,
+         ROUND(ABS(s_k - k * (s_n / n)), 6) AS rabs,
+         MAX(ROUND(ABS(s_k - k * (s_n / n)), 6)) OVER (PARTITION BY user_id) AS peak
+  FROM base
+)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events, MAX(peak) AS peak_cusum,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS peak_ts
+FROM scored WHERE rabs = peak GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling (deterministic, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_WEIGHTED_K = 50
+
+
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-∝-weight systematic sample: lay every doc's
+    integer weight (n_chars) on a cumulative line in doc_id order and
+    take the doc covering each of k evenly-spaced thresholds — docs are
+    selected with probability proportional to weight, reproducibly,
+    with PURE INTEGER arithmetic (cum·k div total), so Spark and the
+    SQL oracle agree bit-for-bit. The prefix sum here is a single
+    window; at corpus scale the identical two-phase partition-parallel
+    prefix from operators/packing.py::packed_offsets substitutes (same
+    contract, no single-reducer stage)."""
+    k = _SAMPLE_WEIGHTED_K
+    d = load_table(spark, sf_dir, "documents")
+    w_ord = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_after = F.sum(F.col("n_chars")).over(w_ord)
+    base = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        cum_after.alias("cum_after"),
+    ).withColumn("cum_before", F.col("cum_after") - F.col("n_chars"))
+    total = base.agg(F.max("cum_after").alias("t"))
+    out = base.crossJoin(F.broadcast(total))
+    return (
+        out.filter(F.expr(f"cum_before * {k} div t") < F.expr(f"cum_after * {k} div t"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(f"cast(cum_after * {k} div t as bigint)").alias("bucket"),
+        )
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after
+  FROM documents
+),
+t AS (SELECT MAX(cum_after) AS total FROM base)
+SELECT doc_id, source, n_chars,
+       CAST((cum_after * {_SAMPLE_WEIGHTED_K}) // total AS BIGINT) AS bucket
+FROM base, t
+WHERE ((cum_after - n_chars) * {_SAMPLE_WEIGHTED_K}) // total
+      < (cum_after * {_SAMPLE_WEIGHTED_K}) // total
+"""
+
+
+QUERIES.update(
+    {
+        "events_anomaly_zscore": events_anomaly_zscore,
+        "events_cusum_peak": events_cusum_peak,
+        "sample_weighted_systematic": sample_weighted_systematic,
+    }
+)
+ORACLES.update(
+    {
+        "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
+        "events_cusum_peak": EVENTS_CUSUM_SQL,
+        "sample_weighted_systematic": SAMPLE_WEIGHTED_SQL,
+    }
+)

@@ -705,3 +705,69 @@ def test_hourly_grid_fill_interpolates_interior_gaps(spark):
     assert (a4["n_events"], a4["value_filled"]) == (1, 50.0)
     b = out[("b", "2024-03-01 02:00:00")]
     assert (b["n_events"], b["value_filled"], b["is_gap"]) == (1, 7.0, False)
+
+
+def test_cusum_peak_finds_level_shift(spark):
+    """A mean shift halfway through a series puts the CUSUM peak at the
+    last pre-shift observation."""
+    from datetime import datetime, timedelta
+
+    from csdid_pyspark_spark.queries.llm_ops import events_cusum_peak
+
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for i in range(20):
+        v = 10.0 if i < 10 else 30.0  # shift at i=10
+        rows.append((i, t0 + timedelta(hours=i), 7, "x", v, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import csdid_pyspark_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables_load = lambda sp, d, n: df  # noqa: E731
+        import csdid_pyspark_spark.queries.llm_ops as L
+
+        L.load_table = tables_load
+        out = events_cusum_peak(spark, "ignored").collect()
+    finally:
+        import csdid_pyspark_spark.queries.llm_ops as L
+
+        L.load_table = orig
+    assert len(out) == 1
+    r = out[0]
+    # mean=20; cusum after i rows (i<=10): i*(10-20) → peak |−100| at i=10,
+    # i.e. the 10th event, ts = t0+9h
+    assert r["n_events"] == 20
+    assert abs(r["peak_cusum"] - 100.0) < 1e-6
+    assert r["peak_ts"] == "2024-05-01 09:00:00"
+
+
+def test_weighted_systematic_sample_properties(spark):
+    """≤k docs selected; any doc with weight > total/k is guaranteed in;
+    result is invariant to input partitioning."""
+    import csdid_pyspark_spark.queries.llm_ops as L
+    from csdid_pyspark_spark.queries.llm_ops import (
+        _SAMPLE_WEIGHTED_K,
+        sample_weighted_systematic,
+    )
+
+    rows = [(i, f"t{i}", "en", "web", 10 + (i * 37) % 90) for i in range(200)]
+    rows[17] = (17, "big", "en", "web", 100_000)  # dominant weight
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = L.load_table
+    try:
+        L.load_table = lambda sp, d, n: df
+        sel1 = sorted(r["doc_id"] for r in sample_weighted_systematic(spark, "x").collect())
+        L.load_table = lambda sp, d, n: df.repartition(13)
+        sel2 = sorted(r["doc_id"] for r in sample_weighted_systematic(spark, "x").collect())
+    finally:
+        L.load_table = orig
+    assert sel1 == sel2
+    assert 0 < len(sel1) <= _SAMPLE_WEIGHTED_K
+    assert 17 in sel1

@@ -411,3 +411,25 @@ def test_dq_fk_check_joins_without_fact_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_checks")
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    """The per-type stats side is O(#types) — it must broadcast back
+    onto the event scan; a shuffle join would repartition the full
+    stream just to attach two scalars per type."""
+    plan = _plan(spark, sf_dir, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gapfill_single_event_scale_shuffle(spark, sf_dir):
+    """Only the hourly groupBy may touch event-scale data; the grid,
+    join, and both interpolation windows run on the bounded
+    (series × hours) table. Both window passes must share one sort
+    order (no second sort for the forward pass)."""
+    plan = _plan(spark, sf_dir, "events_gapfill")
+    # all four ignore-nulls frames (backward + forward) fuse into ONE
+    # Window node over ONE sort of the bounded grid
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Sort") == 1, plan
+    assert "CartesianProduct" not in plan
