@@ -3272,3 +3272,119 @@ ORACLES.update(
         "sample_weighted_systematic": SAMPLE_WEIGHTED_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier: distributed logistic regression (IRLS over
+# declarative Gram aggregations — operators/logreg.py). The training
+# target distills the hand-written quality gate (functions/text.py::
+# quality_score's stopword-bonus branch) into a smooth calibrated
+# score — the standard "heuristic labels -> trained filter" corpus
+# pattern (fastText-style quality filters are trained exactly so).
+# ---------------------------------------------------------------------------
+
+def _doc_clf_features(d: DataFrame) -> dict[str, object]:
+    """Classifier features, all JVM codegen expressions: intercept,
+    log length, punctuation density, digit density, stopword ratio."""
+    from csdid_pyspark_spark.functions.text import (
+        punct_count,
+        stopword_count,
+        token_count,
+    )
+
+    t = F.col("text")
+    nc = F.col("n_chars").cast("double")
+    return {
+        "intercept": F.lit(1.0),
+        "log_len": F.log(nc + F.lit(1.0)),
+        "punct_ratio": punct_count(t).cast("double") / (nc + F.lit(1.0)),
+        "digit_ratio": (
+            F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+        ).cast("double")
+        / (nc + F.lit(1.0)),
+        "stop_ratio": stopword_count(t).cast("double")
+        / (token_count(t).cast("double") + F.lit(1.0)),
+    }
+
+
+def _doc_clf_label() -> object:
+    """Gate being distilled: the stopword-bonus branch of the quality
+    heuristic (stop_ratio > 0.05 over max(ntok,1) — deliberately NOT
+    the same expression as the stop_ratio feature, which uses a +1
+    denominator)."""
+    from csdid_pyspark_spark.functions.text import stopword_count, token_count
+
+    t = F.col("text")
+    ratio = stopword_count(t).cast("double") / F.greatest(
+        token_count(t), F.lit(1)
+    ).cast("double")
+    return (ratio > 0.05).cast("double")
+
+
+_CLF_CACHE: dict[str, dict[str, float]] = {}
+
+
+def _doc_clf_fit(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Train (memoized per sf_dir — the fit is pure: fixed iterations,
+    exact decimal Gram sums, deterministic across partition layouts)."""
+    if sf_dir not in _CLF_CACHE:
+        from csdid_pyspark_spark.operators.logreg import logistic_irls
+
+        d = load_table(spark, sf_dir, "documents")
+        _CLF_CACHE[sf_dir] = logistic_irls(
+            d, _doc_clf_features(d), _doc_clf_label(), iters=8
+        )
+    return _CLF_CACHE[sf_dir]
+
+
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coefficients + training accuracy of the distilled quality
+    classifier. Each IRLS pass ships O(p²) exact-decimal Gram cells to
+    the driver — row count never moves off the executors. Pinned
+    VALUES golden (the fit is bit-deterministic; see
+    operators/logreg.py docstring)."""
+    from csdid_pyspark_spark.operators.logreg import score_column
+
+    coef = _doc_clf_fit(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    pred = score_column(_doc_clf_features(d), coef) >= F.lit(0.5)
+    y = _doc_clf_label() >= F.lit(0.5)
+    acc_row = d.agg(
+        (F.sum(F.when(pred == y, 1).otherwise(0)) / F.count("*")).alias("acc"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    rows = [(name, round(v, 6)) for name, v in coef.items()]
+    rows.append(("train_accuracy", round(acc_row["acc"], 6)))
+    rows.append(("n_rows", float(acc_row["n"])))
+    return spark.createDataFrame(rows, "feature string, value double")
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration histogram of the trained classifier: score decile ×
+    (docs, true-label positives). Scoring broadcasts a p-vector of
+    coefficient literals — a pure codegen scan, the shape for applying
+    a trained corpus filter at 100 TB (no shuffle, no Python). Pinned
+    VALUES golden."""
+    from csdid_pyspark_spark.operators.logreg import score_column
+
+    coef = _doc_clf_fit(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    s = score_column(_doc_clf_features(d), coef)
+    bucket = F.least(F.floor(s * 10).cast("int"), F.lit(9))
+    return (
+        d.select(bucket.alias("score_decile"), _doc_clf_label().alias("y"))
+        .groupBy("score_decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_true_pass"),
+        )
+        .orderBy("score_decile")
+    )
+
+
+QUERIES.update(
+    {
+        "quality_classifier_train": quality_classifier_train,
+        "quality_classifier_score": quality_classifier_score,
+    }
+)

@@ -771,3 +771,45 @@ def test_weighted_systematic_sample_properties(spark):
     assert sel1 == sel2
     assert 0 < len(sel1) <= _SAMPLE_WEIGHTED_K
     assert 17 in sel1
+
+
+def test_logistic_irls_learns_and_is_partition_invariant(spark):
+    """IRLS must (a) recover a separable 1-D boundary, (b) produce
+    bit-identical coefficients under different input partitionings
+    (the exact-decimal Gram contract), (c) agree with an independent
+    driver-side numpy IRLS on the same data to float tolerance."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from csdid_pyspark_spark.operators.logreg import logistic_irls, score_column
+
+    rows = [(i, (i % 100) / 100.0, 1.0 if (i % 100) / 100.0 > 0.45 else 0.0) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    feats = {"intercept": F.lit(1.0), "x": F.col("x")}
+    c1 = logistic_irls(df, feats, F.col("y"), iters=6)
+    c2 = logistic_irls(df.repartition(17), feats, F.col("y"), iters=6)
+    assert c1 == c2  # bit-identical, not approximately
+    # boundary recovered: decision point -b0/b1 near 0.45, slope positive
+    assert c1["x"] > 0
+    assert abs(-c1["intercept"] / c1["x"] - 0.455) < 0.02
+
+    # independent numpy IRLS (same math, local dense matrices)
+    X = np.array([[1.0, r[1]] for r in rows])
+    y = np.array([r[2] for r in rows])
+    beta = np.zeros(2)
+    for _ in range(6):
+        eta = X @ beta
+        mu = np.clip(1.0 / (1.0 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+        w = mu * (1 - mu)
+        wz = w * eta + (y - mu)
+        G = X.T @ (X * w[:, None])
+        beta = np.linalg.solve(G + 1e-8 * np.eye(2), X.T @ wz)
+    assert abs(c1["intercept"] - beta[0]) < 1e-6 * max(1, abs(beta[0]))
+    assert abs(c1["x"] - beta[1]) < 1e-6 * max(1, abs(beta[1]))
+
+    # scoring: accuracy 1.0 away from the boundary band
+    s = score_column(feats, c1)
+    wrong = df.filter(
+        ((F.col("x") > 0.5) & (s < 0.5)) | ((F.col("x") < 0.4) & (s >= 0.5))
+    ).count()
+    assert wrong == 0
