@@ -3388,3 +3388,54 @@ QUERIES.update(
         "quality_classifier_score": quality_classifier_score,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key: multi-dimensional data-skipping layout
+# ---------------------------------------------------------------------------
+
+def events_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key tiling of the (user, day) plane: the z-key that
+    operators/zorder.py::zorder_write clusters files by, aggregated to
+    64 tiles. The key is pure integer bit arithmetic generated ONCE
+    and rendered into both this plan and the SQL oracle
+    (operators/zorder.py::zorder_sql), so the layout computation is
+    hash-checked end to end."""
+    from csdid_pyspark_spark.operators.zorder import zorder_sql
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        (F.col("user_id") % 256).alias("ux"),
+        (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint").alias("dy"),
+    ).select("ux", (F.col("dy") % 256).alias("dy"))
+    z = F.expr(zorder_sql(["ux", "dy"], bits=8, dialect="spark")).cast("bigint")
+    return (
+        base.withColumn("z", z)
+        .groupBy((F.col("z") / 1024).cast("bigint").alias("tile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    from csdid_pyspark_spark.operators.zorder import zorder_sql
+
+    zexpr = zorder_sql(["ux", "dy"], bits=8, dialect="ansi")
+    return f"""
+WITH base AS (
+  SELECT CAST(user_id % 256 AS BIGINT) AS ux,
+         CAST((CAST(epoch(ts) AS BIGINT) // 86400) % 256 AS BIGINT) AS dy
+  FROM events
+),
+keyed AS (SELECT {zexpr} AS z FROM base)
+SELECT CAST(z // 1024 AS BIGINT) AS tile, COUNT(*) AS n_events,
+       MIN(z) AS min_z, MAX(z) AS max_z
+FROM keyed GROUP BY 1
+"""
+
+
+QUERIES["events_zorder_tiles"] = events_zorder_tiles
+ORACLES["events_zorder_tiles"] = _zorder_oracle()

@@ -813,3 +813,42 @@ def test_logistic_irls_learns_and_is_partition_invariant(spark):
         ((F.col("x") > 0.5) & (s < 0.5)) | ((F.col("x") < 0.4) & (s >= 0.5))
     ).count()
     assert wrong == 0
+
+
+def test_zorder_write_tightens_file_stats_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering must shrink the average per-file min/max
+    span on BOTH clustered columns vs an id-ordered write — that span
+    is exactly what parquet data skipping prunes on."""
+    import pyarrow.parquet as pq
+
+    from csdid_pyspark_spark.operators.zorder import zorder_write
+    from csdid_pyspark_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).alias("ux"),
+        (F.col("event_id") % 256).alias("ey"),
+    )
+
+    def avg_span(path, col_idx):
+        spans, files = [], list((tmp_path / path).glob("*.parquet"))
+        assert files
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(col_idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(col_idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    e.repartitionByRange(8, "ey").sortWithinPartitions("ey").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "plain"))
+    zorder_write(e, ["ux", "ey"], str(tmp_path / "zorder"), bits=8, num_files=8)
+
+    # single-column sort: ey tight but ux spans its whole observed domain
+    plain_ux, plain_ey = avg_span("plain", 0), avg_span("plain", 1)
+    assert plain_ey < 64
+    # z-order: BOTH dimensions substantially tighter than the
+    # single-sort's untouched dimension
+    zux, zey = avg_span("zorder", 0), avg_span("zorder", 1)
+    assert zux < 0.8 * plain_ux, (zux, plain_ux)
+    assert zey < 0.8 * plain_ux, (zey, plain_ux)
