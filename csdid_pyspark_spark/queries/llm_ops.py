@@ -3439,3 +3439,46 @@ FROM keyed GROUP BY 1
 
 QUERIES["events_zorder_tiles"] = events_zorder_tiles
 ORACLES["events_zorder_tiles"] = _zorder_oracle()
+
+
+def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-sample evaluation: train on the content-addressed 80%
+    (md5 bucket < 80 — the same deterministic splitter as
+    sample_hash, so the split is reproducible at any scale and across
+    engines), score the held-out 20%. Output: split sizes, holdout
+    accuracy, and mean log-loss. Pinned VALUES golden (fit and split
+    are both bit-deterministic)."""
+    from csdid_pyspark_spark.operators.logreg import logistic_irls, score_column
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    train = d.filter(bucket < 80)
+    test = d.filter(bucket >= 80)
+    coef = logistic_irls(train, _doc_clf_features(train), _doc_clf_label(), iters=8)
+    s = score_column(_doc_clf_features(test), coef)
+    eps = 1e-12
+    y = _doc_clf_label()
+    ll = -(
+        y * F.log(F.greatest(s, F.lit(eps)))
+        + (F.lit(1.0) - y) * F.log(F.greatest(F.lit(1.0) - s, F.lit(eps)))
+    )
+    pred = (s >= 0.5).cast("double")
+    row = test.agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.round(
+            F.sum(F.when(pred == y, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("test_accuracy"),
+        F.round(
+            F.sum(ll.cast("decimal(38,12)")).cast("double") / F.count("*"), 6
+        ).alias("mean_logloss"),
+    ).collect()[0]
+    n_train = train.count()
+    return spark.createDataFrame(
+        [(int(n_train), int(row["n_test"]), float(row["test_accuracy"]), float(row["mean_logloss"]))],
+        "n_train bigint, n_test bigint, test_accuracy double, mean_logloss double",
+    )
+
+
+QUERIES["quality_classifier_holdout"] = quality_classifier_holdout

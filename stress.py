@@ -24,6 +24,7 @@ Both report driver peak RSS (Python driver AND the Spark JVM child) so
 Usage:
     python stress.py panel [n_units] [n_periods]   # default 200k x 20 = 4M rows
     python stress.py docs  [n_docs]                # default 25_000
+    python stress.py clf   [n_rows]                # default 10_000_000
     python stress.py [n_units] [n_periods]         # legacy: panel mode
 """
 
@@ -246,10 +247,62 @@ def run_docs(spark, n_docs: int) -> dict:
     }
 
 
+
+
+def run_clf(spark, n_rows: int) -> dict:
+    """Logistic-regression stress: train the IRLS classifier
+    (operators/logreg.py) on n_rows synthetic rows with a known true
+    coefficient vector and logistic label noise. Evidence target: each
+    iteration is ONE aggregation pass (wall time linear in n), driver
+    memory flat (O(p²) traffic), and the true betas are recovered."""
+    import math
+
+    from csdid_pyspark_spark.operators.logreg import logistic_irls
+
+    true_beta = [-0.5, 2.0, -1.5, 1.0, 0.5]
+    # deterministic pseudo-uniforms from xxhash64 (no rand(): rerunnable)
+    u = spark.range(n_rows)
+    feats = {"intercept": F.lit(1.0)}
+    cols = {}
+    for j in range(1, len(true_beta)):
+        cols[f"x{j}"] = (
+            F.pmod(F.xxhash64(F.col("id") * (2 * j + 1), F.lit(j)), F.lit(1 << 20))
+            / F.lit(float(1 << 20))
+        )
+    df = u.select("id", *[c.alias(n) for n, c in cols.items()])
+    eta = F.lit(true_beta[0])
+    for j in range(1, len(true_beta)):
+        eta = eta + F.lit(true_beta[j]) * F.col(f"x{j}")
+        feats[f"x{j}"] = F.col(f"x{j}")
+    u_label = F.pmod(F.xxhash64(F.col("id"), F.lit(99)), F.lit(1 << 20)) / F.lit(
+        float(1 << 20)
+    )
+    label = (u_label < F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))).cast("double")
+    df = df.withColumn("y", label)
+
+    t0 = time.time()
+    iters = 6
+    coef = logistic_irls(df, feats, F.col("y"), iters=iters)
+    fit_s = time.time() - t0
+    err = max(
+        abs(coef[n] - b)
+        for n, b in zip(["intercept", "x1", "x2", "x3", "x4"], true_beta)
+    )
+    return {
+        "metric": "stress_clf",
+        "rows": n_rows,
+        "iters": iters,
+        "fit_sec": round(fit_s, 1),
+        "sec_per_iter": round(fit_s / iters, 2),
+        "max_coef_abs_err": round(err, 4),
+        **_driver_memory(),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "panel"
-    if args and args[0] in ("panel", "docs"):
+    if args and args[0] in ("panel", "docs", "clf"):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -257,6 +310,9 @@ def main() -> None:
     if mode == "docs":
         n_docs = int(args[0]) if args else 25_000
         out = run_docs(spark, n_docs)
+    elif mode == "clf":
+        n_rows = int(args[0]) if args else 10_000_000
+        out = run_clf(spark, n_rows)
     else:
         bstrap = "bstrap" in args
         args = [a for a in args if a != "bstrap"]

@@ -104,3 +104,20 @@ def test_chi2_sf_properties(x, k):
     # closed forms: k=2 is Exp(1/2); k=1 is a squared standard normal
     assert chi2_sf(x, 2) == pytest.approx(math.exp(-x / 2), rel=1e-12)
     assert chi2_sf(x, 1) == pytest.approx(math.erfc(math.sqrt(x / 2)), rel=1e-10, abs=1e-300)
+
+
+@given(st.integers(0, 255), st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_bijective(x, y):
+    """The Morton key must be a bijection on (x, y): de-interleaving
+    the generated expression's arithmetic recovers both inputs, and
+    ordering is locality-preserving at tile granularity (same-tile
+    keys share high bits)."""
+    from csdid_pyspark_spark.operators.zorder import zorder_sql
+
+    expr = zorder_sql(["x", "y"], bits=8, dialect="ansi")
+    z = eval(expr.replace("x", str(x)).replace("y", str(y)))
+    rx = sum(((z >> (2 * b)) & 1) << b for b in range(8))
+    ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(8))
+    assert (rx, ry) == (x, y)
+    assert 0 <= z < 1 << 16
