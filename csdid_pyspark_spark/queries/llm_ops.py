@@ -3482,3 +3482,164 @@ def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["quality_classifier_holdout"] = quality_classifier_holdout
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring + temperature-weighted source mixture
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scores for a fixed query against every document.
+    Same distributed shape as text_tfidf: term stats come from a
+    groupBy on the exploded token table (never a vocabulary
+    broadcast); the only broadcast joins are the O(|query|) df table
+    and the 1-row (N, avgdl) scalars. All inputs to the score are
+    exact integers / decimal-exact means, so the doubles round
+    identically on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(27,6)")).cast("double") / F.count("*")).alias(
+            "avgdl"
+        ),
+    )
+    qterms = list(_BM25_TERMS)
+    tf = (
+        tok.filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + F.lit(1.0)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib.cast("decimal(38,12)")).cast("double"), 6).alias(
+                "bm25"
+            ),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+        )
+    )
+
+
+TEXT_BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term FROM documents
+),
+tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+scalars AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       ROUND(CAST(SUM(CAST(
+         LN((scalars.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1))
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / scalars.avgdl))
+       AS DECIMAL(38,12))) AS DOUBLE), 6) AS bm25,
+       COUNT(*) AS n_terms_matched
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scalars
+GROUP BY tf.doc_id
+"""
+
+
+_MIX_ALPHA = 0.7
+
+
+def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened sampling mixture (p_s ∝ n_s^α, α=0.7 —
+    the multilingual/LLM corpus-balancing rule): per-source raw share,
+    tempered share, and the implied up/down-sampling factor. The n^α
+    doubles are cast to exact decimal before the normalizing sum so
+    partial-agg order can't perturb the totals."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))
+    per = per.withColumn("w", w)
+    tot = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.col("w").cast("decimal(38,12)")).cast("double").alias("w_total"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    p_raw = F.col("n_docs") / F.col("n_total")
+    p_temp = F.col("w") / F.col("w_total")
+    return out.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("resample_factor"),
+    )
+
+
+MIXTURE_TEMP_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs, POW(COUNT(*), {_MIX_ALPHA}) AS w
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_docs) AS n_total,
+         CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS w_total
+  FROM per
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(n_docs / n_total, 6) AS p_raw,
+       ROUND(w / w_total, 6) AS p_temp,
+       ROUND((w / w_total) / (n_docs / n_total), 6) AS resample_factor
+FROM per, tot
+"""
+
+
+QUERIES.update(
+    {
+        "text_bm25": text_bm25,
+        "source_mixture_temperature": source_mixture_temperature,
+    }
+)
+ORACLES.update(
+    {
+        "text_bm25": TEXT_BM25_SQL,
+        "source_mixture_temperature": MIXTURE_TEMP_SQL,
+    }
+)
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merge rules learned from the corpus
+    (operators/bpe.py): ONE corpus-scale pass builds word counts, then
+    each merge is an explode+groupBy over the vocabulary table only.
+    Deterministic (integer counts, count-desc/pair-asc tiebreak) →
+    pinned VALUES golden."""
+    from csdid_pyspark_spark.operators.bpe import train_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=10)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+QUERIES["bpe_train_merges"] = bpe_train_merges

@@ -852,3 +852,45 @@ def test_zorder_write_tightens_file_stats_on_both_dims(spark, sf_dir, tmp_path):
     zux, zey = avg_span("zorder", 0), avg_span("zorder", 1)
     assert zux < 0.8 * plain_ux, (zux, plain_ux)
     assert zey < 0.8 * plain_ux, (zey, plain_ux)
+
+
+def test_train_bpe_matches_reference_implementation(spark):
+    """The distributed trainer must learn the exact merge sequence an
+    independent driver-side BPE (counts over dicts) learns on the same
+    corpus, including tie-breaks."""
+    from collections import Counter
+
+    from csdid_pyspark_spark.operators.bpe import train_bpe
+
+    texts = ["low low low lower lower", "newest newest widest", "low newest"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = train_bpe(df, n_merges=6)
+
+    # reference: plain-Python BPE on word counts
+    wc = Counter(w for t in texts for w in t.split())
+    vocab = {tuple(w): c for w, c in wc.items()}
+    want = []
+    for rank in range(1, 7):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        # (count desc, pair-string asc) tiebreak, like the operator
+        best = min(pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (a, b), n = best
+        want.append((rank, a, b, n))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    assert got == want, (got, want)
