@@ -46,6 +46,9 @@ HEADLINE = [
     "text_tfidf",
     "events_sessionize",
     "events_asof_join",
+    "events_gapfill",
+    "text_bm25",
+    "quality_classifier_train",
 ]
 
 

@@ -3643,3 +3643,331 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_train_merges"] = bpe_train_merges
+
+
+# ---------------------------------------------------------------------------
+# Privacy audit, distribution diagnostics, multi-touch attribution,
+# triangle census
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def pii_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (lang, source) quasi-identifier:
+    groups smaller than k are re-identification risks a release
+    pipeline must suppress or generalize. One map-side-combine groupBy;
+    the violating-group list is bounded by the QI cardinality, never
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count("*").cast("bigint").alias("n"))
+    return g.filter(F.col("n") < _K_ANON).withColumn(
+        "k_required", F.lit(_K_ANON).cast("int")
+    )
+
+
+PII_K_ANON_SQL = f"""
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST({_K_ANON} AS INTEGER) AS k_required
+FROM documents GROUP BY lang, source HAVING COUNT(*) < {_K_ANON}
+"""
+
+
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (decile) histogram of event values: NTILE over
+    the global value order, then per-bucket bounds/mass. The global
+    sort is one range exchange (Spark plans NTILE's single ordering as
+    a range-partitioned sort at scale); the aggregate reuses it.
+    Deterministic tie order via (value, event_id)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        e.select("event_id", "value")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,6)")).cast("double"), 4
+            ).alias("mass"),
+        )
+    )
+
+
+EVENTS_EQUIDEPTH_SQL = """
+WITH ranked AS (
+  SELECT event_id, value,
+         NTILE(10) OVER (ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT decile, COUNT(*) AS n_events, MIN(value) AS lo, MAX(value) AS hi,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4) AS mass
+FROM ranked GROUP BY decile
+"""
+
+
+def docs_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence statistic for the lang × source
+    contingency table, fully distributed: observed cells from one
+    groupBy, expected cells from broadcast margins, the statistic from
+    a decimal-exact sum of (o−e)²/e. Output keeps the statistic and
+    dof; a p-value is one driver-side call away
+    (did/stats.py::chi2_sf — exercised by the pretrend Wald test)."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    row_m = d.groupBy("lang").agg(F.count("*").alias("nr"))
+    col_m = d.groupBy("source").agg(F.count("*").alias("nc"))
+    n = d.agg(F.count("*").alias("n"))
+    full = (
+        row_m.crossJoin(col_m)
+        .join(obs, ["lang", "source"], "left")
+        .na.fill({"o": 0})
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("nr") * F.col("nc") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    dims = full.agg(
+        F.round(F.sum(term.cast("decimal(38,12)")).cast("double"), 6).alias("chi2"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return dims.select(
+        "chi2",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        (F.col("n_langs") * F.col("n_sources")).cast("bigint").alias("n_cells"),
+    )
+
+
+DOCS_CHI2_SQL = """
+WITH obs AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+rm AS (SELECT lang, COUNT(*) AS nr FROM documents GROUP BY 1),
+cm AS (SELECT source, COUNT(*) AS nc FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+full_grid AS (
+  SELECT rm.lang, cm.source, rm.nr, cm.nc, COALESCE(obs.o, 0) AS o, tot.n
+  FROM rm CROSS JOIN cm
+  LEFT JOIN obs ON rm.lang = obs.lang AND cm.source = obs.source
+  CROSS JOIN tot
+)
+SELECT ROUND(CAST(SUM(CAST(
+         (o - nr * nc / n) * (o - nr * nc / n) / (nr * nc / n)
+       AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+       CAST(COUNT(DISTINCT lang) * COUNT(DISTINCT source) AS BIGINT) AS n_cells
+FROM full_grid
+"""
+
+
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    each purchase credits its preceding same-user touches — 40% first,
+    40% last, 20% split across the middle (100% when a single touch;
+    50/50 for two). One window pass tags each touch with its purchase
+    (the next purchase in user order); per-(purchase, position) credit
+    is pure arithmetic on the touch index/count. Same single-shuffle
+    per-user scan shape as last-touch; credit sums are decimal-exact."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # attach each touch to the NEXT purchase event (if any)
+    tagged = e.withColumn(
+        "purchase_id",
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w_fwd),
+    ).withColumn(
+        "purchase_value",
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(w_fwd),
+    )
+    touches = tagged.filter(
+        F.col("event_type").isin("view", "click") & F.col("purchase_id").isNotNull()
+    )
+    w_grp = Window.partitionBy("purchase_id").orderBy("ts", "event_id")
+    w_cnt = Window.partitionBy("purchase_id")
+    pos = touches.withColumn("idx", F.row_number().over(w_grp)).withColumn(
+        "cnt", F.count("*").over(w_cnt)
+    )
+    credit = (
+        F.when(F.col("cnt") == 1, F.lit(1.0))
+        .when(F.col("cnt") == 2, F.lit(0.5))
+        .otherwise(
+            F.when(F.col("idx") == 1, F.lit(0.4))
+            .when(F.col("idx") == F.col("cnt"), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (F.col("cnt") - 2))
+        )
+    )
+    return (
+        pos.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((credit * F.col("purchase_value")).cast("decimal(38,12)"))
+                .cast("double"),
+                4,
+            ).alias("credited_value"),
+            F.round(
+                F.sum(credit.cast("decimal(38,12)")).cast("double"), 4
+            ).alias("credited_purchases"),
+            F.count("*").cast("bigint").alias("n_touches"),
+        )
+    )
+
+
+EVENTS_ATTRIB_POS_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_type, ts, event_id, value,
+    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS purchase_id,
+    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS purchase_value
+  FROM events
+),
+touches AS (
+  SELECT * FROM tagged
+  WHERE event_type IN ('view', 'click') AND purchase_id IS NOT NULL
+),
+pos AS (
+  SELECT event_type, purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY ts, event_id) AS idx,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS cnt
+  FROM touches
+),
+credited AS (
+  SELECT event_type, purchase_value,
+    CASE WHEN cnt = 1 THEN 1.0
+         WHEN cnt = 2 THEN 0.5
+         WHEN idx = 1 THEN 0.4
+         WHEN idx = cnt THEN 0.4
+         ELSE 0.2 / (cnt - 2) END AS credit
+  FROM pos
+)
+SELECT event_type,
+  ROUND(CAST(SUM(CAST(credit * purchase_value AS DECIMAL(38,12))) AS DOUBLE), 4)
+    AS credited_value,
+  ROUND(CAST(SUM(CAST(credit AS DECIMAL(38,12))) AS DOUBLE), 4)
+    AS credited_purchases,
+  COUNT(*) AS n_touches
+FROM credited GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "pii_k_anonymity": pii_k_anonymity,
+        "events_equidepth_histogram": events_equidepth_histogram,
+        "docs_crosstab_chi2": docs_crosstab_chi2,
+        "events_attribution_position": events_attribution_position,
+    }
+)
+ORACLES.update(
+    {
+        "pii_k_anonymity": PII_K_ANON_SQL,
+        "events_equidepth_histogram": EVENTS_EQUIDEPTH_SQL,
+        "docs_crosstab_chi2": DOCS_CHI2_SQL,
+        "events_attribution_position": EVENTS_ATTRIB_POS_SQL,
+    }
+)
+
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the near-dup
+    pair graph. Standard distributed triangle counting: edges are
+    ordered (a<b), so each triangle is enumerated exactly once by the
+    two equi-joins e1(a,b)⋈e2(b,c)⋈e3(a,c) — wedge generation is an
+    equi-join on the shared endpoint (shuffle keyed by node, so skew =
+    max degree, bounded here by the df-capped candidate generation),
+    never an all-pairs product. Open-triad count Σ deg·(deg−1)/2 comes
+    from one degree aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    e = _neardup_pairs(d).select("id_a", "id_b")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e1.id_a") == F.col("e3.id_a"))
+            & (F.col("e2.id_b") == F.col("e3.id_b")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("id_a").alias("node"))
+        .unionAll(e.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    stats = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint").alias("n_wedges"),
+    )
+    edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "n_triangles",
+            "n_edges",
+            "n_nodes",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+DEDUP_TRIANGLES_SQL = (
+    "WITH "
+    + _NEARDUP_PAIRS_CTES
+    + """,
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e1.id_b = e2.id_a
+  JOIN pairs e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b AS node FROM pairs
+  ) GROUP BY node
+),
+stats AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+edges AS (SELECT COUNT(*) AS n_edges FROM pairs)
+SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       n_wedges,
+       ROUND(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+         AS clustering_coeff
+FROM tri, stats, edges
+"""
+)
+
+
+QUERIES["dedup_graph_triangles"] = dedup_graph_triangles
+ORACLES["dedup_graph_triangles"] = DEDUP_TRIANGLES_SQL
