@@ -3971,3 +3971,48 @@ FROM tri, stats, edges
 
 QUERIES["dedup_graph_triangles"] = dedup_graph_triangles
 ORACLES["dedup_graph_triangles"] = DEDUP_TRIANGLES_SQL
+
+
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (2-hour windows every hour): each event
+    lands in exactly 2 overlapping windows. Spark's window() generates
+    the window set JVM-side (one explode-like projection, one
+    map-side-combine groupBy — the same plan as the tumbling rollup,
+    2× the rows); the oracle enumerates both containing windows per
+    event explicitly. Sums are decimal-exact."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT UNNEST([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+           AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT STRFTIME(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
+QUERIES["events_sliding_rollup"] = events_sliding_rollup
+ORACLES["events_sliding_rollup"] = EVENTS_SLIDING_SQL

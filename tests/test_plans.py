@@ -433,3 +433,22 @@ def test_gapfill_single_event_scale_shuffle(spark, sf_dir):
     assert plan.count("Window") == 1, plan
     assert plan.count("Sort") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_only_tiny_sides(spark, sf_dir):
+    """BM25's df table is O(|query terms|) and the (N, avgdl) scalars
+    are 1 row — both must broadcast; the doc-length join keys on
+    doc_id at corpus scale and may shuffle, but nothing may cartesian
+    beyond the 1-row scalar cross join."""
+    plan = _plan(spark, sf_dir, "text_bm25")
+    assert plan.count("BroadcastHashJoin") >= 1
+    # the only nested-loop allowed is the broadcast 1-row scalar attach
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_census_no_cartesian(spark, sf_dir):
+    """Wedge enumeration must be equi-joins on edge endpoints — a
+    cartesian/nested-loop enumeration is O(E²) and unusable at any
+    scale."""
+    plan = _plan(spark, sf_dir, "dedup_graph_triangles")
+    assert "CartesianProduct" not in plan

@@ -79,3 +79,21 @@ def test_events_ts_session_timezone_independent(spark):
         " FROM '/root/testdata/sf0.001/events.parquet'"
     ).fetchone()
     assert (utc["lo"], utc["hi"]) == (lo, hi)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appended batches that GAIN columns must read back as one table
+    with the union schema (mergeSchema) — old rows NULL in new
+    columns. This is the append-only schema-evolution contract a
+    long-lived 100 TB table needs without a rewrite."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        base + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(base + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "v", "score", "batch"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5

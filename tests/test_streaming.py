@@ -378,3 +378,51 @@ def test_session_window_stream_matches_batch(spark):
     for uid, n in got_map.items():
         assert n in (expected[uid], expected[uid] - 1), (uid, n, expected[uid])
     assert sum(got_map.values()) >= sum(expected.values()) - len(expected)
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """The hopping-window rollup must produce identical finalized rows
+    when run as a watermarked stream over the same file."""
+    import shutil
+
+    from csdid_pyspark_spark.queries.llm_ops import events_sliding_rollup
+    from csdid_pyspark_spark.streaming.events import stream_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in events_sliding_rollup(spark, sf_dir).collect()}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    stream = stream_events(spark, str(src))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_rollup_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM sliding_rollup_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
