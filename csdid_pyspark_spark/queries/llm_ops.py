@@ -3674,16 +3674,33 @@ FROM documents GROUP BY lang, source HAVING COUNT(*) < {_K_ANON}
 
 
 def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact equi-depth (decile) histogram of event values: NTILE over
-    the global value order, then per-bucket bounds/mass. The global
-    sort is one range exchange (Spark plans NTILE's single ordering as
-    a range-partitioned sort at scale); the aggregate reuses it.
-    Deterministic tie order via (value, event_id)."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
-    return (
-        e.select("event_id", "value")
-        .withColumn("decile", F.ntile(10).over(w))
+    """Exact equi-depth (decile) histogram of event values with NTILE
+    semantics but WITHOUT the naive plan's scale trap: a bare
+    ``NTILE() OVER (ORDER BY ...)`` funnels every row through ONE
+    reducer. Here the global rank comes from the two-phase distributed
+    scan (operators/packing.py::global_row_number — range shuffle +
+    broadcast per-partition bases) and the decile is NTILE's exact
+    integer arithmetic on (rank, n): the first n%k buckets take
+    ⌈n/k⌉ rows. Deterministic tie order via (value, event_id)."""
+    from csdid_pyspark_spark.operators.packing import (
+        global_row_number as grn,
+        release_cache,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = grn(e, ["value", "event_id"])
+    n_row = ranked.agg(F.max("rn").alias("n")).collect()[0]
+    n, k = int(n_row["n"]), 10
+    q, r = divmod(n, k)
+    head = r * (q + 1)
+    decile = (
+        F.when(F.col("rn") <= head, (F.col("rn") - 1) / (q + 1))
+        .otherwise(r + (F.col("rn") - head - 1) / q if q else F.lit(0))
+        .cast("bigint")
+        + 1
+    ).cast("int")
+    out = (
+        ranked.withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
@@ -3694,6 +3711,9 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mass"),
         )
     )
+    result = out.localCheckpoint(eager=True)
+    release_cache(ranked)
+    return result
 
 
 EVENTS_EQUIDEPTH_SQL = """
@@ -4016,3 +4036,229 @@ FROM expanded GROUP BY 1, 2
 
 QUERIES["events_sliding_rollup"] = events_sliding_rollup
 ORACLES["events_sliding_rollup"] = EVENTS_SLIDING_SQL
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: RFM segmentation, session path n-grams,
+# time-to-convert quantiles
+# ---------------------------------------------------------------------------
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation: per-user Recency (days since last
+    purchase, vs the corpus max ts), Frequency (purchase count), and
+    Monetary (decimal-exact purchase value), bucketed into quartile
+    scores by fixed thresholds on deterministic integers — one
+    groupBy + broadcast of the 1-row max-ts scalar. Counts per RFM
+    cell, so output is bounded at 4³ rows at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    mx = p.agg(F.max(F.unix_micros("ts")).alias("mx_us"))
+    per = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("mon"),
+        )
+        .crossJoin(F.broadcast(mx))
+    )
+    rec_days = ((F.col("mx_us") - F.col("last_us")) / F.lit(86_400_000_000)).cast(
+        "bigint"
+    )
+    r_score = (
+        F.when(rec_days <= 3, 4)
+        .when(rec_days <= 7, 3)
+        .when(rec_days <= 14, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("freq") >= 20, 4)
+        .when(F.col("freq") >= 10, 3)
+        .when(F.col("freq") >= 5, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("mon") >= 1000, 4)
+        .when(F.col("mon") >= 500, 3)
+        .when(F.col("mon") >= 200, 2)
+        .otherwise(1)
+    )
+    return (
+        per.select(
+            r_score.cast("int").alias("r"),
+            f_score.cast("int").alias("f"),
+            m_score.cast("int").alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+EVENTS_RFM_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+mx AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM p),
+per AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS freq,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS mon
+  FROM p GROUP BY user_id
+),
+scored AS (
+  SELECT CASE WHEN (mx.mx_us - last_us) // 86400000000 <= 3 THEN 4
+              WHEN (mx.mx_us - last_us) // 86400000000 <= 7 THEN 3
+              WHEN (mx.mx_us - last_us) // 86400000000 <= 14 THEN 2
+              ELSE 1 END AS r,
+         CASE WHEN freq >= 20 THEN 4 WHEN freq >= 10 THEN 3
+              WHEN freq >= 5 THEN 2 ELSE 1 END AS f,
+         CASE WHEN mon >= 1000 THEN 4 WHEN mon >= 500 THEN 3
+              WHEN mon >= 200 THEN 2 ELSE 1 END AS m
+  FROM per, mx
+)
+SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f, CAST(m AS INTEGER) AS m,
+       COUNT(*) AS n_users
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams inside 30-minute sessions — the "what
+    do users do next" path census. Reuses the sessionizer's lag-gap
+    shape: the trigram is two lags over the same (user, ts) sort the
+    session ids already need, so the whole query is ONE shuffle keyed
+    by user; trigram counting is a map-side-combine groupBy bounded by
+    |event_type|³."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize.sessionize(e)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = (
+        s.withColumn("t1", F.lag("event_type", 2).over(w))
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .filter(F.col("t1").isNotNull())
+        .select(
+            F.concat_ws(">", "t1", "t2", "event_type").alias("path3")
+        )
+    )
+    return (
+        tri.groupBy("path3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path3")
+        .limit(10)
+    )
+
+
+EVENTS_PATHS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered
+),
+tri AS (
+  SELECT LAG(event_type, 2) OVER w2 AS t1,
+         LAG(event_type, 1) OVER w2 AS t2,
+         event_type AS t3
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path3, COUNT(*) AS n
+FROM tri WHERE t1 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path3 LIMIT 10
+"""
+
+
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → first-purchase latency distribution: exact
+    min/median/p90 (integer-second latencies, so exact percentiles are
+    engine-portable) over converting users. Two single-pass
+    conditional aggregates per user — no join, no window."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_buy"),
+    )
+    lat = per.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(((F.col("first_buy") - F.col("first_view")) / 1_000_000).cast("bigint").alias("sec"))
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converters"),
+        F.min("sec").alias("min_sec"),
+        F.expr("percentile(sec, 0.5)").cast("bigint").alias("p50_sec"),
+        F.expr("percentile(sec, 0.9)").cast("bigint").alias("p90_sec"),
+        F.max("sec").alias("max_sec"),
+    )
+
+
+EVENTS_TTC_SQL = """
+WITH per AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_buy
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT CAST((first_buy - first_view) // 1000000 AS BIGINT) AS sec
+  FROM per
+  WHERE first_view IS NOT NULL AND first_buy IS NOT NULL AND first_buy >= first_view
+)
+SELECT COUNT(*) AS n_converters, MIN(sec) AS min_sec,
+       CAST(QUANTILE_CONT(sec, 0.5) AS BIGINT) AS p50_sec,
+       CAST(QUANTILE_CONT(sec, 0.9) AS BIGINT) AS p90_sec,
+       MAX(sec) AS max_sec
+FROM lat
+"""
+
+
+QUERIES.update(
+    {
+        "events_rfm_segments": events_rfm_segments,
+        "events_session_paths": events_session_paths,
+        "events_time_to_convert": events_time_to_convert,
+    }
+)
+ORACLES.update(
+    {
+        "events_rfm_segments": EVENTS_RFM_SQL,
+        "events_session_paths": EVENTS_PATHS_SQL,
+        "events_time_to_convert": EVENTS_TTC_SQL,
+    }
+)
+
+
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 16×32 codebooks
+    trained on-engine, vectors stored as 16 codes, then the production
+    coarse-then-exact pipeline — broadcast-ADC top-50 candidates from
+    the code table (floats never scanned), exact re-rank of ONLY those
+    candidates to top-10. The billion-scale memory path. Deterministic
+    end to end → pinned VALUES golden; recall vs exact L2 is
+    pytest-gated (0.9 at sf0.01)."""
+    from csdid_pyspark_spark.operators.pq import (
+        encode_pq,
+        pq_topk_rerank,
+        train_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = train_pq(emb, m=16, k=32, iters=4)
+    codes = encode_pq(emb, cb)
+    q = _query_vec(spark, sf_dir)
+    return pq_topk_rerank(
+        emb, codes, cb, [float(x) for x in q], n_candidates=50, k_out=10
+    )
+
+
+QUERIES["sim_ann_pq"] = sim_ann_pq

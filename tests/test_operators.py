@@ -894,3 +894,52 @@ def test_train_bpe_matches_reference_implementation(spark):
             nv[tuple(out)] = nv.get(tuple(out), 0) + c
         vocab = nv
     assert got == want, (got, want)
+
+
+def test_pq_recall_and_compression_vs_bruteforce(spark):
+    """PQ top-10 must overlap the exact L2 top-10 (codebook-resolution
+    approximation) and re-running on a different partitioning must
+    reproduce the identical index and ranking (decimal-exact centroid
+    means)."""
+    from csdid_pyspark_spark.operators.pq import encode_pq, pq_topk, train_pq
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    cb = train_pq(emb, m=16, k=32, iters=4)
+    codes = encode_pq(emb, cb)
+    approx = [r["vec_id"] for r in pq_topk(codes, cb, q, k_out=10).collect()]
+
+    # exact squared-L2 top-10
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(x) for x in q]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = [
+        r["vec_id"]
+        for r in emb.select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    assert exact[0] == 0 and approx[0] == 0
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.4, f"ADC-only recall too low: {overlap}"
+
+    # production pipeline: ADC candidates + exact re-rank
+    from csdid_pyspark_spark.operators.pq import pq_topk_rerank
+
+    rr = [
+        r["vec_id"]
+        for r in pq_topk_rerank(emb, codes, cb, q, n_candidates=50, k_out=10).collect()
+    ]
+    rr_overlap = len(set(exact) & set(rr)) / 10
+    assert rr_overlap >= 0.8, f"rerank recall too low: {rr_overlap}"
+
+    cb2 = train_pq(emb.repartition(13), m=16, k=32, iters=4)
+    assert cb2 == cb  # bit-identical codebooks under repartitioning

@@ -452,3 +452,11 @@ def test_triangle_census_no_cartesian(spark, sf_dir):
     scale."""
     plan = _plan(spark, sf_dir, "dedup_graph_triangles")
     assert "CartesianProduct" not in plan
+
+
+def test_equidepth_no_single_partition_exchange(spark, sf_dir):
+    """Exact NTILE semantics must come from the two-phase rank — a
+    bare global window would show Exchange SinglePartition over the
+    full events scan."""
+    plan = _plan(spark, sf_dir, "events_equidepth_histogram")
+    assert "SinglePartition" not in plan, plan
