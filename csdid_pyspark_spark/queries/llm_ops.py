@@ -3673,19 +3673,11 @@ FROM documents GROUP BY lang, source HAVING COUNT(*) < {_K_ANON}
 """
 
 
-def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact equi-depth (decile) histogram of event values with NTILE
-    semantics but WITHOUT the naive plan's scale trap: a bare
-    ``NTILE() OVER (ORDER BY ...)`` funnels every row through ONE
-    reducer. Here the global rank comes from the two-phase distributed
-    scan (operators/packing.py::global_row_number — range shuffle +
-    broadcast per-partition bases) and the decile is NTILE's exact
-    integer arithmetic on (rank, n): the first n%k buckets take
-    ⌈n/k⌉ rows. Deterministic tie order via (value, event_id)."""
-    from csdid_pyspark_spark.operators.packing import (
-        global_row_number as grn,
-        release_cache,
-    )
+def _equidepth_lazy(spark: SparkSession, sf_dir: str):
+    """Lazy tail of the equi-depth histogram (everything after the
+    1-scalar n collect) — exposed so plan tests can assert on the REAL
+    physical plan, not the post-checkpoint scan."""
+    from csdid_pyspark_spark.operators.packing import global_row_number as grn
 
     e = load_table(spark, sf_dir, "events").select("event_id", "value")
     ranked = grn(e, ["value", "event_id"])
@@ -3711,8 +3703,24 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mass"),
         )
     )
+    out._two_phase_cache = ranked._two_phase_cache  # type: ignore[attr-defined]
+    return out
+
+
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (decile) histogram of event values with NTILE
+    semantics but WITHOUT the naive plan's scale trap: a bare
+    ``NTILE() OVER (ORDER BY ...)`` funnels every row through ONE
+    reducer. Here the global rank comes from the two-phase distributed
+    scan (operators/packing.py::global_row_number — range shuffle +
+    broadcast per-partition bases) and the decile is NTILE's exact
+    integer arithmetic on (rank, n): the first n%k buckets take
+    ⌈n/k⌉ rows. Deterministic tie order via (value, event_id)."""
+    from csdid_pyspark_spark.operators.packing import release_cache
+
+    out = _equidepth_lazy(spark, sf_dir)
     result = out.localCheckpoint(eager=True)
-    release_cache(ranked)
+    release_cache(out)
     return result
 
 
@@ -4262,3 +4270,201 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sim_ann_pq"] = sim_ann_pq
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters, interval coverage, epoch shuffling
+# ---------------------------------------------------------------------------
+
+_HH_K = 150
+
+
+def _heavy_hitters_lazy(spark: SparkSession, sf_dir: str):
+    from csdid_pyspark_spark.operators.heavyhitters import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+    return heavy_hitters(tok, "term", k=_HH_K)
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tokens with frequency > n/k without a full-vocabulary
+    shuffle (operators/heavyhitters.py): per-partition mergeable
+    Misra-Gries summaries (mapInPandas, ≤ k rows leave each
+    partition), then a broadcast-semi-join recount of ONLY the
+    candidates with an integer-arithmetic threshold — byte-exact vs
+    the naive GROUP BY/HAVING oracle, but the shuffle is O(hitters),
+    not O(vocabulary). THE shape for "top terms over 100 TB of
+    text" where distinct terms alone exceed driver memory."""
+    from csdid_pyspark_spark.operators.packing import release_cache
+
+    out = _heavy_hitters_lazy(spark, sf_dir)
+    result = out.localCheckpoint(eager=True)
+    release_cache(out)
+    return result
+
+
+TEXT_HH_SQL = r"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS term FROM documents
+),
+t AS (SELECT term FROM toks WHERE len(term) > 0),
+n AS (SELECT COUNT(*) AS n_total FROM t)
+SELECT term, COUNT(*) AS freq
+FROM t, n
+GROUP BY term, n.n_total
+HAVING COUNT(*) * %d > n.n_total
+""" % _HH_K
+
+
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user total ACTIVE time: every event opens a 30-minute
+    activity interval; overlapping intervals must merge before
+    summing (naive per-event sums double-count bursts). The classic
+    sweep-line runs as two window passes over ONE (user, ts) sort —
+    island start = interval start beyond the running max of prior
+    ends, island id = running count of starts — so the whole merge
+    is a single shuffle keyed by user, no self-join, no explode to
+    minutes. Integer-microsecond arithmetic end to end."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000)).alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prior_max_end = F.max("t").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            prior_max_end.isNull() | (F.col("s") > prior_max_end), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("s"), F.max("t").alias("t")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        (F.sum(F.col("t") - F.col("s")) / 1_000_000).cast("bigint").alias("active_sec"),
+    )
+
+
+EVENTS_INTERVAL_UNION_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS t, event_id
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, t,
+    CASE WHEN MAX(t) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           OR s > MAX(t) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island,
+    event_id
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, t,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM marked
+),
+per_island AS (
+  SELECT user_id, island, MIN(s) AS s, MAX(t) AS t
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(SUM(t - s) // 1000000 AS BIGINT) AS active_sec
+FROM per_island GROUP BY 1
+"""
+
+
+_EPOCH_SEED = 7
+_EPOCH_BATCH = 64
+
+
+def pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle → batch manifest: training runs
+    need a reproducible random permutation of the corpus per epoch
+    (same seed ⇒ same batches on any cluster, any partitioning).
+    The permutation key is md5(seed‖doc_id) — content-addressed like
+    sample_hash, portable to the oracle — and the global batch
+    number comes from the two-phase distributed row number
+    (operators/packing.py), NEVER a single-partition window. Output:
+    per-batch doc count and char budget, the manifest a loader
+    consumes."""
+    from csdid_pyspark_spark.operators.packing import release_cache
+
+    out = _epoch_shuffle_lazy(spark, sf_dir)
+    result = out.localCheckpoint(eager=True)
+    release_cache(out)
+    return result
+
+
+def _epoch_shuffle_lazy(spark: SparkSession, sf_dir: str):
+    from csdid_pyspark_spark.operators.packing import global_row_number as grn
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit(str(_EPOCH_SEED) + ":"), F.col("doc_id").cast("string"))).alias(
+            "pk"
+        ),
+    )
+    ranked = grn(d, ["pk", "doc_id"])
+    out = (
+        ranked.withColumn(
+            "batch", ((F.col("rn") - 1) / F.lit(_EPOCH_BATCH)).cast("bigint")
+        )
+        .groupBy("batch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.min("rn").cast("bigint").alias("rn_first"),
+            F.max("rn").cast("bigint").alias("rn_last"),
+        )
+    )
+    out._two_phase_cache = ranked._two_phase_cache  # type: ignore[attr-defined]
+    return out
+
+
+PACK_EPOCH_SQL = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5('%d:' || CAST(doc_id AS VARCHAR)) AS pk
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY pk, doc_id) AS rn
+  FROM keyed
+)
+SELECT (rn - 1) // %d AS batch, COUNT(*) AS n_docs,
+       SUM(n_chars) AS chars, MIN(rn) AS rn_first, MAX(rn) AS rn_last
+FROM ranked GROUP BY 1
+""" % (_EPOCH_SEED, _EPOCH_BATCH)
+
+
+QUERIES.update(
+    {
+        "text_heavy_hitters": text_heavy_hitters,
+        "events_interval_union": events_interval_union,
+        "pack_epoch_shuffle": pack_epoch_shuffle,
+    }
+)
+ORACLES.update(
+    {
+        "text_heavy_hitters": TEXT_HH_SQL,
+        "events_interval_union": EVENTS_INTERVAL_UNION_SQL,
+        "pack_epoch_shuffle": PACK_EPOCH_SQL,
+    }
+)

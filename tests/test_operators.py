@@ -943,3 +943,84 @@ def test_pq_recall_and_compression_vs_bruteforce(spark):
 
     cb2 = train_pq(emb.repartition(13), m=16, k=32, iters=4)
     assert cb2 == cb  # bit-identical codebooks under repartitioning
+
+
+def test_misra_gries_heavy_hitters_exact_and_bounded(spark):
+    """The MG candidate pass must (a) emit at most k+1 rows per
+    partition — the O(partitions·k) shuffle bound IS the operator's
+    scale claim — and (b) after the recount, equal the exact
+    GROUP BY/HAVING answer on a skewed stream, regardless of
+    partitioning."""
+    import numpy as np
+
+    from csdid_pyspark_spark.operators.heavyhitters import (
+        heavy_hitters,
+        mg_partition_summaries,
+    )
+    from csdid_pyspark_spark.operators.packing import release_cache
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: few hot tokens + a long uniform tail
+    hot = rng.choice([f"hot{i}" for i in range(5)], size=20_000, p=[0.5, 0.2, 0.15, 0.1, 0.05])
+    tail = [f"t{int(x)}" for x in rng.integers(0, 30_000, size=30_000)]
+    items = np.concatenate([hot, tail])
+    rng.shuffle(items)
+    df = spark.createDataFrame([(str(x),) for x in items], "tok string").repartition(16)
+
+    k = 100
+    summ = mg_partition_summaries(df, "tok", k).groupBy(
+        F.spark_partition_id().alias("pid")
+    ).count()
+    assert summ.agg(F.max("count")).collect()[0][0] <= k + 1
+
+    hh = heavy_hitters(df, "tok", k)
+    got = {(r["tok"], r["freq"]) for r in hh.collect()}
+    release_cache(hh)
+    n = len(items)
+    exact = {
+        (r["tok"], r["freq"])
+        for r in df.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .filter(F.col("freq") * k > F.lit(n))
+        .collect()
+    }
+    assert got == exact and len(exact) >= 4
+
+    # partition-invariance of the exact result
+    hh2 = heavy_hitters(df.repartition(3), "tok", k)
+    got2 = {(r["tok"], r["freq"]) for r in hh2.collect()}
+    release_cache(hh2)
+    assert got2 == exact
+
+
+def test_interval_union_merges_overlaps(spark):
+    """Sweep-line correctness on hand-built cases: back-to-back
+    intervals chain into one island; a gap starts a new one; totals
+    never double-count overlap."""
+    import datetime as dt
+
+    from csdid_pyspark_spark.queries.llm_ops import events_interval_union
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: events at t0, t0+10min, t0+50min -> islands: [0,40min] and [50,80min]
+        (1, base, 1),
+        (2, base + dt.timedelta(minutes=10), 1),
+        (3, base + dt.timedelta(minutes=50), 1),
+        # user 2: one event -> one 30-min island
+        (4, base, 2),
+    ]
+    e = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        e.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["user_id"]: (r["n_islands"], r["active_sec"])
+            for r in events_interval_union(spark, tmp).collect()
+        }
+    assert out[1] == (2, 40 * 60 + 30 * 60)
+    assert out[2] == (1, 30 * 60)

@@ -457,6 +457,54 @@ def test_triangle_census_no_cartesian(spark, sf_dir):
 def test_equidepth_no_single_partition_exchange(spark, sf_dir):
     """Exact NTILE semantics must come from the two-phase rank — a
     bare global window would show Exchange SinglePartition over the
-    full events scan."""
-    plan = _plan(spark, sf_dir, "events_equidepth_histogram")
+    full events scan. Asserts on the PRE-checkpoint plan (the query
+    itself returns a checkpointed result, whose plan is just a scan)."""
+    from csdid_pyspark_spark.operators.packing import release_cache
+    from csdid_pyspark_spark.queries.llm_ops import _equidepth_lazy
+
+    out = _equidepth_lazy(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_cache(out)
     assert "SinglePartition" not in plan, plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan
+
+
+def test_heavy_hitters_broadcast_recount_no_vocab_shuffle(spark, sf_dir):
+    """The MG sketch pass must be map-only over tokens (its only
+    exchanges are over the tiny summary side), and the recount must
+    prune tokens with a BROADCAST semi-join before their single
+    aggregation shuffle — never a SortMergeJoin and never a shuffle of
+    the raw vocabulary for candidate discovery."""
+    from csdid_pyspark_spark.operators.packing import release_cache
+    from csdid_pyspark_spark.queries.llm_ops import _heavy_hitters_lazy
+
+    out = _heavy_hitters_lazy(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_cache(out)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_epoch_shuffle_two_phase_rank(spark, sf_dir):
+    """Epoch permutation must rank via the range-partitioned two-phase
+    scan, not a single-reducer global window."""
+    from csdid_pyspark_spark.operators.packing import release_cache
+    from csdid_pyspark_spark.queries.llm_ops import _epoch_shuffle_lazy
+
+    out = _epoch_shuffle_lazy(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_cache(out)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_interval_union_single_user_shuffle(spark, sf_dir):
+    """The sweep-line merge is two window passes + two aggregations
+    over ONE user-keyed sort: exactly one exchange over event-scale
+    data (the final per-user agg reuses the user partitioning, and
+    AQE may add nothing else). No join anywhere."""
+    plan = _plan(spark, sf_dir, "events_interval_union")
+    assert "Join" not in plan, plan
+    import re
+
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert len(ex) == 1 and "user_id" in ex[0], plan
