@@ -25,6 +25,26 @@ TABLES = (
 )
 
 
+def pin_utc_session(spark: SparkSession) -> None:
+    """Pin ``spark.sql.session.timeZone`` to UTC (idempotent).
+
+    The engine's timestamp contract: file timestamps are naive wall
+    clocks, processed as that wall clock read in UTC. On a UTC session
+    a TIMESTAMP's instant (``unix_micros``, joins, window buckets) AND
+    its rendering (``date_format``, ``to_date``, ``date_trunc``) both
+    equal the file's wall clock — matching a naive engine (DuckDB)
+    exactly. On a non-UTC session those two views of one TIMESTAMP
+    differ by the zone offset and CANNOT both match: an expression that
+    fixes the instant (``from_utc_timestamp(cast(ts as timestamp),
+    current_timezone())``) shifts every rendered hour/day bucket by the
+    offset, and a bare cast does the reverse. Pinning the session zone
+    at load time is the only normalization that makes the whole query
+    surface session-independent — it is also what production Spark
+    deployments do (``get_spark`` sets the same)."""
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain parquet scan — filters/projections
     applied by callers push down into this scan via Catalyst.
@@ -34,16 +54,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as raw nanos via the legacy conf and floor-truncate to microsecond
     timestamps — the same truncation DuckDB applies), and tz-naive
     TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ. Both are
-    normalized to a plain TIMESTAMP whose instant is the file's wall
-    clock read as UTC. The NTZ→TIMESTAMP cast interprets the wall
-    clock in the SESSION timezone; ``from_utc_timestamp(...,
-    current_timezone())`` shifts that instant back by the same offset,
-    so the round trip pins wall-clock-as-UTC independently of
-    ``spark.sql.session.timeZone`` — a bare cast (or a cast followed
-    by ``to_utc_timestamp(ts, 'UTC')``, which is a no-op) would shift
-    every instant on any non-UTC session. Downstream epoch math
-    (``unix_micros``) and DuckDB's naive rendering then agree exactly
-    on every engine/session combination."""
+    normalized to a plain TIMESTAMP equal to the file's wall clock
+    read as UTC — see :func:`pin_utc_session` for why the session
+    zone is pinned rather than compensated per-expression."""
+    pin_utc_session(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -51,12 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn(
-                "ts",
-                F.expr(
-                    "from_utc_timestamp(cast(ts as timestamp), current_timezone())"
-                ),
-            )
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -70,13 +70,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(ts_type, LongType):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    # Session-tz-independent wall-clock-as-UTC normalization — same
-    # recipe as sources/tables.py::load_table (the NTZ cast uses the
-    # session tz; from_utc_timestamp(..., current_timezone()) undoes it).
-    return raw.withColumn(
-        "ts",
-        F.expr("from_utc_timestamp(cast(ts as timestamp), current_timezone())"),
-    )
+    # Wall-clock-as-UTC normalization: the session zone is pinned UTC
+    # (sources/tables.py::pin_utc_session — _raw_ts_type above already
+    # called load_table machinery; pin again here for direct callers),
+    # under which the bare cast preserves both instant and rendering.
+    from csdid_pyspark_spark.sources.tables import pin_utc_session
+
+    pin_utc_session(spark)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(

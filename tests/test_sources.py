@@ -97,3 +97,30 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score", "batch"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_session_timezone_independence(spark, sf_dir):
+    """The engine's timestamp contract (sources/tables.py::
+    pin_utc_session): results are identical no matter what session
+    timezone the caller arrives with — load_table pins the session to
+    UTC, under which instant-view (epoch math) and rendered-view
+    (hour/day buckets) of a TIMESTAMP both equal the file's naive wall
+    clock. Sabotages the session with a HALF-HOUR-offset zone (catches
+    whole-hour-only reasoning) and asserts a wall-clock-bucketing
+    query is unchanged."""
+    from csdid_pyspark_spark.queries import QUERIES
+
+    baseline = {
+        tuple(r) for r in QUERIES["events_hourly_rollup"](spark, sf_dir).collect()
+    }
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        sabotaged = {
+            tuple(r) for r in QUERIES["events_hourly_rollup"](spark, sf_dir).collect()
+        }
+        retention = QUERIES["events_retention"](spark, sf_dir).count()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert sabotaged == baseline
+    assert retention > 0
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
