@@ -41,8 +41,10 @@ def pin_utc_session(spark: SparkSession) -> None:
     at load time is the only normalization that makes the whole query
     surface session-independent — it is also what production Spark
     deployments do (``get_spark`` sets the same)."""
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # unconditional set: conf.get with a sentinel default trips Spark's
+    # conf-value validation on sessions that never set the key (vanilla
+    # driver sessions) — INVALID_CONF_VALUE for the sentinel itself.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

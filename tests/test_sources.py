@@ -124,3 +124,18 @@ def test_session_timezone_independence(spark, sf_dir):
     assert sabotaged == baseline
     assert retention > 0
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_pin_utc_session_survives_unset_conf(spark):
+    """pin_utc_session must work on sessions that NEVER set the
+    timezone key (the driver's vanilla session): conf.get with a
+    sentinel default raises INVALID_CONF_VALUE there, so the pin must
+    set unconditionally."""
+    from csdid_pyspark_spark.sources.tables import pin_utc_session
+
+    spark.conf.unset("spark.sql.session.timeZone")
+    try:
+        pin_utc_session(spark)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
