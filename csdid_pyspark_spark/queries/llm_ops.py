@@ -4449,7 +4449,8 @@ ranked AS (
   FROM keyed
 )
 SELECT (rn - 1) // %d AS batch, COUNT(*) AS n_docs,
-       SUM(n_chars) AS chars, MIN(rn) AS rn_first, MAX(rn) AS rn_last
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       MIN(rn) AS rn_first, MAX(rn) AS rn_last
 FROM ranked GROUP BY 1
 """ % (_EPOCH_SEED, _EPOCH_BATCH)
 
@@ -4466,5 +4467,250 @@ ORACLES.update(
         "text_heavy_hitters": TEXT_HH_SQL,
         "events_interval_union": EVENTS_INTERVAL_UNION_SQL,
         "pack_epoch_shuffle": PACK_EPOCH_SQL,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Experimentation & ML-split primitives: CUPED readout, histogram split
+# finding
+# ---------------------------------------------------------------------------
+
+def events_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al., WSDM'13): users hash-split into control/treatment
+    (content-addressed md5, portable to the oracle), the metric is
+    each user's second-half purchase value, the covariate their
+    first-half value; θ = cov(x,y)/var(x) is estimated once globally
+    and the adjusted metric y − θ·(x − x̄) shrinks variance without
+    biasing the difference of means. Shapes that matter at 100 TB:
+    ONE user-keyed aggregation builds the per-user (x, y) table, the
+    four moments (θ, x̄) are a 1-row broadcast, and the readout is a
+    2-row aggregate — no second scan of raw events."""
+    e = load_table(spark, sf_dir, "events")
+    mid = e.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    per = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") < F.col("mid_us")),
+                    F.col("value"),
+                ).otherwise(F.lit(0.0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") >= F.col("mid_us")),
+                    F.col("value"),
+                ).otherwise(F.lit(0.0))
+            ).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+                ).cast("bigint")
+                % 2
+                == 0,
+                F.lit("control"),
+            ).otherwise(F.lit("treatment")),
+        )
+    )
+    # symmetric zero guard (cf. events_value_trend): Spark's non-ANSI
+    # x/0 is NULL while DuckDB's is inf — degenerate corpora (no
+    # pre-period variance) must agree on both engines
+    mom = per.agg(
+        F.when(F.var_pop("x") != 0, F.covar_pop("x", "y") / F.var_pop("x"))
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = per.crossJoin(F.broadcast(mom)).withColumn(
+        "y_cuped", F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))
+    )
+    return adj.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg("y"), 6).alias("mean_raw"),
+        F.round(F.avg("y_cuped"), 6).alias("mean_cuped"),
+        F.round(F.var_pop("y"), 6).alias("var_raw"),
+        F.round(F.var_pop("y_cuped"), 6).alias("var_cuped"),
+    )
+
+
+EVENTS_CUPED_SQL = """
+WITH mid AS (
+  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2 AS BIGINT) AS mid_us
+  FROM events
+),
+per AS (
+  SELECT user_id,
+    SUM(CASE WHEN event_type = 'purchase' AND epoch_us(ts) < mid.mid_us
+             THEN value ELSE 0.0 END) AS x,
+    SUM(CASE WHEN event_type = 'purchase' AND epoch_us(ts) >= mid.mid_us
+             THEN value ELSE 0.0 END) AS y
+  FROM events, mid GROUP BY user_id, mid.mid_us
+),
+v AS (
+  SELECT user_id, x, y,
+    CASE WHEN CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+              AS BIGINT) % 2 = 0
+         THEN 'control' ELSE 'treatment' END AS variant
+  FROM per
+),
+mom AS (
+  SELECT COALESCE(COVAR_POP(x, y) / NULLIF(VAR_POP(x), 0), 0.0) AS theta,
+         AVG(x) AS xbar FROM v
+)
+SELECT variant, COUNT(*) AS n_users,
+  ROUND(AVG(y), 6) AS mean_raw,
+  ROUND(AVG(y - mom.theta * (x - mom.xbar)), 6) AS mean_cuped,
+  ROUND(VAR_POP(y), 6) AS var_raw,
+  ROUND(VAR_POP(y - mom.theta * (x - mom.xbar)), 6) AS var_cuped
+FROM v, mom GROUP BY variant, mom.theta, mom.xbar
+"""
+
+
+_SPLIT_BINS = 64
+
+
+def events_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GBDT-style split finding: which threshold on `value` best
+    separates purchases from the rest, by information gain. The
+    gradient-boosting histogram trick at engine scale — ONE pass bins
+    every event into 64 equi-width bins of (count, positives); the
+    gain scan over cumulative bin sums is a 64-row window, so finding
+    a split over 100 TB costs one map-side-combine aggregation, never
+    a per-candidate-threshold pass. Integer bin ids from the
+    broadcast (min, max) scalar keep both engines byte-identical;
+    log2 entropies are computed on exact integer counts then rounded."""
+    e = load_table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("pos")
+    )
+    rng = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    b = e.crossJoin(F.broadcast(rng)).select(
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(_SPLIT_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / _SPLIT_BINS)
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))  # degenerate constant column: one bin
+        .alias("bin"),
+        "pos",
+        "lo",
+        "hi",
+    )
+    hist = b.groupBy("bin", "lo", "hi").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "lo",
+        "hi",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("np").over(w).alias("npl"),
+        F.sum("n").over(Window.partitionBy(F.lit(1))).alias("nt"),
+        F.sum("np").over(Window.partitionBy(F.lit(1))).alias("npt"),
+    )
+
+    def _ent(p):
+        return F.when(
+            (p > 0) & (p < 1), -(p * F.log2(p) + (1 - p) * F.log2(1 - p))
+        ).otherwise(F.lit(0.0))
+
+    pl = F.col("npl") / F.col("nl")
+    pr = (F.col("npt") - F.col("npl")) / (F.col("nt") - F.col("nl"))
+    pt = F.col("npt") / F.col("nt")
+    gain = _ent(pt) - (
+        F.col("nl") / F.col("nt") * _ent(pl)
+        + (F.col("nt") - F.col("nl")) / F.col("nt") * _ent(pr)
+    )
+    scored = cum.filter(F.col("nl") < F.col("nt")).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round(
+            F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / _SPLIT_BINS,
+            6,
+        ).alias("threshold"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("npl").cast("bigint").alias("pos_left"),
+        F.round(gain, 9).alias("gain"),
+    )
+    return scored.orderBy(F.desc("gain"), "bin").limit(5)
+
+
+EVENTS_SPLIT_SQL = """
+WITH e AS (
+  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+),
+rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM e),
+b AS (
+  SELECT CASE WHEN rng.hi > rng.lo
+              THEN LEAST(63, CAST(FLOOR((value - rng.lo) / ((rng.hi - rng.lo) / 64)) AS INT))
+              ELSE 0 END AS bin,
+         pos, rng.lo, rng.hi
+  FROM e, rng
+),
+hist AS (
+  SELECT bin, lo, hi, COUNT(*) AS n, SUM(pos) AS np
+  FROM b GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT bin, lo, hi,
+    SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+    SUM(np) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS npl,
+    SUM(n) OVER () AS nt, SUM(np) OVER () AS npt
+  FROM hist
+),
+scored AS (
+  SELECT CAST(bin AS INTEGER) AS bin,
+    ROUND(lo + (bin + 1) * (hi - lo) / 64, 6) AS threshold,
+    CAST(nl AS BIGINT) AS n_left, CAST(npl AS BIGINT) AS pos_left,
+    ROUND(
+      (CASE WHEN npt * 1.0 / nt > 0 AND npt * 1.0 / nt < 1 THEN
+        -((npt * 1.0 / nt) * LOG2(npt * 1.0 / nt)
+          + (1 - npt * 1.0 / nt) * LOG2(1 - npt * 1.0 / nt)) ELSE 0.0 END)
+      - ((nl * 1.0 / nt) *
+         (CASE WHEN npl * 1.0 / nl > 0 AND npl * 1.0 / nl < 1 THEN
+           -((npl * 1.0 / nl) * LOG2(npl * 1.0 / nl)
+             + (1 - npl * 1.0 / nl) * LOG2(1 - npl * 1.0 / nl)) ELSE 0.0 END)
+         + ((nt - nl) * 1.0 / nt) *
+         (CASE WHEN (npt - npl) * 1.0 / (nt - nl) > 0
+                AND (npt - npl) * 1.0 / (nt - nl) < 1 THEN
+           -(((npt - npl) * 1.0 / (nt - nl)) * LOG2((npt - npl) * 1.0 / (nt - nl))
+             + (1 - (npt - npl) * 1.0 / (nt - nl))
+               * LOG2(1 - (npt - npl) * 1.0 / (nt - nl))) ELSE 0.0 END)),
+      9) AS gain
+  FROM cum WHERE nl < nt
+)
+SELECT bin, threshold, n_left, pos_left, gain
+FROM scored ORDER BY gain DESC, bin LIMIT 5
+"""
+
+
+QUERIES.update(
+    {
+        "events_cuped_readout": events_cuped_readout,
+        "events_histogram_split": events_histogram_split,
+    }
+)
+ORACLES.update(
+    {
+        "events_cuped_readout": EVENTS_CUPED_SQL,
+        "events_histogram_split": EVENTS_SPLIT_SQL,
     }
 )

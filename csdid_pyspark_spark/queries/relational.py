@@ -2560,3 +2560,34 @@ LIMIT 20
 
 QUERIES["basket_pair_lift"] = basket_pair_lift
 ORACLES["basket_pair_lift"] = BASKET_LIFT_SQL
+
+
+def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregated sketch-TABLE pattern — how 100 TB dashboards
+    actually count distincts: materialize one mergeable Datasketches
+    HLL binary per partition key (here per event_type), then answer
+    the global question by UNIONING the sketches, never rescanning
+    the raw data. Users overlap across event types, so the union is
+    genuinely non-additive (Σ per-type NDV ≫ union NDV). One pass
+    over events builds the per-type sketches; the union/estimate runs
+    on 5 binary blobs. Register-max merges are order-independent ⇒
+    deterministic on fixed data ⇒ pinned VALUES golden; pytest bounds
+    the union estimate vs exact COUNT(DISTINCT)."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sk")
+    )
+    # the sketch table is |event_type| binary blobs — checkpoint it so
+    # the union pass reuses it instead of rescanning events
+    per = per.localCheckpoint(eager=True)
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").cast("bigint").alias("ndv_users")
+    )
+    union_est = per.agg(F.hll_union_agg(F.col("sk")).alias("sk")).select(
+        F.lit("__union__").alias("event_type"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("ndv_users"),
+    )
+    return per_est.unionAll(union_est)
+
+
+QUERIES["sketch_hll_partitioned_union"] = sketch_hll_partitioned_union

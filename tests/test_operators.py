@@ -1024,3 +1024,42 @@ def test_interval_union_merges_overlaps(spark):
         }
     assert out[1] == (2, 40 * 60 + 30 * 60)
     assert out[2] == (1, 30 * 60)
+
+
+def test_hll_sketch_union_accuracy_and_invariance(spark, sf_dir):
+    """The sketch-table pattern must answer the global NDV from the
+    per-type sketches within HLL error (lgK=12 → ~1.6% rel. std), and
+    register-max merging must be partition/order independent."""
+    from csdid_pyspark_spark.queries.relational import sketch_hll_partitioned_union
+    from csdid_pyspark_spark.sources.tables import load_table
+
+    out = {r["event_type"]: r["ndv_users"] for r in
+           sketch_hll_partitioned_union(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    exact = e.select("user_id").distinct().count()
+    assert abs(out["__union__"] - exact) / exact <= 0.05
+    assert sum(v for k, v in out.items() if k != "__union__") >= out["__union__"]
+
+    sk = (
+        e.repartition(7)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sk"))
+        .agg(F.hll_union_agg(F.col("sk")).alias("sk"))
+        .select(F.hll_sketch_estimate("sk").cast("bigint").alias("ndv"))
+        .collect()[0]["ndv"]
+    )
+    assert sk == out["__union__"]
+
+
+def test_cuped_reduces_variance_and_preserves_units(spark, sf_dir):
+    """CUPED must never increase variance (θ is the OLS-optimal
+    coefficient, so Var(y−θ(x−x̄)) = Var(y)(1−ρ²) ≤ Var(y)) and must
+    not move users across variants."""
+    from csdid_pyspark_spark.queries.llm_ops import events_cuped_readout
+
+    rows = {r["variant"]: r for r in events_cuped_readout(spark, sf_dir).collect()}
+    assert set(rows) == {"control", "treatment"}
+    total = sum(r["n_users"] for r in rows.values())
+    assert total > 0
+    for r in rows.values():
+        assert r["var_cuped"] <= r["var_raw"] + 1e-9
