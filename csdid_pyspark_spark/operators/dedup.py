@@ -165,6 +165,57 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    exact_limit: int | None = EXACT_PAIRS_LIMIT,
+) -> DataFrame:
+    """Shingle-set CONTAINMENT over candidate pairs sharing ≥1 shingle:
+    C(A,B) = |A∩B| / min(|A|,|B|) — the doc-inside-doc detector
+    (quote inclusion, boilerplate wrapping, partial crawls) that plain
+    Jaccard misses because the union denominator dilutes a small doc
+    fully contained in a big one. Same capped postings self-join shape
+    as :func:`jaccard_pairs` (identical ``max_df`` candidate-generation
+    cap and quadratic-baseline guard), different denominator.
+    Columns: id_a < id_b, containment."""
+    if max_df is None:
+        _guard_exact_allpairs(
+            df, exact_limit, "containment_pairs(max_df=None)",
+            "max_df or minhash_lsh_pairs",
+        )
+    sh = shingle_table(df, text_col, id_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("df_sh")).filter(
+            F.col("df_sh") > max_df
+        )
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sh = sh.persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", F.col("n_inter") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def jaccard_for_candidates(
     sh: DataFrame,
     cand: DataFrame,

@@ -416,6 +416,33 @@ def test_exact_allpairs_baselines_guarded(spark):
     assert similarity.neardup_pairs_cosine(vecs, exact_limit=None).count() > 0
 
 
+def test_containment_pairs_semantics_and_guard(spark):
+    """Containment = |A∩B| / min(|A|,|B|): a doc whose shingles are a
+    strict subset of a larger doc's scores 1.0 even when its Jaccard
+    is far below threshold; the uncapped path shares the quadratic
+    guard with jaccard_pairs."""
+    import pytest
+
+    from csdid_pyspark_spark.operators import dedup
+
+    small = "a b c d e"  # shingles: 3
+    big = small + " f g h i j k l m n o p q r s t"  # superset, 18 shingles
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "zz yy xx ww vv")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(docs, threshold=0.8, max_df=100).collect()
+    }
+    assert rows == {(1, 2): 1.0}
+    # same pair's Jaccard is 3/18 — far below any useful threshold
+    assert dedup.jaccard_pairs(docs, threshold=0.5, max_df=100).count() == 0
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        dedup.containment_pairs(docs, exact_limit=2).collect()
+    assert dedup.containment_pairs(docs, threshold=0.8, exact_limit=None).count() == 1
+
+
 def test_jaccard_pairs_between_delta_vs_corpus_only(spark):
     """Incremental dedup pairs delta docs against corpus docs ONLY:
     corpus-internal duplicates must not appear, exact Jaccard values
