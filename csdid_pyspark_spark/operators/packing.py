@@ -53,6 +53,7 @@ __all__ = [
     "packed_offsets_window",
     "pack_greedy",
     "global_row_number",
+    "global_rank_cumsum",
     "release_cache",
     "cache_scope",
 ]
@@ -271,5 +272,63 @@ def global_row_number(
         part.join(base_df, "_pid")
         .withColumn(out_col, (F.row_number().over(w) + F.col("_base")).cast("bigint"))
         .drop("_pid", "_base"),
+        part,
+    )
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    rank_col: str = "rn",
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global rank AND inclusive running total of ``val_col`` in
+    ``order_cols`` order — the Pareto/Lorenz-curve primitive ("how many
+    top entities cover X% of mass", nucleus-style corpus budget cuts) —
+    via the same two-phase scan as :func:`global_row_number`: range
+    shuffle on the order key, ONE light pass collects per-partition
+    (count, decimal sum) — one tiny row per partition — exclusive bases
+    broadcast back, then partition-local windows. No row ever passes
+    through a single reducer. ``val_col`` is accumulated as
+    DECIMAL(30,6) so the running total is independent of partial-sum
+    order. Pass a unique tiebreak in ``order_cols`` for deterministic
+    output; descending orders: pre-negate into a column."""
+    o = df.withColumn("_v", F.col(val_col).cast("decimal(30,6)"))
+    n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
+    part = (
+        o.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    part = part.persist()
+    stats = {
+        r["_pid"]: (r["c"], r["s"])
+        for r in part.groupBy("_pid")
+        .agg(F.count("*").alias("c"), F.sum("_v").alias("s"))
+        .collect()
+    }
+    from decimal import Decimal
+
+    bases, c_acc, s_acc = [], 0, Decimal(0)
+    for pid in sorted(stats):
+        bases.append((pid, c_acc, s_acc))
+        c_acc += stats[pid][0]
+        s_acc += stats[pid][1] or Decimal(0)
+    spark = df.sparkSession
+    base_df = F.broadcast(
+        spark.createDataFrame(bases, "_pid int, _cbase bigint, _sbase decimal(30,6)")
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _attach_cache(
+        part.join(base_df, "_pid")
+        .withColumn(rank_col, (F.row_number().over(w) + F.col("_cbase")).cast("bigint"))
+        .withColumn(
+            cum_col,
+            (F.sum("_v").over(wsum) + F.col("_sbase")).cast("decimal(30,6)"),
+        )
+        .drop("_pid", "_cbase", "_sbase", "_v"),
         part,
     )

@@ -1,6 +1,7 @@
-"""Survival / path / co-occurrence / containment analytics.
+"""Survival / path / co-occurrence / containment / cohort analytics.
 
-Four oracle-checked queries extending the events + documents surface:
+Oracle-checked queries extending the events + documents + orders
+surface:
 
 * ``events_kaplan_meier`` — Kaplan–Meier survival of view→purchase
   conversion with right-censoring (the canonical time-to-event readout
@@ -15,6 +16,14 @@ Four oracle-checked queries extending the events + documents surface:
 * ``dedup_containment`` — shingle-set containment pairs
   (|A∩B|/min(|A|,|B|)): doc-inside-doc detection that Jaccard's union
   denominator misses (operators/dedup.py::containment_pairs).
+* ``orders_cohort_ltv`` — cohort lifetime-value triangle (first-order
+  year × year offset, cumulative revenue per cohort member).
+* ``suppliers_pareto`` — 80/20 concentration cut via the two-phase
+  distributed rank+running-total scan (no single-reducer window).
+* ``orders_yoy_revenue`` — monthly revenue with lag-12 YoY growth.
+* ``sample_poisson_bootstrap`` — hash-seeded Poisson(1) bootstrap of
+  mean spend by segment: the one-pass distributed bootstrap (same plan
+  family as the estimator's multiplier bootstrap, did/mboot.py).
 
 Scale notes are on each query; every aggregation is a built-in JVM
 expression (no Python UDFs anywhere).
@@ -328,15 +337,304 @@ ORDER BY id_a, id_b
 """ % NEARDUP_MAX_DF
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    year, cumulative revenue per cohort member by year offset — the
+    standard LTV curve a growth team reads next to the retention
+    triangle. The cohort year rides a customer-keyed window (ONE base
+    shuffle, no self-join); the cumulative window runs per-cohort on
+    the (cohorts × offsets)-bounded aggregate. Revenue accumulates as
+    DECIMAL so partial-agg order never moves the cents."""
+    o = load_table(spark, sf_dir, "orders")
+    w_cust = Window.partitionBy("o_custkey")
+    o2 = o.select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        "o_totalprice",
+    ).withColumn("cohort_year", F.min("yr").over(w_cust))
+    rev = o2.groupBy("cohort_year", (F.col("yr") - F.col("cohort_year")).alias("yr_offset")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev")
+    )
+    sz = o2.groupBy("cohort_year").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_cust")
+    )
+    w_cum = (
+        Window.partitionBy("cohort_year")
+        .orderBy("yr_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn("cum_rev", F.sum("rev").over(w_cum))
+        .join(F.broadcast(sz), "cohort_year")
+        .select(
+            F.col("cohort_year").cast("int").alias("cohort_year"),
+            F.col("yr_offset").cast("int").alias("yr_offset"),
+            "n_cust",
+            F.round(F.col("cum_rev").cast("double") / F.col("n_cust"), 2).alias(
+                "cum_ltv_per_cust"
+            ),
+        )
+        .orderBy("cohort_year", "yr_offset")
+    )
+
+
+ORDERS_LTV_SQL = """
+WITH o2 AS (
+  SELECT o_custkey, YEAR(o_orderdate) AS yr, o_totalprice,
+         MIN(YEAR(o_orderdate)) OVER (PARTITION BY o_custkey) AS cohort_year
+  FROM orders
+),
+rev AS (
+  SELECT cohort_year, yr - cohort_year AS yr_offset,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+  FROM o2 GROUP BY 1, 2
+),
+sz AS (SELECT cohort_year, COUNT(DISTINCT o_custkey) AS n_cust FROM o2 GROUP BY 1)
+SELECT CAST(rev.cohort_year AS INTEGER) AS cohort_year,
+       CAST(yr_offset AS INTEGER) AS yr_offset,
+       CAST(n_cust AS BIGINT) AS n_cust,
+       ROUND(CAST(SUM(rev) OVER (PARTITION BY rev.cohort_year ORDER BY yr_offset) AS DOUBLE)
+             / n_cust, 2) AS cum_ltv_per_cust
+FROM rev JOIN sz USING (cohort_year)
+ORDER BY cohort_year, yr_offset
+"""
+
+
+def suppliers_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration cut: the smallest set of top-revenue
+    suppliers covering ≥80% of lineitem revenue (count, fraction of
+    all suppliers, exact share covered). The running total over the
+    supplier-revenue aggregate comes from the two-phase distributed
+    scan (operators/packing.py::global_rank_cumsum — range shuffle +
+    broadcast per-partition bases, decimal-exact), NOT a bare
+    ``SUM() OVER (ORDER BY ...)`` that would funnel every supplier
+    through one reducer; totals land as a broadcast 1-row cross join."""
+    from csdid_pyspark_spark.operators.packing import global_rank_cumsum, release_cache
+
+    l = load_table(spark, sf_dir, "lineitem")
+    srev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+        ).alias("rev")
+    )
+    tot = srev.agg(
+        F.sum("rev").cast("decimal(30,6)").alias("tot"),
+        F.count("*").cast("bigint").alias("n_sup"),
+    )
+    ranked = global_rank_cumsum(
+        srev.withColumn("rev_neg", -F.col("rev")),
+        ["rev_neg", "l_suppkey"],
+        "rev",
+    )
+    out = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("ratio", F.col("cum").cast("double") / F.col("tot").cast("double"))
+        .filter(F.col("ratio") >= 0.8)
+        .agg(
+            F.min("rn").alias("n_top"),
+            F.min("n_sup").alias("n_suppliers"),
+            F.round(F.min("rn").cast("double") / F.min("n_sup"), 6).alias(
+                "frac_suppliers"
+            ),
+            F.round(F.min("ratio"), 6).alias("share_covered"),
+        )
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(ranked)
+    return result
+
+
+SUPPLIERS_PARETO_SQL = """
+WITH srev AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS rev
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT SUM(rev) OVER (ORDER BY rev DESC, l_suppkey) AS cum_rev,
+         SUM(rev) OVER () AS tot,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, l_suppkey) AS rnk,
+         COUNT(*) OVER () AS n_sup
+  FROM srev
+)
+SELECT CAST(MIN(rnk) AS BIGINT) AS n_top,
+       CAST(MIN(n_sup) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(MIN(rnk) AS DOUBLE) / MIN(n_sup), 6) AS frac_suppliers,
+       ROUND(MIN(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS share_covered
+FROM ranked WHERE CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) >= 0.8
+"""
+
+
+def orders_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth (lag-12 over the
+    monthly aggregate). The unpartitioned lag window runs on the
+    months-bounded aggregate — ~one row per calendar month regardless
+    of order volume — never on base rows; first-year months have NULL
+    yoy by construction (guarded NULLIF both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mon")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_d")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("mon")
+    prev = F.lag("rev_d", 12).over(w)
+    return m.select(
+        "mon",
+        F.col("rev_d").cast("double").alias("rev"),
+        F.round(
+            (F.col("rev_d") - prev).cast("double")
+            / F.nullif(prev.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("yoy"),
+    ).orderBy("mon")
+
+
+ORDERS_YOY_SQL = """
+WITH m AS (
+  SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS mon,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT mon, CAST(rev AS DOUBLE) AS rev,
+       ROUND(CAST(rev - LAG(rev, 12) OVER (ORDER BY mon) AS DOUBLE)
+             / NULLIF(CAST(LAG(rev, 12) OVER (ORDER BY mon) AS DOUBLE), 0), 6) AS yoy
+FROM m ORDER BY mon
+"""
+
+
+# Poisson-bootstrap knobs: rep count and the Poisson(1) inverse-CDF
+# ladder (cumulative probabilities e^-1·Σ 1/i!). Hash-seeded per
+# (unit, rep), so every engine draws the SAME resample — the classic
+# distributed bootstrap (one pass, no resampling joins, rows scale as
+# n·reps and shuffle only at the (segment, rep) aggregate).
+BOOT_REPS = 50
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap of mean customer spend by market
+    segment: each (customer, rep) draws a Poisson(1) weight from a
+    content-addressed md5 uniform (reproducible across engines,
+    partitionings, and reruns — rand() is none of those), rep means are
+    weighted aggregates, and the bootstrap SE is the stddev across
+    reps. This is how you bootstrap at 100 TB: no WITH-REPLACEMENT
+    shuffle, no per-rep scan — ONE pass over n·reps rows, the same
+    plan shape as the estimator's multiplier bootstrap (did/mboot.py)
+    with Poisson draws instead of Rademacher."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("spend_d"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_custkey",
+            F.col("spend_d").cast("double").alias("spend"),
+        )
+    )
+    drawn = spend.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1)))
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.col("o_custkey"), F.col("rep"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 16777216.0,
+    )
+    k = F.when(F.col("u") < _POIS1_CDF[0], 0)
+    for i, cdf in enumerate(_POIS1_CDF[1:], start=1):
+        k = k.when(F.col("u") < cdf, i)
+    k = k.otherwise(6)
+    rep_means = (
+        drawn.withColumn("k", k)
+        .groupBy("segment", "rep")
+        .agg(
+            (
+                F.sum((F.col("k") * F.col("spend")).cast("decimal(30,6)")).cast("double")
+                / F.nullif(F.sum("k").cast("bigint"), F.lit(0))
+            ).alias("m")
+        )
+    )
+    return (
+        rep_means.groupBy("segment")
+        .agg(
+            F.round(F.avg("m"), 4).alias("boot_mean"),
+            F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+            F.count("*").cast("bigint").alias("n_reps"),
+        )
+        .orderBy("segment")
+    )
+
+
+SAMPLE_POISSON_BOOT_SQL = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+reps AS (SELECT UNNEST(range(%d)) AS rep),
+drawn AS (
+  SELECT segment, rep,
+    CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '-' || CAST(rep AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) / 16777216.0 AS u,
+    spend
+  FROM spend CROSS JOIN reps
+),
+weighted AS (
+  SELECT segment, rep,
+    CASE WHEN u < %.17f THEN 0
+         WHEN u < %.17f THEN 1
+         WHEN u < %.17f THEN 2
+         WHEN u < %.17f THEN 3
+         WHEN u < %.17f THEN 4
+         WHEN u < %.17f THEN 5
+         ELSE 6 END AS k,
+    spend
+  FROM drawn
+),
+rep_means AS (
+  SELECT segment, rep,
+    CAST(SUM(CAST(k * spend AS DECIMAL(30,6))) AS DOUBLE) / NULLIF(SUM(k), 0) AS m
+  FROM weighted GROUP BY 1, 2
+)
+SELECT segment,
+       ROUND(AVG(m), 4) AS boot_mean,
+       ROUND(STDDEV_SAMP(m), 4) AS boot_se,
+       CAST(COUNT(*) AS BIGINT) AS n_reps
+FROM rep_means GROUP BY segment ORDER BY segment
+""" % ((BOOT_REPS,) + _POIS1_CDF)
+
+
 QUERIES = {
     "events_kaplan_meier": events_kaplan_meier,
     "events_markov_transitions": events_markov_transitions,
     "docs_token_pmi": docs_token_pmi,
     "dedup_containment": dedup_containment,
+    "orders_cohort_ltv": orders_cohort_ltv,
+    "suppliers_pareto": suppliers_pareto,
+    "orders_yoy_revenue": orders_yoy_revenue,
+    "sample_poisson_bootstrap": sample_poisson_bootstrap,
 }
 ORACLES = {
     "events_kaplan_meier": EVENTS_KM_SQL,
     "events_markov_transitions": EVENTS_MARKOV_SQL,
     "docs_token_pmi": DOCS_PMI_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "orders_cohort_ltv": ORDERS_LTV_SQL,
+    "suppliers_pareto": SUPPLIERS_PARETO_SQL,
+    "orders_yoy_revenue": ORDERS_YOY_SQL,
+    "sample_poisson_bootstrap": SAMPLE_POISSON_BOOT_SQL,
 }

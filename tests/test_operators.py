@@ -416,6 +416,38 @@ def test_exact_allpairs_baselines_guarded(spark):
     assert similarity.neardup_pairs_cosine(vecs, exact_limit=None).count() > 0
 
 
+def test_global_rank_cumsum_matches_window(spark):
+    """The two-phase rank+running-total scan must equal the naive
+    single-reducer window bit-for-bit, across partition counts (range
+    boundaries must not leak into ranks or cumulative sums)."""
+    from pyspark.sql import Window as W
+
+    from csdid_pyspark_spark.operators import packing
+
+    d = (
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("v"))
+        .withColumn("v_neg", -F.col("v"))
+    )
+    w = W.orderBy("v_neg", "l_suppkey")
+    naive = d.select(
+        "l_suppkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum(F.col("v").cast("decimal(30,6)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("decimal(30,6)")
+        .alias("cum"),
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    for nparts in (1, 3, 16):
+        with packing.cache_scope(
+            packing.global_rank_cumsum(d, ["v_neg", "l_suppkey"], "v", num_partitions=nparts)
+        ) as got_df:
+            got = sorted((r["l_suppkey"], r["rn"], r["cum"]) for r in got_df.collect())
+        assert got == want, f"mismatch at num_partitions={nparts}"
+
+
 def test_containment_pairs_semantics_and_guard(spark):
     """Containment = |A∩B| / min(|A|,|B|): a doc whose shingles are a
     strict subset of a larger doc's scores 1.0 even when its Jaccard
