@@ -25,6 +25,7 @@ Usage:
     python stress.py panel [n_units] [n_periods]   # default 200k x 20 = 4M rows
     python stress.py docs  [n_docs]                # default 25_000
     python stress.py clf   [n_rows]                # default 10_000_000
+    python stress.py rank  [n_rows]                # default 20_000_000
     python stress.py [n_units] [n_periods]         # legacy: panel mode
 """
 
@@ -363,10 +364,89 @@ def run_clf(spark, n_rows: int) -> dict:
     }
 
 
+def run_rank(spark, n_rows: int) -> dict:
+    """Ordered-scan stress for the two-phase rank+running-total
+    (operators/packing.py::global_rank_cumsum) and the one-pass Poisson
+    bootstrap shape: n_rows synthetic (entity, value) rows, fully
+    executor-side. Evidence targets: wall linear in n (no
+    single-reducer window), driver memory flat (only the P-row
+    base-offset collect), and the Pareto cut + bootstrap SE computed
+    end-to-end."""
+    from csdid_pyspark_spark.queries.analytics_ext import _POIS1_CDF
+
+    v = F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(1 << 20)) / F.lit(
+        float(1 << 20)
+    )
+    # heavy-tailed values so the Pareto cut is non-trivial
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.lit(1.0) / (F.lit(0.001) + v)).alias("value")
+    )
+
+    t0 = time.time()
+    ranked = packing.global_rank_cumsum(
+        df.withColumn("v_neg", -F.col("value").cast("decimal(30,6)")),
+        ["v_neg", "id"],
+        "value",
+    )
+    tot = df.agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("tot"),
+        F.count("*").alias("n"),
+    )
+    cut = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum").cast("double") / F.col("tot").cast("double") >= 0.8)
+        .agg(F.min("rn").alias("n_top"))
+        .collect()[0]
+    )
+    packing.release_cache(ranked)
+    rank_s = time.time() - t0
+
+    t0 = time.time()
+    reps = 20
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("-", F.col("id"), F.col("rep"))), 1, 6),
+            16,
+            10,
+        ).cast("bigint")
+        / 16777216.0
+    )
+    k = F.when(u < _POIS1_CDF[0], 0)
+    for i, cdf in enumerate(_POIS1_CDF[1:], start=1):
+        k = k.when(u < cdf, i)
+    k = k.otherwise(6)
+    rep_means = (
+        df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .withColumn("k", k)
+        .groupBy("rep")
+        .agg(
+            (
+                F.sum((F.col("k") * F.col("value")).cast("decimal(30,6)")).cast("double")
+                / F.sum("k")
+            ).alias("m")
+        )
+    )
+    boot = rep_means.agg(
+        F.avg("m").alias("mean"), F.stddev_samp("m").alias("se")
+    ).collect()[0]
+    boot_s = time.time() - t0
+
+    return {
+        "metric": "stress_rank",
+        "rows": n_rows,
+        "pareto_n_top": int(cut["n_top"]),
+        "rank_cumsum_sec": round(rank_s, 1),
+        "poisson_boot_reps": reps,
+        "poisson_boot_sec": round(boot_s, 1),
+        "boot_se": round(float(boot["se"]), 4),
+        **_driver_memory(),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "panel"
-    if args and args[0] in ("panel", "docs", "clf", "tokens"):
+    if args and args[0] in ("panel", "docs", "clf", "tokens", "rank"):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -380,6 +460,9 @@ def main() -> None:
     elif mode == "tokens":
         n_tokens = int(args[0]) if args else 50_000_000
         out = run_tokens(spark, n_tokens)
+    elif mode == "rank":
+        n_rows = int(args[0]) if args else 20_000_000
+        out = run_rank(spark, n_rows)
     else:
         bstrap = "bstrap" in args
         args = [a for a in args if a != "bstrap"]

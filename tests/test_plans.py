@@ -215,6 +215,43 @@ def test_global_row_number_no_single_partition_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_global_rank_cumsum_no_single_partition_exchange(spark, sf_dir):
+    """The Pareto running total (suppliers_pareto's core) must come
+    from the two-phase scan, not a SUM() OVER (ORDER BY) that funnels
+    every supplier through one reducer. Asserted on the operator's
+    lazy plan (the query itself localCheckpoints its 1-row result)."""
+    from pyspark.sql import functions as F
+
+    from csdid_pyspark_spark.operators import packing
+    from csdid_pyspark_spark.sources.tables import load_table
+
+    srev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("rev"))
+        .withColumn("rev_neg", -F.col("rev"))
+    )
+    with packing.cache_scope(
+        packing.global_rank_cumsum(srev, ["rev_neg", "l_suppkey"], "rev")
+    ) as ranked:
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        assert "BroadcastHashJoin" in plan  # per-partition bases join
+
+
+def test_poisson_bootstrap_broadcasts_dim_no_rep_shuffle(spark, sf_dir):
+    """The bootstrap must be one pass over n·reps rows: the customer
+    dim joins broadcast, and no shuffle keys on the rep column (a
+    per-rep repartition would re-shuffle the exploded table reps
+    times at scale)."""
+    plan = _plan(spark, sf_dir, "sample_poisson_bootstrap")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    # the only hash exchanges are the custkey pre-agg and the
+    # (segment, rep) / segment aggregates — never a join keyed on rep
+    assert "SortMergeJoin" not in plan
+
+
 def test_pipeline_neardup_pairs_cap_hot_shingles(spark, sf_dir):
     """The dedup-pipeline pair graph (dedup_components / dedup_keep_list)
     must candidate-generate from df-capped postings: the hot-shingle
