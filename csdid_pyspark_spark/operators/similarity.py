@@ -46,6 +46,61 @@ def cosine_topk(
     )
 
 
+def mmr_rerank(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float, float]]:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick argmax λ·rel(c) − (1−λ)·max sim to
+    the already-selected set. The EXPENSIVE half — scoring the corpus
+    and carving the relevance pool — is the distributed
+    TakeOrderedAndProject scan (:func:`cosine_topk` shape); the greedy
+    selection then runs on the collected pool, whose size is the
+    O(pool·dim) driver traffic this engine allows everywhere for
+    result-sized sets (same budget class as the estimator's
+    O(cells·p²) Grams). Deterministic: pure float arithmetic on a
+    deterministic pool, ties broken by ascending id.
+
+    Returns [(rank, id, relevance, mmr_score)] — rank 1-based."""
+    v = as_double_array(vec_col)
+    q = lit_vector(query).cast("array<double>")
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col), cosine(v, q).alias("rel"))
+        .orderBy(F.desc("rel"), F.col(id_col))
+        .limit(pool)
+        .collect()
+    )
+    import math
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    remaining = [(r[id_col], [float(x) for x in r[vec_col]], float(r["rel"])) for r in cand]
+    selected: list[tuple[int, int, float, float]] = []
+    sel_vecs: list[list[float]] = []
+    while remaining and len(selected) < k:
+        best = None
+        for cid, cvec, crel in remaining:
+            penalty = max((_cos(cvec, s) for s in sel_vecs), default=0.0)
+            score = lam * crel - (1.0 - lam) * penalty
+            # strict > : on exact score ties the earlier (higher rel,
+            # then smaller id) pool entry wins — fully deterministic
+            if best is None or score > best[3]:
+                best = (cid, cvec, crel, score)
+        selected.append((len(selected) + 1, best[0], best[2], best[3]))
+        sel_vecs.append(best[1])
+        remaining = [t for t in remaining if t[0] != best[0]]
+    return selected
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded LCG, no numpy
     import needed at executor side — these become literals)."""

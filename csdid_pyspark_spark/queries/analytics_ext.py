@@ -618,6 +618,150 @@ FROM rep_means GROUP BY segment ORDER BY segment
 """ % ((BOOT_REPS,) + _POIS1_CDF)
 
 
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per day, DAU, trailing-7-day WAU, and the
+    DAU/WAU stickiness ratio. The WAU rolling-distinct does NOT
+    window-count over base rows: each (day, user) activity row
+    contributes itself to the 7 target days it falls inside (a 7-way
+    explode — constant fan-out), then ONE (day)-keyed distinct count;
+    the observed-days dimension joins broadcast (bounded by calendar
+    span at any scale)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_STICKINESS_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM daily),
+dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY day),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+  FROM days d JOIN daily a ON a.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT STRFTIME(dau.day, '%Y-%m-%d') AS day, CAST(dau AS BIGINT) AS dau,
+       CAST(wau AS BIGINT) AS wau,
+       ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day ORDER BY day
+"""
+
+
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day split of active users into first-ever-seen vs
+    returning — the acquisition/retention companion of the cohort
+    triangle. The first-seen day rides a user-keyed window over the
+    deduplicated (day, user) activity — ONE shuffle, no join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    w = Window.partitionBy("user_id")
+    return (
+        daily.withColumn("first_day", F.min("day").over(w))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_NEW_RETURNING_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id FROM events
+),
+first AS (SELECT user_id, MIN(day) AS first_day FROM daily GROUP BY user_id)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+FROM daily JOIN first USING (user_id)
+GROUP BY day ORDER BY day
+"""
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution:
+    OLS slope/intercept/R² of ln(freq) on ln(rank). The frequency rank
+    comes from the two-phase distributed scan
+    (operators/packing.py::global_row_number) — at web scale the
+    vocabulary is itself hundreds of millions of terms, so a bare
+    ROW_NUMBER() OVER (ORDER BY f DESC) single-reducer window is the
+    exact trap this engine avoids everywhere else; the regression is
+    one covariance aggregate over the ranked table."""
+    from csdid_pyspark_spark.operators.packing import global_row_number, release_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+        .withColumn("f_neg", -F.col("f"))
+    )
+    ranked = global_row_number(freq, ["f_neg", "token"])
+    xy = ranked.select(
+        F.log(F.col("rn").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.nullif(F.var_pop("x"), F.lit(0.0))
+    out = xy.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(ranked)
+    return result
+
+
+TEXT_ZIPF_SQL = r"""
+WITH tf AS (
+  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS f FROM tf GROUP BY token),
+ranked AS (
+  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token) AS DOUBLE)) AS x,
+         LN(CAST(f AS DOUBLE)) AS y
+  FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(COVAR_POP(x, y) / NULLIF(VAR_POP(x), 0), 6) AS slope,
+       ROUND(AVG(y) - (COVAR_POP(x, y) / NULLIF(VAR_POP(x), 0)) * AVG(x), 6) AS intercept,
+       ROUND(POWER(CORR(x, y), 2), 6) AS r2
+FROM ranked
+"""
+
+
 QUERIES = {
     "events_kaplan_meier": events_kaplan_meier,
     "events_markov_transitions": events_markov_transitions,
@@ -627,6 +771,9 @@ QUERIES = {
     "suppliers_pareto": suppliers_pareto,
     "orders_yoy_revenue": orders_yoy_revenue,
     "sample_poisson_bootstrap": sample_poisson_bootstrap,
+    "events_stickiness": events_stickiness,
+    "events_new_vs_returning": events_new_vs_returning,
+    "text_zipf_fit": text_zipf_fit,
 }
 ORACLES = {
     "events_kaplan_meier": EVENTS_KM_SQL,
@@ -637,4 +784,7 @@ ORACLES = {
     "suppliers_pareto": SUPPLIERS_PARETO_SQL,
     "orders_yoy_revenue": ORDERS_YOY_SQL,
     "sample_poisson_bootstrap": SAMPLE_POISSON_BOOT_SQL,
+    "events_stickiness": EVENTS_STICKINESS_SQL,
+    "events_new_vs_returning": EVENTS_NEW_RETURNING_SQL,
+    "text_zipf_fit": TEXT_ZIPF_SQL,
 }

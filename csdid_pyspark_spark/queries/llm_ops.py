@@ -234,6 +234,24 @@ LIMIT 10
 """
 
 
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 against vec_id=0 (λ=0.7 over a top-50
+    relevance pool): the re-ranking layer every retrieval stack runs
+    after ANN, trading pure relevance for coverage
+    (operators/similarity.py::mmr_rerank — distributed pool carve +
+    bounded driver-side greedy selection). Seeded-deterministic →
+    pinned VALUES golden oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    rows = similarity.mmr_rerank(
+        e.filter(F.col("vec_id") != 0), q, k=10, pool=50, lam=0.7
+    )
+    return spark.createDataFrame(
+        [(r[0], r[1], round(r[2], 5), round(r[3], 5)) for r in rows],
+        "rank int, vec_id bigint, relevance double, mmr_score double",
+    )
+
+
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (Spark-only rows check; tests
     measure recall against the brute-force baseline)."""
@@ -392,6 +410,7 @@ QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_mmr_diversify": sim_mmr_diversify,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "events_sessionize": events_sessionize,

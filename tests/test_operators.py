@@ -416,6 +416,28 @@ def test_exact_allpairs_baselines_guarded(spark):
     assert similarity.neardup_pairs_cosine(vecs, exact_limit=None).count() > 0
 
 
+def test_mmr_rerank_trades_relevance_for_diversity(spark):
+    """With two near-duplicate high-relevance vectors and one diverse
+    mid-relevance vector, pure top-2 keeps both duplicates but MMR
+    must select one duplicate then the diverse vector; rank 1 is
+    always the relevance argmax."""
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01, 0.0]),
+            (2, [1.0, 0.05, 0.0]),  # near-duplicate of 1
+            (3, [0.5, 0.0, 0.866]),  # orthogonal-ish: diverse
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0]
+    topk = [r["vec_id"] for r in similarity.cosine_topk(vecs, q, k=2).collect()]
+    assert set(topk) == {1, 2}
+    mmr = similarity.mmr_rerank(vecs, q, k=2, pool=3, lam=0.3)
+    picked = [t[1] for t in mmr]
+    assert picked[0] in (1, 2) and picked[1] == 3
+    assert mmr[0][0] == 1 and mmr[1][0] == 2  # 1-based ranks
+
+
 def test_global_rank_cumsum_matches_window(spark):
     """The two-phase rank+running-total scan must equal the naive
     single-reducer window bit-for-bit, across partition counts (range
