@@ -762,6 +762,123 @@ FROM ranked
 """
 
 
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per event type: 1 − SSE(hourly
+    value vs its hour-of-day profile mean) / SSE(vs the global mean) —
+    the variance-explained-by-season readout (STL-style strength on the
+    additive hour profile). One base shuffle builds the hourly
+    aggregate; the profile/global-mean windows and the final ratio run
+    on that types×hours-bounded table."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.sum(F.col("value").cast("decimal(27,6)")).alias("v_d"))
+    w_hod = Window.partitionBy("event_type", "hod")
+    w_all = Window.partitionBy("event_type")
+    stats = (
+        hourly.select("event_type", "hod", F.col("v_d").cast("double").alias("v"))
+        .withColumn("hod_mean", F.avg("v").over(w_hod))
+        .withColumn("g_mean", F.avg("v").over(w_all))
+    )
+    resid = (F.col("v") - F.col("hod_mean")) * (F.col("v") - F.col("hod_mean"))
+    total = (F.col("v") - F.col("g_mean")) * (F.col("v") - F.col("g_mean"))
+    return (
+        stats.groupBy("event_type")
+        .agg(
+            F.round(
+                1.0 - F.sum(resid) / F.nullif(F.sum(total), F.lit(0.0)), 6
+            ).alias("seasonality_strength"),
+            F.count("*").cast("bigint").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hr, HOUR(ts) AS hod,
+         SUM(CAST(value AS DECIMAL(27,6))) AS v
+  FROM events GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT event_type, CAST(v AS DOUBLE) AS v,
+         AVG(CAST(v AS DOUBLE)) OVER (PARTITION BY event_type, hod) AS hod_mean,
+         AVG(CAST(v AS DOUBLE)) OVER (PARTITION BY event_type) AS g_mean
+  FROM hourly
+)
+SELECT event_type,
+       ROUND(1.0 - (SUM((v - hod_mean) * (v - hod_mean))
+                    / NULLIF(SUM((v - g_mean) * (v - g_mean)), 0)), 6) AS seasonality_strength,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM stats GROUP BY event_type ORDER BY event_type
+"""
+
+
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory ABC analysis: parts split into A (first 80% of
+    cumulative revenue), B (to 95%), C (tail) with per-class counts and
+    revenue share — the classic concentration report, and a second
+    consumer of the two-phase rank+running-total scan (no
+    single-reducer cumulative window; totals broadcast)."""
+    from csdid_pyspark_spark.operators.packing import global_rank_cumsum, release_cache
+
+    l = load_table(spark, sf_dir, "lineitem")
+    prev = l.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+        ).alias("rev")
+    )
+    tot = prev.agg(F.sum("rev").cast("decimal(30,6)").alias("tot"))
+    ranked = global_rank_cumsum(
+        prev.withColumn("rev_neg", -F.col("rev")), ["rev_neg", "l_partkey"], "rev"
+    )
+    ratio = F.col("cum").cast("double") / F.col("tot").cast("double")
+    out = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "abc_class",
+            F.when(ratio <= 0.8, "A").when(ratio <= 0.95, "B").otherwise("C"),
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.max(F.col("tot").cast("double")), 6
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(ranked)
+    return result
+
+
+PARTS_ABC_SQL = """
+WITH prev AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT rev, SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum, SUM(rev) OVER () AS tot
+  FROM prev
+),
+cls AS (
+  SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev, tot
+  FROM ranked
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / MAX(CAST(tot AS DOUBLE)), 6) AS rev_share
+FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+
 QUERIES = {
     "events_kaplan_meier": events_kaplan_meier,
     "events_markov_transitions": events_markov_transitions,
@@ -774,6 +891,8 @@ QUERIES = {
     "events_stickiness": events_stickiness,
     "events_new_vs_returning": events_new_vs_returning,
     "text_zipf_fit": text_zipf_fit,
+    "events_seasonality_strength": events_seasonality_strength,
+    "parts_abc_classification": parts_abc_classification,
 }
 ORACLES = {
     "events_kaplan_meier": EVENTS_KM_SQL,
@@ -787,4 +906,6 @@ ORACLES = {
     "events_stickiness": EVENTS_STICKINESS_SQL,
     "events_new_vs_returning": EVENTS_NEW_RETURNING_SQL,
     "text_zipf_fit": TEXT_ZIPF_SQL,
+    "events_seasonality_strength": EVENTS_SEASONALITY_SQL,
+    "parts_abc_classification": PARTS_ABC_SQL,
 }
