@@ -113,15 +113,29 @@ def test_session_timezone_independence(spark, sf_dir):
     baseline = {
         tuple(r) for r in QUERIES["events_hourly_rollup"](spark, sf_dir).collect()
     }
+    km_baseline = {
+        tuple(r) for r in QUERIES["events_kaplan_meier"](spark, sf_dir).collect()
+    }
+    stick_baseline = {
+        tuple(r) for r in QUERIES["events_stickiness"](spark, sf_dir).collect()
+    }
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
     try:
         sabotaged = {
             tuple(r) for r in QUERIES["events_hourly_rollup"](spark, sf_dir).collect()
         }
+        km_sabotaged = {
+            tuple(r) for r in QUERIES["events_kaplan_meier"](spark, sf_dir).collect()
+        }
+        stick_sabotaged = {
+            tuple(r) for r in QUERIES["events_stickiness"](spark, sf_dir).collect()
+        }
         retention = QUERIES["events_retention"](spark, sf_dir).count()
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert sabotaged == baseline
+    assert km_sabotaged == km_baseline
+    assert stick_sabotaged == stick_baseline
     assert retention > 0
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 
