@@ -49,6 +49,11 @@ HEADLINE = [
     "events_gapfill",
     "text_bm25",
     "quality_classifier_train",
+    # round-4 additions (keys append-only so round-over-round per-query
+    # comparison stays valid for the original set)
+    "sample_poisson_bootstrap",
+    "events_stickiness",
+    "suppliers_pareto",
 ]
 
 

@@ -322,7 +322,7 @@ def global_rank_cumsum(
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return _attach_cache(
+    out = _attach_cache(
         part.join(base_df, "_pid")
         .withColumn(rank_col, (F.row_number().over(w) + F.col("_cbase")).cast("bigint"))
         .withColumn(
@@ -332,3 +332,9 @@ def global_rank_cumsum(
         .drop("_pid", "_cbase", "_sbase", "_v"),
         part,
     )
+    # the light pass already saw every row: expose (row count, exact
+    # decimal total) so Pareto-style consumers don't re-scan the input
+    # lineage for a grand total (that re-scan, not the ranked pass, was
+    # the dominant cost when the input is itself an aggregation)
+    out._scan_totals = (c_acc, s_acc)  # type: ignore[attr-defined]
+    return out

@@ -417,14 +417,16 @@ def suppliers_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
         ).alias("rev")
     )
-    tot = srev.agg(
-        F.sum("rev").cast("decimal(30,6)").alias("tot"),
-        F.count("*").cast("bigint").alias("n_sup"),
-    )
     ranked = global_rank_cumsum(
         srev.withColumn("rev_neg", -F.col("rev")),
         ["rev_neg", "l_suppkey"],
         "rev",
+    )
+    # grand totals come from the scan's own per-partition stats — a
+    # separate srev.agg() would re-run the whole lineitem aggregation
+    n_sup, tot_rev = ranked._scan_totals
+    tot = spark.createDataFrame(
+        [(tot_rev, n_sup)], "tot decimal(30,6), n_sup bigint"
     )
     out = (
         ranked.crossJoin(F.broadcast(tot))
@@ -830,10 +832,11 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
         ).alias("rev")
     )
-    tot = prev.agg(F.sum("rev").cast("decimal(30,6)").alias("tot"))
     ranked = global_rank_cumsum(
         prev.withColumn("rev_neg", -F.col("rev")), ["rev_neg", "l_partkey"], "rev"
     )
+    # grand total from the scan's per-partition stats (no second pass)
+    tot = spark.createDataFrame([(ranked._scan_totals[1],)], "tot decimal(30,6)")
     ratio = F.col("cum").cast("double") / F.col("tot").cast("double")
     out = (
         ranked.crossJoin(F.broadcast(tot))
