@@ -882,6 +882,71 @@ FROM cls GROUP BY abc_class ORDER BY abc_class
 """
 
 
+# Token budget for the nucleus-style corpus cut (~55% of the sf0.01
+# corpus's 27k tokens — a real cut at every tested scale factor).
+CURATION_TOKEN_BUDGET = 15_000
+
+
+def curation_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style corpus budgeting: rank documents by a quality
+    proxy (type-token ratio) and keep the best until a global token
+    budget is exhausted — how a pretraining mixture takes "the best N
+    tokens" from a source rather than a row-count sample. The
+    quality-ordered running token total is the two-phase distributed
+    scan (operators/packing.py::global_rank_cumsum) — a web-scale
+    corpus never funnels through one reducer to find the cut point —
+    and the report is one tiny per-source aggregate of the kept set.
+    TTR is rounded to 6 BEFORE ranking so the rank order (and thus the
+    cut) is engine-portable."""
+    from csdid_pyspark_spark.operators.packing import global_rank_cumsum, release_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+    ).withColumn("ttr_neg", -F.col("ttr"))
+    ranked = global_rank_cumsum(scored, ["ttr_neg", "doc_id"], "n_tok", cum_col="cum_tok")
+    out = (
+        ranked.filter(F.col("cum_tok") <= CURATION_TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        )
+        .orderBy("source")
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(ranked)
+    return result
+
+
+CURATION_BUDGET_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok,
+         ROUND(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')), 6) AS ttr
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_tok, ttr,
+         SUM(n_tok) OVER (ORDER BY ttr DESC, doc_id) AS cum_tok
+  FROM scored
+),
+kept AS (SELECT * FROM ranked WHERE cum_tok <= %d)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       ROUND(AVG(ttr), 6) AS avg_ttr
+FROM kept GROUP BY source ORDER BY source
+""" % CURATION_TOKEN_BUDGET
+
+
 QUERIES = {
     "events_kaplan_meier": events_kaplan_meier,
     "events_markov_transitions": events_markov_transitions,
@@ -896,6 +961,7 @@ QUERIES = {
     "text_zipf_fit": text_zipf_fit,
     "events_seasonality_strength": events_seasonality_strength,
     "parts_abc_classification": parts_abc_classification,
+    "curation_budget_cut": curation_budget_cut,
 }
 ORACLES = {
     "events_kaplan_meier": EVENTS_KM_SQL,
@@ -911,4 +977,5 @@ ORACLES = {
     "text_zipf_fit": TEXT_ZIPF_SQL,
     "events_seasonality_strength": EVENTS_SEASONALITY_SQL,
     "parts_abc_classification": PARTS_ABC_SQL,
+    "curation_budget_cut": CURATION_BUDGET_SQL,
 }
