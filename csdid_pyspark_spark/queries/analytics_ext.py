@@ -947,6 +947,77 @@ FROM kept GROUP BY source ORDER BY source
 """ % CURATION_TOKEN_BUDGET
 
 
+def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the inequality
+    statistic behind "how concentrated is engagement" (and, on corpus
+    token counts, "how skewed is the mixture"). Exact rank formula
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending ranks, with the
+    rank from the two-phase distributed scan — the per-user aggregate
+    is user-cardinality-sized, so a bare ROW_NUMBER() window would be
+    the usual single-reducer trap at scale."""
+    from csdid_pyspark_spark.operators.packing import global_row_number, release_cache
+
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.count("*").alias("x"))
+    ranked = global_row_number(per, ["x", "user_id"], out_col="i")
+    n = F.count("*")
+    out = ranked.agg(
+        n.cast("bigint").alias("n_users"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("x"))).cast("double")
+            / (n * F.sum("x"))
+            - (n + 1).cast("double") / n,
+            6,
+        ).alias("gini"),
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(ranked)
+    return result
+
+
+EVENTS_GINI_SQL = """
+WITH per AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM per
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(2 * SUM(i * x) AS DOUBLE) / (COUNT(*) * SUM(x))
+             - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+FROM ranked
+"""
+
+
+def docs_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and max-normalized entropy) of the corpus
+    source distribution — the one-number mixture-balance diagnostic a
+    data team watches as sources are re-weighted. One groupBy over the
+    corpus; the 1-row totals land as a broadcast cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n"))
+    t = s.agg(
+        F.sum("n").alias("tot"), F.count("*").alias("k")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    return s.crossJoin(F.broadcast(t)).agg(
+        F.max("k").cast("bigint").alias("n_sources"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        F.round(
+            -F.sum(p * F.log(p)) / F.log(F.max("k").cast("double")), 6
+        ).alias("normalized"),
+    )
+
+
+DOCS_SOURCE_ENTROPY_SQL = """
+WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT SUM(n) AS tot, COUNT(*) AS k FROM s)
+SELECT CAST(MAX(k) AS BIGINT) AS n_sources,
+       ROUND(-SUM((CAST(n AS DOUBLE)/tot) * LN(CAST(n AS DOUBLE)/tot)), 6) AS entropy,
+       ROUND(-SUM((CAST(n AS DOUBLE)/tot) * LN(CAST(n AS DOUBLE)/tot))
+             / LN(CAST(MAX(k) AS DOUBLE)), 6) AS normalized
+FROM s CROSS JOIN t
+"""
+
+
 QUERIES = {
     "events_kaplan_meier": events_kaplan_meier,
     "events_markov_transitions": events_markov_transitions,
@@ -962,6 +1033,8 @@ QUERIES = {
     "events_seasonality_strength": events_seasonality_strength,
     "parts_abc_classification": parts_abc_classification,
     "curation_budget_cut": curation_budget_cut,
+    "events_activity_gini": events_activity_gini,
+    "docs_source_entropy": docs_source_entropy,
 }
 ORACLES = {
     "events_kaplan_meier": EVENTS_KM_SQL,
@@ -978,4 +1051,6 @@ ORACLES = {
     "events_seasonality_strength": EVENTS_SEASONALITY_SQL,
     "parts_abc_classification": PARTS_ABC_SQL,
     "curation_budget_cut": CURATION_BUDGET_SQL,
+    "events_activity_gini": EVENTS_GINI_SQL,
+    "docs_source_entropy": DOCS_SOURCE_ENTROPY_SQL,
 }
