@@ -1018,6 +1018,44 @@ FROM s CROSS JOIN t
 """
 
 
+def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence distribution: days between a customer's
+    consecutive orders (min / exact p50 / p90 / max) — the reorder-
+    cycle statistic behind replenishment and churn-risk models. ONE
+    customer-keyed window shuffle; integer day gaps, so the exact
+    interpolated percentiles are engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        )
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.expr("percentile(gap_days, 0.5)").cast("double").alias("p50_days"),
+        F.expr("percentile(gap_days, 0.9)").cast("double").alias("p90_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )
+
+
+ORDERS_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT DATE_DIFF('day',
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_days,
+       CAST(QUANTILE_CONT(gap_days, 0.5) AS DOUBLE) AS p50_days,
+       CAST(QUANTILE_CONT(gap_days, 0.9) AS DOUBLE) AS p90_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days
+FROM gaps WHERE gap_days IS NOT NULL
+"""
+
+
 QUERIES = {
     "events_kaplan_meier": events_kaplan_meier,
     "events_markov_transitions": events_markov_transitions,
@@ -1035,6 +1073,7 @@ QUERIES = {
     "curation_budget_cut": curation_budget_cut,
     "events_activity_gini": events_activity_gini,
     "docs_source_entropy": docs_source_entropy,
+    "orders_interarrival": orders_interarrival,
 }
 ORACLES = {
     "events_kaplan_meier": EVENTS_KM_SQL,
@@ -1053,4 +1092,5 @@ ORACLES = {
     "curation_budget_cut": CURATION_BUDGET_SQL,
     "events_activity_gini": EVENTS_GINI_SQL,
     "docs_source_entropy": DOCS_SOURCE_ENTROPY_SQL,
+    "orders_interarrival": ORDERS_INTERARRIVAL_SQL,
 }
