@@ -9,9 +9,13 @@ process, interleaved — round-robin over queries, not back-to-back per
 query — so a transient host-load spike lands on at most one rep of each
 query instead of all reps of one. Reported per-query time is the MEDIAN
 across reps ("queries", keeping the one-line contract's name→seconds
-shape); "queries_stats" carries median/min/all runs so round-over-round
-comparisons are not confounded by host noise (round 2 recorded a false
-+11% regression from a single loaded run).
+shape).
+
+The printed line is kept SHORT on purpose: the driver captures only the
+tail of stdout, and round 4's line (which inlined per-query runs arrays)
+was truncated past parseability — BENCH_r04.json recorded parsed: null
+and the round's bench was lost. Full per-run detail now goes to
+BENCH_DETAIL.json next to this script instead of onto the line.
 """
 
 from __future__ import annotations
@@ -89,6 +93,23 @@ def main() -> None:
     # rep-1 total is what single-run rounds (r1-r3) measured: cold
     # codegen/page cache. Kept for apples-to-apples history comparison.
     first_run_total = round(sum(r[0] for r in runs.values()), 3)
+    detail = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries_stats": stats,
+        "reps": reps,
+        "first_run_total": first_run_total,
+        "sf": sf,
+    }
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the contract line below is not
     print(
         json.dumps(
             {
@@ -96,11 +117,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": medians,
-                "queries_stats": stats,
                 "reps": reps,
                 "first_run_total": first_run_total,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -42,7 +42,8 @@ estimator); this is part of the LLM-pipeline extension inventory.
 from __future__ import annotations
 
 from contextlib import contextmanager
-from typing import Iterator
+from decimal import Decimal
+from typing import Iterator, NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -54,6 +55,7 @@ __all__ = [
     "pack_greedy",
     "global_row_number",
     "global_rank_cumsum",
+    "RankCumsum",
     "release_cache",
     "cache_scope",
 ]
@@ -276,6 +278,20 @@ def global_row_number(
     )
 
 
+class RankCumsum(NamedTuple):
+    """Result of :func:`global_rank_cumsum`: the ranked DataFrame plus
+    the grand totals the light pass already computed (row count and
+    exact decimal sum of ``val_col``). Totals travel EXPLICITLY — an
+    earlier revision smuggled them as a monkey-patched attribute on the
+    DataFrame, which silently vanished on any select/filter/orderBy of
+    the result. Pass ``df`` (not this tuple) to release_cache /
+    cache_scope when done."""
+
+    df: DataFrame
+    total_count: int
+    total_sum: Decimal
+
+
 def global_rank_cumsum(
     df: DataFrame,
     order_cols: list[str],
@@ -283,7 +299,7 @@ def global_rank_cumsum(
     rank_col: str = "rn",
     cum_col: str = "cum",
     num_partitions: int | None = None,
-) -> DataFrame:
+) -> RankCumsum:
     """Global rank AND inclusive running total of ``val_col`` in
     ``order_cols`` order — the Pareto/Lorenz-curve primitive ("how many
     top entities cover X% of mass", nucleus-style corpus budget cuts) —
@@ -294,7 +310,10 @@ def global_rank_cumsum(
     through a single reducer. ``val_col`` is accumulated as
     DECIMAL(30,6) so the running total is independent of partial-sum
     order. Pass a unique tiebreak in ``order_cols`` for deterministic
-    output; descending orders: pre-negate into a column."""
+    output; descending orders: pre-negate into a column. Returns a
+    :class:`RankCumsum` — the ranked DataFrame plus (row count, exact
+    decimal grand total) from the same light pass, so Pareto-style
+    consumers never re-scan the input lineage for totals."""
     o = df.withColumn("_v", F.col(val_col).cast("decimal(30,6)"))
     n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
     part = (
@@ -309,8 +328,6 @@ def global_rank_cumsum(
         .agg(F.count("*").alias("c"), F.sum("_v").alias("s"))
         .collect()
     }
-    from decimal import Decimal
-
     bases, c_acc, s_acc = [], 0, Decimal(0)
     for pid in sorted(stats):
         bases.append((pid, c_acc, s_acc))
@@ -332,9 +349,4 @@ def global_rank_cumsum(
         .drop("_pid", "_cbase", "_sbase", "_v"),
         part,
     )
-    # the light pass already saw every row: expose (row count, exact
-    # decimal total) so Pareto-style consumers don't re-scan the input
-    # lineage for a grand total (that re-scan, not the ranked pass, was
-    # the dominant cost when the input is itself an aggregation)
-    out._scan_totals = (c_acc, s_acc)  # type: ignore[attr-defined]
-    return out
+    return RankCumsum(out, c_acc, s_acc)

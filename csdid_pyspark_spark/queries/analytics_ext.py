@@ -20,7 +20,7 @@ surface:
   year × year offset, cumulative revenue per cohort member).
 * ``suppliers_pareto`` — 80/20 concentration cut via the two-phase
   distributed rank+running-total scan (no single-reducer window).
-* ``orders_yoy_revenue`` — monthly revenue with lag-12 YoY growth.
+* ``orders_yoy_revenue`` — monthly revenue with same-month-last-year YoY growth.
 * ``sample_poisson_bootstrap`` — hash-seeded Poisson(1) bootstrap of
   mean spend by segment: the one-pass distributed bootstrap (same plan
   family as the estimator's multiplier bootstrap, did/mboot.py).
@@ -147,8 +147,14 @@ curve AS (
   FROM counts
 )
 SELECT CAST(dur_hr AS BIGINT) AS hr, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+  -- LN argument guarded INSIDE the window: DuckDB evaluates the windowed
+  -- SUM(LN(...)) before the outer CASE, so an unguarded LN(0) (a bucket
+  -- where every remaining at-risk subject converts) would raise even
+  -- though the outer CASE emits 0.0 for it.
   CASE WHEN MIN(CAST(n_risk - d AS DOUBLE) / n_risk) OVER (ORDER BY dur_hr) = 0 THEN 0.0
-       ELSE ROUND(EXP(SUM(LN(CAST(n_risk - d AS DOUBLE) / n_risk))
+       ELSE ROUND(EXP(SUM(LN(CASE WHEN n_risk > d
+                              THEN CAST(n_risk - d AS DOUBLE) / n_risk
+                              ELSE 1.0 END))
                   OVER (ORDER BY dur_hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
   END AS survival
 FROM curve WHERE d > 0
@@ -417,16 +423,16 @@ def suppliers_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
         ).alias("rev")
     )
-    ranked = global_rank_cumsum(
+    scan = global_rank_cumsum(
         srev.withColumn("rev_neg", -F.col("rev")),
         ["rev_neg", "l_suppkey"],
         "rev",
     )
+    ranked = scan.df
     # grand totals come from the scan's own per-partition stats — a
     # separate srev.agg() would re-run the whole lineitem aggregation
-    n_sup, tot_rev = ranked._scan_totals
     tot = spark.createDataFrame(
-        [(tot_rev, n_sup)], "tot decimal(30,6), n_sup bigint"
+        [(scan.total_sum, scan.total_count)], "tot decimal(30,6), n_sup bigint"
     )
     out = (
         ranked.crossJoin(F.broadcast(tot))
@@ -467,38 +473,48 @@ FROM ranked WHERE CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) >= 0.8
 
 
 def orders_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly revenue with year-over-year growth (lag-12 over the
-    monthly aggregate). The unpartitioned lag window runs on the
-    months-bounded aggregate — ~one row per calendar month regardless
-    of order volume — never on base rows; first-year months have NULL
-    yoy by construction (guarded NULLIF both engines)."""
+    """Monthly revenue with year-over-year growth via an explicit
+    same-month-last-year self-join on the month key (add_months −12),
+    NOT a positional lag-12 — a lag over ordered month rows silently
+    compares against the wrong month whenever a calendar month is
+    absent from the data, and both engines would agree on the wrong
+    answer so the oracle gate could never catch it. The self-join is
+    on the months-bounded aggregate (~one row per calendar month
+    regardless of order volume), so it broadcasts; months with no
+    same-month-last-year row get NULL yoy (and NULLIF guards rev=0)."""
     o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mon")).agg(
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("mond")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_d")
     )
-    w = Window.partitionBy(F.lit(0)).orderBy("mon")
-    prev = F.lag("rev_d", 12).over(w)
-    return m.select(
-        "mon",
-        F.col("rev_d").cast("double").alias("rev"),
-        F.round(
-            (F.col("rev_d") - prev).cast("double")
-            / F.nullif(prev.cast("double"), F.lit(0.0)),
-            6,
-        ).alias("yoy"),
-    ).orderBy("mon")
+    prev = m.select(
+        F.add_months("mond", 12).alias("mond"), F.col("rev_d").alias("prev_d")
+    )
+    return (
+        m.join(F.broadcast(prev), "mond", "left")
+        .select(
+            F.date_format("mond", "yyyy-MM").alias("mon"),
+            F.col("rev_d").cast("double").alias("rev"),
+            F.round(
+                (F.col("rev_d") - F.col("prev_d")).cast("double")
+                / F.nullif(F.col("prev_d").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("yoy"),
+        )
+        .orderBy("mon")
+    )
 
 
 ORDERS_YOY_SQL = """
 WITH m AS (
-  SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS mon,
+  SELECT DATE_TRUNC('month', o_orderdate) AS mond,
          SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
   FROM orders GROUP BY 1
 )
-SELECT mon, CAST(rev AS DOUBLE) AS rev,
-       ROUND(CAST(rev - LAG(rev, 12) OVER (ORDER BY mon) AS DOUBLE)
-             / NULLIF(CAST(LAG(rev, 12) OVER (ORDER BY mon) AS DOUBLE), 0), 6) AS yoy
-FROM m ORDER BY mon
+SELECT STRFTIME(cur.mond, '%Y-%m') AS mon, CAST(cur.rev AS DOUBLE) AS rev,
+       ROUND(CAST(cur.rev - prev.rev AS DOUBLE)
+             / NULLIF(CAST(prev.rev AS DOUBLE), 0), 6) AS yoy
+FROM m cur LEFT JOIN m prev ON prev.mond = cur.mond - INTERVAL 12 MONTH
+ORDER BY mon
 """
 
 
@@ -832,11 +848,12 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
         ).alias("rev")
     )
-    ranked = global_rank_cumsum(
+    scan = global_rank_cumsum(
         prev.withColumn("rev_neg", -F.col("rev")), ["rev_neg", "l_partkey"], "rev"
     )
+    ranked = scan.df
     # grand total from the scan's per-partition stats (no second pass)
-    tot = spark.createDataFrame([(ranked._scan_totals[1],)], "tot decimal(30,6)")
+    tot = spark.createDataFrame([(scan.total_sum,)], "tot decimal(30,6)")
     ratio = F.col("cum").cast("double") / F.col("tot").cast("double")
     out = (
         ranked.crossJoin(F.broadcast(tot))
@@ -910,7 +927,7 @@ def curation_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
         ).alias("ttr"),
     ).withColumn("ttr_neg", -F.col("ttr"))
-    ranked = global_rank_cumsum(scored, ["ttr_neg", "doc_id"], "n_tok", cum_col="cum_tok")
+    ranked = global_rank_cumsum(scored, ["ttr_neg", "doc_id"], "n_tok", cum_col="cum_tok").df
     out = (
         ranked.filter(F.col("cum_tok") <= CURATION_TOKEN_BUDGET)
         .groupBy("source")

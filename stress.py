@@ -387,7 +387,7 @@ def run_rank(spark, n_rows: int) -> dict:
         df.withColumn("v_neg", -F.col("value").cast("decimal(30,6)")),
         ["v_neg", "id"],
         "value",
-    )
+    ).df
     tot = df.agg(
         F.sum(F.col("value").cast("decimal(30,6)")).alias("tot"),
         F.count("*").alias("n"),

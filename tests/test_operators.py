@@ -462,12 +462,18 @@ def test_global_rank_cumsum_matches_window(spark):
         .alias("cum"),
     )
     want = sorted(tuple(r) for r in naive.collect())
+    expect_n = d.count()
     for nparts in (1, 3, 16):
-        with packing.cache_scope(
-            packing.global_rank_cumsum(d, ["v_neg", "l_suppkey"], "v", num_partitions=nparts)
-        ) as got_df:
+        scan = packing.global_rank_cumsum(
+            d, ["v_neg", "l_suppkey"], "v", num_partitions=nparts
+        )
+        with packing.cache_scope(scan.df) as got_df:
             got = sorted((r["l_suppkey"], r["rn"], r["cum"]) for r in got_df.collect())
         assert got == want, f"mismatch at num_partitions={nparts}"
+        # explicit totals (replacing the old monkey-patched side-channel)
+        # must equal the full-scan truth
+        assert scan.total_count == expect_n
+        assert scan.total_sum == max(c for _, _, c in got)
 
 
 def test_containment_pairs_semantics_and_guard(spark):

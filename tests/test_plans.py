@@ -232,7 +232,7 @@ def test_global_rank_cumsum_no_single_partition_exchange(spark, sf_dir):
         .withColumn("rev_neg", -F.col("rev"))
     )
     with packing.cache_scope(
-        packing.global_rank_cumsum(srev, ["rev_neg", "l_suppkey"], "rev")
+        packing.global_rank_cumsum(srev, ["rev_neg", "l_suppkey"], "rev").df
     ) as ranked:
         plan = ranked._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan
