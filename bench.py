@@ -58,6 +58,9 @@ HEADLINE = [
     "sample_poisson_bootstrap",
     "events_stickiness",
     "suppliers_pareto",
+    # round-5 additions
+    "text_span_cut",
+    "sketch_countmin_freq",
 ]
 
 

@@ -20,7 +20,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from csdid_pyspark_spark.queries import analytics_ext, did_events, llm_ops, relational
+from csdid_pyspark_spark.queries import (
+    analytics_ext,
+    did_events,
+    llm_ops,
+    pipeline_ext,
+    relational,
+)
 
 
 def _ensure_tuned(spark: SparkSession) -> None:
@@ -129,7 +135,7 @@ def _externally_green() -> tuple[set[str], set[str], set[str], dict[str, int]]:
 
 
 _raw: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-for mod in (did_events, llm_ops, relational, analytics_ext):
+for mod in (did_events, llm_ops, relational, analytics_ext, pipeline_ext):
     _raw.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -1,0 +1,477 @@
+"""Entity resolution, sketch, governance, and layout-advisor queries.
+
+Round-5 extensions of the training-data-pipeline surface — each one a
+capability class a 100 TB curation/warehouse stack needs that the
+earlier modules didn't cover:
+
+* ``er_fuzzy_parts`` — blocked fuzzy self-join (record linkage):
+  candidate pairs ONLY from (brand, first-name-token) equi-join
+  blocks, scored with JVM ``levenshtein`` — never an all-pairs cross
+  join (operators/linkage.py).
+* ``text_span_cut`` — the CUT step of exact-substring dedup (Lee et
+  al., "Deduplicating Training Data Makes Language Models Better"):
+  merge each document's cross-document repeated W-token spans into
+  disjoint intervals and report how many tokens survive.
+* ``dp_noisy_counts`` — ε-differentially-private release of per-source
+  document counts (seeded-hash uniform → inverse-CDF Laplace, ε=1);
+  fully deterministic and portable, so the DP mechanism itself is
+  oracle-checked.
+* ``sketch_countmin_freq`` — Count-Min sketch (depth 4 × width 16)
+  point estimates vs true token frequencies, built with a
+  cross-engine-portable polynomial hash; demonstrates the
+  fixed-memory frequency table a streaming corpus profiler uses.
+* ``layout_skew_advisor`` — partition-layout what-if: rows-per-
+  partition distribution (count, avg, p90, max, skew ratio) for
+  candidate partition keys of the events stream — the table a data
+  engineer reads before picking a 100 TB layout.
+* ``pii_l_diversity`` — l-diversity histogram over quasi-identifier
+  groups (the governance metric k-anonymity alone misses).
+
+All aggregation is built-in JVM expressions (no Python UDFs); every
+query has a DuckDB oracle below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csdid_pyspark_spark.operators import linkage
+from csdid_pyspark_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy join
+# ---------------------------------------------------------------------------
+
+ER_MAX_DIST = 3
+
+
+def er_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over the part catalog: candidate pairs blocked by
+    (p_brand, first name token), scored by Levenshtein distance ≤ 3.
+    The block equi-join is the only pair generator — sum of block² not
+    table² — and blocks stay bounded because the key includes the name
+    token; operators/linkage.py carries the max_block skew guard for
+    degenerate keys (unit-tested; non-binding here so the oracle is an
+    unguarded plain SQL join)."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "tok1", F.expr("split_part(p_name, ' ', 1)")
+    )
+    return linkage.blocked_fuzzy_pairs(
+        p, ["p_brand", "tok1"], "p_partkey", "p_name", max_dist=ER_MAX_DIST
+    )
+
+
+ER_FUZZY_SQL = """
+WITH b AS (
+  SELECT p_partkey AS id, p_name AS nm, p_brand AS brand,
+         split_part(p_name, ' ', 1) AS tok1
+  FROM part
+)
+SELECT a.id AS id_a, c.id AS id_b,
+       CAST(levenshtein(a.nm, c.nm) AS BIGINT) AS dist,
+       ROUND(1 - levenshtein(a.nm, c.nm)
+                 / CAST(GREATEST(length(a.nm), length(c.nm)) AS DOUBLE), 6) AS sim
+FROM b a JOIN b c ON a.brand = c.brand AND a.tok1 = c.tok1 AND a.id < c.id
+WHERE levenshtein(a.nm, c.nm) <= %d
+""" % ER_MAX_DIST
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span CUT (companion of text_repeated_spans)
+# ---------------------------------------------------------------------------
+
+SPAN_CUT_W = 10
+
+
+def text_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document report of the exact-substring CUT: every W-token
+    span whose hash recurs in ≥2 distinct documents is marked, a
+    per-document sweep merges overlapping/adjacent marked intervals
+    [pos, pos+W), and the doc keeps n_tok − covered tokens. This is
+    the removal step that follows ``text_repeated_spans``'s census —
+    cut memorized boilerplate out of training text instead of dropping
+    whole documents. One explode + one span-hash shuffle + windows
+    partitioned BY DOCUMENT (bounded by per-doc token count, never
+    corpus-wide). Docs with no repeated span are not reported."""
+    w = SPAN_CUT_W
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tokens")
+    )
+    d = d.filter(F.size("tokens") >= w).select(
+        "doc_id", "tokens", F.size("tokens").alias("n_tok")
+    )
+    spans = d.select(
+        "doc_id",
+        "n_tok",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tokens) - {w}), "
+                f"i -> md5(concat_ws(' ', slice(tokens, i + 1, {w}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = spans.join(dup, "h", "left_semi")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    regions = (
+        marked.withColumn(
+            "new_r",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "region",
+            F.sum("new_r").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "n_tok", "region")
+        .agg((F.max("pos") + w - F.min("pos")).alias("cov"))
+    )
+    return (
+        regions.groupBy("doc_id", "n_tok")
+        .agg(
+            F.sum("cov").cast("bigint").alias("removed_tok"),
+            F.count("*").cast("bigint").alias("n_regions"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            "removed_tok",
+            (F.col("n_tok") - F.col("removed_tok")).cast("bigint").alias("kept_tok"),
+            "n_regions",
+        )
+    )
+
+
+TEXT_SPAN_CUT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+base AS (
+  SELECT doc_id, tokens, len(tokens) AS n_tok FROM toks WHERE len(tokens) >= %(w)d
+),
+spans AS (
+  SELECT doc_id, n_tok, u.pos AS pos, u.h AS h
+  FROM (
+    SELECT doc_id, n_tok,
+           unnest(list_transform(range(0, n_tok - %(w)d + 1),
+                  i -> {'pos': i,
+                        'h': md5(array_to_string(list_slice(tokens, i + 1, i + %(w)d), ' '))})) AS u
+    FROM base
+  )
+),
+dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (SELECT s.doc_id, s.n_tok, s.pos FROM spans s SEMI JOIN dup USING (h)),
+flagged AS (
+  SELECT doc_id, n_tok, pos,
+         CASE WHEN MAX(pos + %(w)d) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR pos > MAX(pos + %(w)d) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_r
+  FROM marked
+),
+regioned AS (
+  SELECT doc_id, n_tok, pos,
+         SUM(new_r) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, n_tok, region, MAX(pos) + %(w)d - MIN(pos) AS cov
+  FROM regioned GROUP BY doc_id, n_tok, region
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(SUM(cov) AS BIGINT) AS removed_tok,
+       CAST(n_tok - SUM(cov) AS BIGINT) AS kept_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_regions
+FROM merged GROUP BY doc_id, n_tok
+""" % {"w": SPAN_CUT_W}
+
+
+# ---------------------------------------------------------------------------
+# ε-DP noisy counts (seeded-hash Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+# portable polynomial string hash (same family as text_winnow_fingerprint):
+# fold (acc*131 + ascii) mod 1e9+7 over the characters, seeded init
+_POLY_MOD = 1_000_000_007
+
+
+def _spark_polyhash(col: str, seed: str) -> str:
+    """SQL text for the portable char-fold hash of ``col`` with BIGINT
+    seed expression ``seed`` — identical math in DuckDB's list_reduce."""
+    return (
+        f"aggregate(transform(sequence(1, length({col})), "
+        f"i -> CAST(ascii(substring({col}, i, 1)) AS BIGINT)), "
+        f"CAST({seed} AS BIGINT), (acc, x) -> (acc * 131 + x) % {_POLY_MOD})"
+    )
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private per-source document counts (ε=1,
+    sensitivity 1 → Laplace scale b=1). The Laplace draw is the
+    inverse-CDF transform of a uniform derived from a seeded portable
+    hash of the group key, so release is deterministic AND the
+    mechanism itself is oracle-verifiable — the pattern for publishing
+    corpus composition stats without exposing exact membership counts.
+    One groupBy; noise math is scalar per group row."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count("*").alias("n"))
+    h = _spark_polyhash("source", "0")
+    u = f"(CAST(({h}) * 2654435761 % 2147483648 AS DOUBLE) + 0.5) / 2147483648.0"
+    lap = (
+        f"-(CASE WHEN ({u}) >= 0.5 THEN 1.0 ELSE -1.0 END) "
+        f"* ln(1 - 2 * abs(({u}) - 0.5))"
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") + F.expr(lap), 6).alias("noisy_n"),
+    ).orderBy("source")
+
+
+DP_NOISY_SQL = r"""
+WITH g AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+h AS (
+  SELECT source, n,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(source) + 1),
+                            i -> CAST(ascii(substring(source, i, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) %% 1000000007) AS hv
+  FROM g
+),
+u AS (
+  SELECT source, n,
+         (CAST(hv * 2654435761 %% 2147483648 AS DOUBLE) + 0.5) / 2147483648.0 AS uv
+  FROM h
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       ROUND(n + (-(CASE WHEN uv >= 0.5 THEN 1.0 ELSE -1.0 END)
+                  * ln(1 - 2 * abs(uv - 0.5))), 6) AS noisy_n
+FROM u ORDER BY source
+""".replace("%%", "%")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch point estimates
+# ---------------------------------------------------------------------------
+
+CM_DEPTH_SEEDS = (17, 89, 331, 7919)
+CM_WIDTH = 16
+CM_TOPK = 20
+
+
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 × width 16) of corpus token
+    frequencies, read back for the top-20 true tokens: est_n is the
+    min over depth rows of the bucket counters, and CM guarantees
+    est_n ≥ true_n (overcount ≥ 0 is asserted by the test suite).
+    The sketch is built from the DISTINCT-token count table (not raw
+    instances), so hash evaluations scale with vocabulary, not corpus
+    size — and the bucket table itself is fixed 4×16 rows at ANY
+    scale: the point of a sketch. Portable polynomial hash, so DuckDB
+    builds the identical sketch."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("true_n"))
+    seeds = F.broadcast(
+        spark.createDataFrame(
+            [(j, s) for j, s in enumerate(CM_DEPTH_SEEDS)], "j int, seed bigint"
+        )
+    )
+    bucket = F.expr(f"({_spark_polyhash('token', 'seed')}) % {CM_WIDTH}")
+    cm = (
+        counts.crossJoin(seeds)
+        .select("j", bucket.alias("bucket"), "true_n")
+        .groupBy("j", "bucket")
+        .agg(F.sum("true_n").alias("cm_n"))
+    )
+    top = (
+        counts.orderBy(F.col("true_n").desc(), "token").limit(CM_TOPK)
+    )
+    probe = top.crossJoin(seeds).select(
+        "token", "true_n", "j", bucket.alias("bucket")
+    )
+    return (
+        probe.join(cm, ["j", "bucket"])
+        .groupBy("token", "true_n")
+        .agg(F.min("cm_n").alias("est_n"))
+        .select(
+            "token",
+            F.col("true_n").cast("bigint").alias("true_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+            (F.col("est_n") - F.col("true_n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("true_n").desc(), "token")
+    )
+
+
+SKETCH_CM_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS true_n FROM toks WHERE token <> '' GROUP BY token
+),
+seeds(j, seed) AS (VALUES (0, 17), (1, 89), (2, 331), (3, 7919)),
+hashed AS (
+  SELECT c.token, c.true_n, s.j,
+         list_reduce(list_prepend(CAST(s.seed AS BIGINT),
+             list_transform(range(1, length(c.token) + 1),
+                            i -> CAST(ascii(substring(c.token, i, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007) % 16 AS bucket
+  FROM counts c CROSS JOIN seeds s
+),
+cm AS (SELECT j, bucket, SUM(true_n) AS cm_n FROM hashed GROUP BY j, bucket),
+top AS (SELECT token, true_n FROM counts ORDER BY true_n DESC, token LIMIT 20),
+probe AS (
+  SELECT h.token, h.true_n, h.j, h.bucket
+  FROM hashed h SEMI JOIN top t ON h.token = t.token
+)
+SELECT p.token, CAST(p.true_n AS BIGINT) AS true_n,
+       CAST(MIN(cm.cm_n) AS BIGINT) AS est_n,
+       CAST(MIN(cm.cm_n) - p.true_n AS BIGINT) AS overcount
+FROM probe p JOIN cm ON cm.j = p.j AND cm.bucket = p.bucket
+GROUP BY p.token, p.true_n
+ORDER BY true_n DESC, token
+"""
+
+
+# ---------------------------------------------------------------------------
+# Partition-layout skew advisor
+# ---------------------------------------------------------------------------
+
+
+def layout_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if table for candidate partition layouts of the events
+    stream: for each candidate key, the rows-per-partition-value
+    distribution (partition count, avg, exact p90, max, max/avg skew
+    ratio). This is the pre-flight a 100 TB ingest runs before
+    committing to a directory layout — a skew ratio ≫ 1 predicts
+    straggler partitions and hot-spot writes. Four cheap groupBys over
+    one scan; the per-candidate distributions aggregate tiny
+    (n_partition-value) tables."""
+    e = load_table(spark, sf_dir, "events")
+
+    def dist(keyed: DataFrame, name: str) -> DataFrame:
+        rows = keyed.groupBy("k").agg(F.count("*").alias("rows"))
+        return rows.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.avg("rows"), 3).alias("avg_rows"),
+            F.round(F.expr("percentile(rows, 0.9)"), 3).alias("p90_rows"),
+            F.max("rows").cast("bigint").alias("max_rows"),
+            F.round(F.max("rows") / F.avg("rows"), 3).alias("skew_ratio"),
+        )
+
+    by_day = e.select(F.date_trunc("day", "ts").alias("k"))
+    by_hour = e.select(F.date_trunc("hour", "ts").alias("k"))
+    by_user = e.select((F.col("user_id") % 256).alias("k"))
+    by_type = e.select(F.col("event_type").alias("k"))
+    return (
+        dist(by_day, "by_day")
+        .unionByName(dist(by_hour, "by_hour"))
+        .unionByName(dist(by_user, "by_user_bucket256"))
+        .unionByName(dist(by_type, "by_event_type"))
+        .orderBy("layout")
+    )
+
+
+LAYOUT_SKEW_SQL = """
+WITH cand AS (
+  SELECT 'by_day' AS layout, CAST(date_trunc('day', ts) AS VARCHAR) AS k FROM events
+  UNION ALL
+  SELECT 'by_hour', CAST(date_trunc('hour', ts) AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'by_user_bucket256', CAST(user_id % 256 AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'by_event_type', event_type FROM events
+),
+per AS (SELECT layout, k, COUNT(*) AS rows_n FROM cand GROUP BY layout, k)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(AVG(rows_n), 3) AS avg_rows,
+       ROUND(quantile_cont(rows_n, 0.9), 3) AS p90_rows,
+       CAST(MAX(rows_n) AS BIGINT) AS max_rows,
+       ROUND(MAX(rows_n) / AVG(rows_n), 3) AS skew_ratio
+FROM per GROUP BY layout ORDER BY layout
+"""
+
+
+# ---------------------------------------------------------------------------
+# l-diversity governance histogram
+# ---------------------------------------------------------------------------
+
+LDIV_BAND = 2000
+
+
+def pii_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity histogram over quasi-identifier groups of the
+    customer table: QI = (nation, market segment), sensitive attribute
+    = account-balance band (width 2000). For each group l = distinct
+    sensitive values; the report is the histogram of l with group-size
+    extremes — the governance readout that catches homogeneous groups
+    (l=1: every member's sensitive value is exposed) which
+    k-anonymity's size-only check misses. Two bounded groupBys."""
+    c = load_table(spark, sf_dir, "customer")
+    grp = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / LDIV_BAND).alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.countDistinct("band").alias("l"), F.count("*").alias("n"))
+    )
+    return (
+        grp.groupBy("l")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.min("n").cast("bigint").alias("min_rows"),
+            F.max("n").cast("bigint").alias("max_rows"),
+        )
+        .select(F.col("l").cast("bigint").alias("l"), "n_groups", "min_rows", "max_rows")
+        .orderBy("l")
+    )
+
+
+PII_LDIV_SQL = """
+WITH grp AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(DISTINCT FLOOR(c_acctbal / %d)) AS l, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(l AS BIGINT) AS l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_rows, CAST(MAX(n) AS BIGINT) AS max_rows
+FROM grp GROUP BY l ORDER BY l
+""" % LDIV_BAND
+
+
+QUERIES = {
+    "er_fuzzy_parts": er_fuzzy_parts,
+    "text_span_cut": text_span_cut,
+    "dp_noisy_counts": dp_noisy_counts,
+    "sketch_countmin_freq": sketch_countmin_freq,
+    "layout_skew_advisor": layout_skew_advisor,
+    "pii_l_diversity": pii_l_diversity,
+}
+
+ORACLES = {
+    "er_fuzzy_parts": ER_FUZZY_SQL,
+    "text_span_cut": TEXT_SPAN_CUT_SQL,
+    "dp_noisy_counts": DP_NOISY_SQL,
+    "sketch_countmin_freq": SKETCH_CM_SQL,
+    "layout_skew_advisor": LAYOUT_SKEW_SQL,
+    "pii_l_diversity": PII_LDIV_SQL,
+}

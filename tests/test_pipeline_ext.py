@@ -1,0 +1,96 @@
+"""Semantics + plan tests for the round-5 pipeline extensions
+(entity resolution, span cut, DP counts, Count-Min, layout advisor)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csdid_pyspark_spark.operators import linkage
+from csdid_pyspark_spark.queries import pipeline_ext
+
+
+def test_blocked_fuzzy_pairs_semantics(spark):
+    rows = [
+        (1, "blk", "kitten"),
+        (2, "blk", "sitten"),   # dist 1 to kitten
+        (3, "blk", "mittens"),  # dist 2 to kitten/sitten
+        (4, "other", "kitten"), # different block: never paired with 1
+        (5, "blk", "zzzzzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, blk string, nm string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in linkage.blocked_fuzzy_pairs(df, ["blk"], "id", "nm", max_dist=2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 2}
+
+
+def test_blocked_fuzzy_pairs_max_block_drops_whole_block(spark):
+    rows = [(i, "hot", "name%d" % i) for i in range(6)] + [
+        (10, "cold", "abc"),
+        (11, "cold", "abd"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, blk string, nm string")
+    got = linkage.blocked_fuzzy_pairs(
+        df, ["blk"], "id", "nm", max_dist=5, max_block=5
+    ).collect()
+    # the 6-member 'hot' block is dropped entirely (not truncated);
+    # the surviving block still yields ALL its pairs
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(10, 11)}
+
+
+def test_er_fuzzy_parts_plan_no_cartesian(spark, sf_dir):
+    plan = (
+        pipeline_ext.er_fuzzy_parts(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_cut_merges_overlapping_spans(spark, tmp_path):
+    # doc 1 and doc 2 share tokens 0..11 (twelve tokens) → dup W=10
+    # spans at pos 0,1,2 merge into ONE region covering 12 tokens.
+    shared = " ".join(f"t{i}" for i in range(12))
+    rows = [
+        (1, shared + " xa xb xc", "en", "s", 0),
+        (2, shared + " ya yb", "en", "s", 0),
+        (3, "solo " * 20, "en", "s", 0),  # no cross-doc span
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    p = str(tmp_path / "docs")
+    d.write.parquet(p + "/documents.parquet")
+    out = {r["doc_id"]: r for r in pipeline_ext.text_span_cut(spark, p).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["removed_tok"] == 12 and out[1]["n_regions"] == 1
+    assert out[1]["kept_tok"] == out[1]["n_tok"] - 12
+    assert out[2]["removed_tok"] == 12 and out[2]["kept_tok"] == 2
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    rows = pipeline_ext.sketch_countmin_freq(spark, sf_dir).collect()
+    assert rows, "top-k probe must be non-empty"
+    assert all(r["est_n"] >= r["true_n"] for r in rows)
+    assert all(r["overcount"] == r["est_n"] - r["true_n"] for r in rows)
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark, sf_dir):
+    a = pipeline_ext.dp_noisy_counts(spark, sf_dir).collect()
+    b = pipeline_ext.dp_noisy_counts(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # Laplace(b=1) noise: |noise| < 20 with overwhelming margin, and
+    # at least one group must actually be perturbed
+    assert all(abs(r["noisy_n"] - r["n"]) < 20 for r in a)
+    assert any(abs(r["noisy_n"] - r["n"]) > 1e-9 for r in a)
+
+
+def test_layout_skew_advisor_shape(spark, sf_dir):
+    rows = {r["layout"]: r for r in pipeline_ext.layout_skew_advisor(spark, sf_dir).collect()}
+    assert set(rows) == {"by_day", "by_hour", "by_user_bucket256", "by_event_type"}
+    for r in rows.values():
+        assert r["max_rows"] >= r["p90_rows"] >= 0
+        assert r["skew_ratio"] >= 1.0
