@@ -81,11 +81,18 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     names = [n for n in HEADLINE if n in QUERIES]
     runs: dict[str, list[float]] = {n: [] for n in names}
+    from csdid_pyspark_spark.cache import release_cache
+
     for _ in range(reps):
         for name in names:
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
+            df = QUERIES[name](spark, sf_dir)
+            df.collect()
             runs[name].append(round(time.perf_counter() - t0, 3))
+            # two-phase/dedup operators persist intermediates; release
+            # them between reps so the rep loop measures steady-state
+            # work, not an ever-growing storage-memory footprint
+            release_cache(df)
 
     medians = {n: round(statistics.median(r), 3) for n, r in runs.items()}
     stats = {

@@ -24,6 +24,7 @@ is dropped after the compact copy materializes.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -96,3 +97,49 @@ def persist_rightsized(
     return df, n
 
 
+
+
+# ---------------------------------------------------------------------------
+# Operator cache lifecycle (shared by packing / dedup two-phase operators)
+# ---------------------------------------------------------------------------
+
+
+def attach_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Record the persisted intermediates ``result`` depends on, so the
+    caller can release them after its final action via
+    :func:`release_cache` (or :func:`cache_scope`). Appends — an
+    operator composing another attaching operator (e.g. MinHash LSH
+    wrapping ``jaccard_for_candidates``) accumulates every persist in
+    the chain on the outermost result. One-shot query runs may skip
+    release and let session teardown reclaim; long-lived service loops
+    must release or each call leaks executor storage memory."""
+    existing = list(getattr(result, "_two_phase_cache", None) or [])
+    existing.extend(cached)
+    result._two_phase_cache = existing  # type: ignore[attr-defined]
+    return result
+
+
+def release_cache(df: DataFrame) -> None:
+    """Unpersist every intermediate an attaching operator materialized
+    for ``df``. Call only after the final action on ``df``: two-phase
+    operators sample range boundaries per execution, so recomputing a
+    released partitioning would no longer match its broadcast bases."""
+    cached = getattr(df, "_two_phase_cache", None)
+    if not cached:
+        return
+    if isinstance(cached, DataFrame):  # pre-list attachments
+        cached = [cached]
+    for c in cached:
+        c.unpersist()
+    df._two_phase_cache = []  # type: ignore[attr-defined]
+
+
+@contextmanager
+def cache_scope(df: DataFrame):
+    """``with cache_scope(op(...)) as out: out.write...`` — guarantees
+    the operator's persisted intermediates are released on exit, for
+    loops that invoke attaching operators repeatedly on one session."""
+    try:
+        yield df
+    finally:
+        release_cache(df)

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csdid_pyspark_spark.cache import attach_cache
+
 from csdid_pyspark_spark.functions.text import normalized_fingerprint
 
 
@@ -156,12 +158,13 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    return attach_cache(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+        sh,
     )
 
 
@@ -207,12 +210,13 @@ def containment_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    return attach_cache(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("containment", F.col("n_inter") / F.least("n_a", "n_b"))
         .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment")),
+        sh,
     )
 
 
@@ -258,12 +262,13 @@ def jaccard_for_candidates(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    return attach_cache(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+        cand, sh_c,
     )
 
 
@@ -300,16 +305,17 @@ def jaccard_pairs_between(
     # corpus postings feed the hot-df measurement, corpus-doc sizes AND
     # the intersection join — persist once instead of re-running the
     # corpus-wide explode+distinct (the dominant cost) three times
-    sh_c = shingle_table(corpus, text_col, id_col, n).persist()
+    sh_c_cached = shingle_table(corpus, text_col, id_col, n).persist()
+    sh_c = sh_c_cached
     if max_df is not None:
         hot = (
-            sh_c.groupBy("shingle")
+            sh_c_cached.groupBy("shingle")
             .agg(F.count("*").alias("df_sh"))
             .filter(F.col("df_sh") > max_df)
             .select("shingle")
         )
         sh_d = sh_d.join(F.broadcast(hot), "shingle", "left_anti")
-        sh_c = sh_c.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_c = sh_c_cached.join(F.broadcast(hot), "shingle", "left_anti")
     # postings feed sizes AND the intersection join on each side
     sh_d = sh_d.persist()
     sizes_d = sh_d.groupBy(id_col).agg(F.count("*").alias("n_d"))
@@ -329,14 +335,16 @@ def jaccard_pairs_between(
     )
     sd = sizes_d.select(F.col(id_col).alias("delta_id"), "n_d")
     sc = sizes_c.select(F.col(id_col).alias("corpus_id"), "n_c")
-    return (
+    return attach_cache(
         inter.join(sd, "delta_id")
         .join(sc, "corpus_id")
         .withColumn(
             "jaccard", F.col("n_inter") / (F.col("n_d") + F.col("n_c") - F.col("n_inter"))
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("delta_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+        .select("delta_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")),
+        sh_d,
+        sh_c_cached,
     )
 
 
@@ -416,7 +424,7 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return jaccard_for_candidates(sh, cand, id_col, threshold)
+    return attach_cache(jaccard_for_candidates(sh, cand, id_col, threshold), sh)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

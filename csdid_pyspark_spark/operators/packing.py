@@ -41,7 +41,6 @@ estimator); this is part of the LLM-pipeline extension inventory.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
 from decimal import Decimal
 from typing import Iterator, NamedTuple
 
@@ -61,41 +60,14 @@ __all__ = [
 ]
 
 
-def _attach_cache(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Record the persisted intermediate a two-phase operator depends
-    on. The persist must OUTLIVE the returned (lazy) DataFrame until
-    the caller's final action — range boundaries are sampled per
-    execution, so recomputing the partitioning would invalidate the
-    broadcast base offsets. The caller releases it explicitly with
-    :func:`release_cache` (or wraps the whole thing in
-    :func:`cache_scope`); one-shot query runs may skip release and let
-    session teardown reclaim it."""
-    result._two_phase_cache = cached  # type: ignore[attr-defined]
-    return result
-
-
-def release_cache(df: DataFrame) -> None:
-    """Unpersist the intermediate partitioning a two-phase operator
-    (`packed_offsets`, `global_row_number`) materialized for ``df``.
-    Call after the final action on ``df``; calling earlier forces a
-    recompute whose resampled range boundaries no longer match the
-    broadcast base offsets."""
-    cached = getattr(df, "_two_phase_cache", None)
-    if cached is not None:
-        cached.unpersist()
-        df._two_phase_cache = None  # type: ignore[attr-defined]
-
-
-@contextmanager
-def cache_scope(df: DataFrame):
-    """``with cache_scope(packed_offsets(...)) as offs: offs.write...``
-    — guarantees the operator's persisted intermediate is released when
-    the block exits, for service loops that pack repeatedly on one
-    long-lived session."""
-    try:
-        yield df
-    finally:
-        release_cache(df)
+# Cache lifecycle is shared engine-wide (dedup's postings persists use
+# the same attach/release protocol): csdid_pyspark_spark/cache.py owns
+# it; these re-exports keep the established packing.* call sites.
+from csdid_pyspark_spark.cache import (  # noqa: E402
+    attach_cache as _attach_cache,
+    cache_scope,
+    release_cache,
+)
 
 
 def _ordered(df: DataFrame, len_col: str, stream_col: str, id_col: str) -> DataFrame:

@@ -49,6 +49,9 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = QUERIES[name](spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    from csdid_pyspark_spark.cache import release_cache
+
+    release_cache(sdf)  # 200+ queries share one session: drop operator persists
 
     if name not in ORACLES:
         # rows-only check, mirroring the driver's weaker gate

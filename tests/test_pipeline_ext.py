@@ -94,3 +94,31 @@ def test_layout_skew_advisor_shape(spark, sf_dir):
     for r in rows.values():
         assert r["max_rows"] >= r["p90_rows"] >= 0
         assert r["skew_ratio"] >= 1.0
+
+
+def test_dedup_attach_release_cache_lifecycle(spark):
+    """Dedup operators must expose their postings persists through the
+    shared attach/release protocol: after release_cache the persisted
+    intermediates are actually unpersisted (no storage leak in service
+    loops), and composed operators accumulate every persist in the
+    chain."""
+    from csdid_pyspark_spark.cache import release_cache
+    from csdid_pyspark_spark.operators import dedup
+
+    rows = [(i, "tok%d a b c d e f" % (i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup.jaccard_pairs(df, threshold=0.5, max_df=100)
+    out.collect()
+    cached = list(getattr(out, "_two_phase_cache"))
+    assert cached, "jaccard_pairs must attach its postings persist"
+    assert all(c.storageLevel.useMemory or c.storageLevel.useDisk for c in cached)
+    release_cache(out)
+    assert all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in cached
+    )
+
+    # composed: LSH wraps jaccard_for_candidates → sh + cand + sh_c
+    out2 = dedup.minhash_lsh_pairs(df, num_hashes=8, bands=4, threshold=0.3)
+    out2.collect()
+    assert len(getattr(out2, "_two_phase_cache")) >= 3
+    release_cache(out2)
