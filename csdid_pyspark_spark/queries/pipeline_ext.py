@@ -475,3 +475,127 @@ ORACLES = {
     "layout_skew_advisor": LAYOUT_SKEW_SQL,
     "pii_l_diversity": PII_LDIV_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (batch MERGE of partial rollups)
+# ---------------------------------------------------------------------------
+
+
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a (day, event_type) rollup: the last
+    observed day plays the DELTA batch, everything earlier is the
+    standing STATE rollup, and the output MERGES the delta's partial
+    aggregates into the state (counts and decimal sums are mergeable;
+    means derive from them). The oracle recomputes the rollup from all
+    raw events, pinning incremental == full recompute — the algebraic
+    property that lets a 100 TB nightly pipeline touch only the new
+    day's partitions (cf. streaming/events.py::incremental_refresh,
+    the foreachBatch version of the same contract). Both partial
+    rollups are day-bounded aggregates; the merge re-aggregates the
+    TINY aggregated tables, never base rows twice."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    mx = e.agg(F.max(day).alias("mx"))
+    base = e.select(
+        day.alias("day"), "event_type", F.col("value").cast("decimal(30,6)").alias("v")
+    ).crossJoin(F.broadcast(mx))
+    part = (
+        lambda df: df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"), F.sum("v").alias("vs")
+        )
+    )
+    state = part(base.filter(F.col("day") < F.col("mx")))
+    delta = part(base.filter(F.col("day") == F.col("mx")))
+    return (
+        state.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("vs").alias("vs"))
+        .select(
+            F.col("day").cast("date").alias("day"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("vs").cast("double").alias("value_sum"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+INCREMENTAL_ROLLUP_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temporal holdout evaluation of the seasonal profile
+# ---------------------------------------------------------------------------
+
+
+def events_seasonal_holdout_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the hour-of-day seasonal profile: train an hourly
+    mean-value profile on all days EXCEPT the final 7, score the
+    held-out week's (day, hour) actuals against it, report MAPE — the
+    temporal train/test split every forecasting pipeline needs (a
+    random split would leak future into past). Train and test are each
+    ONE bounded aggregate (≤24 and ≤7×24 rows); the profile joins
+    broadcast. Means derive from decimal sums so both engines bucket
+    identically."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    mx = e.agg(F.max(day).alias("mx"))
+    base = e.select(
+        day.alias("day"),
+        F.hour("ts").alias("hr"),
+        F.col("value").cast("decimal(30,6)").alias("v"),
+    ).crossJoin(F.broadcast(mx))
+    cutoff = F.col("mx") - F.expr("INTERVAL 6 DAYS")
+    train = (
+        base.filter(F.col("day") < cutoff)
+        .groupBy("hr")
+        .agg((F.sum("v") / F.count("*")).cast("double").alias("pred"))
+    )
+    test = (
+        base.filter(F.col("day") >= cutoff)
+        .groupBy("day", "hr")
+        .agg((F.sum("v") / F.count("*")).cast("double").alias("actual"))
+    )
+    return (
+        test.join(F.broadcast(train), "hr")
+        .filter(F.col("actual") != 0)
+        .agg(
+            F.count("*").cast("bigint").alias("n_test_points"),
+            F.round(
+                F.avg(F.abs(F.col("actual") - F.col("pred")) / F.abs("actual")), 6
+            ).alias("mape"),
+        )
+    )
+
+
+SEASONAL_HOLDOUT_SQL = """
+WITH mx AS (SELECT MAX(date_trunc('day', ts)) AS mx FROM events),
+base AS (
+  SELECT date_trunc('day', ts) AS day, EXTRACT(hour FROM ts) AS hr,
+         CAST(value AS DECIMAL(30,6)) AS v
+  FROM events
+),
+train AS (
+  SELECT hr, CAST(SUM(v) / COUNT(*) AS DOUBLE) AS pred
+  FROM base, mx WHERE day < mx - INTERVAL 6 DAY GROUP BY hr
+),
+test AS (
+  SELECT day, hr, CAST(SUM(v) / COUNT(*) AS DOUBLE) AS actual
+  FROM base, mx WHERE day >= mx - INTERVAL 6 DAY GROUP BY day, hr
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test_points,
+       ROUND(AVG(ABS(actual - pred) / ABS(actual)), 6) AS mape
+FROM test JOIN train USING (hr)
+WHERE actual <> 0
+"""
+
+QUERIES["incremental_rollup_merge"] = incremental_rollup_merge
+QUERIES["events_seasonal_holdout_mape"] = events_seasonal_holdout_mape
+ORACLES["incremental_rollup_merge"] = INCREMENTAL_ROLLUP_SQL
+ORACLES["events_seasonal_holdout_mape"] = SEASONAL_HOLDOUT_SQL

@@ -274,3 +274,64 @@ def join_stream_pairs(
         F.col("r.ts").alias("purchase_ts"),
         F.col("r.value").alias("purchase_value"),
     )
+
+
+def mg_stream_heavy_hitters(
+    stream: DataFrame, col: str, k: int = 8, buckets: int = 32
+) -> DataFrame:
+    """Streaming Misra-Gries frequent-items candidates with BOUNDED
+    state: the stream is keyed by ``xxhash64(col) % buckets`` and each
+    bucket's :class:`GroupState` holds one MG summary of capacity ``k``
+    (≤ k (item, est) pairs + the bucket row count) — total state is
+    buckets·k rows at ANY stream length, the property that lets a
+    frequency profiler run forever on a 100 TB/day firehose. Each
+    micro-batch folds its per-bucket exact hash counts into the state
+    via the same mergeable-summaries rule as the batch operator
+    (operators/heavyhitters.py::_mg_merge — the batch/stream parity is
+    the point), then emits the bucket's current candidates in update
+    mode with the running bucket total, so per-item error is bounded by
+    bucket_n/(k+1) and any item with freq > bucket_n/(k+1) is
+    guaranteed present. Downstream, an exact recount of the candidate
+    set (batch or foreachBatch) upgrades estimates to exact counts.
+
+    Output: ``bucket, item (hash), est, bucket_n`` per micro-batch.
+    """
+    from csdid_pyspark_spark.operators.heavyhitters import _mg_merge
+
+    hashed = (
+        stream.filter(F.col(col).isNotNull())
+        .select(F.xxhash64(F.col(col).cast("string")).alias("item"))
+        .withColumn("bucket", F.pmod("item", F.lit(buckets)).cast("int"))
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, ests, total = state.get
+            summary = pd.Series(
+                list(ests), index=pd.Index(list(items), dtype="int64"), dtype="int64"
+            )
+        else:
+            summary, total = pd.Series(dtype="int64"), 0
+        for pdf in pdfs:
+            vals = pdf["item"]
+            total += len(vals)
+            summary = _mg_merge(summary, vals.value_counts(), k)
+        state.update((summary.index.tolist(), summary.astype("int64").tolist(), total))
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "item": summary.index.to_numpy("int64"),
+                "est": summary.to_numpy("int64"),
+                "bucket_n": total,
+            }
+        )
+
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType="bucket int, item bigint, est bigint, bucket_n bigint",
+        stateStructType="items array<bigint>, ests array<bigint>, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

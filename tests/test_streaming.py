@@ -426,3 +426,68 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_mg_stream_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
+    """The streaming MG sketch must (a) keep ≤ k candidates per bucket
+    at every emission, (b) never overestimate (est ≤ true), with error
+    ≤ bucket_n/(k+1), and (c) retain every item whose true bucket
+    frequency clears the MG guarantee threshold — across multiple
+    micro-batches with a planted dominant token."""
+    import pandas as pd
+
+    from csdid_pyspark_spark.streaming.events import mg_stream_heavy_hitters
+
+    k, buckets = 3, 4
+    # three micro-batch files; token 'hot' dominates every batch
+    rows = []
+    for b in range(3):
+        rows += [("hot",)] * 60 + [(f"t{b}_{i}",) for i in range(30)]
+    src = str(tmp_path / "toks")
+    for b in range(3):
+        spark.createDataFrame(rows[b * 90 : (b + 1) * 90], "tok string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("tok string").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = mg_stream_heavy_hitters(stream, "tok", k=k, buckets=buckets)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM mg_stream_test").toPandas()
+    assert not emitted.empty
+    # (a) bounded candidates per (bucket, emission): emissions share a
+    # bucket_n per batch, so group by (bucket, bucket_n)
+    per_emit = emitted.groupby(["bucket", "bucket_n"]).size()
+    assert (per_emit <= k).all()
+
+    # final state per bucket = the emission with the max bucket_n
+    final = emitted.loc[
+        emitted.groupby("bucket")["bucket_n"].transform("max") == emitted["bucket_n"]
+    ]
+    # true per-bucket hash counts from the batch side
+    from pyspark.sql import functions as F
+
+    truth = (
+        spark.read.parquet(src)
+        .select(F.xxhash64(F.col("tok").cast("string")).alias("item"))
+        .withColumn("bucket", F.pmod("item", F.lit(buckets)).cast("int"))
+        .groupBy("bucket", "item")
+        .count()
+        .toPandas()
+    )
+    merged = final.merge(truth, on=["bucket", "item"], how="left")
+    assert merged["count"].notna().all()
+    # (b) underestimate only, within the MG error bound
+    assert (merged["est"] <= merged["count"]).all()
+    assert (merged["count"] - merged["est"] <= merged["bucket_n"] // (k + 1)).all()
+    # (c) the planted heavy hitter survives: its bucket frequency (180)
+    # clears bucket_n/(k+1) by construction
+    hot_hash = truth.loc[truth["count"] == 180, "item"].iloc[0]
+    assert (final["item"] == hot_hash).any()
