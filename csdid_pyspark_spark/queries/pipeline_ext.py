@@ -305,7 +305,8 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "true_n", "j", bucket.alias("bucket")
     )
     return (
-        probe.join(cm, ["j", "bucket"])
+        # the sketch is 4×16 rows by construction — always broadcast
+        probe.join(F.broadcast(cm), ["j", "bucket"])
         .groupBy("token", "true_n")
         .agg(F.min("cm_n").alias("est_n"))
         .select(

@@ -380,3 +380,4 @@ def test_reference_method_surface(spark, dgp):
 
     with pytest.raises(DidError):
         bare.plot_attgt()
+
