@@ -94,8 +94,13 @@ def text_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole documents. One explode + one span-hash shuffle + windows
     partitioned BY DOCUMENT (bounded by per-doc token count, never
     corpus-wide). Docs with no repeated span are not reported."""
-    w = SPAN_CUT_W
-    d = load_table(spark, sf_dir, "documents").select(
+    return span_cut_frame(load_table(spark, sf_dir, "documents"), SPAN_CUT_W)
+
+
+def span_cut_frame(docs: DataFrame, w: int) -> DataFrame:
+    """Operator core of :func:`text_span_cut` over any (doc_id, text)
+    frame — also driven at rehearsal scale by ``stress.py spans``."""
+    d = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tokens")
     )
     d = d.filter(F.size("tokens") >= w).select(

@@ -314,6 +314,39 @@ def run_tokens(spark, n_tokens: int) -> dict:
     }
 
 
+def run_spans(spark, n_docs: int) -> dict:
+    """Exact-substring span-cut rehearsal: the synth corpus's planted
+    cliques share (nearly) their whole text, so every clique member
+    carries cross-doc repeated spans; the report should cover ~all
+    clique docs. Records wall time + peak driver memory so the
+    ~linear-in-corpus claim of the one-explode/one-shuffle design is
+    measured, not asserted."""
+    import time
+
+    from csdid_pyspark_spark.queries.pipeline_ext import span_cut_frame
+
+    docs = synth_docs(spark, n_docs).persist()
+    docs.count()
+    t0 = time.time()
+    rep = span_cut_frame(docs, 10).persist()
+    n_rep = rep.count()
+    agg = rep.agg(
+        F.sum("removed_tok").alias("removed"), F.sum("n_tok").alias("tot")
+    ).collect()[0]
+    span_sec = round(time.time() - t0, 1)
+    rep.unpersist()
+    docs.unpersist()
+    return {
+        "metric": "stress_spans",
+        "docs": n_docs,
+        "docs_with_repeats": n_rep,
+        "removed_tok": int(agg["removed"]),
+        "scanned_tok": int(agg["tot"]),
+        "span_cut_sec": span_sec,
+        **_driver_memory(),
+    }
+
+
 def run_clf(spark, n_rows: int) -> dict:
     """Logistic-regression stress: train the IRLS classifier
     (operators/logreg.py) on n_rows synthetic rows with a known true
@@ -446,12 +479,15 @@ def run_rank(spark, n_rows: int) -> dict:
 def main() -> None:
     args = sys.argv[1:]
     mode = "panel"
-    if args and args[0] in ("panel", "docs", "clf", "tokens", "rank"):
+    if args and args[0] in ("panel", "docs", "clf", "tokens", "rank", "spans"):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if mode == "docs":
+    if mode == "spans":
+        n_docs = int(args[0]) if args else 100_000
+        out = run_spans(spark, n_docs)
+    elif mode == "docs":
         n_docs = int(args[0]) if args else 25_000
         out = run_docs(spark, n_docs)
     elif mode == "clf":
