@@ -605,3 +605,181 @@ QUERIES["incremental_rollup_merge"] = incremental_rollup_merge
 QUERIES["events_seasonal_holdout_mape"] = events_seasonal_holdout_mape
 ORACLES["incremental_rollup_merge"] = INCREMENTAL_ROLLUP_SQL
 ORACLES["events_seasonal_holdout_mape"] = SEASONAL_HOLDOUT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-width histogram quantile sketch vs exact percentiles
+# ---------------------------------------------------------------------------
+
+QSK_BINS = 256
+
+
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a FIXED-SIZE mergeable sketch: one
+    256-bin equi-width histogram of event values (the classic
+    distributed-quantile building block — per-partition histograms
+    merge by adding counts, and the sketch is 256 rows at ANY stream
+    length, unlike exact percentile's full sort). p50/p90/p99 are read
+    back by linear interpolation inside the covering bin and reported
+    NEXT TO the exact percentiles so the sketch's error is visible and
+    oracle-checked. Range bounds come from one exact min/max pass
+    (broadcast 1-row); binning arithmetic is identical in both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    rng = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    b = QSK_BINS
+    binned = (
+        e.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.lit(b - 1),
+                F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * b),
+            ).cast("int").alias("bin"),
+            "lo",
+            "hi",
+            "n",
+        )
+        .groupBy("bin", "lo", "hi", "n")
+        .agg(F.count("*").alias("c"))
+    )
+    wcum = Window.partitionBy(F.lit(0)).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("c")
+    )
+    qs = F.broadcast(
+        spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    )
+    width = (F.col("hi") - F.col("lo")) / b
+    target = F.col("q") * F.col("n")
+    est = F.col("lo") + (
+        F.col("bin") + (target - F.col("cum_prev")) / F.col("c")
+    ) * width
+    est_tbl = (
+        cum.crossJoin(qs)
+        .filter((F.col("cum") >= target) & (F.col("cum_prev") < target))
+        .groupBy("q")
+        .agg(F.round(F.min(est), 6).alias("est"))
+    )
+    exact = (
+        e.agg(
+            F.expr("percentile(value, 0.5)").alias("e50"),
+            F.expr("percentile(value, 0.9)").alias("e90"),
+            F.expr("percentile(value, 0.99)").alias("e99"),
+        )
+        .select(
+            F.expr(
+                "stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) AS (q2, exact_raw)"
+            )
+        )
+        .select("q2", F.round("exact_raw", 6).alias("exact"))
+    )
+    return (
+        est_tbl.join(exact, est_tbl["q"] == exact["q2"])
+        .select(
+            "q",
+            "exact",
+            "est",
+            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+        )
+        .orderBy("q")
+    )
+
+
+SKETCH_QHIST_SQL = """
+WITH rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n FROM events),
+binned AS (
+  SELECT LEAST(255, CAST(FLOOR((value - lo) / (hi - lo) * 256) AS INT)) AS bin,
+         lo, hi, n, COUNT(*) AS c
+  FROM events, rng GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT bin, lo, hi, n, c,
+         SUM(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM binned
+),
+qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+est AS (
+  SELECT q, ROUND(MIN(lo + (bin + (q * n - (cum - c)) / c) * (hi - lo) / 256), 6) AS est
+  FROM cum, qs
+  WHERE cum >= q * n AND (cum - c) < q * n
+  GROUP BY q
+),
+ex AS (
+  SELECT CAST(0.5 AS DOUBLE) AS q, ROUND(quantile_cont(value, 0.5), 6) AS exact FROM events
+  UNION ALL SELECT CAST(0.9 AS DOUBLE), ROUND(quantile_cont(value, 0.9), 6) FROM events
+  UNION ALL SELECT CAST(0.99 AS DOUBLE), ROUND(quantile_cont(value, 0.99), 6) FROM events
+)
+SELECT ex.q AS q, ex.exact AS exact, est.est AS est,
+       ROUND(ABS(est.est - ex.exact), 6) AS abs_err
+FROM est JOIN ex USING (q) ORDER BY q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding truncation (Matryoshka-style) distortion report
+# ---------------------------------------------------------------------------
+
+TRUNC_DIMS = 16
+TRUNC_IDS = 200
+
+
+def embedding_truncation_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does truncating 64-dim embeddings to the first 16
+    dimensions distort pairwise cosine similarity? (The
+    Matryoshka-embedding question every vector-store operator asks
+    before cutting storage 4×.) Consecutive-id pairs over the first
+    200 vectors give a deterministic probe set; the report is the
+    distortion distribution (mean/max absolute cosine delta, and the
+    fraction of pairs whose similarity moved > 0.1). Per-pair fold is
+    an O(dim) array aggregate — no shuffle beyond the id-pair join."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TRUNC_IDS)
+    from csdid_pyspark_spark.functions.vectors import as_double_array, cosine
+
+    v = as_double_array("embedding")
+    base = e.select("vec_id", v.alias("v"), F.slice(v, 1, TRUNC_DIMS).alias("vt"))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos_full"),
+        cosine(F.col("a.vt"), F.col("b.vt")).alias("cos_trunc"),
+    )
+    d = F.abs(F.col("cos_full") - F.col("cos_trunc"))
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg(d), 6).alias("mean_abs_delta"),
+        F.round(F.max(d), 6).alias("max_abs_delta"),
+        F.round(F.avg(F.when(d > 0.1, 1.0).otherwise(0.0)), 6).alias("frac_moved_gt_01"),
+    )
+
+
+EMB_TRUNC_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_slice(embedding::DOUBLE[], 1, 16) AS vt
+  FROM embeddings WHERE vec_id < 200
+),
+pairs AS (
+  SELECT a.vec_id AS id_a,
+         list_cosine_similarity(a.v, b.v) AS cos_full,
+         list_cosine_similarity(a.vt, b.vt) AS cos_trunc
+  FROM base a JOIN base b ON a.vec_id + 1 = b.vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(ABS(cos_full - cos_trunc)), 6) AS mean_abs_delta,
+       ROUND(MAX(ABS(cos_full - cos_trunc)), 6) AS max_abs_delta,
+       ROUND(AVG(CASE WHEN ABS(cos_full - cos_trunc) > 0.1 THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_moved_gt_01
+FROM pairs
+"""
+
+QUERIES["sketch_quantile_histogram"] = sketch_quantile_histogram
+QUERIES["embedding_truncation_distortion"] = embedding_truncation_distortion
+ORACLES["sketch_quantile_histogram"] = SKETCH_QHIST_SQL
+ORACLES["embedding_truncation_distortion"] = EMB_TRUNC_SQL

@@ -122,3 +122,28 @@ def test_dedup_attach_release_cache_lifecycle(spark):
     out2.collect()
     assert len(getattr(out2, "_two_phase_cache")) >= 3
     release_cache(out2)
+
+
+def test_quantile_histogram_error_bounded_by_bin_width(spark, sf_dir):
+    """Interpolated histogram quantiles can be off by at most one bin
+    width ((hi-lo)/256) — the sketch's a-priori error bound."""
+    from pyspark.sql import functions as F
+
+    from csdid_pyspark_spark.sources.tables import load_table
+
+    rows = pipeline_ext.sketch_quantile_histogram(spark, sf_dir).collect()
+    assert {r["q"] for r in rows} == {0.5, 0.9, 0.99}
+    rng = load_table(spark, sf_dir, "events").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    width = (rng["hi"] - rng["lo"]) / pipeline_ext.QSK_BINS
+    assert all(r["abs_err"] <= width for r in rows)
+
+
+def test_embedding_truncation_distortion_sane(spark, sf_dir):
+    r = pipeline_ext.embedding_truncation_distortion(spark, sf_dir).collect()[0]
+    assert r["n_pairs"] > 0
+    # truncation must actually distort (else the report is vacuous)
+    assert r["mean_abs_delta"] > 0
+    assert 0 <= r["frac_moved_gt_01"] <= 1
+    assert r["max_abs_delta"] >= r["mean_abs_delta"]

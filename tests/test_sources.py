@@ -119,6 +119,11 @@ def test_session_timezone_independence(spark, sf_dir):
     stick_baseline = {
         tuple(r) for r in QUERIES["events_stickiness"](spark, sf_dir).collect()
     }
+    # round-5 ts-bucketing queries (day/hour truncation, interval math)
+    r5_names = ["layout_skew_advisor", "incremental_rollup_merge", "events_seasonal_holdout_mape"]
+    r5_baseline = {
+        n: {tuple(r) for r in QUERIES[n](spark, sf_dir).collect()} for n in r5_names
+    }
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
     try:
         sabotaged = {
@@ -131,11 +136,16 @@ def test_session_timezone_independence(spark, sf_dir):
             tuple(r) for r in QUERIES["events_stickiness"](spark, sf_dir).collect()
         }
         retention = QUERIES["events_retention"](spark, sf_dir).count()
+        r5_sabotaged = {
+            n: {tuple(r) for r in QUERIES[n](spark, sf_dir).collect()} for n in r5_names
+        }
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert sabotaged == baseline
     assert km_sabotaged == km_baseline
     assert stick_sabotaged == stick_baseline
+    for n in r5_names:
+        assert r5_sabotaged[n] == r5_baseline[n], n
     assert retention > 0
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 
