@@ -783,3 +783,67 @@ QUERIES["sketch_quantile_histogram"] = sketch_quantile_histogram
 QUERIES["embedding_truncation_distortion"] = embedding_truncation_distortion
 ORACLES["sketch_quantile_histogram"] = SKETCH_QHIST_SQL
 ORACLES["embedding_truncation_distortion"] = EMB_TRUNC_SQL
+
+
+# ---------------------------------------------------------------------------
+# Full-outer join (completes the §2.3 join family)
+# ---------------------------------------------------------------------------
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two hourly activity profiles: hours with
+    above-average click counts vs hours with above-average purchase
+    counts. Each side's mean threshold guarantees both exclusive and
+    shared hours at any scale factor (counts and their mean scale
+    together), so the outer join's NULL-extension is exercised on BOTH
+    sides — the reconciliation shape (ours-vs-theirs ledgers) that
+    inner/left/semi/anti queries can't cover. Hour tables are tiny
+    aggregates; the join broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+
+    def side(evt: str, out: str) -> DataFrame:
+        hourly = (
+            e.filter(F.col("event_type") == evt)
+            .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+            .agg(F.count("*").alias(out))
+        )
+        mean = hourly.agg(F.avg(out).alias("m"))
+        return (
+            hourly.crossJoin(F.broadcast(mean))
+            .filter(F.col(out) > F.col("m"))
+            .select("hr", out)
+        )
+
+    clicks = side("click", "clicks")
+    buys = side("purchase", "purchases")
+    return (
+        clicks.join(buys, "hr", "full_outer")
+        .select(
+            F.col("hr").cast("timestamp").alias("hr"),
+            F.col("clicks").cast("bigint").alias("clicks"),
+            F.col("purchases").cast("bigint").alias("purchases"),
+        )
+        .orderBy("hr")
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+cf AS (SELECT hr, clicks FROM c WHERE clicks > (SELECT AVG(clicks) FROM c)),
+p AS (
+  SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pf AS (SELECT hr, purchases FROM p WHERE purchases > (SELECT AVG(purchases) FROM p))
+SELECT COALESCE(cf.hr, pf.hr) AS hr,
+       CAST(cf.clicks AS BIGINT) AS clicks,
+       CAST(pf.purchases AS BIGINT) AS purchases
+FROM cf FULL OUTER JOIN pf ON cf.hr = pf.hr
+ORDER BY hr
+"""
+
+QUERIES["join_full_outer"] = join_full_outer
+ORACLES["join_full_outer"] = JOIN_FULL_OUTER_SQL

@@ -121,3 +121,53 @@ def test_zorder_interleave_bijective(x, y):
     ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(8))
     assert (rx, ry) == (x, y)
     assert 0 <= z < 1 << 16
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_span_cut_frame_matches_bruteforce(spark, docs_tokens):
+    """span_cut_frame == the obvious O(n²) Python reference on random
+    tiny-vocab corpora: same marked docs, same removed-token counts,
+    same merged-region counts (the interval-merge window logic is the
+    subtle part this pins)."""
+    from csdid_pyspark_spark.queries.pipeline_ext import span_cut_frame
+
+    w = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    # brute force
+    span_docs: dict[tuple, set[int]] = {}
+    for i, toks in enumerate(docs_tokens):
+        for s in range(max(0, len(toks) - w + 1)):
+            span_docs.setdefault(tuple(toks[s : s + w]), set()).add(i)
+    expected = {}
+    for i, toks in enumerate(docs_tokens):
+        if len(toks) < w:
+            continue
+        marked = sorted(
+            s
+            for s in range(len(toks) - w + 1)
+            if len(span_docs[tuple(toks[s : s + w])]) >= 2
+        )
+        if not marked:
+            continue
+        covered: set[int] = set()
+        regions, prev_end = 0, None
+        for s in marked:
+            covered.update(range(s, s + w))
+            if prev_end is None or s > prev_end:
+                regions += 1
+            prev_end = max(prev_end or 0, s + w)
+        expected[i] = (len(toks), len(covered), len(toks) - len(covered), regions)
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["removed_tok"], r["kept_tok"], r["n_regions"])
+        for r in span_cut_frame(df, w).collect()
+    }
+    assert got == expected
