@@ -16,6 +16,13 @@ tail of stdout, and round 4's line (which inlined per-query runs arrays)
 was truncated past parseability — BENCH_r04.json recorded parsed: null
 and the round's bench was lost. Full per-run detail now goes to
 BENCH_DETAIL.json next to this script instead of onto the line.
+
+Measurement semantics (round 5): operator persists are RELEASED between
+reps. Before, a repeated query's identical logical plan silently reused
+the previous rep's leaked InMemoryRelation, so rep-2/3 times measured
+cache reads, not the query — medians under-reported every persist-heavy
+dedup query. Current medians are honest per-call steady state; compare
+round-over-round against r5+, not the r3/r4 warm-cache numbers.
 """
 
 from __future__ import annotations

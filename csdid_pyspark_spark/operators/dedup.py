@@ -54,17 +54,24 @@ def shingle_table(
     """Distinct (id, shingle) postings: word n-gram shingles of the
     whitespace-tokenized text. 0-based Spark array subscripts; docs
     shorter than n tokens produce no shingles. ``carry_cols`` ride
-    along unchanged (e.g. a blocking key)."""
+    along unchanged (e.g. a blocking key).
+
+    Dedup happens MAP-SIDE via ``array_distinct`` before the explode —
+    duplicate (id, shingle) rows can only come from repeats WITHIN one
+    document (the input is one row per id), so a per-doc array dedup is
+    exact and the global ``.distinct()`` shuffle every downstream
+    operator used to pay (one full postings exchange per dedup call) is
+    gone. Requires one row per ``id_col``, which every caller has."""
     carry = list(carry_cols or [])
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     df = df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("tokens"))
     parts = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(n))
     shingles = F.expr(
         f"CASE WHEN size(tokens) >= {n} "
-        f"THEN transform(sequence(0, size(tokens) - {n}), i -> {parts}) "
+        f"THEN array_distinct(transform(sequence(0, size(tokens) - {n}), i -> {parts})) "
         f"ELSE array() END"
     )
-    return df.select(id_col, *carry, F.explode(shingles).alias("shingle")).distinct()
+    return df.select(id_col, *carry, F.explode(shingles).alias("shingle"))
 
 
 # Above this corpus size an UNCAPPED postings self-join (max_df=None,
