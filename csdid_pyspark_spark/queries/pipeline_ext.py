@@ -106,6 +106,9 @@ def span_cut_frame(docs: DataFrame, w: int) -> DataFrame:
     d = d.filter(F.size("tokens") >= w).select(
         "doc_id", "tokens", F.size("tokens").alias("n_tok")
     )
+    # the span table feeds BOTH the dup census and the mark join;
+    # uncached, the tokenize+hash explode (the dominant cost) runs
+    # twice — persist once, exposed for release via attach_cache
     spans = d.select(
         "doc_id",
         "n_tok",
@@ -115,7 +118,7 @@ def span_cut_frame(docs: DataFrame, w: int) -> DataFrame:
                 f"i -> md5(concat_ws(' ', slice(tokens, i + 1, {w}))))"
             )
         ).alias("pos", "h"),
-    )
+    ).persist()
     dup = (
         spans.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -141,7 +144,9 @@ def span_cut_frame(docs: DataFrame, w: int) -> DataFrame:
         .groupBy("doc_id", "n_tok", "region")
         .agg((F.max("pos") + w - F.min("pos")).alias("cov"))
     )
-    return (
+    from csdid_pyspark_spark.cache import attach_cache
+
+    return attach_cache(
         regions.groupBy("doc_id", "n_tok")
         .agg(
             F.sum("cov").cast("bigint").alias("removed_tok"),
@@ -153,7 +158,8 @@ def span_cut_frame(docs: DataFrame, w: int) -> DataFrame:
             "removed_tok",
             (F.col("n_tok") - F.col("removed_tok")).cast("bigint").alias("kept_tok"),
             "n_regions",
-        )
+        ),
+        spans,
     )
 
 
