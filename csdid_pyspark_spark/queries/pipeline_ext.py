@@ -853,3 +853,66 @@ ORDER BY hr
 
 QUERIES["join_full_outer"] = join_full_outer
 ORACLES["join_full_outer"] = JOIN_FULL_OUTER_SQL
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster size histogram (dedup reporting layer)
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of near-duplicate clusters: for each cluster
+    size, how many clusters, how many docs they hold, and how many
+    docs dedup would DROP (size − 1 per cluster, keeping the canonical
+    survivor) — the report a curation run publishes before committing
+    a keep-list. Rides the same label-propagation components as
+    ``dedup_components`` (checkpoint-per-round, edge-count-right-sized
+    partitions); the histogram is a two-level bounded aggregate over
+    the (node, comp) table."""
+    from csdid_pyspark_spark.operators import dedup
+    from csdid_pyspark_spark.queries.llm_ops import _neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = dedup.components(_neardup_pairs(d))
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("docs"),
+            ((F.col("sz") - 1) * F.col("n_clusters")).cast("bigint").alias("docs_dropped"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+from csdid_pyspark_spark.queries.llm_ops import _NEARDUP_PAIRS_CTES  # noqa: E402
+
+DEDUP_CLUSTER_HIST_SQL = (
+    r"""
+WITH RECURSIVE """
+    + _NEARDUP_PAIRS_CTES
+    + r""",
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.r
+),
+comp AS (SELECT node, MIN(r) AS comp_id FROM reach GROUP BY node),
+csizes AS (SELECT comp_id, COUNT(*) AS sz FROM comp GROUP BY comp_id)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS docs,
+       CAST((sz - 1) * COUNT(*) AS BIGINT) AS docs_dropped
+FROM csizes GROUP BY sz ORDER BY cluster_size
+"""
+)
+
+QUERIES["dedup_cluster_histogram"] = dedup_cluster_histogram
+ORACLES["dedup_cluster_histogram"] = DEDUP_CLUSTER_HIST_SQL
