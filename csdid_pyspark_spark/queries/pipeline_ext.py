@@ -916,3 +916,87 @@ FROM csizes GROUP BY sz ORDER BY cluster_size
 
 QUERIES["dedup_cluster_histogram"] = dedup_cluster_histogram
 ORACLES["dedup_cluster_histogram"] = DEDUP_CLUSTER_HIST_SQL
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-ratio-mismatch (SRM) gate
+# ---------------------------------------------------------------------------
+
+
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate for A/B bucketing — the FIRST check
+    an experimentation platform runs before reading any metric (a
+    biased split invalidates everything downstream, cf. the CUPED
+    readout's sibling). Two splits of the distinct-user population are
+    tested against the expected 50/50: a healthy multiplicative-hash
+    split (should pass) and a deliberately biased mod-3 split (should
+    flag), so both gate outcomes are exercised and oracle-checked.
+    χ² = Σ(obs−exp)²/exp with 1 df; flag at the 3.841 critical value.
+    One distinct-user aggregate; the χ² math runs on 2-row tables."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    splits = users.select(
+        "user_id",
+        (F.pmod(F.col("user_id") * 2654435761, F.lit(4294967296)) % 2).alias(
+            "hash_uniform"
+        ),
+        F.when(F.col("user_id") % 3 == 0, 0).otherwise(1).alias("mod3_biased"),
+    )
+
+    def chi2(split_col: str) -> DataFrame:
+        counts = splits.groupBy(F.col(split_col).alias("arm")).agg(
+            F.count("*").alias("n")
+        )
+        tot = counts.agg(F.sum("n").alias("tot"))
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(split_col).alias("split"),
+                "arm",
+                "n",
+                (F.col("tot") / 2.0).alias("exp"),
+            )
+            .groupBy("split")
+            .agg(
+                F.sum(F.when(F.col("arm") == 0, F.col("n"))).cast("bigint").alias("n_a"),
+                F.sum(F.when(F.col("arm") == 1, F.col("n"))).cast("bigint").alias("n_b"),
+                F.round(
+                    F.sum((F.col("n") - F.col("exp")) * (F.col("n") - F.col("exp")) / F.col("exp")),
+                    6,
+                ).alias("chi2"),
+            )
+        )
+
+    out = chi2("hash_uniform").unionByName(chi2("mod3_biased"))
+    return out.select(
+        "split", "n_a", "n_b", "chi2", (F.col("chi2") > 3.841).alias("srm_detected")
+    ).orderBy("split")
+
+
+EVENTS_SRM_SQL = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+splits AS (
+  SELECT user_id,
+         CAST((user_id * 2654435761) % 4294967296 % 2 AS BIGINT) AS hash_uniform,
+         CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END AS mod3_biased
+  FROM users
+),
+counted AS (
+  SELECT 'hash_uniform' AS split, hash_uniform AS arm, COUNT(*) AS n
+  FROM splits GROUP BY 2
+  UNION ALL
+  SELECT 'mod3_biased', mod3_biased, COUNT(*) FROM splits GROUP BY 2
+),
+tot AS (SELECT split, SUM(n) AS tot FROM counted GROUP BY split)
+SELECT c.split AS split,
+       CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+       ROUND(SUM((n - t.tot / 2.0) * (n - t.tot / 2.0) / (t.tot / 2.0)), 6) AS chi2,
+       ROUND(SUM((n - t.tot / 2.0) * (n - t.tot / 2.0) / (t.tot / 2.0)), 6) > 3.841
+         AS srm_detected
+FROM counted c JOIN tot t USING (split)
+GROUP BY c.split ORDER BY split
+"""
+
+QUERIES["events_ab_srm_check"] = events_ab_srm_check
+ORACLES["events_ab_srm_check"] = EVENTS_SRM_SQL
