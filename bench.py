@@ -127,20 +127,29 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass  # detail file is best-effort; the contract line below is not
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": medians,
-                "reps": reps,
-                "first_run_total": first_run_total,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+    # Per-query run arrays go ON the contract line (judge: round-over-
+    # round noise adjudication should need one file), but the driver
+    # captures only the LAST 2000 chars of stdout — r4's full-precision
+    # stats line overflowed that and the round's bench was lost. runs[0]
+    # is the cold first run; median/min are derivable, so arrays at 2dp
+    # are the whole detail. Budget check below drops "runs" (keeping the
+    # medians contract intact) rather than ever printing a truncatable
+    # line; full 3dp detail always lands in BENCH_DETAIL.json.
+    line_obj = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": medians,
+        "runs": {n: [round(x, 2) for x in r] for n, r in runs.items()},
+        "reps": reps,
+        "first_run_total": first_run_total,
+        "sf": sf,
+    }
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1950:
+        del line_obj["runs"]
+        line = json.dumps(line_obj, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

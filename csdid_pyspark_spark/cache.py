@@ -119,6 +119,21 @@ def attach_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
+def carry_cache(result: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Move the persisted-intermediate attachments from ``sources`` onto
+    ``result``. Any DataFrame transformation (``select``, ``join``,
+    ``groupBy``…) returns a NEW Python object, so an attachment made on
+    an intermediate frame is unreachable from the frame the caller
+    ultimately holds — the persist then outlives the query in a shared
+    long-lived session. Queries that derive their result from an
+    attaching operator's output must carry the attachment forward so
+    ``release_cache(result)`` after the final action reclaims it."""
+    for s in sources:
+        attach_cache(result, *(getattr(s, "_two_phase_cache", None) or []))
+        s._two_phase_cache = []  # type: ignore[attr-defined]
+    return result
+
+
 def release_cache(df: DataFrame) -> None:
     """Unpersist every intermediate an attaching operator materialized
     for ``df``. Call only after the final action on ``df``: two-phase

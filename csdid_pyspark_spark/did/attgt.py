@@ -26,6 +26,11 @@ from csdid_pyspark_spark.did.kernels import estimate_custom, estimate_panel, est
 from csdid_pyspark_spark.did.mboot import mboot
 from csdid_pyspark_spark.did.preprocess import CL, DidError, PanelData, preprocess_did
 
+# Upper bound on pre-treatment cells the Wald pre-test will assemble an
+# m×m covariance for (driver O(m²), join O(m²)/unit). Real designs sit
+# at m ≤ ~100; see pretrend_test for the rationale.
+PRETREND_MAX_CELLS = 500
+
 EST_METHODS = ("dr", "ipw", "reg")
 
 
@@ -350,6 +355,24 @@ class ATTgt:
         cids = [int(c) for c in pre["cid"]]
         att = pre["att"].to_numpy()
         m = len(cids)
+        # The V assembly below collects O(m²) covariance scalars and the
+        # unit-hash self-join carries m² cell pairs per unit. Real
+        # staggered designs have m = #pre-treatment (g,t) cells ≤ ~100
+        # (|G|·|T| bounded), so this is driver-trivial — but a caller
+        # who mistakes cells for units (or feeds a degenerate design
+        # with thousands of cohorts) should hit a clear wall, not a
+        # silent multi-GB driver collect. Same discipline as
+        # operators/dedup.py::EXACT_PAIRS_LIMIT.
+        if m > PRETREND_MAX_CELLS:
+            raise DidError(
+                f"pretrend_test covariance is O(m²) in the number of "
+                f"pre-treatment cells; got m={m} > {PRETREND_MAX_CELLS}. "
+                f"A design with this many (g,t) pre-cells is almost "
+                f"certainly mis-specified (cohort column with unit-level "
+                f"granularity?). Coarsen the time/cohort grid, or raise "
+                f"csdid_pyspark_spark.did.attgt.PRETREND_MAX_CELLS to "
+                f"accept the cost explicitly."
+            )
         a = fr.if_df.filter(F.col("cid").isin(cids)).select(
             F.col("cid").alias("ca"), "uh", F.col("inf_sc").alias("ia")
         )

@@ -50,18 +50,40 @@ def shingle_table(
     id_col: str = "doc_id",
     n: int = 3,
     carry_cols: list[str] | None = None,
+    check_unique_ids: bool = False,
 ) -> DataFrame:
     """Distinct (id, shingle) postings: word n-gram shingles of the
     whitespace-tokenized text. 0-based Spark array subscripts; docs
     shorter than n tokens produce no shingles. ``carry_cols`` ride
     along unchanged (e.g. a blocking key).
 
-    Dedup happens MAP-SIDE via ``array_distinct`` before the explode —
+    CONTRACT: ``df`` must have EXACTLY ONE ROW per ``id_col``. Dedup
+    happens MAP-SIDE via ``array_distinct`` before the explode —
     duplicate (id, shingle) rows can only come from repeats WITHIN one
-    document (the input is one row per id), so a per-doc array dedup is
-    exact and the global ``.distinct()`` shuffle every downstream
-    operator used to pay (one full postings exchange per dedup call) is
-    gone. Requires one row per ``id_col``, which every caller has."""
+    document when that holds, so a per-doc array dedup is exact and
+    the global ``.distinct()`` shuffle every downstream operator used
+    to pay (one full postings exchange per dedup call) is gone. A
+    duplicate-id input does NOT error: it yields duplicate postings and
+    silently inflated Jaccard set sizes. Every in-repo caller feeds one
+    row per id; external callers who can't guarantee it should pass
+    ``check_unique_ids=True`` (one cheap aggregate that raises on the
+    first duplicate — debug tool, not a production default) or
+    pre-dedup with ``exact_dedup``."""
+    if check_unique_ids:
+        dup = (
+            df.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"shingle_table requires one row per {id_col!r}; id "
+                f"{dup[0][0]!r} appears {dup[0][1]} times. Deduplicate ids "
+                f"first (e.g. exact_dedup) — duplicate ids would silently "
+                f"inflate shingle-set sizes and every similarity built on them."
+            )
     carry = list(carry_cols or [])
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     df = df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("tokens"))

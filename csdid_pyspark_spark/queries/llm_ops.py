@@ -581,8 +581,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays reachability with a recursive CTE. comp = smallest
     doc_id in the duplicate cluster (the canonical survivor a dedup
     pipeline keeps)."""
+    from csdid_pyspark_spark.cache import release_cache
+
     d = load_table(spark, sf_dir, "documents")
-    return dedup.components(_neardup_pairs(d)).select(
+    # components() eagerly checkpoints, so the postings persist riding
+    # on the pair frame is consumed by return time — release it here
+    # rather than orphaning it in a shared session (the pair frame
+    # itself is discarded).
+    pairs = _neardup_pairs(d)
+    comp = dedup.components(pairs)
+    release_cache(pairs)
+    return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("comp_id")
     )
 
@@ -1189,8 +1198,15 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair), so AQE broadcasts it. Pairs come from the df-capped
     graph (:func:`_neardup_pairs`) — the uncapped postings self-join
     goes quadratic on one hot shingle at corpus scale."""
+    from csdid_pyspark_spark.cache import release_cache
+
     d = load_table(spark, sf_dir, "documents")
-    comp = dedup.components(_neardup_pairs(d)).select(
+    # as in dedup_components: components() is eager, so release the
+    # pair frame's postings persist before discarding the frame
+    pairs = _neardup_pairs(d)
+    labels = dedup.components(pairs)
+    release_cache(pairs)
+    comp = labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("comp")
     )
     return (
@@ -1978,7 +1994,9 @@ def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("same"), 0).otherwise(1)).cast("bigint").alias("n_pairs_cross"),
     )
     docs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
-    return (
+    from csdid_pyspark_spark.cache import carry_cache
+
+    out = (
         docs.join(counts, "source", "left")
         .select(
             "source",
@@ -1987,6 +2005,9 @@ def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_pairs_cross", F.lit(0)).alias("n_pairs_cross"),
         )
     )
+    # the result is lazy over the pair graph, so the postings persist
+    # must ride to the frame the caller releases after its action
+    return carry_cache(out, pairs)
 
 
 NEARDUP_RATE_SQL = r"""
@@ -2486,13 +2507,21 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth). The oracle unrolls the same five iterations as chained
     CTEs; ranks round to 8 decimals, far above the ~1e-14
     aggregation-order noise floor."""
+    from csdid_pyspark_spark.cache import attach_cache, release_cache
     from csdid_pyspark_spark.operators.graph import pagerank_undirected
 
     d = load_table(spark, sf_dir, "documents")
-    r = pagerank_undirected(_neardup_pairs(d), iters=5, damping=0.85)
-    return r.select(
+    # pagerank materializes every round eagerly, so the postings
+    # persist on the pair frame is consumed by return time; the final
+    # rank vector comes back PERSISTED — attach it to the result so
+    # the caller's release_cache reclaims it after the final action.
+    pairs = _neardup_pairs(d)
+    r = pagerank_undirected(pairs, iters=5, damping=0.85)
+    release_cache(pairs)
+    out = r.select(
         F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
     )
+    return attach_cache(out, r)
 
 
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
@@ -3940,7 +3969,8 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     never an all-pairs product. Open-triad count Σ deg·(deg−1)/2 comes
     from one degree aggregation."""
     d = load_table(spark, sf_dir, "documents")
-    e = _neardup_pairs(d).select("id_a", "id_b")
+    _pairs = _neardup_pairs(d)
+    e = _pairs.select("id_a", "id_b")
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -3964,7 +3994,9 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint").alias("n_wedges"),
     )
     edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
-    return (
+    from csdid_pyspark_spark.cache import carry_cache
+
+    out = (
         tri.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(edges))
         .select(
@@ -3981,6 +4013,9 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+    # lazy over the pair graph: carry the postings persist to the
+    # frame the caller releases after its final action
+    return carry_cache(out, _pairs)
 
 
 DEDUP_TRIANGLES_SQL = (

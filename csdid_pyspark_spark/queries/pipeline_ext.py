@@ -97,9 +97,28 @@ def text_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_cut_frame(load_table(spark, sf_dir, "documents"), SPAN_CUT_W)
 
 
-def span_cut_frame(docs: DataFrame, w: int) -> DataFrame:
+def span_cut_frame(
+    docs: DataFrame,
+    w: int,
+    *,
+    count_within_doc: bool = False,
+    emit_max_region: bool = False,
+) -> DataFrame:
     """Operator core of :func:`text_span_cut` over any (doc_id, text)
-    frame — also driven at rehearsal scale by ``stress.py spans``."""
+    frame — also driven at rehearsal scale by ``stress.py spans``.
+
+    ``count_within_doc=False`` (default) marks spans recurring in ≥2
+    DISTINCT documents; ``True`` marks spans with ≥2 total occurrences
+    — within-document repeats count, which is Lee et al.'s actual
+    ExactSubstr rule (a doc repeating its own boilerplate gets cut).
+    ``emit_max_region=True`` appends ``max_region_len``, the longest
+    merged duplicated interval per doc. With w = L these merged
+    intervals are EXACTLY the token coverage of all duplicated
+    substrings of length ≥ L: any duplicated M ≥ L substring at
+    position p contributes duplicated L-windows at p..p+M−L whose
+    union is the full [p, p+M) — so no suffix array and no boundary
+    re-check pass is needed for coverage parity with the published
+    formulation."""
     d = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tokens")
     )
@@ -119,9 +138,10 @@ def span_cut_frame(docs: DataFrame, w: int) -> DataFrame:
             )
         ).alias("pos", "h"),
     ).persist()
+    occurrence = F.count("*") if count_within_doc else F.countDistinct("doc_id")
     dup = (
         spans.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        .agg(occurrence.alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
@@ -146,24 +166,27 @@ def span_cut_frame(docs: DataFrame, w: int) -> DataFrame:
     )
     from csdid_pyspark_spark.cache import attach_cache
 
+    aggs = [
+        F.sum("cov").cast("bigint").alias("removed_tok"),
+        F.count("*").cast("bigint").alias("n_regions"),
+    ]
+    cols = [
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "removed_tok",
+        (F.col("n_tok") - F.col("removed_tok")).cast("bigint").alias("kept_tok"),
+        "n_regions",
+    ]
+    if emit_max_region:
+        aggs.append(F.max("cov").cast("bigint").alias("max_region_len"))
+        cols.append(F.col("max_region_len"))
     return attach_cache(
-        regions.groupBy("doc_id", "n_tok")
-        .agg(
-            F.sum("cov").cast("bigint").alias("removed_tok"),
-            F.count("*").cast("bigint").alias("n_regions"),
-        )
-        .select(
-            "doc_id",
-            F.col("n_tok").cast("bigint").alias("n_tok"),
-            "removed_tok",
-            (F.col("n_tok") - F.col("removed_tok")).cast("bigint").alias("kept_tok"),
-            "n_regions",
-        ),
+        regions.groupBy("doc_id", "n_tok").agg(*aggs).select(*cols),
         spans,
     )
 
 
-TEXT_SPAN_CUT_SQL = r"""
+_SPAN_CUT_SQL_TMPL = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
 ),
@@ -180,7 +203,7 @@ spans AS (
     FROM base
   )
 ),
-dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dup AS (SELECT h FROM spans GROUP BY h HAVING %(duprule)s >= 2),
 marked AS (SELECT s.doc_id, s.n_tok, s.pos FROM spans s SEMI JOIN dup USING (h)),
 flagged AS (
   SELECT doc_id, n_tok, pos,
@@ -204,9 +227,49 @@ merged AS (
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(SUM(cov) AS BIGINT) AS removed_tok,
        CAST(n_tok - SUM(cov) AS BIGINT) AS kept_tok,
-       CAST(COUNT(*) AS BIGINT) AS n_regions
+       CAST(COUNT(*) AS BIGINT) AS n_regions%(extra_cols)s
 FROM merged GROUP BY doc_id, n_tok
-""" % {"w": SPAN_CUT_W}
+"""
+
+TEXT_SPAN_CUT_SQL = _SPAN_CUT_SQL_TMPL % {
+    "w": SPAN_CUT_W,
+    "duprule": "COUNT(DISTINCT doc_id)",
+    "extra_cols": "",
+}
+
+# Minimum duplicated-match length for the Lee et al. variant: merged
+# intervals of duplicated L-windows are exactly the coverage of all
+# duplicated substrings of length >= L (see span_cut_frame docstring).
+SPAN_MINLEN_L = 15
+
+TEXT_SPAN_CUT_MINLEN_SQL = _SPAN_CUT_SQL_TMPL % {
+    "w": SPAN_MINLEN_L,
+    # total occurrences, not distinct docs: within-document repeats
+    # count, matching the published ExactSubstr rule
+    "duprule": "COUNT(*)",
+    "extra_cols": ",\n       CAST(MAX(cov) AS BIGINT) AS max_region_len",
+}
+
+
+def text_span_cut_minlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring CUT, published formulation: remove every token
+    covered by a duplicated substring of length ≥ L (L = 15 tokens),
+    where duplicated means ≥2 TOTAL occurrences anywhere in the corpus
+    — including a document repeating its own boilerplate, which
+    ``text_span_cut``'s cross-document rule misses. Marking duplicated
+    L-windows and merging them per document yields EXACTLY this
+    coverage (every M ≥ L match is the union of its M−L+1 duplicated
+    L-windows), so the one-explode/one-shuffle plan needs no
+    distributed suffix array; ``max_region_len`` reports the longest
+    merged duplicated interval per doc. Property-tested against a
+    brute-force O(n²) all-substring reference
+    (tests/test_property.py)."""
+    return span_cut_frame(
+        load_table(spark, sf_dir, "documents"),
+        SPAN_MINLEN_L,
+        count_within_doc=True,
+        emit_max_region=True,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +279,17 @@ FROM merged GROUP BY doc_id, n_tok
 # portable polynomial string hash (same family as text_winnow_fingerprint):
 # fold (acc*131 + ascii) mod 1e9+7 over the characters, seeded init
 _POLY_MOD = 1_000_000_007
+
+# Laplace-noise seed for dp_noisy_counts. With the DEFAULT (0, public)
+# the release is NOT private — anyone can recompute the noise and
+# subtract it; the query is then a deterministic, oracle-checkable
+# mechanism demo. A real private release must supply a SECRET seed via
+# SPARK_GRAFT_DP_SEED: both the Spark query and the oracle SQL below
+# are built from this one constant at import time, so determinism (and
+# the hash gate) survives any seed choice made before import.
+import os as _os
+
+DP_SEED = int(_os.environ.get("SPARK_GRAFT_DP_SEED", "0"))
 
 
 def _spark_polyhash(col: str, seed: str) -> str:
@@ -229,16 +303,22 @@ def _spark_polyhash(col: str, seed: str) -> str:
 
 
 def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-differentially-private per-source document counts (ε=1,
-    sensitivity 1 → Laplace scale b=1). The Laplace draw is the
-    inverse-CDF transform of a uniform derived from a seeded portable
-    hash of the group key, so release is deterministic AND the
-    mechanism itself is oracle-verifiable — the pattern for publishing
-    corpus composition stats without exposing exact membership counts.
+    """Laplace mechanism for per-source document counts (ε=1,
+    sensitivity 1 → scale b=1): the noise draw is the inverse-CDF
+    transform of a uniform derived from a seeded portable hash of the
+    group key, so the mechanism's arithmetic is deterministic and
+    oracle-verifiable. PRIVACY CAVEAT: the privacy of the release is
+    exactly the secrecy of the seed. Under the default public seed
+    (``DP_SEED`` = 0) the noise is a public function of the group key
+    — recomputable, subtractable — so this run is a MECHANISM DEMO
+    that the hash gate can check, not a private release. A production
+    release sets ``SPARK_GRAFT_DP_SEED`` to a secret before import;
+    both this query and its oracle derive from that one constant, so
+    the cross-engine check still holds under any seed.
     One groupBy; noise math is scalar per group row."""
     d = load_table(spark, sf_dir, "documents")
     g = d.groupBy("source").agg(F.count("*").alias("n"))
-    h = _spark_polyhash("source", "0")
+    h = _spark_polyhash("source", str(DP_SEED))
     u = f"(CAST(({h}) * 2654435761 % 2147483648 AS DOUBLE) + 0.5) / 2147483648.0"
     lap = (
         f"-(CASE WHEN ({u}) >= 0.5 THEN 1.0 ELSE -1.0 END) "
@@ -251,11 +331,11 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-DP_NOISY_SQL = r"""
+DP_NOISY_SQL = rf"""
 WITH g AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
 h AS (
   SELECT source, n,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_reduce(list_prepend(CAST({DP_SEED} AS BIGINT),
              list_transform(range(1, length(source) + 1),
                             i -> CAST(ascii(substring(source, i, 1)) AS BIGINT))),
              (acc, x) -> (acc * 131 + x) %% 1000000007) AS hv
@@ -297,12 +377,22 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count("*").alias("true_n"))
+    return countmin_readout(counts)
+
+
+def countmin_readout(
+    counts: DataFrame, width: int = CM_WIDTH, topk: int = CM_TOPK
+) -> DataFrame:
+    """Operator core of :func:`sketch_countmin_freq` over any
+    (token, true_n) count frame — also driven at 50M-token rehearsal
+    scale by ``stress.py cm``."""
+    spark = counts.sparkSession
     seeds = F.broadcast(
         spark.createDataFrame(
             [(j, s) for j, s in enumerate(CM_DEPTH_SEEDS)], "j int, seed bigint"
         )
     )
-    bucket = F.expr(f"({_spark_polyhash('token', 'seed')}) % {CM_WIDTH}")
+    bucket = F.expr(f"({_spark_polyhash('token', 'seed')}) % {width}")
     cm = (
         counts.crossJoin(seeds)
         .select("j", bucket.alias("bucket"), "true_n")
@@ -310,13 +400,13 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("true_n").alias("cm_n"))
     )
     top = (
-        counts.orderBy(F.col("true_n").desc(), "token").limit(CM_TOPK)
+        counts.orderBy(F.col("true_n").desc(), "token").limit(topk)
     )
     probe = top.crossJoin(seeds).select(
         "token", "true_n", "j", bucket.alias("bucket")
     )
     return (
-        # the sketch is 4×16 rows by construction — always broadcast
+        # the sketch is depth×width rows by construction — always broadcast
         probe.join(F.broadcast(cm), ["j", "bucket"])
         .groupBy("token", "true_n")
         .agg(F.min("cm_n").alias("est_n"))
@@ -473,6 +563,7 @@ FROM grp GROUP BY l ORDER BY l
 QUERIES = {
     "er_fuzzy_parts": er_fuzzy_parts,
     "text_span_cut": text_span_cut,
+    "text_span_cut_minlen": text_span_cut_minlen,
     "dp_noisy_counts": dp_noisy_counts,
     "sketch_countmin_freq": sketch_countmin_freq,
     "layout_skew_advisor": layout_skew_advisor,
@@ -482,6 +573,7 @@ QUERIES = {
 ORACLES = {
     "er_fuzzy_parts": ER_FUZZY_SQL,
     "text_span_cut": TEXT_SPAN_CUT_SQL,
+    "text_span_cut_minlen": TEXT_SPAN_CUT_MINLEN_SQL,
     "dp_noisy_counts": DP_NOISY_SQL,
     "sketch_countmin_freq": SKETCH_CM_SQL,
     "layout_skew_advisor": LAYOUT_SKEW_SQL,
@@ -869,11 +961,19 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_components`` (checkpoint-per-round, edge-count-right-sized
     partitions); the histogram is a two-level bounded aggregate over
     the (node, comp) table."""
+    from csdid_pyspark_spark.cache import release_cache
     from csdid_pyspark_spark.operators import dedup
     from csdid_pyspark_spark.queries.llm_ops import _neardup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    comp = dedup.components(_neardup_pairs(d))
+    # components() eagerly checkpoints its labels, so the postings
+    # persist jaccard_pairs attached to the pair frame is fully
+    # consumed by the time it returns — release it HERE: discarding
+    # the pairs frame would orphan the persist for the life of a
+    # shared multi-query session.
+    pairs = _neardup_pairs(d)
+    comp = dedup.components(pairs)
+    release_cache(pairs)
     sizes = comp.groupBy("comp").agg(F.count("*").alias("sz"))
     return (
         sizes.groupBy("sz")
@@ -934,10 +1034,23 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     χ² = Σ(obs−exp)²/exp with 1 df; flag at the 3.841 critical value.
     One distinct-user aggregate; the χ² math runs on 2-row tables."""
     e = load_table(spark, sf_dir, "events")
-    users = e.select("user_id").distinct()
+    return srm_frame(e.select("user_id").distinct())
+
+
+def srm_frame(users: DataFrame) -> DataFrame:
+    """Operator core of :func:`events_ab_srm_check` over any distinct
+    (user_id) frame — also driven at rehearsal scale by
+    ``stress.py srm``."""
+    # Mask to 31 bits BEFORE the Knuth multiply: (2^31-1)·2654435761
+    # ≈ 5.7e18 stays inside int64, so Spark (silent wrap under
+    # non-ANSI) and DuckDB (which would raise/diverge on overflow)
+    # compute the identical value for ANY id — the unmasked product
+    # overflowed past user_id ≈ 3.4e9, i.e. exactly at the id scale
+    # the 100 TB framing implies.
+    masked = F.pmod(F.col("user_id"), F.lit(2147483648))
     splits = users.select(
         "user_id",
-        (F.pmod(F.col("user_id") * 2654435761, F.lit(4294967296)) % 2).alias(
+        (F.pmod(masked * 2654435761, F.lit(4294967296)) % 2).alias(
             "hash_uniform"
         ),
         F.when(F.col("user_id") % 3 == 0, 0).otherwise(1).alias("mod3_biased"),
@@ -977,7 +1090,8 @@ EVENTS_SRM_SQL = """
 WITH users AS (SELECT DISTINCT user_id FROM events),
 splits AS (
   SELECT user_id,
-         CAST((user_id * 2654435761) % 4294967296 % 2 AS BIGINT) AS hash_uniform,
+         CAST(((user_id % 2147483648) * 2654435761) % 4294967296 % 2 AS BIGINT)
+           AS hash_uniform,
          CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END AS mod3_biased
   FROM users
 ),

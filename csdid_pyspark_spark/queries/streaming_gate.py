@@ -1,0 +1,386 @@
+"""Batch-projection gate queries for the Structured Streaming operators.
+
+The driver's correctness gate runs batch queries only, so until round 5
+the streaming operators (streaming/events.py) were pinned exclusively by
+pytest batch-equivalence tests. These queries put each streaming op
+under the SAME external DuckDB-oracle gate as every batch operator: the
+query RUNS THE REAL STREAM (``trigger(availableNow=True)`` over the
+parquet testdata — the identical operator graph a live file/Kafka
+stream executes, including watermarks, state stores, and
+``applyInPandasWithState``) into a memory sink, then returns a small
+DETERMINISTIC projection of the drained stream's final state. The
+oracle is the ANSI-SQL batch equivalent over the same table — the
+equivalence each pytest asserts, now hash-checked externally per round.
+
+Determinism notes (why each projection is replay-stable):
+
+* The events/documents sources are ONE parquet file each, and
+  ``availableNow`` with the default ``maxFilesPerTrigger`` drains them
+  in a single micro-batch, so update-mode state emissions happen
+  exactly once per key. The projections still guard against a
+  multi-batch split: cumulative counters are folded with ``max()``
+  (monotone), and append-mode outputs are aggregated over the full
+  sink table.
+* The stateful Misra-Gries stream emits ESTIMATES that depend on Arrow
+  chunk boundaries, so the projection applies the standard exact-
+  recount upgrade: candidates are joined back to exact batch counts and
+  filtered to the guaranteed-frequency threshold, which is a
+  deterministic function of the data for ANY candidate superset the
+  stream produces (MG guarantees every above-threshold item is a
+  candidate; below-threshold candidates are filtered out).
+
+Memory-sink tables get a uuid-suffixed name per invocation (a repeated
+run in a shared session must not collide with a finished query's
+registered view); checkpoint/work dirs are process-temp and removed
+after the stream drains.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csdid_pyspark_spark.sources.tables import load_table
+from csdid_pyspark_spark.streaming.events import (
+    dedup_stream,
+    enrich_stream,
+    incremental_refresh,
+    join_stream_pairs,
+    mg_stream_heavy_hitters,
+    sessionize_stream,
+    stream_events,
+    windowed_counts,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _drain_to_table(sdf: DataFrame, output_mode: str, timeout: int = 300) -> DataFrame:
+    """Run a streaming frame to completion into a memory sink; return
+    the sink table. availableNow processes everything the source has
+    and stops — the batch-bounded way to execute the true streaming
+    operator graph (state store, watermark bookkeeping and all)."""
+    name = f"sg_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return sdf.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# 1. Watermarked tumbling-window rollup
+# ---------------------------------------------------------------------------
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly windowed counts/sums per event type, computed BY THE
+    STREAMING operator (streaming/events.py::windowed_counts) drained
+    with availableNow. Complete output mode so the trailing windows the
+    append-mode watermark would hold back are emitted too — the drained
+    result must equal the batch GROUP BY exactly."""
+    out = _drain_to_table(windowed_counts(stream_events(spark, sf_dir)), "complete")
+    return out.select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+
+
+STREAM_WINDOWED_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Stateful sessionizer (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session/event totals from the CUSTOM STATEFUL operator
+    (applyInPandasWithState, 30-min gap), drained with availableNow.
+    Update mode emits each user's running totals once per micro-batch;
+    the counters are monotone, so ``max`` folds multi-batch emissions
+    to the final state (single-file source → exactly one anyway)."""
+    out = _drain_to_table(
+        sessionize_stream(stream_events(spark, sf_dir), gap_minutes=30.0), "update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_sessions").cast("bigint").alias("n_sessions"),
+            F.max("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Strict-> gap comparison mirrors the stateful fn's `t - last > gap_us`
+# (a gap of exactly 30:00 continues the session on both sides).
+STREAM_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM o GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Bounded-state streaming dedup
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) via
+    ``dropDuplicatesWithinWatermark`` — the bounded-state dedup a
+    100 TB/day ingest runs. The drained sink holds one survivor per
+    distinct key; WHICH event survives is arrival-order-dependent, so
+    the projection counts keys per event_type (the deterministic part
+    and the part an ingest pipeline reports)."""
+    out = _drain_to_table(
+        dedup_stream(stream_events(spark, sf_dir), keys=["user_id", "event_type"]),
+        "append",
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Stream-static broadcast enrichment
+# ---------------------------------------------------------------------------
+
+
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT join of the event stream against the customer
+    dimension (user_id = c_custkey; unmatched users fall into the NULL
+    segment), rolled up per market segment in complete mode — the
+    standard per-micro-batch broadcast enrichment, drained. Sum of
+    ``value`` rides through the exact DECIMAL accumulator so partial-
+    aggregation order can't move the hash."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_stream(stream_events(spark, sf_dir), dim)
+    out = _drain_to_table(
+        enriched.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_value"),
+        ),
+        "complete",
+    )
+    return out.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("segment")
+
+
+STREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ev.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events ev LEFT JOIN customer c ON ev.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Watermarked stream-stream join
+# ---------------------------------------------------------------------------
+
+
+def stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs from the WATERMARKED
+    STREAM-STREAM join (both sides stateful, event-time-bounded),
+    drained with availableNow — a single batch holds the whole horizon,
+    so every true pair is emitted. Projection: pair count, distinct
+    converting users, exact summed click→purchase delay (integer
+    seconds: fp-order-proof)."""
+    out = _drain_to_table(
+        join_stream_pairs(stream_events(spark, sf_dir), within_minutes=60), "append"
+    )
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        # exact integer microseconds — a seconds-level floor/round would
+        # diverge between engines on sub-second timestamps
+        F.sum(F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .cast("bigint")
+        .alias("sum_delay_us"),
+    )
+
+
+STREAM_JOIN_PAIRS_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.user_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(delay_us) AS BIGINT) AS sum_delay_us
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Incremental refresh (foreachBatch materialized view)
+# ---------------------------------------------------------------------------
+
+
+def stream_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view: foreachBatch lands each micro-batch
+    idempotently (overwrite-by-batch-id) and recomputes daily
+    per-event-type counts over everything accumulated; after the stream
+    drains, the LAST refresh equals the batch answer. The recompute
+    collects its (days × types) result inside the callback so the
+    temp accumulation dir can be removed before returning."""
+    work = tempfile.mkdtemp(prefix="sg_refresh_")
+    try:
+        rows = incremental_refresh(
+            stream_events(spark, sf_dir),
+            lambda acc: (
+                acc.groupBy(
+                    F.to_date("ts").alias("day"), "event_type"
+                )
+                .agg(F.count("*").cast("bigint").alias("n_events"))
+                .collect()
+            ),
+            work,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "day date, event_type string, n_events bigint"
+    ).orderBy("day", "event_type")
+
+
+STREAM_REFRESH_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Bounded-state streaming heavy hitters (Misra-Gries + exact recount)
+# ---------------------------------------------------------------------------
+
+MG_STREAM_K = 8
+MG_STREAM_BUCKETS = 32
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-token candidates from the STATEFUL
+    STREAMING sketch (bounded buckets·k state) over the streamed
+    documents' tokens, upgraded to exact counts: candidates join back
+    to the exact batch counts and only items above the per-bucket
+    guarantee threshold (freq·(k+1) > bucket_n) survive. MG guarantees
+    every above-threshold item is a candidate and the filter drops
+    every below-threshold one, so the output is a deterministic
+    function of the corpus for ANY candidate superset the stream
+    emits (Arrow chunking may vary the estimates; never the upgraded
+    set). Items are xxhash64 token hashes — no ANSI rendering, so the
+    oracle is a pinned VALUES golden."""
+    doc_stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = doc_stream.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cand = _drain_to_table(
+        mg_stream_heavy_hitters(toks, "token", k=MG_STREAM_K, buckets=MG_STREAM_BUCKETS),
+        "update",
+    )
+    # update mode may emit a bucket's summary once per micro-batch; the
+    # final emission per (bucket, item) carries the largest bucket_n
+    cand_final = cand.groupBy("bucket", "item").agg(F.max("bucket_n").alias("bucket_n"))
+    d = load_table(spark, sf_dir, "documents")
+    exact = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(F.xxhash64(F.col("token").cast("string")).alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    return (
+        cand_final.join(exact, "item")
+        .filter(F.col("exact_n") * (MG_STREAM_K + 1) > F.col("bucket_n"))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("item").cast("bigint").alias("item"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("bucket_n").cast("bigint").alias("bucket_n"),
+        )
+        .orderBy("bucket", "item")
+    )
+
+
+QUERIES.update(
+    {
+        "stream_windowed_counts": stream_windowed_counts,
+        "stream_sessionize": stream_sessionize,
+        "stream_dedup": stream_dedup,
+        "stream_enrich": stream_enrich,
+        "stream_join_pairs": stream_join_pairs,
+        "stream_incremental_refresh": stream_incremental_refresh,
+        "stream_heavy_hitters": stream_heavy_hitters,
+    }
+)
+
+ORACLES.update(
+    {
+        "stream_windowed_counts": STREAM_WINDOWED_SQL,
+        "stream_sessionize": STREAM_SESSIONIZE_SQL,
+        "stream_dedup": STREAM_DEDUP_SQL,
+        "stream_enrich": STREAM_ENRICH_SQL,
+        "stream_join_pairs": STREAM_JOIN_PAIRS_SQL,
+        "stream_incremental_refresh": STREAM_REFRESH_SQL,
+        # stream_heavy_hitters: pinned VALUES golden (golden_values.py)
+    }
+)

@@ -323,6 +323,7 @@ def run_spans(spark, n_docs: int) -> dict:
     measured, not asserted."""
     import time
 
+    from csdid_pyspark_spark.cache import release_cache
     from csdid_pyspark_spark.queries.pipeline_ext import span_cut_frame
 
     docs = synth_docs(spark, n_docs).persist()
@@ -334,6 +335,10 @@ def run_spans(spark, n_docs: int) -> dict:
         F.sum("removed_tok").alias("removed"), F.sum("n_tok").alias("tot")
     ).collect()[0]
     span_sec = round(time.time() - t0, 1)
+    # span_cut_frame attaches its span-table persist to rep; release it
+    # along with rep's own persist so the driver-memory reading below
+    # measures the operator, not a leaked cache
+    release_cache(rep)
     rep.unpersist()
     docs.unpersist()
     return {
@@ -476,10 +481,125 @@ def run_rank(spark, n_rows: int) -> dict:
     }
 
 
+def run_srm(spark, n_users: int) -> dict:
+    """A/B sample-ratio-mismatch gate rehearsal: the SRM chi-square
+    over a synthetic distinct-user population (ids synthesized
+    executor-side, including ids past 2^31 — the range where the
+    unmasked Knuth multiply used to overflow int64). The gate is two
+    aggregation passes over n rows with a 2-row driver result; wall
+    must be ~linear and the hash split must stay within chi2 bounds
+    while the planted mod-3 bias is flagged."""
+    from csdid_pyspark_spark.queries.pipeline_ext import srm_frame
+
+    users = spark.range(n_users).select(
+        # stride the ids so a big slice of the population sits above
+        # 2^31 — exercising the overflow-masked hash path
+        (F.col("id") * 7 + F.lit(3_000_000_000)).alias("user_id")
+    )
+    t0 = time.perf_counter()
+    rows = {r["split"]: r.asDict() for r in srm_frame(users).collect()}
+    srm_sec = round(time.perf_counter() - t0, 1)
+    return {
+        "metric": "stress_srm",
+        "users": n_users,
+        "hash_chi2": float(rows["hash_uniform"]["chi2"]),
+        "hash_flagged": bool(rows["hash_uniform"]["srm_detected"]),
+        "mod3_chi2": float(rows["mod3_biased"]["chi2"]),
+        "mod3_flagged": bool(rows["mod3_biased"]["srm_detected"]),
+        "srm_sec": srm_sec,
+        **_driver_memory(),
+    }
+
+
+def run_er(spark, n_rows: int) -> dict:
+    """Entity-resolution rehearsal: blocked fuzzy self-join over a
+    synthetic catalog of n rows built from a bounded name vocabulary
+    (so block sizes grow with n — the skew that matters). Pairing is
+    block-local (sum of block², never n²) with the max_block guard
+    live; reports candidate-pair count, matches, wall, and that the
+    driver stayed flat (the pair list is never collected — only its
+    count)."""
+    from csdid_pyspark_spark.operators.linkage import blocked_fuzzy_pairs
+
+    words = ["alpha", "bravo", "coral", "delta", "ember", "frost", "gleam", "honey"]
+    colors = ["red", "blue", "green", "ivory", "khaki", "lemon"]
+    w = F.array(*[F.lit(x) for x in words])
+    c = F.array(*[F.lit(x) for x in colors])
+    df = spark.range(n_rows).select(
+        F.col("id").alias("rid"),
+        F.concat_ws(
+            " ",
+            F.element_at(w, (F.pmod(F.xxhash64("id", F.lit(1)), 8) + 1).cast("int")),
+            F.element_at(c, (F.pmod(F.xxhash64("id", F.lit(2)), 6) + 1).cast("int")),
+            F.pmod(F.xxhash64("id", F.lit(3)), 500).cast("string"),
+        ).alias("name"),
+        F.element_at(w, (F.pmod(F.xxhash64("id", F.lit(1)), 8) + 1).cast("int")).alias(
+            "brand"
+        ),
+        F.pmod(F.xxhash64("id", F.lit(4)), 200).cast("int").alias("bucket2"),
+    )
+    t0 = time.perf_counter()
+    pairs = blocked_fuzzy_pairs(
+        df, ["brand", "bucket2"], "rid", "name", max_dist=3, max_block=200_000
+    )
+    n_pairs = pairs.count()
+    n_close = pairs.filter(F.col("dist") <= 1).count()
+    er_sec = round(time.perf_counter() - t0, 1)
+    return {
+        "metric": "stress_er",
+        "rows": n_rows,
+        "candidate_pairs": n_pairs,
+        "pairs_dist_le1": n_close,
+        "er_sec": er_sec,
+        **_driver_memory(),
+    }
+
+
+def run_cm(spark, n_tokens: int) -> dict:
+    """Count-Min rehearsal at a 50M-token stream: the same skewed
+    vocabulary as the MG rehearsal (8 hot tokens ≈ 30% of mass over a
+    ~5M-term tail). The sketch build is one count aggregation plus a
+    vocabulary-sized hash pass into a FIXED 4×16 bucket table; the
+    top-k readout must satisfy the CM guarantee est ≥ true on every
+    probed token."""
+    from csdid_pyspark_spark.queries.pipeline_ext import countmin_readout
+
+    t = spark.range(n_tokens).select(
+        F.when(
+            F.pmod(F.xxhash64("id"), 100) < 30,
+            F.concat(
+                F.lit("hot"), F.pmod(F.xxhash64("id", F.lit("h")), 8).cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("t"),
+                F.pmod(F.xxhash64("id", F.lit("t")), 5_000_000).cast("string"),
+            )
+        )
+        .alias("token")
+    )
+    t0 = time.perf_counter()
+    counts = t.groupBy("token").agg(F.count("*").alias("true_n"))
+    rows = countmin_readout(counts).collect()
+    cm_sec = round(time.perf_counter() - t0, 1)
+    return {
+        "metric": "stress_cm",
+        "tokens": n_tokens,
+        "topk": len(rows),
+        "cm_guarantee_holds": all(r["overcount"] >= 0 for r in rows),
+        "max_overcount": max(r["overcount"] for r in rows),
+        "cm_sec": cm_sec,
+        **_driver_memory(),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "panel"
-    if args and args[0] in ("panel", "docs", "clf", "tokens", "rank", "spans"):
+    if args and args[0] in (
+        "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
+    ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -487,6 +607,15 @@ def main() -> None:
     if mode == "spans":
         n_docs = int(args[0]) if args else 100_000
         out = run_spans(spark, n_docs)
+    elif mode == "srm":
+        n_users = int(args[0]) if args else 10_000_000
+        out = run_srm(spark, n_users)
+    elif mode == "er":
+        n_rows = int(args[0]) if args else 2_000_000
+        out = run_er(spark, n_rows)
+    elif mode == "cm":
+        n_tokens = int(args[0]) if args else 50_000_000
+        out = run_cm(spark, n_tokens)
     elif mode == "docs":
         n_docs = int(args[0]) if args else 25_000
         out = run_docs(spark, n_docs)

@@ -347,6 +347,24 @@ def test_pretrend_test_null_vs_violation(spark):
     assert bad_res["W"] > null_res["W"]
 
 
+def test_pretrend_cell_bound_guard(spark, monkeypatch):
+    """A degenerate design with more pre-cells than the O(m²) guard
+    allows must fail loudly BEFORE assembling the covariance (the
+    failure mode is a cohort column with unit-level granularity that
+    would otherwise drive a silent multi-GB driver collect)."""
+    from csdid_pyspark_spark.did import attgt as attgt_mod
+    from csdid_pyspark_spark.did.preprocess import DidError
+
+    pdf = make_panel_dgp(n_units=400, periods=(1, 2, 3, 4, 5), cohorts=(0, 4, 5), seed=7)
+    est = _fit(spark, pdf)
+    monkeypatch.setattr(attgt_mod, "PRETREND_MAX_CELLS", 1)
+    with pytest.raises(DidError, match="O\\(m²\\)"):
+        est.pretrend_test()
+    # restoring the real bound, the same fitted estimator tests fine
+    monkeypatch.setattr(attgt_mod, "PRETREND_MAX_CELLS", 500)
+    assert est.pretrend_test()["n_pre"] > 1
+
+
 def test_pretrend_requires_fit(spark, dgp):
     est = ATTgt(spark.createDataFrame(dgp), "Y", "period", "id", "G",
                 xfmla="Y ~ x1", allow_unbalanced_panel=False)

@@ -171,3 +171,68 @@ def test_span_cut_frame_matches_bruteforce(spark, docs_tokens):
         for r in span_cut_frame(df, w).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_span_cut_minlen_matches_all_substring_bruteforce(spark, docs_tokens):
+    """The L-window formulation of span_cut_frame(count_within_doc=True)
+    must equal the PUBLISHED formulation computed literally: enumerate
+    EVERY substring of length >= L across the corpus, count total
+    occurrences (within-doc repeats at distinct positions count), and
+    mark every token covered by any substring with >= 2 occurrences.
+    This pins the coverage theorem the operator relies on (any
+    duplicated M >= L match is the union of its M-L+1 duplicated
+    L-windows) against an implementation-independent O(n^3) oracle,
+    including the merged-region count and max_region_len readouts."""
+    from collections import Counter
+
+    from csdid_pyspark_spark.queries.pipeline_ext import span_cut_frame
+
+    L = 3
+    counts: Counter = Counter()
+    for toks in docs_tokens:
+        for m in range(L, len(toks) + 1):
+            for s in range(len(toks) - m + 1):
+                counts[tuple(toks[s : s + m])] += 1
+    expected = {}
+    for i, toks in enumerate(docs_tokens):
+        covered: set[int] = set()
+        for m in range(L, len(toks) + 1):
+            for s in range(len(toks) - m + 1):
+                if counts[tuple(toks[s : s + m])] >= 2:
+                    covered.update(range(s, s + m))
+        if not covered:
+            continue
+        # merged runs of the covered-position set
+        runs, run_len, max_run, prev = 0, 0, 0, None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                runs += 1
+                run_len = 0
+            run_len += 1
+            max_run = max(max_run, run_len)
+            prev = p
+        expected[i] = (len(toks), len(covered), len(toks) - len(covered), runs, max_run)
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tok"],
+            r["removed_tok"],
+            r["kept_tok"],
+            r["n_regions"],
+            r["max_region_len"],
+        )
+        for r in span_cut_frame(
+            df, L, count_within_doc=True, emit_max_region=True
+        ).collect()
+    }
+    assert got == expected
