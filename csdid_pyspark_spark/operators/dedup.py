@@ -205,6 +205,7 @@ def containment_pairs(
     threshold: float = 0.8,
     max_df: int | None = None,
     exact_limit: int | None = EXACT_PAIRS_LIMIT,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Shingle-set CONTAINMENT over candidate pairs sharing ≥1 shingle:
     C(A,B) = |A∩B| / min(|A|,|B|) — the doc-inside-doc detector
@@ -213,7 +214,9 @@ def containment_pairs(
     fully contained in a big one. Same capped postings self-join shape
     as :func:`jaccard_pairs` (identical ``max_df`` candidate-generation
     cap and quadratic-baseline guard), different denominator.
-    Columns: id_a < id_b, containment."""
+    Columns: id_a < id_b, containment — plus n_a, n_b (each side's
+    shingle-set size) when ``with_sizes``, which a consumer needs to
+    decide WHICH side is the contained one (the smaller set)."""
     if max_df is None:
         _guard_exact_allpairs(
             df, exact_limit, "containment_pairs(max_df=None)",
@@ -239,12 +242,15 @@ def containment_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    cols = ["id_a", "id_b", F.round("containment", 6).alias("containment")]
+    if with_sizes:
+        cols += [F.col("n_a").cast("bigint").alias("n_a"), F.col("n_b").cast("bigint").alias("n_b")]
     return attach_cache(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("containment", F.col("n_inter") / F.least("n_a", "n_b"))
         .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", F.round("containment", 6).alias("containment")),
+        .select(*cols),
         sh,
     )
 

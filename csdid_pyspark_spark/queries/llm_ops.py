@@ -1550,14 +1550,18 @@ ORACLES["embedding_quantize"] = EMBEDDING_QUANTIZE_SQL
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full training-data curation decision per document, composing the
     individually-oracled stages: eval-split carve-out → exact-dedup
-    survivorship → quality gate → n-gram decontamination → deterministic
+    survivorship → near-dup CONTAINMENT drop (a doc ≥80% inside a
+    larger doc is boilerplate-wrapping/partial-crawl noise exact dedup
+    misses) → quality gate → n-gram decontamination → deterministic
     train/holdout split. One status per doc with precedence
-    eval_split > duplicate > low_quality > contaminated > kept.
+    eval_split > duplicate > contained > low_quality > contaminated >
+    kept. The contained side of each pair is the SMALLER shingle set
+    (ties: larger doc_id), so the superset document survives.
 
     Scale shape: every stage is a narrow per-doc signal joined back on
     doc_id — the composition adds joins, not new wide shuffles; the
-    doc_id join keys let AQE coalesce the whole chain into a handful of
-    co-partitioned stages."""
+    containment leg rides the same df-capped postings join as every
+    pipeline dedup path (NEARDUP_MAX_DF)."""
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
     base = d.select(
@@ -1572,21 +1576,39 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor = base.groupBy("fp").agg(F.min("doc_id").alias("survivor_id"))
     q = quality_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("q_keep"), "n_tokens")
     contam = text_decontaminate(spark, sf_dir).select("doc_id", "contam_rate")
+    cpairs = dedup.containment_pairs(
+        d, n=3, threshold=0.8, max_df=NEARDUP_MAX_DF, with_sizes=True
+    )
+    contained = (
+        cpairs.select(
+            F.when(F.col("n_a") < F.col("n_b"), F.col("id_a"))
+            .when(F.col("n_b") < F.col("n_a"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("is_contained", F.lit(True))
+    )
     j = (
         base.join(survivor, "fp")
         .join(q, "doc_id")
         .join(contam, "doc_id", "left")
+        .join(contained, "doc_id", "left")
         .withColumn("contam_rate", F.coalesce("contam_rate", F.lit(0.0)))
+        .withColumn("is_contained", F.coalesce("is_contained", F.lit(False)))
     )
     is_eval = F.col("h").isin("0", "1", "2", "3")
     status = (
         F.when(is_eval, "eval_split")
         .when(F.col("doc_id") != F.col("survivor_id"), "duplicate")
+        .when(F.col("is_contained"), "contained")
         .when(~F.col("q_keep"), "low_quality")
         .when(F.col("contam_rate") > 0.1, "contaminated")
         .otherwise("kept")
     )
-    return j.select(
+    from csdid_pyspark_spark.cache import carry_cache
+
+    out = j.select(
         "doc_id",
         status.alias("status"),
         F.when(status == "kept", F.when(F.col("bucket") < 10, "holdout").otherwise("train"))
@@ -1594,6 +1616,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         "n_tokens",
     )
+    # lazy over the containment postings persist: ride it to the result
+    return carry_cache(out, cpairs)
 
 
 CURATION_PIPELINE_SQL = r"""
@@ -1640,11 +1664,35 @@ contam AS (
   WHERE g.h NOT IN ('0','1','2','3')
   GROUP BY g.doc_id
 ),
+csh_all AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, GREATEST(len(tk) - 1, 1)),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+  FROM base WHERE len(tk) >= 3
+),
+chot AS (SELECT shingle FROM csh_all GROUP BY shingle HAVING COUNT(*) > {max_df}),
+csh AS (SELECT csh_all.doc_id, csh_all.shingle FROM csh_all ANTI JOIN chot USING (shingle)),
+csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY doc_id),
+cinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+contained AS (
+  SELECT DISTINCT CASE WHEN sa.n_sh < sb.n_sh THEN id_a
+                       WHEN sb.n_sh < sa.n_sh THEN id_b
+                       ELSE GREATEST(id_a, id_b) END AS doc_id
+  FROM cinter
+  JOIN csizes sa ON sa.doc_id = id_a
+  JOIN csizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.8
+),
 final AS (
   SELECT b.doc_id, q.n_tokens,
          CASE
            WHEN b.h IN ('0','1','2','3') THEN 'eval_split'
            WHEN b.doc_id <> s.survivor_id THEN 'duplicate'
+           WHEN ct.doc_id IS NOT NULL THEN 'contained'
            WHEN NOT q.q_keep THEN 'low_quality'
            WHEN COALESCE(c.contam_rate, 0.0) > 0.1 THEN 'contaminated'
            ELSE 'kept'
@@ -1654,6 +1702,7 @@ final AS (
   JOIN survivor s USING (fp)
   JOIN qkeep q ON b.doc_id = q.doc_id
   LEFT JOIN contam c ON b.doc_id = c.doc_id
+  LEFT JOIN contained ct ON b.doc_id = ct.doc_id
 )
 SELECT doc_id, status,
        CASE WHEN status = 'kept'
@@ -1661,7 +1710,7 @@ SELECT doc_id, status,
        END AS split,
        n_tokens
 FROM final
-"""
+""".format(max_df=NEARDUP_MAX_DF)
 
 
 QUERIES["curation_pipeline"] = curation_pipeline
@@ -3691,6 +3740,51 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_train_merges"] = bpe_train_merges
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION pass: train the 10-rule BPE merge table,
+    encode the corpus with it, and report per-source token economics —
+    word count, BPE piece count, chars, and pieces-per-word / chars-
+    per-piece (the compression numbers a tokenizer choice is judged
+    by). The merge chain applies to the DISTINCT-word table (O(vocab))
+    as one codegen'd expression; the corpus-scale step is one
+    explode+join+groupBy. Deterministic because the learned merges are
+    (count desc, pair asc)-tiebroken → pinned VALUES golden."""
+    from csdid_pyspark_spark.operators.bpe import encode_pieces, train_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=10)
+    corpus_words = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = corpus_words.select("w").distinct()
+    pieces = encode_pieces(vocab, merges)
+    return (
+        corpus_words.join(pieces, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_bpe_pieces"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_pieces",
+            "n_chars",
+            F.round(F.col("n_bpe_pieces") / F.col("n_words"), 6).alias(
+                "pieces_per_word"
+            ),
+            F.round(F.col("n_chars") / F.col("n_bpe_pieces"), 6).alias(
+                "chars_per_piece"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["bpe_encode_stats"] = bpe_encode_stats
 
 
 # ---------------------------------------------------------------------------

@@ -1114,3 +1114,85 @@ GROUP BY c.split ORDER BY split
 
 QUERIES["events_ab_srm_check"] = events_ab_srm_check
 ORACLES["events_ab_srm_check"] = EVENTS_SRM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier gate (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier screen: median and MAD (median
+    absolute deviation) of ``value``, and how many events fall outside
+    median ± 3·(MAD/0.6745) — the robust z-score gate that, unlike a
+    mean/stddev rule, is not dragged by the very outliers it screens.
+    Two grouped EXACT percentile passes (groups = event types, a
+    handful) + one counting pass; at petabyte scale swap the exact
+    median for the mergeable quantile sketch
+    (``sketch_quantile_histogram``) — this query pins the exact
+    semantics the sketch approximates. Exact interpolated percentile
+    matches DuckDB's ``median`` bit-for-bit after rounding."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"), F.first("med").alias("med")
+    )
+    thresh = 3.0 / 0.6745
+    out = (
+        dev.select("event_type", "adev")
+        .join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("adev") > thresh * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+    return (
+        out.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad, ANY_VALUE(med) AS med
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(ANY_VALUE(m.med), 6) AS med,
+       ROUND(ANY_VALUE(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.adev > (3.0 / 0.6745) * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(SUM(CASE WHEN d.adev > (3.0 / 0.6745) * m.mad THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY event_type
+"""
+
+QUERIES["events_outliers_mad"] = events_outliers_mad
+ORACLES["events_outliers_mad"] = EVENTS_MAD_SQL

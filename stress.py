@@ -492,9 +492,13 @@ def run_srm(spark, n_users: int) -> dict:
     from csdid_pyspark_spark.queries.pipeline_ext import srm_frame
 
     users = spark.range(n_users).select(
-        # stride the ids so a big slice of the population sits above
-        # 2^31 — exercising the overflow-masked hash path
-        (F.col("id") * 7 + F.lit(3_000_000_000)).alias("user_id")
+        # irregular 62-bit ids (an arithmetic progression is exactly
+        # balanced through the affine split hash — chi2 = 0, which
+        # rehearses nothing): xxhash64 scatters them across the full
+        # range, so most sit far above 2^31 and exercise the
+        # overflow-masked hash path while the healthy split lands at
+        # a genuine chi2 ~ O(1)
+        F.abs(F.xxhash64("id")).alias("user_id")
     )
     t0 = time.perf_counter()
     rows = {r["split"]: r.asDict() for r in srm_frame(users).collect()}
@@ -536,7 +540,11 @@ def run_er(spark, n_rows: int) -> dict:
         F.element_at(w, (F.pmod(F.xxhash64("id", F.lit(1)), 8) + 1).cast("int")).alias(
             "brand"
         ),
-        F.pmod(F.xxhash64("id", F.lit(4)), 200).cast("int").alias("bucket2"),
+        # discriminative second key: ~125 rows/block at the 2M default.
+        # (First attempt used 200 buckets → 1250 rows/block → 2.5e9
+        # Levenshtein evals, 518 s: a measured demonstration that block
+        # GRANULARITY, not corpus size, is the er cost driver.)
+        F.pmod(F.xxhash64("id", F.lit(4)), 2000).cast("int").alias("bucket2"),
     )
     t0 = time.perf_counter()
     pairs = blocked_fuzzy_pairs(

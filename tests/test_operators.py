@@ -1150,3 +1150,23 @@ def test_cuped_reduces_variance_and_preserves_units(spark, sf_dir):
     assert total > 0
     for r in rows.values():
         assert r["var_cuped"] <= r["var_raw"] + 1e-9
+
+
+def test_bpe_encode_pieces_greedy_application(spark):
+    """encode_pieces must replay the trainer's greedy left-to-right
+    merge application: on a corpus where the learned rules are known by
+    construction ((a,b) then (ab,ab)), seen words collapse to their
+    trained piece counts and an UNSEEN longer word gets the same greedy
+    non-overlapping scan (ababab -> [abab, ab] = 2 pieces, not 3)."""
+    from csdid_pyspark_spark.operators.bpe import encode_pieces, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "abab")], "doc_id bigint, text string"
+    )
+    merges = train_bpe(docs, n_merges=2)
+    assert [(m[1], m[2]) for m in merges] == [("a", "b"), ("ab", "ab")]
+    words = spark.createDataFrame(
+        [("ab",), ("abab",), ("ababab",), ("ba",), ("x",)], "w string"
+    )
+    got = {r["w"]: r["n_pieces"] for r in encode_pieces(words, merges).collect()}
+    assert got == {"ab": 1, "abab": 1, "ababab": 2, "ba": 2, "x": 1}
