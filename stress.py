@@ -602,11 +602,120 @@ def run_cm(spark, n_tokens: int) -> dict:
     }
 
 
+def run_stream(spark, n_events: int, n_files: int = 8) -> dict:
+    """Structured Streaming rehearsal: n synthetic events land as
+    ``n_files`` time-ordered parquet files (distinct mtimes, so
+    ``maxFilesPerTrigger=1`` yields one micro-batch per file in event-
+    time order), then the REAL stateful sessionizer
+    (applyInPandasWithState, per-user tuple state) drains them with
+    availableNow. Evidence targets: wall ~linear in events, state =
+    one tuple per user (bounded), driver flat, and the multi-batch
+    streaming result equals the batch sessionizer EXACTLY — the
+    parity claim the sf0.001 pytest makes, demonstrated at rehearsal
+    scale across genuine micro-batch boundaries."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from csdid_pyspark_spark.operators.sessionize import session_stats
+    from csdid_pyspark_spark.streaming.events import sessionize_stream
+
+    n_users = max(1000, n_events // 200)
+    span_s = 30 * 86400
+    base = 1_700_000_000
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id", F.lit("u")), n_users).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("id") * span_s / n_events).cast("bigint")
+        ).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="stress_stream_")
+    watch = os.path.join(work, "in")
+    os.makedirs(watch)
+    try:
+        # one time-slice per file, mtimes in slice order: per-user
+        # timestamps are then nondecreasing across micro-batches, the
+        # precondition for last-event-state sessionization to equal
+        # the batch result
+        slice_len = span_s // n_files + 1
+        for i in range(n_files):
+            lo = base + i * slice_len
+            hi = lo + slice_len
+            part = ev.filter(
+                (F.unix_timestamp("ts") >= lo) & (F.unix_timestamp("ts") < hi)
+            )
+            stage = os.path.join(work, f"stage{i}")
+            part.coalesce(4).write.mode("overwrite").parquet(stage)
+            import glob as _glob
+
+            # sorted part files are in partition order = id order = time
+            # order (ts is monotone in id); every file gets a DISTINCT
+            # mtime in that order — FileStreamSource processes by mtime,
+            # and a tie would let a later time-subrange drain first,
+            # breaking the per-user nondecreasing-ts precondition
+            dst_i = 0
+            for src in sorted(_glob.glob(stage + "/part-*.parquet")):
+                dst = os.path.join(watch, f"f{i:02d}_{dst_i}.parquet")
+                shutil.copy(src, dst)
+                mt = 1_000_000 + i * 1000 + dst_i
+                os.utime(dst, (mt, mt))
+                dst_i += 1
+            shutil.rmtree(stage)
+
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+        name = f"ss_{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        q = (
+            sessionize_stream(stream, gap_minutes=30.0)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(560)
+        got = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n_sessions").alias("ns"), F.max("n_events").alias("ne"))
+        )
+        g = {r["user_id"]: (r["ns"], r["ne"]) for r in got.collect()}
+        stream_sec = round(time.perf_counter() - t0, 1)
+        n_batches = len(q.recentProgress)
+
+        t0 = time.perf_counter()
+        batch = session_stats(
+            spark.read.parquet(watch), gap_minutes=30.0
+        ).collect()
+        b = {r["user_id"]: r["n_sessions"] for r in batch}
+        batch_sec = round(time.perf_counter() - t0, 1)
+        parity = set(g) == set(b) and all(g[u][0] == b[u] for u in b)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "metric": "stress_stream",
+        "events": n_events,
+        "users": n_users,
+        "micro_batches": n_batches,
+        "stream_sessionize_sec": stream_sec,
+        "batch_sessionize_sec": batch_sec,
+        "batch_parity": parity,
+        **_driver_memory(),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "panel"
     if args and args[0] in (
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
+        "stream",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -624,6 +733,9 @@ def main() -> None:
     elif mode == "cm":
         n_tokens = int(args[0]) if args else 50_000_000
         out = run_cm(spark, n_tokens)
+    elif mode == "stream":
+        n_events = int(args[0]) if args else 10_000_000
+        out = run_stream(spark, n_events)
     elif mode == "docs":
         n_docs = int(args[0]) if args else 25_000
         out = run_docs(spark, n_docs)
