@@ -4862,3 +4862,84 @@ ORACLES.update(
         "events_histogram_split": EVENTS_SPLIT_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup decontamination: eval-split leakage the exact 5-gram check misses
+# ---------------------------------------------------------------------------
+
+def decontam_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination of the train split against the
+    eval split: a train doc whose shingle Jaccard against ANY eval doc
+    clears 0.5 is leaked benchmark material even when no exact 5-gram
+    survives (paraphrase-level contamination — the case
+    ``text_decontaminate``'s exact n-gram overlap misses). Pairing is
+    eval ⋈ train keyed by shingle via the incremental-dedup operator
+    (never train × train), so the cost is linear in the train corpus
+    for a bounded benchmark set — the production decontamination
+    shape. Output: one row per contaminated train doc with its worst
+    (max) Jaccard and how many eval docs it matches."""
+    from csdid_pyspark_spark.cache import carry_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_eval = h.isin("0", "1", "2", "3")
+    ev = d.filter(is_eval)
+    tr = d.filter(~is_eval)
+    pairs = dedup.jaccard_pairs_between(
+        ev, tr, n=3, threshold=0.5, max_df=NEARDUP_MAX_DF
+    )
+    out = (
+        pairs.groupBy(F.col("corpus_id").alias("train_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval_matches"),
+            F.round(F.max("jaccard"), 6).alias("worst_jaccard"),
+        )
+        .orderBy("train_id")
+    )
+    return carry_cache(out, pairs)
+
+
+DECONTAM_NEARDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') AS is_eval
+  FROM documents
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, is_eval,
+         UNNEST(list_transform(range(1, GREATEST(len(tokens) - 1, 1)),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+  FROM toks WHERE len(tokens) >= 3
+),
+sh_c_all AS (SELECT doc_id, shingle FROM sh_all WHERE NOT is_eval),
+hot AS (SELECT shingle FROM sh_c_all GROUP BY shingle HAVING COUNT(*) > %d),
+sh_d AS (
+  SELECT s.doc_id, s.shingle FROM sh_all s ANTI JOIN hot USING (shingle)
+  WHERE s.is_eval
+),
+sh_c AS (SELECT s.doc_id, s.shingle FROM sh_c_all s ANTI JOIN hot USING (shingle)),
+sizes_d AS (SELECT doc_id, COUNT(*) AS n_d FROM sh_d GROUP BY doc_id),
+sizes_c AS (SELECT doc_id, COUNT(*) AS n_c FROM sh_c GROUP BY doc_id),
+inter AS (
+  SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id, COUNT(*) AS n_inter
+  FROM sh_d d JOIN sh_c c ON d.shingle = c.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT delta_id, corpus_id,
+         ROUND(CAST(n_inter AS DOUBLE) / (sd.n_d + sc.n_c - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes_d sd ON sd.doc_id = delta_id
+  JOIN sizes_c sc ON sc.doc_id = corpus_id
+  WHERE CAST(n_inter AS DOUBLE) / (sd.n_d + sc.n_c - n_inter) >= 0.5
+)
+SELECT corpus_id AS train_id,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       ROUND(MAX(jaccard), 6) AS worst_jaccard
+FROM pairs GROUP BY corpus_id ORDER BY train_id
+""" % NEARDUP_MAX_DF
+
+
+QUERIES["decontam_neardup"] = decontam_neardup
+ORACLES["decontam_neardup"] = DECONTAM_NEARDUP_SQL

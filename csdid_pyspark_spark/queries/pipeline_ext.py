@@ -1196,3 +1196,47 @@ GROUP BY d.event_type ORDER BY event_type
 
 QUERIES["events_outliers_mad"] = events_outliers_mad
 ORACLES["events_outliers_mad"] = EVENTS_MAD_SQL
+
+
+# ---------------------------------------------------------------------------
+# Rolling robust smoother (windowed exact median)
+# ---------------------------------------------------------------------------
+
+
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling median of ``value`` over each user's last 10
+    events (event-time order, event_id tiebreak) — the robust smoother
+    an anomaly console plots instead of a mean that spikes with every
+    outlier. Window partitions by USER, so parallelism scales with
+    users and no single reducer ever sees the whole stream (a
+    per-type global ordering would); frame is 10 rows, so the exact
+    interpolated percentile is O(1) per row."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+                "rolling_median"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+EVENTS_ROLLMED_SQL = """
+SELECT user_id, event_id,
+       ROUND(median(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+FROM events
+ORDER BY user_id, event_id
+"""
+
+QUERIES["events_rolling_median"] = events_rolling_median
+ORACLES["events_rolling_median"] = EVENTS_ROLLMED_SQL

@@ -40,7 +40,11 @@ CACHE_USERS = [
     "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_containment",
+    "decontam_neardup",
     "text_span_cut",
+    "text_span_cut_minlen",
+    "curation_pipeline",
+    "bpe_encode_stats",
     "suppliers_pareto",
     "pack_greedy",
     "pack_offsets",

@@ -545,3 +545,37 @@ def test_interval_union_single_user_shuffle(spark, sf_dir):
 
     ex = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
     assert len(ex) == 1 and "user_id" in ex[0], plan
+
+
+def test_bpe_encode_broadcasts_vocab(spark, sf_dir):
+    """The merge-chain runs over the DISTINCT-word vocabulary and the
+    piece table joins back onto the corpus word stream — the vocab side
+    must broadcast (it is orders of magnitude below the corpus), and
+    both parquet scans must be column-pruned to the two columns used."""
+    plan = _plan(spark, sf_dir, "bpe_encode_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "n_chars" not in line and "lang" not in line, line
+
+
+def test_outliers_mad_broadcasts_stats(spark, sf_dir):
+    """Both stats attachments (median, then MAD) are O(#event types) —
+    each must broadcast onto the event scan; the full stream is never
+    repartitioned to attach two scalars per type."""
+    plan = _plan(spark, sf_dir, "events_outliers_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_span_cut_minlen_single_explode(spark, sf_dir):
+    """The minlen variant must keep the base operator's shape: the
+    span table is persisted and BOTH consumers (dup census + mark
+    semi-join) read the cache — two InMemoryTableScan nodes over one
+    cached relation, so the tokenize+hash explode runs once at
+    runtime (the printed lineage under each cache scan still shows
+    the Generate; counting Generates would double-count it)."""
+    plan = _plan(spark, sf_dir, "text_span_cut_minlen")
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "CartesianProduct" not in plan
