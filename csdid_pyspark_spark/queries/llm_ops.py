@@ -1152,21 +1152,23 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     that moves the mixture to uniform-over-sources (capped at 10x — the
     usual guard against minting thousands of epochs of a tiny source).
 
-    One aggregation keyed by source; the share/weight step is a window
-    over the already-aggregated per-source frame (rows = #sources, so
-    the unpartitioned window is a deliberate single-partition pass over
-    a handful of rows, not a data-scale shuffle)."""
-    from pyspark.sql import Window
-
+    One aggregation keyed by source; the corpus totals land as a
+    broadcast 1-row cross join rather than an unpartitioned window —
+    'source' can be a per-domain key with millions of values at crawl
+    scale, and a single-partition window over the per-source frame
+    would funnel every one of them through one task
+    (tools/lint_plans.py flags exactly that shape)."""
     d = load_table(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
     )
-    w = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
-    target = F.lit(1.0) / F.count("*").over(w)
-    return per.select(
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.count("*").alias("n_sources")
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    return per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
