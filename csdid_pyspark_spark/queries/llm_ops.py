@@ -3311,34 +3311,40 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     take the doc covering each of k evenly-spaced thresholds — docs are
     selected with probability proportional to weight, reproducibly,
     with PURE INTEGER arithmetic (cum·k div total), so Spark and the
-    SQL oracle agree bit-for-bit. The prefix sum here is a single
-    window; at corpus scale the identical two-phase partition-parallel
-    prefix from operators/packing.py::packed_offsets substitutes (same
-    contract, no single-reducer stage)."""
+    SQL oracle agree bit-for-bit. The prefix sum runs through the
+    two-phase partition-parallel scan
+    (operators/packing.py::global_rank_cumsum — range shuffle +
+    broadcast per-partition bases), NOT a bare unpartitioned
+    ``SUM() OVER (ORDER BY doc_id)`` that would funnel the whole
+    corpus through one reducer; the grand total comes from the scan's
+    own light pass, so no second scan of the corpus either."""
+    from csdid_pyspark_spark.cache import carry_cache
+    from csdid_pyspark_spark.operators.packing import global_rank_cumsum
+
     k = _SAMPLE_WEIGHTED_K
     d = load_table(spark, sf_dir, "documents")
-    w_ord = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scan = global_rank_cumsum(
+        d.select("doc_id", "source", "n_chars"), ["doc_id"], "n_chars"
     )
-    cum_after = F.sum(F.col("n_chars")).over(w_ord)
-    base = d.select(
+    # n_chars is integral, so the decimal running total casts back to
+    # bigint exactly; cum is inclusive = cum_after
+    base = scan.df.select(
         "doc_id",
         "source",
         "n_chars",
-        cum_after.alias("cum_after"),
+        F.col("cum").cast("bigint").alias("cum_after"),
     ).withColumn("cum_before", F.col("cum_after") - F.col("n_chars"))
-    total = base.agg(F.max("cum_after").alias("t"))
-    out = base.crossJoin(F.broadcast(total))
-    return (
-        out.filter(F.expr(f"cum_before * {k} div t") < F.expr(f"cum_after * {k} div t"))
+    t = int(scan.total_sum)
+    out = (
+        base.filter(F.expr(f"cum_before * {k} div {t}") < F.expr(f"cum_after * {k} div {t}"))
         .select(
             "doc_id",
             "source",
             "n_chars",
-            F.expr(f"cast(cum_after * {k} div t as bigint)").alias("bucket"),
+            F.expr(f"cast(cum_after * {k} div {t} as bigint)").alias("bucket"),
         )
     )
+    return carry_cache(out, scan.df)
 
 
 SAMPLE_WEIGHTED_SQL = f"""

@@ -1240,3 +1240,70 @@ ORDER BY user_id, event_id
 
 QUERIES["events_rolling_median"] = events_rolling_median
 ORACLES["events_rolling_median"] = EVENTS_ROLLMED_SQL
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for JOINS (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view under deltas on BOTH
+    inputs: the monthly revenue rollup V = γ(orders ⋈ lineitem) is
+    maintained as γ(base_o ⋈ base_l) ⊎ γ(Δo ⋈ base_l) ⊎
+    γ(base_o ⋈ Δl) ⊎ γ(Δo ⋈ Δl) — the standard delta-join algebra
+    (ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) that lets a materialized join view
+    absorb a day's changes without re-joining the full tables
+    (``incremental_rollup_merge`` covers the append-only aggregate
+    case; this covers joins). Deltas are synthetic slices (orderkey
+    mod classes) so the decomposition is deterministic; the final
+    merge re-aggregates four partial rollups whose size is bounded by
+    (months × 4), and the oracle recomputes the view from scratch —
+    equality IS the correctness statement of the algebra. Revenue
+    accumulates as exact DECIMAL end-to-end, so the four-way partial
+    split cannot move a cent."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("month", "o_orderdate").alias("mon")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,6)")
+        .alias("rev"),
+    )
+    base_o = o.filter(F.col("o_orderkey") % 17 != 0)
+    delta_o = o.filter(F.col("o_orderkey") % 17 == 0)
+    base_l = l.filter(F.col("l_orderkey") % 13 != 0)
+    delta_l = l.filter(F.col("l_orderkey") % 13 == 0)
+
+    def part(os_, ls_):
+        return (
+            os_.join(ls_, os_["o_orderkey"] == ls_["l_orderkey"])
+            .groupBy("mon")
+            .agg(F.sum("rev").alias("rev"))
+        )
+
+    merged = (
+        part(base_o, base_l)
+        .unionByName(part(delta_o, base_l))
+        .unionByName(part(base_o, delta_l))
+        .unionByName(part(delta_o, delta_l))
+        .groupBy("mon")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    return merged.select(
+        F.col("mon").cast("date").alias("mon"),
+        F.col("rev").cast("double").alias("revenue"),
+    ).orderBy("mon")
+
+
+IVM_JOIN_SQL = """
+SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1 ORDER BY mon
+"""
+
+QUERIES["ivm_join_delta"] = ivm_join_delta
+ORACLES["ivm_join_delta"] = IVM_JOIN_SQL

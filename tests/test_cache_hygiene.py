@@ -46,6 +46,7 @@ CACHE_USERS = [
     "curation_pipeline",
     "bpe_encode_stats",
     "suppliers_pareto",
+    "sample_weighted_systematic",
     "pack_greedy",
     "pack_offsets",
     "pack_epoch_shuffle",

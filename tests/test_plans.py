@@ -579,3 +579,28 @@ def test_span_cut_minlen_single_explode(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_span_cut_minlen")
     assert plan.count("InMemoryTableScan") == 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_lint_single_reducer_window_parser():
+    """The lint tool's plan-text heuristic must fire on a Window fed by
+    an Exchange SinglePartition and stay quiet when the single-partition
+    exchange feeds a final global aggregate (the legitimate 1-row
+    case)."""
+    import tools.lint_plans as lp
+
+    bad = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- Window [sum(x) windowspecdefinition(ts ASC)]",
+        "   +- Sort [ts ASC]",
+        "      +- Exchange SinglePartition",
+        "         +- Scan parquet",
+    ])
+    good = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- HashAggregate (final)",
+        "   +- Exchange SinglePartition",
+        "      +- HashAggregate (partial)",
+        "         +- Scan parquet",
+    ])
+    assert lp._single_reducer_window(bad)
+    assert not lp._single_reducer_window(good)

@@ -40,6 +40,14 @@ ALLOWLIST: dict[str, set[str]] = {
     # exact decimal form (global_rank_cumsum covers sums), and the
     # curve table is thousands of rows at any scale.
     "events_kaplan_meier": {"single-reducer-window"},
+    # The gain scan runs over the 64-row bin table — bounded by the
+    # bin count at any data scale (the whole point of the histogram
+    # trick); the data-scale work is the one map-side-combine binning
+    # aggregation above it.
+    "events_histogram_split": {"single-reducer-window"},
+    # Cumulative counts over the 256-row mergeable histogram sketch —
+    # fixed size at any stream length by construction.
+    "sketch_quantile_histogram": {"single-reducer-window"},
 }
 
 
@@ -53,7 +61,10 @@ def _single_reducer_window(plan: str) -> bool:
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
-        # walk up to the first less-indented operator line = consumer
+        # walk up the consumer chain (less-indented lines), passing
+        # through the pipeline operators a window legitimately sits
+        # behind (Sort, Project, codegen wrappers) — stop at the first
+        # real operator and flag if it is a Window
         indent = len(line) - len(line.lstrip(" +-:*("))
         for j in range(i - 1, -1, -1):
             up = lines[j]
@@ -63,6 +74,9 @@ def _single_reducer_window(plan: str) -> bool:
             if up_indent < indent:
                 if re.search(r"\bWindow\b", up):
                     return True
+                if re.search(r"\bSort\b|\bProject\b|WholeStageCodegen|InputAdapter", up):
+                    indent = up_indent
+                    continue
                 break
     return False
 
