@@ -314,7 +314,7 @@ def run_tokens(spark, n_tokens: int) -> dict:
     }
 
 
-def run_spans(spark, n_docs: int) -> dict:
+def run_spans(spark, n_docs: int, minlen: bool = False) -> dict:
     """Exact-substring span-cut rehearsal: the synth corpus's planted
     cliques share (nearly) their whole text, so every clique member
     carries cross-doc repeated spans; the report should cover ~all
@@ -329,7 +329,12 @@ def run_spans(spark, n_docs: int) -> dict:
     docs = synth_docs(spark, n_docs).persist()
     docs.count()
     t0 = time.time()
-    rep = span_cut_frame(docs, 10).persist()
+    # minlen=True drives the published-formulation variant (total
+    # occurrences incl. within-doc; max-region readout) — same
+    # one-explode/one-shuffle machinery, different dup rule
+    rep = span_cut_frame(
+        docs, 10, count_within_doc=minlen, emit_max_region=minlen
+    ).persist()
     n_rep = rep.count()
     agg = rep.agg(
         F.sum("removed_tok").alias("removed"), F.sum("n_tok").alias("tot")
@@ -722,8 +727,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if mode == "spans":
+        minlen = "minlen" in args
+        args = [a for a in args if a != "minlen"]
         n_docs = int(args[0]) if args else 100_000
-        out = run_spans(spark, n_docs)
+        out = run_spans(spark, n_docs, minlen=minlen)
     elif mode == "srm":
         n_users = int(args[0]) if args else 10_000_000
         out = run_srm(spark, n_users)
