@@ -1232,3 +1232,134 @@ def did_attgt_rc_dr_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["did_attgt_ipw_covariate"] = did_attgt_ipw_covariate
 QUERIES["did_attgt_rc_dr_covariate"] = did_attgt_rc_dr_covariate
+
+
+# ---------------------------------------------------------------------------
+# Goodman-Bacon decomposition of the TWFE estimate (beyond-reference
+# diagnostic; did/bacon.py)
+# ---------------------------------------------------------------------------
+
+
+def did_bacon_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 2x2 DiD comparison inside the TWFE estimate on the derived
+    staggered panel — type, treated/control cohorts, Goodman-Bacon
+    weight, and the 2x2 estimate — plus a ``twfe_total`` row carrying
+    the directly computed TWFE beta-hat. The decomposition identities
+    (weights sum to 1; the weighted sum of estimates equals beta-hat)
+    are exact and asserted in tests; the oracle re-derives the entire
+    algebra in SQL from the same (cohort, period) cell means. One
+    aggregation pass over the panel; pair algebra on O(|G|^2) driver
+    scalars (did/bacon.py)."""
+    from csdid_pyspark_spark.did.bacon import bacon_decompose
+
+    panel = panel_from_events(spark, sf_dir)
+    np_ = panel.select("period").distinct().count()
+    complete = (
+        panel.groupBy("id").count().filter(F.col("count") == np_).select("id")
+    )
+    bal = panel.join(complete, "id", "left_semi")
+    rows, beta = bacon_decompose(bal)
+    out = [
+        (ct, float(gt), float(gc), round(w, 6), round(est, 6))
+        for ct, gt, gc, w, est in rows
+    ]
+    out.append(("twfe_total", 0.0, 0.0, 1.0, round(beta, 6)))
+    return spark.createDataFrame(
+        out,
+        "comp_type string, g_treat double, g_ctrl double, "
+        "weight double, estimate double",
+    ).orderBy("comp_type", "g_treat", "g_ctrl")
+
+
+DID_BACON_SQL = f"""
+WITH {PANEL_CTE},
+per AS (SELECT DISTINCT period FROM panel),
+tt AS (SELECT COUNT(*) AS T, MIN(period) AS tmin FROM per),
+cm AS (
+  SELECT g, period, AVG(y) AS ybar, COUNT(DISTINCT id) AS n
+  FROM panel GROUP BY 1, 2
+),
+ng AS (SELECT g, MAX(n) AS n FROM cm GROUP BY g),
+nn AS (SELECT SUM(n) AS N FROM ng),
+coh AS (
+  SELECT g, n, n / (SELECT N FROM nn) AS share,
+         (SELECT COUNT(*) FROM per WHERE ng.g > 0 AND per.period >= ng.g)
+           * 1.0 / (SELECT T FROM tt) AS dbar
+  FROM ng
+),
+dbt AS (
+  SELECT p.period,
+         SUM(c.share * CASE WHEN c.g > 0 AND p.period >= c.g THEN 1.0 ELSE 0.0 END)
+           AS dbar_t
+  FROM per p CROSS JOIN coh c GROUP BY p.period
+),
+dall AS (SELECT SUM(share * dbar) AS dbar_all FROM coh),
+dt AS (
+  SELECT c.g, p.period, c.n,
+         (CASE WHEN c.g > 0 AND p.period >= c.g THEN 1.0 ELSE 0.0 END)
+           - c.dbar - t.dbar_t + (SELECT dbar_all FROM dall) AS dtil
+  FROM coh c CROSS JOIN per p JOIN dbt t ON t.period = p.period
+),
+beta AS (
+  SELECT SUM(d.n * d.dtil * m.ybar) / SUM(d.n * d.dtil * d.dtil) AS b,
+         SUM(d.n * d.dtil * d.dtil)
+           / ((SELECT N FROM nn) * (SELECT T FROM tt)) AS vhat
+  FROM dt d JOIN cm m ON m.g = d.g AND m.period = d.period
+),
+tk AS (
+  SELECT g AS k, share, dbar FROM coh
+  WHERE g > 0 AND dbar > 0 AND dbar < 1
+),
+nu AS (SELECT COALESCE(SUM(share), 0) AS nu FROM coh WHERE g <= 0),
+rows_ku AS (
+  SELECT 'treated_vs_never' AS comp_type, k * 1.0 AS g_treat, 0.0 AS g_ctrl,
+    (k.share + (SELECT nu FROM nu)) * (k.share + (SELECT nu FROM nu))
+      * (k.share / (k.share + (SELECT nu FROM nu)))
+      * (1 - k.share / (k.share + (SELECT nu FROM nu)))
+      * k.dbar * (1 - k.dbar) / (SELECT vhat FROM beta) AS weight,
+    ((SELECT AVG(ybar) FROM cm WHERE g = k.k AND period >= k.k)
+       - (SELECT AVG(ybar) FROM cm WHERE g = k.k AND period < k.k))
+    - ((SELECT AVG(ybar) FROM cm WHERE g <= 0 AND period >= k.k)
+       - (SELECT AVG(ybar) FROM cm WHERE g <= 0 AND period < k.k)) AS estimate
+  FROM tk k
+  WHERE (SELECT nu FROM nu) > 0 AND k.k > (SELECT tmin FROM tt)
+),
+rows_el AS (
+  SELECT 'early_vs_late' AS comp_type, a.k * 1.0 AS g_treat, b.k * 1.0 AS g_ctrl,
+    ((a.share + b.share) * (1 - b.dbar)) * ((a.share + b.share) * (1 - b.dbar))
+      * (a.share / (a.share + b.share)) * (1 - a.share / (a.share + b.share))
+      * ((a.dbar - b.dbar) / (1 - b.dbar)) * ((1 - a.dbar) / (1 - b.dbar))
+      / (SELECT vhat FROM beta) AS weight,
+    ((SELECT AVG(ybar) FROM cm WHERE g = a.k AND period >= a.k AND period < b.k)
+       - (SELECT AVG(ybar) FROM cm WHERE g = a.k AND period < a.k))
+    - ((SELECT AVG(ybar) FROM cm WHERE g = b.k AND period >= a.k AND period < b.k)
+       - (SELECT AVG(ybar) FROM cm WHERE g = b.k AND period < a.k)) AS estimate
+  FROM tk a JOIN tk b ON a.k < b.k
+  WHERE a.k > (SELECT tmin FROM tt)
+),
+rows_le AS (
+  SELECT 'late_vs_early' AS comp_type, b.k * 1.0 AS g_treat, a.k * 1.0 AS g_ctrl,
+    ((a.share + b.share) * a.dbar) * ((a.share + b.share) * a.dbar)
+      * (a.share / (a.share + b.share)) * (1 - a.share / (a.share + b.share))
+      * (b.dbar / a.dbar) * ((a.dbar - b.dbar) / a.dbar)
+      / (SELECT vhat FROM beta) AS weight,
+    ((SELECT AVG(ybar) FROM cm WHERE g = b.k AND period >= b.k)
+       - (SELECT AVG(ybar) FROM cm WHERE g = b.k AND period >= a.k AND period < b.k))
+    - ((SELECT AVG(ybar) FROM cm WHERE g = a.k AND period >= b.k)
+       - (SELECT AVG(ybar) FROM cm WHERE g = a.k AND period >= a.k AND period < b.k))
+      AS estimate
+  FROM tk a JOIN tk b ON a.k < b.k
+),
+allrows AS (
+  SELECT * FROM rows_ku UNION ALL SELECT * FROM rows_el
+  UNION ALL SELECT * FROM rows_le
+  UNION ALL
+  SELECT 'twfe_total', 0.0, 0.0, 1.0, (SELECT b FROM beta)
+)
+SELECT comp_type, g_treat, g_ctrl,
+       ROUND(weight, 6) AS weight, ROUND(estimate, 6) AS estimate
+FROM allrows ORDER BY comp_type, g_treat, g_ctrl
+"""
+
+QUERIES["did_bacon_decomposition"] = did_bacon_decomposition
+ORACLES["did_bacon_decomposition"] = DID_BACON_SQL

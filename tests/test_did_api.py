@@ -399,3 +399,39 @@ def test_reference_method_surface(spark, dgp):
     with pytest.raises(DidError):
         bare.plot_attgt()
 
+
+
+def test_bacon_decomposition_identities(spark):
+    """Goodman-Bacon's theorem is EXACT on a balanced panel: the 2x2
+    weights sum to 1 and the weighted 2x2 estimates sum to the
+    directly-computed TWFE coefficient (Frisch-Waugh on the
+    double-demeaned dummy). Checked on a staggered DGP with dynamic
+    effects — the regime where TWFE is known to be misleading and the
+    late-vs-early comparisons carry the bias."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.bacon import bacon_decompose
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        g = [0, 3, 5][i % 3]
+        fe = rng.normal(0, 1)
+        for t in range(1, 8):
+            # dynamic effect grows with exposure -> TWFE biased
+            tau = 0.5 * (t - g + 1) if 0 < g <= t else 0.0
+            rows.append((i, t, g, fe + 0.2 * t + tau + rng.normal(0, 0.1)))
+    pdf = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    decomp, beta = bacon_decompose(pdf)
+    w_sum = sum(r[3] for r in decomp)
+    wb_sum = sum(r[3] * r[4] for r in decomp)
+    assert abs(w_sum - 1.0) < 1e-9
+    assert abs(wb_sum - beta) < 1e-9
+    types = {r[0] for r in decomp}
+    assert types == {"treated_vs_never", "early_vs_late", "late_vs_early"}
+    # the forbidden comparison exists and, under growing effects, its
+    # 2x2 estimate understates the late group's true effect relative
+    # to its clean treated-vs-never counterpart
+    le = next(r for r in decomp if r[0] == "late_vs_early")
+    tvn5 = next(r for r in decomp if r[0] == "treated_vs_never" and r[1] == 5.0)
+    assert le[4] < tvn5[4]
