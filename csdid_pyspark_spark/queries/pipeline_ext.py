@@ -917,7 +917,12 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clicks.join(buys, "hr", "full_outer")
         .select(
-            F.col("hr").cast("timestamp").alias("hr"),
+            # STRING hour key: a TIMESTAMP column would be re-rendered
+            # into the Python process's local zone at collect() time,
+            # diverging from the oracle's naive wall clock whenever the
+            # driver host isn't UTC (caught by a TZ=Asia/Kolkata
+            # adversarial replica run)
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
             F.col("clicks").cast("bigint").alias("clicks"),
             F.col("purchases").cast("bigint").alias("purchases"),
         )
@@ -936,7 +941,7 @@ p AS (
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
 pf AS (SELECT hr, purchases FROM p WHERE purchases > (SELECT AVG(purchases) FROM p))
-SELECT COALESCE(cf.hr, pf.hr) AS hr,
+SELECT STRFTIME(COALESCE(cf.hr, pf.hr), '%Y-%m-%d %H:%M:%S') AS hr,
        CAST(cf.clicks AS BIGINT) AS clicks,
        CAST(pf.purchases AS BIGINT) AS purchases
 FROM cf FULL OUTER JOIN pf ON cf.hr = pf.hr

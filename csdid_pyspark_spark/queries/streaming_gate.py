@@ -90,7 +90,10 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result must equal the batch GROUP BY exactly."""
     out = _drain_to_table(windowed_counts(stream_events(spark, sf_dir)), "complete")
     return out.select(
-        F.col("window_start").cast("timestamp").alias("window_start"),
+        # STRING window key: a TIMESTAMP would be re-rendered in the
+        # collecting process's local zone and diverge from the naive
+        # wall-clock oracle on any non-UTC driver host
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         "sum_value",
@@ -98,7 +101,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_WINDOWED_SQL = """
-SELECT date_trunc('hour', ts) AS window_start,
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 4) AS sum_value

@@ -491,3 +491,23 @@ def test_mg_stream_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
     # clears bucket_n/(k+1) by construction
     hot_hash = truth.loc[truth["count"] == 180, "item"].iloc[0]
     assert (final["item"] == hot_hash).any()
+
+
+def test_stream_heavy_hitters_chunking_independent(spark):
+    """The pinned golden for stream_heavy_hitters rests on the
+    exact-recount upgrade being independent of HOW Arrow chunks the
+    per-bucket batches (MG estimates shift with chunk boundaries; the
+    upgraded set must not). Force pathologically small Arrow batches
+    and require the byte-identical result."""
+    from csdid_pyspark_spark.queries.streaming_gate import stream_heavy_hitters
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default = spark.conf.get(key, "10000")
+    base = sorted(tuple(r) for r in stream_heavy_hitters(spark, SF).collect())
+    try:
+        spark.conf.set(key, "16")
+        tiny = sorted(tuple(r) for r in stream_heavy_hitters(spark, SF).collect())
+    finally:
+        spark.conf.set(key, default)
+    assert base == tiny
+    assert base  # non-trivial: the corpus has above-threshold tokens
