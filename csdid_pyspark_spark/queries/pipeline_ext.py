@@ -1312,3 +1312,75 @@ GROUP BY 1 ORDER BY mon
 
 QUERIES["ivm_join_delta"] = ivm_join_delta
 ORACLES["ivm_join_delta"] = IVM_JOIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (embedding / RAG preprocessing)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64   # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (W - STRIDE = overlap)
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-token chunks (64
+    tokens, stride 48) — the preprocessing pass an embedding/RAG
+    pipeline runs before batch-encoding. Emits one row per chunk with
+    its position, exact token count (the tail chunk is short), and a
+    content hash (the dedup/caching key for the encoder stage). One
+    explode over per-doc chunk starts — size(tokens)/stride rows per
+    doc, no shuffle at all until a consumer aggregates; the chunk
+    start sequence is computed per row, so the operator is a pure map
+    at any corpus size. Docs shorter than one stride still produce
+    their single (possibly short) chunk."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("tokens")).filter(F.size("tokens") > 0)
+    starts = F.expr(
+        f"sequence(0, greatest(size(tokens) - 1, 0), {CHUNK_STRIDE})"
+    )
+    chunk = base.select(
+        "doc_id",
+        "tokens",
+        F.size("tokens").alias("n_tok"),
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    )
+    return (
+        chunk.select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("start_tok").cast("int").alias("start_tok"),
+            F.least(
+                F.lit(CHUNK_W), F.col("n_tok") - F.col("start_tok")
+            ).cast("int").alias("chunk_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("tokens"), F.col("start_tok") + 1, CHUNK_W)
+                )
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+TEXT_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
+),
+base AS (SELECT doc_id, tokens, len(tokens) AS n_tok FROM toks WHERE len(tokens) > 0),
+chunks AS (
+  SELECT doc_id, n_tok, tokens,
+         UNNEST(range(0, GREATEST(n_tok - 1, 0) + 1, %(s)d)) AS start_tok
+  FROM base
+)
+SELECT doc_id, CAST(start_tok // %(s)d AS INT) AS chunk_id,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(LEAST(%(w)d, n_tok - start_tok) AS INT) AS chunk_tok,
+       md5(array_to_string(list_slice(tokens, start_tok + 1, start_tok + %(w)d), ' '))
+         AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_id
+""" % {"w": CHUNK_W, "s": CHUNK_STRIDE}
+
+QUERIES["text_chunk_windows"] = text_chunk_windows
+ORACLES["text_chunk_windows"] = TEXT_CHUNK_SQL
