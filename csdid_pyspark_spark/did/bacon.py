@@ -73,10 +73,14 @@ def bacon_decompose(
     sum(weight*estimate) == beta_twfe exactly (balanced panel).
 
     Cohort convention follows the estimator: ``gname`` holds the first
-    treated period; 0 (or any value outside the observed period range
-    on the never side) = never treated. Cohorts treated before the
-    first observed period (Dbar = 1) carry zero weight in every
-    comparison and are dropped, matching the paper."""
+    treated period; 0 (or any value past the observed window) = never
+    treated, and multiple never cohorts pool into one unit-weighted
+    comparison group. ALWAYS-treated cohorts (first treated at or
+    before the first observed period, Dbar = 1) never appear as the
+    treated side of a comparison (their pre window is empty) but DO
+    serve as the already-treated comparison group of late-vs-early
+    rows with positive weight — the paper's formula, and required for
+    the identities to hold."""
     ymeans, ncoh, periods = _cell_stats(panel, yname, tname, idname, gname)
     T = len(periods)
     N = sum(ncoh.values())
@@ -113,16 +117,25 @@ def bacon_decompose(
     # ---- the 2x2 comparisons (Goodman-Bacon 2021, Thm 1)
     rows: list[tuple[str, float, float, float, float]] = []
     never = [g for g in ncoh if not treated(g)]
-    ks = sorted(g for g in ncoh if treated(g) and 0.0 < dbar[g] < 1.0)
+    # ALWAYS-treated cohorts (Dbar = 1) stay in the pair set: they carry
+    # zero weight as the treated side of kU / early-vs-late (the
+    # (1 - Dbar_k) factor, realized below by their empty pre window) but
+    # POSITIVE weight as the already-treated comparison group of
+    # late-vs-early — dropping them breaks the sum(w)=1 identity.
+    ks = sorted(g for g in ncoh if treated(g) and dbar[g] > 0.0)
     n_u = sum(ncoh[g] for g in never) / N if never else 0.0
     if never and n_u > 0:
-        yU = {
-            "pre": lambda k: wmean(never[0], [t for t in periods if t < k]),
-            "post": lambda k: wmean(never[0], [t for t in periods if t >= k]),
+        # pooled never-treated cell means (unit-weighted across all
+        # never cohorts — g = 0 and any g past the observed window)
+        nev_n = sum(ncoh[g] for g in never)
+        nev_mean = {
+            t: sum(ncoh[g] * ymeans[(g, t)] for g in never) / nev_n
+            for t in periods
         }
-        # multiple never cohorts would need a pooled mean; the panel
-        # derivations used here carry a single never cohort (g=0)
-        assert len(never) == 1, "pool never-treated cohorts before decomposing"
+
+        def y_u(ts: list[int]) -> float:
+            return sum(nev_mean[t] for t in ts) / len(ts)
+
     for k in ks:
         pre = [t for t in periods if t < k]
         post = [t for t in periods if t >= k]
@@ -130,7 +143,9 @@ def bacon_decompose(
             nk, dk = share[k], dbar[k]
             nku = nk / (nk + n_u)
             w = (nk + n_u) ** 2 * nku * (1 - nku) * dk * (1 - dk) / vhat_d
-            est = (wmean(k, post) - wmean(k, pre)) - (yU["post"](k) - yU["pre"](k))
+            est = (wmean(k, post) - wmean(k, pre)) - (
+                y_u(post) - y_u(pre)
+            )
             rows.append(("treated_vs_never", k, 0.0, w, est))
         for l in ks:
             if l <= k:

@@ -12,10 +12,10 @@ At 100 TB the vocab table is millions of rows against billions of
 documents, so k merges cost k tiny shuffles after one corpus pass.
 
 Everything is JVM expressions (split / transform / element_at /
-replace) — no Python row funcs. Merging is greedy left-to-right
-non-overlapping via a two-pass delimiter-safe replace (see
-``_merge_pair`` for why one Java replace-all pass skips alternating
-occurrences and why two passes reach the textbook fixpoint).
+regexp_replace) — no Python row funcs. Merging is the textbook greedy
+left-to-right non-overlapping scan, realized with LOOKAROUND
+delimiters (see ``_merge_pair`` for why a literal space-delimited
+replace consumes the shared delimiter and mis-groups runs).
 
 Determinism: pair counts are exact integers; the winning pair breaks
 ties by (count desc, pair asc) — so the learned merge table is
@@ -36,23 +36,27 @@ _PAIRS_EXPR = (
 )
 
 
-def _merge_pair(col, pair: str, joined: str):
-    """Merge every non-overlapping ' left right ' occurrence in a
-    space-padded symbol string. Java's replace-all consumes the
-    trailing delimiter of each match, so in 'a b a b' the SECOND (a,b)
-    loses its leading space and is skipped — one pass merges only
-    alternating members of a run of occurrences. A second identical
-    pass catches every survivor (each now sits between already-merged
-    neighbors with clean delimiters), and merging cannot create a new
-    left-right adjacency (the merged symbol separates its neighbors),
-    so two passes reach the same no-adjacent-pair fixpoint as the
-    published single left-to-right scan. Piece counts match textbook
-    BPE everywhere; inside a uniform run of one repeated symbol the
-    GROUPING may differ (e.g. 'a a a a a' -> [aa, a, aa] vs textbook
-    [aa, aa, a]) — same piece count, documented tradeoff for keeping
-    the merge a pure codegen'd expression."""
-    one = F.replace(col, F.lit(f" {pair} "), F.lit(f" {joined} "))
-    return F.replace(one, F.lit(f" {pair} "), F.lit(f" {joined} "))
+def _rq(s: str) -> str:
+    """Regex-literal-quote a symbol (\\Q..\\E), splitting any embedded
+    '\\E' so it cannot terminate the quote early."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _merge_pair(col, left: str, right: str, joined: str):
+    """Merge every ' left right ' occurrence in a space-padded symbol
+    string with the textbook greedy left-to-right scan. The delimiters
+    are matched by LOOKAROUND — a plain literal replace consumes the
+    shared space, so in 'a b a b' the second (a,b) loses its leading
+    delimiter and is skipped, and in a uniform run 'a a a a a a' even
+    a second pass cannot regroup the leftovers to the textbook
+    [aa,aa,aa] (observed: [aa,a,aa,a]). Java's regexp replace-all with
+    '(?<= )left right(?= )' consumes only the symbols, resumes the
+    scan ON the trailing space, and therefore reproduces the published
+    non-overlapping left-to-right merge order exactly — for distinct
+    pairs and same-symbol runs alike. Symbols are \\Q-quoted, so any
+    corpus token is safe as a regex literal."""
+    pat = f"(?<= ){_rq(left)} {_rq(right)}(?= )"
+    return F.regexp_replace(col, pat, joined.replace("\\", "\\\\").replace("$", "\\$"))
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -93,7 +97,10 @@ def train_bpe(
         merges.append((rank, left, right, n))
         merged = F.trim(
             _merge_pair(
-                F.concat(F.lit(" "), F.col("sym"), F.lit(" ")), pair, f"{left}{right}"
+                F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                left,
+                right,
+                f"{left}{right}",
             )
         )
         nxt = words.select(merged.alias("sym"), "cnt").persist()
@@ -120,7 +127,7 @@ def encode_pieces(words: DataFrame, merges: list[tuple[int, str, str, int]],
     sym = F.trim(F.regexp_replace(F.col(word_col), "(.)", "$1 "))
     col = F.concat(F.lit(" "), sym, F.lit(" "))
     for _rank, left, right, _n in merges:
-        col = _merge_pair(col, f"{left} {right}", f"{left}{right}")
+        col = _merge_pair(col, left, right, f"{left}{right}")
     return words.select(
         word_col, F.size(F.split(F.trim(col), " ")).cast("int").alias("n_pieces")
     )

@@ -1259,16 +1259,25 @@ def did_bacon_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bal = panel.join(complete, "id", "left_semi")
     rows, beta = bacon_decompose(bal)
-    out = [
-        (ct, float(gt), float(gc), round(w, 6), round(est, 6))
-        for ct, gt, gc, w, est in rows
-    ]
-    out.append(("twfe_total", 0.0, 0.0, 1.0, round(beta, 6)))
-    return spark.createDataFrame(
-        out,
-        "comp_type string, g_treat double, g_ctrl double, "
-        "weight double, estimate double",
-    ).orderBy("comp_type", "g_treat", "g_ctrl")
+    out = [(ct, float(gt), float(gc), w, est) for ct, gt, gc, w, est in rows]
+    out.append(("twfe_total", 0.0, 0.0, 1.0, beta))
+    # round ENGINE-side (F.round = HALF_UP, matching DuckDB's ROUND);
+    # Python's round() is banker's and can diverge on half boundaries
+    return (
+        spark.createDataFrame(
+            out,
+            "comp_type string, g_treat double, g_ctrl double, "
+            "weight double, estimate double",
+        )
+        .select(
+            "comp_type",
+            "g_treat",
+            "g_ctrl",
+            F.round("weight", 6).alias("weight"),
+            F.round("estimate", 6).alias("estimate"),
+        )
+        .orderBy("comp_type", "g_treat", "g_ctrl")
+    )
 
 
 DID_BACON_SQL = f"""
@@ -1307,10 +1316,19 @@ beta AS (
   FROM dt d JOIN cm m ON m.g = d.g AND m.period = d.period
 ),
 tk AS (
+  -- dbar = 1 (always-treated) cohorts stay: zero-weight as treated
+  -- side (empty pre window filters them), positive weight as the
+  -- late_vs_early comparison group
   SELECT g AS k, share, dbar FROM coh
-  WHERE g > 0 AND dbar > 0 AND dbar < 1
+  WHERE g > 0 AND dbar > 0
 ),
-nu AS (SELECT COALESCE(SUM(share), 0) AS nu FROM coh WHERE g <= 0),
+-- never = g <= 0 OR g past the observed window, pooled unit-weighted
+nu AS (SELECT COALESCE(SUM(share), 0) AS nu FROM coh WHERE dbar = 0),
+nev AS (
+  SELECT m.period, SUM(m.n * m.ybar) / SUM(m.n) AS ybar
+  FROM cm m JOIN coh c ON c.g = m.g
+  WHERE c.dbar = 0 GROUP BY m.period
+),
 rows_ku AS (
   SELECT 'treated_vs_never' AS comp_type, k * 1.0 AS g_treat, 0.0 AS g_ctrl,
     (k.share + (SELECT nu FROM nu)) * (k.share + (SELECT nu FROM nu))
@@ -1319,8 +1337,8 @@ rows_ku AS (
       * k.dbar * (1 - k.dbar) / (SELECT vhat FROM beta) AS weight,
     ((SELECT AVG(ybar) FROM cm WHERE g = k.k AND period >= k.k)
        - (SELECT AVG(ybar) FROM cm WHERE g = k.k AND period < k.k))
-    - ((SELECT AVG(ybar) FROM cm WHERE g <= 0 AND period >= k.k)
-       - (SELECT AVG(ybar) FROM cm WHERE g <= 0 AND period < k.k)) AS estimate
+    - ((SELECT AVG(ybar) FROM nev WHERE period >= k.k)
+       - (SELECT AVG(ybar) FROM nev WHERE period < k.k)) AS estimate
   FROM tk k
   WHERE (SELECT nu FROM nu) > 0 AND k.k > (SELECT tmin FROM tt)
 ),
@@ -1348,7 +1366,7 @@ rows_le AS (
     - ((SELECT AVG(ybar) FROM cm WHERE g = a.k AND period >= b.k)
        - (SELECT AVG(ybar) FROM cm WHERE g = a.k AND period >= a.k AND period < b.k))
       AS estimate
-  FROM tk a JOIN tk b ON a.k < b.k
+  FROM tk a JOIN tk b ON a.k < b.k AND b.k > (SELECT tmin FROM tt)
 ),
 allrows AS (
   SELECT * FROM rows_ku UNION ALL SELECT * FROM rows_el

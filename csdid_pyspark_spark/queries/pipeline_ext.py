@@ -1051,13 +1051,17 @@ def srm_frame(users: DataFrame) -> DataFrame:
     # non-ANSI) and DuckDB (which would raise/diverge on overflow)
     # compute the identical value for ANY id — the unmasked product
     # overflowed past user_id ≈ 3.4e9, i.e. exactly at the id scale
-    # the 100 TB framing implies.
+    # the 100 TB framing implies. The arm comes from BIT 31 of the
+    # product, not bit 0: an odd multiplier mod 2^32 preserves the
+    # input's low bit exactly, so "% 2" would degenerate to user_id
+    # parity (a platform issuing even-only ids would land 100/0 and
+    # falsely flag the healthy arm); the high bit actually mixes.
     masked = F.pmod(F.col("user_id"), F.lit(2147483648))
     splits = users.select(
         "user_id",
-        (F.pmod(masked * 2654435761, F.lit(4294967296)) % 2).alias(
-            "hash_uniform"
-        ),
+        (
+            F.pmod(masked * 2654435761, F.lit(4294967296)) / F.lit(2147483648)
+        ).cast("bigint").alias("hash_uniform"),
         F.when(F.col("user_id") % 3 == 0, 0).otherwise(1).alias("mod3_biased"),
     )
 
@@ -1095,8 +1099,8 @@ EVENTS_SRM_SQL = """
 WITH users AS (SELECT DISTINCT user_id FROM events),
 splits AS (
   SELECT user_id,
-         CAST(((user_id % 2147483648) * 2654435761) % 4294967296 % 2 AS BIGINT)
-           AS hash_uniform,
+         CAST(((user_id % 2147483648) * 2654435761) % 4294967296 // 2147483648
+              AS BIGINT) AS hash_uniform,
          CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END AS mod3_biased
   FROM users
 ),
@@ -1137,12 +1141,20 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sketch_quantile_histogram``) — this query pins the exact
     semantics the sketch approximates. Exact interpolated percentile
     matches DuckDB's ``median`` bit-for-bit after rounding."""
+    from csdid_pyspark_spark.cache import attach_cache
+
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    # the deviation table feeds BOTH the MAD percentile and the outlier
+    # count — uncached, each consumer re-scans events and re-runs the
+    # median subtree; one persist gives the documented
+    # two-grouped-passes-plus-one-count shape
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .persist()
     )
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad"), F.first("med").alias("med")
@@ -1161,7 +1173,7 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
-    return (
+    result = (
         out.join(F.broadcast(mad), "event_type")
         .select(
             "event_type",
@@ -1173,6 +1185,7 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    return attach_cache(result, dev)
 
 
 EVENTS_MAD_SQL = """
@@ -1335,7 +1348,13 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     their single (possibly short) chunk."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    base = d.select("doc_id", toks.alias("tokens")).filter(F.size("tokens") > 0)
+    # split(trim(''), '\s+') yields [''] (size 1), so an empty or
+    # whitespace-only doc would emit one phantom 1-token chunk with
+    # md5('') — screen on trimmed LENGTH, not token-array size
+    base = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", toks.alias("tokens"))
+    )
     starts = F.expr(
         f"sequence(0, greatest(size(tokens) - 1, 0), {CHUNK_STRIDE})"
     )
@@ -1367,7 +1386,10 @@ TEXT_CHUNK_SQL = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens FROM documents
 ),
-base AS (SELECT doc_id, tokens, len(tokens) AS n_tok FROM toks WHERE len(tokens) > 0),
+base AS (
+  SELECT doc_id, tokens, len(tokens) AS n_tok FROM toks
+  WHERE len(array_to_string(tokens, ' ')) > 0
+),
 chunks AS (
   SELECT doc_id, n_tok, tokens,
          UNNEST(range(0, GREATEST(n_tok - 1, 0) + 1, %(s)d)) AS start_tok

@@ -73,7 +73,15 @@ def _drain_to_table(sdf: DataFrame, output_mode: str, timeout: int = 300) -> Dat
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    # awaitTermination returns False on timeout WITHOUT raising — a
+    # partially-drained sink would then be hash-compared as if complete
+    # (misreported as a correctness divergence) while the query leaks
+    # into the shared session. Stop it and fail loudly instead.
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain {name!r} did not finish within {timeout}s"
+        )
     return sdf.sparkSession.table(name)
 
 
@@ -162,15 +170,20 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropDuplicatesWithinWatermark`` — the bounded-state dedup a
     100 TB/day ingest runs. The drained sink holds one survivor per
     distinct key; WHICH event survives is arrival-order-dependent, so
-    the projection counts keys per event_type (the deterministic part
-    and the part an ingest pipeline reports)."""
+    the projection counts DISTINCT keys per event_type (the
+    deterministic part and the part an ingest pipeline reports).
+    countDistinct — not count(*) — because across multiple
+    micro-batches ``dropDuplicatesWithinWatermark`` may re-emit a key
+    recurring past the watermark horizon (the documented
+    at-least-once tradeoff); the distinct fold keeps the projection
+    batch-split-invariant."""
     out = _drain_to_table(
         dedup_stream(stream_events(spark, sf_dir), keys=["user_id", "event_type"]),
         "append",
     )
     return (
         out.groupBy("event_type")
-        .agg(F.count("*").cast("bigint").alias("n_distinct_users"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_distinct_users"))
         .orderBy("event_type")
     )
 
@@ -340,9 +353,23 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         mg_stream_heavy_hitters(toks, "token", k=MG_STREAM_K, buckets=MG_STREAM_BUCKETS),
         "update",
     )
-    # update mode may emit a bucket's summary once per micro-batch; the
-    # final emission per (bucket, item) carries the largest bucket_n
-    cand_final = cand.groupBy("bucket", "item").agg(F.max("bucket_n").alias("bucket_n"))
+    # update mode may emit a bucket's summary once per micro-batch.
+    # bucket_n must be the BUCKET-level final total, not a per-item
+    # max: an item evicted from the MG summary after an early batch
+    # would otherwise keep that batch's smaller bucket_n and pass the
+    # guarantee filter at a stale threshold, making the output depend
+    # on where the batch boundaries fell.
+    bucket_totals = (
+        cand.groupBy("bucket")
+        .agg(F.max("bucket_n").alias("bn"))
+        .withColumnRenamed("bucket", "b2")  # avoid self-join ref conflict
+    )
+    cand_final = (
+        cand.select("bucket", "item")
+        .distinct()
+        .join(F.broadcast(bucket_totals), F.col("bucket") == F.col("b2"))
+        .select("bucket", "item", F.col("bn").alias("bucket_n"))
+    )
     d = load_table(spark, sf_dir, "documents")
     exact = (
         d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))

@@ -684,7 +684,9 @@ def run_stream(spark, n_events: int, n_files: int = 8) -> dict:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(560)
+        if not q.awaitTermination(560):
+            q.stop()
+            raise TimeoutError("stream rehearsal drain did not finish in 560s")
         got = (
             spark.table(name)
             .groupBy("user_id")

@@ -47,6 +47,7 @@ CACHE_USERS = [
     "bpe_encode_stats",
     "suppliers_pareto",
     "sample_weighted_systematic",
+    "events_outliers_mad",
     "pack_greedy",
     "pack_offsets",
     "pack_epoch_shuffle",

@@ -435,3 +435,31 @@ def test_bacon_decomposition_identities(spark):
     le = next(r for r in decomp if r[0] == "late_vs_early")
     tvn5 = next(r for r in decomp if r[0] == "treated_vs_never" and r[1] == 5.0)
     assert le[4] < tvn5[4]
+
+
+def test_bacon_identities_always_treated_and_pooled_never(spark):
+    """The exactness identities must survive the awkward cohorts: an
+    ALWAYS-treated cohort (first treated before the window — zero
+    weight as treated side, positive weight as the late-vs-early
+    comparison group) and MULTIPLE never cohorts (g=0 plus a g far
+    past the window) pooled unit-weighted."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.bacon import bacon_decompose
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(400):
+        g = [0, 1, 4, 99][i % 4]  # 1 = always treated; 99 = never (past window)
+        fe = rng.normal(0, 1)
+        for t in range(2, 8):  # observed window starts AFTER cohort 1 treats
+            tau = 0.8 if 0 < g <= t else 0.0
+            rows.append((i, t, g, fe + 0.1 * t + tau + rng.normal(0, 0.1)))
+    pdf = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    decomp, beta = bacon_decompose(pdf)
+    assert abs(sum(r[3] for r in decomp) - 1.0) < 1e-9
+    assert abs(sum(r[3] * r[4] for r in decomp) - beta) < 1e-9
+    # the always-treated cohort appears ONLY as a late_vs_early control
+    roles = {(r[0], r[1], r[2]) for r in decomp}
+    assert ("late_vs_early", 4.0, 1.0) in roles
+    assert not any(r[1] == 1.0 for r in decomp)

@@ -1170,3 +1170,29 @@ def test_bpe_encode_pieces_greedy_application(spark):
     )
     got = {r["w"]: r["n_pieces"] for r in encode_pieces(words, merges).collect()}
     assert got == {"ab": 1, "abab": 1, "ababab": 2, "ba": 2, "x": 1}
+
+
+def test_bpe_merge_uniform_runs_and_metachars(spark):
+    """Two textbook-exactness regressions: (1) a uniform run merges
+    left-to-right to floor(n/2) pieces + remainder ('aaaaaa' -> 3, the
+    case a delimiter-consuming replace mis-groups to 4); (2) symbols
+    that are regex metacharacters must be treated as literals by the
+    lookaround merge."""
+    from csdid_pyspark_spark.operators.bpe import encode_pieces, train_bpe
+
+    docs = spark.createDataFrame([(1, "aaaaaa aaaa aa")], "doc_id bigint, text string")
+    merges = train_bpe(docs, n_merges=1)
+    assert [(m[1], m[2]) for m in merges] == [("a", "a")]
+    words = spark.createDataFrame(
+        [("aa",), ("aaa",), ("aaaa",), ("aaaaa",), ("aaaaaa",)], "w string"
+    )
+    got = {r["w"]: r["n_pieces"] for r in encode_pieces(words, merges).collect()}
+    assert got == {"aa": 1, "aaa": 2, "aaaa": 2, "aaaaa": 3, "aaaaaa": 3}
+
+    docs2 = spark.createDataFrame([(1, ".+ .+ .+ .+")], "doc_id bigint, text string")
+    m2 = train_bpe(docs2, n_merges=1)
+    assert [(m2[0][1], m2[0][2])] == [(".", "+")]
+    w2 = spark.createDataFrame([(".+",), ("x+",), ("ab",)], "w string")
+    got2 = {r["w"]: r["n_pieces"] for r in encode_pieces(w2, m2).collect()}
+    # '.' must not match 'x'; '+' must not quantify
+    assert got2 == {".+": 1, "x+": 2, "ab": 2}
