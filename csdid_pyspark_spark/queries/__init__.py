@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from csdid_pyspark_spark.queries import (
     analytics_ext,
     did_events,
+    estimation_ext,
     llm_ops,
     pipeline_ext,
     relational,
@@ -136,7 +137,7 @@ def _externally_green() -> tuple[set[str], set[str], set[str], dict[str, int]]:
 
 
 _raw: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-for mod in (did_events, llm_ops, relational, analytics_ext, pipeline_ext, streaming_gate):
+for mod in (did_events, llm_ops, relational, analytics_ext, pipeline_ext, streaming_gate, estimation_ext):
     _raw.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

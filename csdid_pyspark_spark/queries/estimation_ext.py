@@ -1,0 +1,598 @@
+"""Round-6 estimation / warehouse extensions.
+
+Five capability classes the earlier modules didn't cover, each a named
+oracle-checked query:
+
+* ``did_stacked_event`` — stacked event-study DiD (Cengiz, Dube,
+  Lindner & Zipperer 2019, "The effect of minimum wages on low-wage
+  jobs"): one clean-control stack per treated cohort, within-stack
+  DiD per event time against the t = g-1 baseline, pooled across
+  stacks with treated-unit weights. The estimator family the
+  reference's csdid does NOT implement (reference ATTgt.py covers
+  Callaway–Sant'Anna only); included because a user running staggered-
+  adoption designs runs both as a robustness pair.
+* ``cdc_apply_log`` — change-data-capture log application
+  (latest-wins upsert with delete tombstones), the MERGE INTO
+  semantics a lakehouse table-format sink applies; expressed as one
+  window pass over the log, no driver loop.
+* ``events_conformal_interval`` — Mondrian split-conformal prediction
+  intervals (Vovk et al.; Lei et al. 2018): hash-split train /
+  calibration / test, per-group mean predictor, exact finite-sample
+  ceil((n+1)(1-alpha)) order-statistic quantile, empirical coverage
+  on the held-out test split.
+* ``sketch_hll_intersection`` — HyperLogLog set algebra with a fully
+  portable register construction (masked Knuth multiplicative mix,
+  bucket = top 8 bits, rho via ``length(bin(w))`` — bit-identical in
+  Spark and DuckDB): cardinality of two user activity sets, their
+  register-max union, and the inclusion-exclusion intersection
+  estimate vs the exact overlap. The mergeable-sketch path a 100 TB
+  profiler uses to estimate audience overlap without a distinct-join.
+* ``events_power_analysis`` — two-sample experiment power planning per
+  metric: sample variance -> required n per arm for a 5 % MDE at
+  alpha = 0.05 / power = 0.80, and the MDE achievable at the current
+  sample size. Derived quantities are computed from 6-dp-rounded
+  moments so the integer ``ceil`` is cross-engine stable.
+
+All hot-path math is built-in JVM expressions (no Python UDFs); every
+query has a DuckDB oracle below. Reference surface citation: the
+reference repo (d2cml-ai/csdid-pyspark) has no counterpart for any of
+these — they extend SURVEY.md §2's "beyond-the-reference" pipeline
+inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csdid_pyspark_spark.queries.did_events import PANEL_CTE, panel_from_events
+from csdid_pyspark_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# ---------------------------------------------------------------------------
+# Stacked event-study DiD (Cengiz et al. 2019)
+# ---------------------------------------------------------------------------
+
+# Event window in event time e = t - g, baseline at e = -1. A unit is a
+# CLEAN control for cohort g's stack iff it is never treated (g' = 0) or
+# not yet treated by the end of the stack's window (g' > g + STACK_POST).
+STACK_PRE = 2   # window start: e = -STACK_PRE
+STACK_POST = 1  # window end:   e = +STACK_POST
+
+
+def did_stacked_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stacked event-study estimate over the derived staggered panel.
+
+    Per cohort g (one "stack"), per event time e in [-STACK_PRE,
+    STACK_POST] excluding the e = -1 baseline: the within-stack DiD
+
+        att_g(e) = mean(y_{g+e} - y_{g-1} | unit in cohort g)
+                 - mean(y_{g+e} - y_{g-1} | clean control)
+
+    then the pooled event-time series att(e) = sum_g n_g(e) att_g(e)
+    / sum_g n_g(e) with treated-unit weights — the saturated-
+    regression aggregate of Cengiz et al. (2019) without materializing
+    the duplicated stack dataset: cells are a tiny broadcast dim, the
+    only data-scale shuffle is the (id) self-join for the baseline
+    outcome. e = -STACK_PRE rows are the placebo (pre-trend) check.
+    """
+    panel = panel_from_events(spark, sf_dir)
+    periods = panel.select("period").distinct()
+    pmin_pmax = periods.agg(
+        F.min("period").alias("pmin"), F.max("period").alias("pmax")
+    )
+    cohorts = panel.filter(F.col("g") > 0).select("g").distinct()
+    # cells: (g, e, t=g+e, base=g-1), only windows whose t and base are
+    # observed periods. Cohorts x window offsets: a few dozen rows.
+    offs = spark.range(-STACK_PRE, STACK_POST + 1).select(
+        F.col("id").cast("int").alias("e")
+    )
+    cells = (
+        cohorts.select(F.col("g").alias("cg"))
+        .crossJoin(F.broadcast(offs))
+        .crossJoin(F.broadcast(pmin_pmax))
+        .filter(F.col("e") != -1)
+        .select(
+            "cg",
+            "e",
+            (F.col("cg") + F.col("e")).alias("t"),
+            (F.col("cg") - 1).alias("base"),
+            "pmin",
+            "pmax",
+        )
+        .filter(
+            (F.col("t") >= F.col("pmin"))
+            & (F.col("t") <= F.col("pmax"))
+            & (F.col("base") >= F.col("pmin"))
+        )
+        .drop("pmin", "pmax")
+    )
+    p1 = panel.select(
+        F.col("id").alias("uid"), F.col("g").alias("gu"), "period", "y"
+    )
+    p0 = panel.select(
+        F.col("id").alias("bid"),
+        F.col("period").alias("bperiod"),
+        F.col("y").alias("y0"),
+    )
+    dy = (
+        p1.join(F.broadcast(cells), p1["period"] == cells["t"])
+        .join(p0, (F.col("uid") == F.col("bid")) & (F.col("base") == F.col("bperiod")))
+        .select(
+            F.col("cg"),
+            F.col("e"),
+            (F.col("y") - F.col("y0")).alias("dy"),
+            F.when(F.col("gu") == F.col("cg"), 1.0)
+            .when(
+                (F.col("gu") == 0) | (F.col("gu") > F.col("cg") + STACK_POST), 0.0
+            )
+            .alias("d"),  # null = not clean for this stack -> dropped
+        )
+        .filter(F.col("d").isNotNull())
+    )
+    per_stack = dy.groupBy("cg", "e").agg(
+        (
+            F.avg(F.when(F.col("d") == 1.0, F.col("dy")))
+            - F.avg(F.when(F.col("d") == 0.0, F.col("dy")))
+        ).alias("att_g"),
+        F.sum(F.col("d")).alias("n_treat"),
+    )
+    return (
+        per_stack.groupBy("e")
+        .agg(
+            F.round(
+                F.sum(F.col("att_g") * F.col("n_treat")) / F.sum("n_treat"), 6
+            ).alias("att"),
+            F.sum("n_treat").cast("bigint").alias("n_treated"),
+            F.count("*").cast("bigint").alias("n_stacks"),
+        )
+        .orderBy("e")
+    )
+
+
+DID_STACKED_SQL = f"""
+WITH {PANEL_CTE},
+bounds AS (SELECT MIN(period) AS pmin, MAX(period) AS pmax FROM panel),
+cohorts AS (SELECT DISTINCT g FROM panel WHERE g > 0),
+cells AS (
+  SELECT c.g, o.e, c.g + o.e AS t, c.g - 1 AS base
+  FROM cohorts c
+  CROSS JOIN (SELECT UNNEST(range(-{STACK_PRE}, {STACK_POST} + 1)) AS e) o
+  CROSS JOIN bounds b
+  WHERE o.e <> -1 AND c.g + o.e BETWEEN b.pmin AND b.pmax
+    AND c.g - 1 >= b.pmin
+),
+dy AS (
+  SELECT c.g, c.e, p1.y - p0.y AS dy,
+         CASE WHEN p1.g = c.g THEN 1.0
+              WHEN p1.g = 0 OR p1.g > c.g + {STACK_POST} THEN 0.0
+         END AS d
+  FROM cells c
+  JOIN panel p1 ON p1.period = c.t
+  JOIN panel p0 ON p0.period = c.base AND p0.id = p1.id
+  WHERE p1.g = c.g OR p1.g = 0 OR p1.g > c.g + {STACK_POST}
+),
+per_stack AS (
+  SELECT g, e,
+         AVG(CASE WHEN d = 1.0 THEN dy END)
+           - AVG(CASE WHEN d = 0.0 THEN dy END) AS att_g,
+         SUM(d) AS n_treat
+  FROM dy GROUP BY g, e
+)
+SELECT e, ROUND(SUM(att_g * n_treat) / SUM(n_treat), 6) AS att,
+       CAST(SUM(n_treat) AS BIGINT) AS n_treated,
+       CAST(COUNT(*) AS BIGINT) AS n_stacks
+FROM per_stack GROUP BY e ORDER BY e
+"""
+
+QUERIES["did_stacked_event"] = did_stacked_event
+ORACLES["did_stacked_event"] = DID_STACKED_SQL
+
+# ---------------------------------------------------------------------------
+# CDC log application (latest-wins upsert + delete tombstones)
+# ---------------------------------------------------------------------------
+
+
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change-data-capture log to materialize current state —
+    the MERGE INTO semantics of a lakehouse upsert sink. The events
+    stream is read as a per-user op log ordered by (ts, event_id):
+    'signup' = insert, 'click'/'view'/'purchase' = update (payload =
+    value), 'error' = delete tombstone. Latest op wins; a user whose
+    last op is a tombstone is absent from the materialized state.
+
+    One window pass partitioned BY KEY (scales with keys, no global
+    sort), then a filter on rank 1 — exactly how a distributed MERGE
+    resolves multiple updates per key in one batch. Emits the
+    surviving rows plus audit counts (ops seen, deletes seen).
+    """
+    e = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    log = e.select(
+        "user_id", "ts", "event_id", op.alias("op"), F.col("value")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = log.select(
+        "user_id",
+        "op",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_ops"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_deletes"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.round("value", 6).alias("current_value"),
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+            F.col("n_deletes").cast("bigint").alias("n_deletes"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CDC_APPLY_SQL = """
+WITH log AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, op, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
+         SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id) AS n_deletes
+  FROM log
+)
+SELECT user_id, op AS last_op, ROUND(value, 6) AS current_value,
+       CAST(n_ops AS BIGINT) AS n_ops, CAST(n_deletes AS BIGINT) AS n_deletes
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""
+
+QUERIES["cdc_apply_log"] = cdc_apply_log
+ORACLES["cdc_apply_log"] = CDC_APPLY_SQL
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (Mondrian, per event_type)
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA = 0.1  # target 90 % coverage
+
+# 3-way user split from bits 29..30 of the masked Knuth product (the
+# srm query's overflow-safe construction, pipeline_ext.srm_frame):
+# bucket = (hash >> 29) % 4 -> {0,1} train, {2} calibrate, {3} test.
+_SPLIT_EXPR = (
+    "CAST(pmod(pmod(user_id, 2147483648) * 2654435761, 4294967296) "
+    "div 536870912 AS BIGINT) % 4"
+)
+_SPLIT_SQL = (
+    "CAST(((user_id % 2147483648) * 2654435761) % 4294967296 "
+    "// 536870912 AS BIGINT) % 4"
+)
+
+
+def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian split-conformal interval per event_type over the event
+    value metric. Users are hash-split (overflow-safe masked Knuth
+    product) into train (buckets 0-1), calibration (2), test (3). The
+    point predictor is the train-split per-type mean; the half-width
+    qhat is the exact ceil((n_cal+1)(1-alpha))-th smallest calibration
+    residual (finite-sample valid, Lei et al. 2018); coverage is the
+    fraction of held-out test rows inside pred +- qhat.
+
+    Scale shape: one groupBy for the predictor (broadcast back), one
+    window partitioned by event_type over the calibration rows for
+    the order statistic (per-group, not single-reducer), one
+    broadcast join onto the test split. All data-scale work is
+    map-side aggregation.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.expr(_SPLIT_EXPR).alias("bkt")
+    )
+    pred = (
+        e.filter(F.col("bkt") <= 1)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("pred"))
+    )
+    cal = (
+        e.filter(F.col("bkt") == 2)
+        .join(F.broadcast(pred), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("value") - F.col("pred")).alias("res"),
+        )
+    )
+    wg = Window.partitionBy("event_type")
+    w = wg.orderBy("res", "event_id")
+    qhat = (
+        cal.select(
+            "event_type",
+            "res",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wg).alias("n_cal"),
+        )
+        .filter(
+            F.col("rn")
+            == F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONF_ALPHA)).cast("int")
+        )
+        .select("event_type", F.col("res").alias("qhat"), "n_cal")
+    )
+    test = e.filter(F.col("bkt") == 3)
+    return (
+        test.join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("pred"), 6).alias("pred"),
+            F.round(F.first("qhat"), 6).alias("qhat"),
+            F.round(F.first("pred") - F.first("qhat"), 6).alias("lo"),
+            F.round(F.first("pred") + F.first("qhat"), 6).alias("hi"),
+            F.first("n_cal").cast("bigint").alias("n_cal"),
+            F.count("*").cast("bigint").alias("n_test"),
+            F.round(
+                F.avg(
+                    (
+                        F.abs(F.col("value") - F.col("pred")) <= F.col("qhat")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CONFORMAL_SQL = f"""
+WITH tagged AS (
+  SELECT event_id, event_type, value, {_SPLIT_SQL} AS bkt FROM events
+),
+pred AS (
+  SELECT event_type, AVG(value) AS pred FROM tagged WHERE bkt <= 1 GROUP BY 1
+),
+cal AS (
+  SELECT t.event_type, t.event_id, ABS(t.value - p.pred) AS res
+  FROM tagged t JOIN pred p USING (event_type) WHERE t.bkt = 2
+),
+ranked AS (
+  SELECT event_type, res,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY res, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM cal
+),
+qhat AS (
+  SELECT event_type, res AS qhat, n_cal FROM ranked
+  WHERE rn = CAST(CEIL((n_cal + 1) * {1.0 - CONF_ALPHA!r}) AS INT)
+)
+SELECT t.event_type AS event_type,
+       ROUND(MIN(p.pred), 6) AS pred,
+       ROUND(MIN(q.qhat), 6) AS qhat,
+       ROUND(MIN(p.pred) - MIN(q.qhat), 6) AS lo,
+       ROUND(MIN(p.pred) + MIN(q.qhat), 6) AS hi,
+       CAST(MIN(q.n_cal) AS BIGINT) AS n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(AVG(CASE WHEN ABS(t.value - p.pred) <= q.qhat
+                      THEN 1.0 ELSE 0.0 END), 6) AS coverage
+FROM tagged t
+JOIN pred p USING (event_type)
+JOIN qhat q USING (event_type)
+WHERE t.bkt = 3
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_conformal_interval"] = events_conformal_interval
+ORACLES["events_conformal_interval"] = CONFORMAL_SQL
+
+# ---------------------------------------------------------------------------
+# HyperLogLog set algebra (portable registers; union + intersection)
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 buckets
+# alpha_m for m >= 128 (Flajolet et al. 2007); emitted as the same
+# literal text into both engines so the constant parses identically.
+HLL_ALPHA = repr(0.7213 / (1.0 + 1.079 / HLL_M))
+
+# Portable 32-bit mix of a user id, overflow-safe in int64 on both
+# engines (mask to 31 bits before each Knuth multiply — see
+# pipeline_ext.srm_frame for the derivation): two multiply-xor rounds,
+# then bucket = top 8 bits, w = low 24 bits, rho = leading-zero rank of
+# w computed EXACTLY via the minimal binary string length (bin() is
+# minimal-length in both Spark and DuckDB; no float log2 edge cases).
+_HLL_SPARK = """
+SELECT bucket, MAX(rho) AS rho FROM (
+  SELECT CAST(h2 div 16777216 AS INT) AS bucket,
+         CAST(CASE WHEN pmod(h2, 16777216) = 0 THEN 25
+              ELSE 25 - length(bin(pmod(h2, 16777216))) END AS INT) AS rho
+  FROM (
+    SELECT pmod(pmod(h1 ^ (h1 div 32768), 2147483648) * 2654435761,
+                4294967296) AS h2
+    FROM (
+      SELECT pmod(pmod(user_id, 2147483648) * 2654435761, 4294967296) AS h1
+      FROM {src}
+    )
+  )
+) GROUP BY bucket
+"""
+_HLL_DUCK = """
+SELECT bucket, MAX(rho) AS rho FROM (
+  SELECT CAST(h2 // 16777216 AS INT) AS bucket,
+         CAST(CASE WHEN h2 % 16777216 = 0 THEN 25
+              ELSE 25 - length(bin(h2 % 16777216)) END AS INT) AS rho
+  FROM (
+    SELECT (xor(h1, h1 // 32768) % 2147483648) * 2654435761 % 4294967296 AS h2
+    FROM (
+      SELECT (user_id % 2147483648) * 2654435761 % 4294967296 AS h1
+      FROM {src}
+    )
+  )
+) GROUP BY bucket
+"""
+# Estimate from a (bucket, rho) register table: raw HLL with the
+# small-range linear-counting correction (both branches are pure
+# arithmetic on integers + POWER(0.5, rho), which is exact in IEEE
+# doubles, so the branch choice and value are cross-engine stable).
+_HLL_EST = """
+SELECT CASE WHEN CAST({alpha} AS DOUBLE) * {m} * {m} / s <= 2.5 * {m} AND zeros > 0
+            THEN {m} * LN(CAST({m} AS DOUBLE) / zeros)
+            ELSE CAST({alpha} AS DOUBLE) * {m} * {m} / s END AS est
+FROM (
+  SELECT SUM(POWER(0.5, rho)) + ({m} - COUNT(*)) AS s,
+         {m} - COUNT(*) AS zeros
+  FROM ({reg})
+)
+"""
+
+
+def _hll_est_sql(src: str, spark_side: bool) -> str:
+    reg = (_HLL_SPARK if spark_side else _HLL_DUCK).format(src=src)
+    return _HLL_EST.format(alpha=HLL_ALPHA, m=HLL_M, reg=reg)
+
+
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via HyperLogLog set algebra: set A =
+    users active in the first half of the month, set B = second half.
+    |A|, |B| from per-set register tables; |A u B| from the register-
+    wise MAX merge (the defining mergeability of HLL — at 100 TB the
+    per-partition/per-day sketch tables union without touching raw
+    data); |A n B| by inclusion-exclusion, reported against the exact
+    overlap. Registers are a portable integer construction (see module
+    header) so the whole sketch pipeline is hash-gate verifiable.
+
+    Plan shape: one scan -> two tiny register tables (<= 256 rows
+    each); every post-scan operator is on sketch-sized data.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("hll_events")
+    half_a = "(SELECT DISTINCT user_id FROM hll_events WHERE dayofmonth(ts) <= 15)"
+    half_b = "(SELECT DISTINCT user_id FROM hll_events WHERE dayofmonth(ts) > 15)"
+    union_src = (
+        "(SELECT user_id FROM " + half_a + " UNION SELECT user_id FROM " + half_b + ")"
+    )
+    est_a = _hll_est_sql(half_a, spark_side=True)
+    est_b = _hll_est_sql(half_b, spark_side=True)
+    est_u = _hll_est_sql(union_src, spark_side=True)
+    return spark.sql(
+        f"""
+        SELECT ROUND(a.est, 4) AS est_a, ROUND(b.est, 4) AS est_b,
+               ROUND(u.est, 4) AS est_union,
+               ROUND(a.est + b.est - u.est, 4) AS est_intersection,
+               x.exact_intersection,
+               ROUND(ABS(a.est + b.est - u.est - x.exact_intersection)
+                     / x.exact_intersection, 4) AS rel_err
+        FROM ({est_a}) a, ({est_b}) b, ({est_u}) u,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+              FROM (SELECT user_id FROM {half_a}
+                    INTERSECT SELECT user_id FROM {half_b})) x
+        """
+    )
+
+
+def _hll_oracle() -> str:
+    half_a = "(SELECT DISTINCT user_id FROM events WHERE EXTRACT(day FROM ts) <= 15)"
+    half_b = "(SELECT DISTINCT user_id FROM events WHERE EXTRACT(day FROM ts) > 15)"
+    union_src = (
+        "(SELECT user_id FROM " + half_a + " UNION SELECT user_id FROM " + half_b + ")"
+    )
+    est_a = _hll_est_sql(half_a, spark_side=False)
+    est_b = _hll_est_sql(half_b, spark_side=False)
+    est_u = _hll_est_sql(union_src, spark_side=False)
+    return f"""
+SELECT ROUND(a.est, 4) AS est_a, ROUND(b.est, 4) AS est_b,
+       ROUND(u.est, 4) AS est_union,
+       ROUND(a.est + b.est - u.est, 4) AS est_intersection,
+       x.exact_intersection,
+       ROUND(ABS(a.est + b.est - u.est - x.exact_intersection)
+             / x.exact_intersection, 4) AS rel_err
+FROM ({est_a}) a, ({est_b}) b, ({est_u}) u,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+      FROM (SELECT user_id FROM {half_a}
+            INTERSECT SELECT user_id FROM {half_b})) x
+"""
+
+
+QUERIES["sketch_hll_intersection"] = sketch_hll_intersection
+ORACLES["sketch_hll_intersection"] = _hll_oracle()
+
+# ---------------------------------------------------------------------------
+# Experiment power analysis (two-sample, per metric)
+# ---------------------------------------------------------------------------
+
+# (z_{alpha/2} + z_{power})^2 for alpha = 0.05 two-sided, power = 0.80,
+# pre-squared in Python and inlined as ONE literal into both engines so
+# the sizing arithmetic has the identical association order everywhere.
+C2 = repr((1.959963984540054 + 0.8416212335729143) ** 2)
+MDE_FRAC = 0.05  # target effect: 5 % of the metric mean
+
+
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing table per metric (event_type): given the
+    observed mean and sample variance of the value metric, the sample
+    size each arm needs to detect a 5 % lift at alpha = .05 with 80 %
+    power, n = 2 sigma^2 (z_a + z_b)^2 / delta^2, plus the MDE the
+    CURRENT sample (split evenly) can already detect. The ceil() is
+    taken on 6-dp-rounded moments so the integer output cannot differ
+    across engines from last-ulp aggregation-order noise.
+
+    One map-side-combine aggregation over events; the sizing math runs
+    on the 5-row metric table."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+    )
+    c2 = f"({C2})"
+    mde = f"({MDE_FRAC!r} * mean_value)"
+    return g.select(
+        "event_type",
+        "n",
+        "mean_value",
+        "var_value",
+        F.round(F.expr(mde), 6).alias("mde_target"),
+        F.expr(
+            f"CAST(CEIL(2.0 * var_value * {c2} / ({mde} * {mde})) AS BIGINT)"
+        ).alias("n_per_arm_required"),
+        F.round(
+            F.expr(f"SQRT(2.0 * var_value * {c2} / (n / 2.0))"), 6
+        ).alias("mde_at_current_n"),
+    ).orderBy("event_type")
+
+
+POWER_SQL = f"""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(AVG(value), 6) AS mean_value,
+         ROUND(VAR_SAMP(value), 6) AS var_value
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, mean_value, var_value,
+       ROUND({MDE_FRAC!r} * mean_value, 6) AS mde_target,
+       CAST(CEIL(2.0 * var_value * ({C2})
+                 / (({MDE_FRAC!r} * mean_value) * ({MDE_FRAC!r} * mean_value)))
+            AS BIGINT) AS n_per_arm_required,
+       ROUND(SQRT(2.0 * var_value * ({C2}) / (n / 2.0)), 6)
+         AS mde_at_current_n
+FROM g ORDER BY event_type
+"""
+
+QUERIES["events_power_analysis"] = events_power_analysis
+ORACLES["events_power_analysis"] = POWER_SQL
