@@ -596,3 +596,467 @@ FROM g ORDER BY event_type
 
 QUERIES["events_power_analysis"] = events_power_analysis
 ORACLES["events_power_analysis"] = POWER_SQL
+
+# ---------------------------------------------------------------------------
+# Changes-in-changes quantile treatment effects (Athey & Imbens 2006)
+# ---------------------------------------------------------------------------
+
+CIC_PRE = 2   # pre period
+CIC_POST = 3  # post period
+CIC_COHORT = 3  # treated cohort (g = CIC_POST: treated exactly at post)
+
+
+def did_cic_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changes-in-changes quantile treatment effects at the deciles
+    (Athey & Imbens 2006, "Identification and inference in nonlinear
+    difference-in-differences models"): the counterfactual post-period
+    distribution of the treated group is F01^{-1}(F00(y)) applied to
+    its pre-period outcomes, so
+
+        QTE(tau) = Q11(tau) - Q01^{-1}( F00( Q10(tau) ) )
+
+    evaluated on the empirical distributions with EXACT order
+    statistics (rank = ceil(tau * n), no interpolation) — every
+    selection is an integer rank, so the whole estimator is
+    cross-engine stable with no float-quantile semantics involved.
+
+    Scale shape: the three required rankings (treated-pre, control-
+    post, treated-post) run through the two-phase global rank
+    (operators/packing.global_rank_cumsum — range shuffle + per-
+    partition windows, never a single reducer); F00 is one COUNT
+    aggregate against 9 broadcast probe values. Distribution tables
+    are per-unit outcomes, so all ranked inputs are unit-scale.
+    """
+    from csdid_pyspark_spark.cache import carry_cache, release_cache
+    from csdid_pyspark_spark.operators.packing import global_rank_cumsum
+
+    panel = panel_from_events(spark, sf_dir)
+    y10 = panel.filter(
+        (F.col("g") == CIC_COHORT) & (F.col("period") == CIC_PRE)
+    ).select("id", "y")
+    y11 = panel.filter(
+        (F.col("g") == CIC_COHORT) & (F.col("period") == CIC_POST)
+    ).select("id", "y")
+    y00 = panel.filter(
+        (F.col("g") == 0) & (F.col("period") == CIC_PRE)
+    ).select("id", "y")
+    y01 = panel.filter(
+        (F.col("g") == 0) & (F.col("period") == CIC_POST)
+    ).select("id", "y")
+
+    r10 = global_rank_cumsum(y10, ["y", "id"], "y", rank_col="rn")
+    r11 = global_rank_cumsum(y11, ["y", "id"], "y", rank_col="rn")
+    r01 = global_rank_cumsum(y01, ["y", "id"], "y", rank_col="rn")
+    n10, n11, n01 = r10.total_count, r11.total_count, r01.total_count
+
+    taus = spark.range(1, 10).select(
+        (F.col("id") / 10.0).alias("tau"),
+        F.ceil(F.col("id") / 10.0 * n10).cast("bigint").alias("k10"),
+        F.ceil(F.col("id") / 10.0 * n11).cast("bigint").alias("k11"),
+    )
+    q10 = taus.join(
+        r10.df.select(F.col("rn").alias("k10"), F.col("y").alias("q10")), "k10"
+    )
+    # F00 at the 9 probe values: one aggregate over control-pre rows per
+    # probe (probes broadcast; the control side is scanned once).
+    n00 = y00.count()
+    p = (
+        y00.crossJoin(F.broadcast(q10))
+        .groupBy("tau", "q10", "k11")
+        .agg(
+            (
+                F.sum(F.when(F.col("y") <= F.col("q10"), 1).otherwise(0))
+                / F.lit(float(n00))
+            ).alias("p00")
+        )
+        .withColumn(
+            "k01",
+            F.greatest(F.lit(1), F.ceil(F.col("p00") * n01)).cast("bigint"),
+        )
+    )
+    qcf = p.join(
+        r01.df.select(F.col("rn").alias("k01"), F.col("y").alias("q_cf")), "k01"
+    )
+    out = (
+        qcf.join(
+            r11.df.select(F.col("rn").alias("k11"), F.col("y").alias("q11")),
+            "k11",
+        )
+        .select(
+            F.round("tau", 1).alias("tau"),
+            F.round("q10", 6).alias("q_pre_treated"),
+            F.round("p00", 6).alias("p00"),
+            F.round("q_cf", 6).alias("q_counterfactual"),
+            F.round("q11", 6).alias("q_post_treated"),
+            F.round(F.col("q11") - F.col("q_cf"), 6).alias("qte"),
+        )
+        .orderBy("tau")
+    )
+    out = carry_cache(out, r10.df)
+    out = carry_cache(out, r11.df)
+    out = carry_cache(out, r01.df)
+    return out
+
+
+DID_CIC_SQL = f"""
+WITH {PANEL_CTE},
+y10 AS (SELECT id, y FROM panel WHERE g = {CIC_COHORT} AND period = {CIC_PRE}),
+y11 AS (SELECT id, y FROM panel WHERE g = {CIC_COHORT} AND period = {CIC_POST}),
+y00 AS (SELECT id, y FROM panel WHERE g = 0 AND period = {CIC_PRE}),
+y01 AS (SELECT id, y FROM panel WHERE g = 0 AND period = {CIC_POST}),
+r10 AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y, id) AS rn FROM y10),
+r11 AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y, id) AS rn FROM y11),
+r01 AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y, id) AS rn FROM y01),
+n AS (SELECT (SELECT COUNT(*) FROM y10) AS n10,
+             (SELECT COUNT(*) FROM y11) AS n11,
+             (SELECT COUNT(*) FROM y00) AS n00,
+             (SELECT COUNT(*) FROM y01) AS n01),
+taus AS (
+  SELECT i / 10.0 AS tau,
+         CAST(CEIL(i / 10.0 * n10) AS BIGINT) AS k10,
+         CAST(CEIL(i / 10.0 * n11) AS BIGINT) AS k11
+  FROM (SELECT UNNEST(range(1, 10)) AS i), n
+),
+q10 AS (
+  SELECT t.tau, t.k11, r.y AS q10 FROM taus t JOIN r10 r ON r.rn = t.k10
+),
+p AS (
+  SELECT q.tau, q.k11, q.q10,
+         SUM(CASE WHEN y00.y <= q.q10 THEN 1 ELSE 0 END)
+           / CAST((SELECT n00 FROM n) AS DOUBLE) AS p00
+  FROM y00 CROSS JOIN q10 q
+  GROUP BY q.tau, q.k11, q.q10
+),
+pk AS (
+  SELECT tau, k11, q10, p00,
+         GREATEST(1, CAST(CEIL(p00 * (SELECT n01 FROM n)) AS BIGINT)) AS k01
+  FROM p
+)
+SELECT ROUND(pk.tau, 1) AS tau,
+       ROUND(pk.q10, 6) AS q_pre_treated,
+       ROUND(pk.p00, 6) AS p00,
+       ROUND(r01.y, 6) AS q_counterfactual,
+       ROUND(r11.y, 6) AS q_post_treated,
+       ROUND(r11.y - r01.y, 6) AS qte
+FROM pk
+JOIN r01 ON r01.rn = pk.k01
+JOIN r11 ON r11.rn = pk.k11
+ORDER BY tau
+"""
+
+QUERIES["did_cic_qte"] = did_cic_qte
+ORACLES["did_cic_qte"] = DID_CIC_SQL
+
+# ---------------------------------------------------------------------------
+# Triple difference (DDD)
+# ---------------------------------------------------------------------------
+
+DDD_PRE = 2  # pre period for the 2x2x2 contrasts
+
+
+def did_ddd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-difference estimates (Olden & Moen 2022, "The triple
+    difference estimator"): a second, policy-ineligible segment within
+    both the treated cohort and the never-treated group differences
+    out group-specific shocks that plain DiD absorbs into the ATT.
+    Eligibility is the unit's bit-1 (id div 2 mod 2) — a deterministic
+    50/50 segment. For each post period t vs the fixed pre period:
+
+        DDD(t) = DiD_eligible(t) - DiD_ineligible(t)
+
+    where DiD_s(t) = (ybar_treated,s,t - ybar_treated,s,pre)
+                   - (ybar_control,s,t - ybar_control,s,pre).
+
+    One aggregation over the panel (8 cell means per t), then scalar
+    algebra on the tiny cell table."""
+    panel = panel_from_events(spark, sf_dir)
+    base = panel.filter(F.col("g").isin(0, CIC_COHORT)).select(
+        (F.col("g") == CIC_COHORT).cast("int").alias("treat"),
+        (F.floor(F.col("id") / 2) % 2).cast("int").alias("elig"),
+        "period",
+        "y",
+    )
+    cells = base.groupBy("treat", "elig", "period").agg(F.avg("y").alias("m"))
+    pre = cells.filter(F.col("period") == DDD_PRE).select(
+        "treat", "elig", F.col("m").alias("m_pre")
+    )
+    post = cells.filter(F.col("period") > DDD_PRE)
+    delta = post.join(pre, ["treat", "elig"]).select(
+        "period",
+        "treat",
+        "elig",
+        (F.col("m") - F.col("m_pre")).alias("d"),
+    )
+    did = delta.groupBy("period", "elig").agg(
+        (
+            F.sum(F.when(F.col("treat") == 1, F.col("d")))
+            - F.sum(F.when(F.col("treat") == 0, F.col("d")))
+        ).alias("did")
+    )
+    return (
+        did.groupBy("period")
+        .agg(
+            F.round(F.sum(F.when(F.col("elig") == 1, F.col("did"))), 6).alias(
+                "did_eligible"
+            ),
+            F.round(F.sum(F.when(F.col("elig") == 0, F.col("did"))), 6).alias(
+                "did_ineligible"
+            ),
+            F.round(
+                F.sum(F.when(F.col("elig") == 1, F.col("did")))
+                - F.sum(F.when(F.col("elig") == 0, F.col("did"))),
+                6,
+            ).alias("ddd"),
+        )
+        .orderBy("period")
+    )
+
+
+DID_DDD_SQL = f"""
+WITH {PANEL_CTE},
+base AS (
+  SELECT CASE WHEN g = {CIC_COHORT} THEN 1 ELSE 0 END AS treat,
+         CAST(FLOOR(id / 2) % 2 AS INT) AS elig, period, y
+  FROM panel WHERE g IN (0, {CIC_COHORT})
+),
+cells AS (
+  SELECT treat, elig, period, AVG(y) AS m FROM base GROUP BY 1, 2, 3
+),
+delta AS (
+  SELECT c.period, c.treat, c.elig, c.m - p.m_pre AS d
+  FROM (SELECT * FROM cells WHERE period > {DDD_PRE}) c
+  JOIN (SELECT treat, elig, m AS m_pre FROM cells WHERE period = {DDD_PRE}) p
+    USING (treat, elig)
+),
+did AS (
+  SELECT period, elig,
+         SUM(CASE WHEN treat = 1 THEN d END)
+           - SUM(CASE WHEN treat = 0 THEN d END) AS did
+  FROM delta GROUP BY 1, 2
+)
+SELECT period,
+       ROUND(SUM(CASE WHEN elig = 1 THEN did END), 6) AS did_eligible,
+       ROUND(SUM(CASE WHEN elig = 0 THEN did END), 6) AS did_ineligible,
+       ROUND(SUM(CASE WHEN elig = 1 THEN did END)
+             - SUM(CASE WHEN elig = 0 THEN did END), 6) AS ddd
+FROM did GROUP BY period ORDER BY period
+"""
+
+QUERIES["did_ddd"] = did_ddd
+ORACLES["did_ddd"] = DID_DDD_SQL
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation + reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+EVAL_K = 10           # metrics cutoff
+EVAL_N_QUERIES = 10   # vec_id < 10 are the query set; the rest candidates
+IDCG_AT_10 = repr(4.543559338088346)  # sum_{i=1..10} 1/log2(i+1)
+RRF_K = 60            # the standard reciprocal-rank-fusion constant
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str):
+    """(query x candidate) frame with both rankings' scores: exact fp32
+    cosine (rounded to 5 dp BEFORE ranking so order is cross-engine
+    stable) and the int8-quantized de-quantized dot product (6 dp) —
+    the same symmetric per-vector quantization as sim_topk_int8.
+    Queries broadcast; candidates scanned once. No shuffle until the
+    per-query window."""
+    from csdid_pyspark_spark.functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    scale = F.greatest(F.array_max(absd) / F.lit(127.0), F.lit(1e-30))
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") / scale).cast("double")
+    )
+    base = e.select("vec_id", dbl.alias("v"), scale.alias("s"), q.alias("qc"))
+    queries = base.filter(F.col("vec_id") < EVAL_N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("s").alias("qs"),
+        F.col("qc").alias("qq"),
+    )
+    cands = base.filter(F.col("vec_id") >= EVAL_N_QUERIES)
+    dot_q = F.aggregate(
+        F.zip_with("qc", "qq", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return cands.crossJoin(F.broadcast(queries)).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 5).alias("cos_e"),
+        F.round(dot_q * F.col("s") * F.col("qs"), 6).alias("score_q"),
+    )
+
+
+# Shared oracle CTE: the same scored pairs in DuckDB list functions.
+_SCORED_SQL = f"""
+base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         GREATEST(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS s,
+         list_transform(embedding,
+                  x -> round(CAST(x AS DOUBLE) /
+                       GREATEST(list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))) / 127.0, 1e-30))) AS qc
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS qid, v AS qv, s AS qs, qc AS qq FROM base
+  WHERE vec_id < {EVAL_N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         ROUND(list_dot_product(c.v, q.qv)
+               / (SQRT(list_dot_product(c.v, c.v))
+                  * SQRT(list_dot_product(q.qv, q.qv))), 5) AS cos_e,
+         ROUND(list_dot_product(c.qc, q.qq) * c.s * q.qs, 6) AS score_q
+  FROM base c CROSS JOIN queries q
+  WHERE c.vec_id >= {EVAL_N_QUERIES}
+),
+ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e DESC, vec_id) AS rn_e,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, vec_id) AS rn_q
+  FROM scored
+)
+"""
+
+
+def sim_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard of the int8-quantized retriever
+    against exact fp32 ground truth, per query: recall@10, MRR@10
+    (reciprocal rank of the first true-top-10 item in the quantized
+    list), and binary-relevance nDCG@10. This is the evaluation loop a
+    vector-search deployment runs before swapping a cheaper index in:
+    ground truth from the exact scan, candidate list from the
+    approximation, rank-overlap metrics per query.
+
+    Scale shape: candidates scanned once against a broadcast query
+    set; both rankings come from ONE exchange keyed by query (two
+    sorts share it); everything after the rank filter is
+    EVAL_K x n_queries rows."""
+    from pyspark.sql import Window as W
+
+    scored = _scored_pairs(spark, sf_dir)
+    we = W.partitionBy("qid").orderBy(F.desc("cos_e"), "vec_id")
+    wq = W.partitionBy("qid").orderBy(F.desc("score_q"), "vec_id")
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(we).alias("rn_e"),
+        F.row_number().over(wq).alias("rn_q"),
+    )
+    gt = ranked.filter(F.col("rn_e") <= EVAL_K).select("qid", "vec_id")
+    ret = ranked.filter(F.col("rn_q") <= EVAL_K).select("qid", "vec_id", "rn_q")
+    hits = ret.join(
+        gt.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+    )
+    return (
+        hits.groupBy("qid")
+        .agg(
+            F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.lit(EVAL_K), 6).alias(
+                f"recall_at_{EVAL_K}"
+            ),
+            F.round(
+                F.coalesce(
+                    1.0 / F.min(F.when(F.col("hit") == 1, F.col("rn_q"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("hit") == 1, 1.0 / F.log2(F.col("rn_q") + 1)
+                    ).otherwise(0.0)
+                )
+                / F.lit(float(IDCG_AT_10)),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy("qid")
+    )
+
+
+SIM_EVAL_SQL = f"""
+WITH {_SCORED_SQL},
+gt AS (SELECT qid, vec_id FROM ranked WHERE rn_e <= {EVAL_K}),
+ret AS (SELECT qid, vec_id, rn_q FROM ranked WHERE rn_q <= {EVAL_K}),
+hits AS (
+  SELECT r.qid, r.vec_id, r.rn_q,
+         CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ret r LEFT JOIN gt g ON g.qid = r.qid AND g.vec_id = r.vec_id
+)
+SELECT qid,
+       ROUND(SUM(hit) / CAST({EVAL_K} AS DOUBLE), 6) AS recall_at_{EVAL_K},
+       ROUND(COALESCE(1.0 / MIN(CASE WHEN hit = 1 THEN rn_q END), 0.0), 6)
+         AS mrr,
+       ROUND(SUM(CASE WHEN hit = 1 THEN 1.0 / log2(rn_q + 1) ELSE 0.0 END)
+             / {IDCG_AT_10}, 6) AS ndcg
+FROM hits GROUP BY qid ORDER BY qid
+"""
+
+QUERIES["sim_retrieval_eval"] = sim_retrieval_eval
+ORACLES["sim_retrieval_eval"] = SIM_EVAL_SQL
+
+
+def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the
+    exact-cosine and int8-quantized rankings: fused(d) = sum_r
+    1/(RRF_K + rank_r(d)) — the standard way a retrieval stack merges
+    heterogeneous rankers without score calibration. Emits the fused
+    top-5 per query with both source ranks. Ranks are integers, so the
+    fused score is cross-engine exact before its final rounding."""
+    from pyspark.sql import Window as W
+
+    scored = _scored_pairs(spark, sf_dir)
+    we = W.partitionBy("qid").orderBy(F.desc("cos_e"), "vec_id")
+    wq = W.partitionBy("qid").orderBy(F.desc("score_q"), "vec_id")
+    fused = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(we).alias("rn_e"),
+        F.row_number().over(wq).alias("rn_q"),
+    ).withColumn(
+        "rrf",
+        1.0 / (F.lit(RRF_K) + F.col("rn_e")) + 1.0 / (F.lit(RRF_K) + F.col("rn_q")),
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("rrf"), "vec_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            "rn_e",
+            "rn_q",
+            F.round("rrf", 6).alias("rrf"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+SIM_RRF_SQL = f"""
+WITH {_SCORED_SQL},
+fused AS (
+  SELECT qid, vec_id, rn_e, rn_q,
+         1.0 / ({RRF_K} + rn_e) + 1.0 / ({RRF_K} + rn_q) AS rrf
+  FROM ranked
+),
+topf AS (
+  SELECT qid, vec_id, rn_e, rn_q, rrf,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, vec_id) AS rank
+  FROM fused
+)
+SELECT qid, rank, vec_id, rn_e, rn_q, ROUND(rrf, 6) AS rrf
+FROM topf WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+QUERIES["sim_rank_fusion"] = sim_rank_fusion
+ORACLES["sim_rank_fusion"] = SIM_RRF_SQL
