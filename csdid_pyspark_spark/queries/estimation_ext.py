@@ -217,6 +217,13 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = e.select(
         "user_id", "ts", "event_id", op.alias("op"), F.col("value")
     )
+    return cdc_state_frame(log).orderBy("user_id")
+
+
+def cdc_state_frame(log: DataFrame) -> DataFrame:
+    """Operator core of :func:`cdc_apply_log` over any
+    (user_id, ts, event_id, op, value) log frame — also driven at
+    rehearsal scale by ``stress.py cdc``."""
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -230,16 +237,12 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("user_id"))
         .alias("n_deletes"),
     )
-    return (
-        ranked.filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select(
-            "user_id",
-            F.col("op").alias("last_op"),
-            F.round("value", 6).alias("current_value"),
-            F.col("n_ops").cast("bigint").alias("n_ops"),
-            F.col("n_deletes").cast("bigint").alias("n_deletes"),
-        )
-        .orderBy("user_id")
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.round("value", 6).alias("current_value"),
+        F.col("n_ops").cast("bigint").alias("n_ops"),
+        F.col("n_deletes").cast("bigint").alias("n_deletes"),
     )
 
 
@@ -306,6 +309,14 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", F.expr(_SPLIT_EXPR).alias("bkt")
     )
+    return conformal_frame(e).orderBy("event_type")
+
+
+def conformal_frame(e: DataFrame) -> DataFrame:
+    """Operator core of :func:`events_conformal_interval` over any
+    (event_id, event_type, value, bkt) frame with bkt in {0,1} train /
+    {2} calibration / {3} test — also driven at rehearsal scale by
+    ``stress.py conformal``."""
     pred = (
         e.filter(F.col("bkt") <= 1)
         .groupBy("event_type")
@@ -356,7 +367,6 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("coverage"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -484,14 +494,22 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.createOrReplaceTempView("hll_events")
     half_a = "(SELECT DISTINCT user_id FROM hll_events WHERE dayofmonth(ts) <= 15)"
     half_b = "(SELECT DISTINCT user_id FROM hll_events WHERE dayofmonth(ts) > 15)"
+    return spark.sql(hll_intersection_sql(half_a, half_b, spark_side=True))
+
+
+def hll_intersection_sql(half_a: str, half_b: str, spark_side: bool) -> str:
+    """Full intersection-report SQL over two id-set subqueries (each a
+    parenthesized ``SELECT ... user_id`` subquery string): per-set HLL
+    estimates, register-max union, inclusion-exclusion intersection,
+    exact overlap and relative error. Used by the oracle-checked query
+    above and driven at rehearsal scale by ``stress.py hll``."""
     union_src = (
         "(SELECT user_id FROM " + half_a + " UNION SELECT user_id FROM " + half_b + ")"
     )
-    est_a = _hll_est_sql(half_a, spark_side=True)
-    est_b = _hll_est_sql(half_b, spark_side=True)
-    est_u = _hll_est_sql(union_src, spark_side=True)
-    return spark.sql(
-        f"""
+    est_a = _hll_est_sql(half_a, spark_side=spark_side)
+    est_b = _hll_est_sql(half_b, spark_side=spark_side)
+    est_u = _hll_est_sql(union_src, spark_side=spark_side)
+    return f"""
         SELECT ROUND(a.est, 4) AS est_a, ROUND(b.est, 4) AS est_b,
                ROUND(u.est, 4) AS est_union,
                ROUND(a.est + b.est - u.est, 4) AS est_intersection,
@@ -503,30 +521,12 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM (SELECT user_id FROM {half_a}
                     INTERSECT SELECT user_id FROM {half_b})) x
         """
-    )
 
 
 def _hll_oracle() -> str:
     half_a = "(SELECT DISTINCT user_id FROM events WHERE EXTRACT(day FROM ts) <= 15)"
     half_b = "(SELECT DISTINCT user_id FROM events WHERE EXTRACT(day FROM ts) > 15)"
-    union_src = (
-        "(SELECT user_id FROM " + half_a + " UNION SELECT user_id FROM " + half_b + ")"
-    )
-    est_a = _hll_est_sql(half_a, spark_side=False)
-    est_b = _hll_est_sql(half_b, spark_side=False)
-    est_u = _hll_est_sql(union_src, spark_side=False)
-    return f"""
-SELECT ROUND(a.est, 4) AS est_a, ROUND(b.est, 4) AS est_b,
-       ROUND(u.est, 4) AS est_union,
-       ROUND(a.est + b.est - u.est, 4) AS est_intersection,
-       x.exact_intersection,
-       ROUND(ABS(a.est + b.est - u.est - x.exact_intersection)
-             / x.exact_intersection, 4) AS rel_err
-FROM ({est_a}) a, ({est_b}) b, ({est_u}) u,
-     (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
-      FROM (SELECT user_id FROM {half_a}
-            INTERSECT SELECT user_id FROM {half_b})) x
-"""
+    return hll_intersection_sql(half_a, half_b, spark_side=False)
 
 
 QUERIES["sketch_hll_intersection"] = sketch_hll_intersection
@@ -627,9 +627,6 @@ def did_cic_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate against 9 broadcast probe values. Distribution tables
     are per-unit outcomes, so all ranked inputs are unit-scale.
     """
-    from csdid_pyspark_spark.cache import carry_cache, release_cache
-    from csdid_pyspark_spark.operators.packing import global_rank_cumsum
-
     panel = panel_from_events(spark, sf_dir)
     y10 = panel.filter(
         (F.col("g") == CIC_COHORT) & (F.col("period") == CIC_PRE)
@@ -643,6 +640,16 @@ def did_cic_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
     y01 = panel.filter(
         (F.col("g") == 0) & (F.col("period") == CIC_POST)
     ).select("id", "y")
+    return cic_qte_frame(spark, y10, y11, y00, y01)
+
+
+def cic_qte_frame(spark, y10, y11, y00, y01) -> DataFrame:
+    """Operator core of :func:`did_cic_qte` over the four (id, y)
+    empirical distributions (treated-pre, treated-post, control-pre,
+    control-post) — also driven at rehearsal scale by
+    ``stress.py cic``."""
+    from csdid_pyspark_spark.cache import carry_cache
+    from csdid_pyspark_spark.operators.packing import global_rank_cumsum
 
     r10 = global_rank_cumsum(y10, ["y", "id"], "y", rank_col="rn")
     r11 = global_rank_cumsum(y11, ["y", "id"], "y", rank_col="rn")
@@ -1060,3 +1067,255 @@ FROM topf WHERE rank <= 5 ORDER BY qid, rank
 
 QUERIES["sim_rank_fusion"] = sim_rank_fusion
 ORACLES["sim_rank_fusion"] = SIM_RRF_SQL
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from Count-Min counters (optimizer statistics)
+# ---------------------------------------------------------------------------
+
+F2_DEPTH_SEEDS = (101, 359, 1009, 4241)  # per-depth hash seeds
+F2_WIDTH = 256
+
+
+def _f2_bucket_spark(seed: int) -> str:
+    # overflow-safe masked Knuth multiply per depth, bucket = mod width
+    return (
+        f"CAST(pmod(pmod(key + {seed}, 2147483648) * 2654435761, 4294967296)"
+        f" % {F2_WIDTH} AS INT)"
+    )
+
+
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join-size (F2) estimation from Count-Min counters — the
+    sketch a distributed optimizer keeps to predict join blow-up and
+    pick skew mitigation BEFORE running the join (Alon-Matias-Szegedy
+    second moment; CM inner product, Cormode & Muthukrishnan 2005):
+    est_F2 = min_d sum_w c_d(w)^2 over depth-4 x width-256 counters of
+    ``lineitem.l_partkey``. Counters are integers, so the estimate is
+    engine-exact; reported against the exact sum of squared key counts
+    with the guaranteed-one-sided relative error. One explode(depth) +
+    one (depth, bucket) aggregation — fixed 4x256 state at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key")
+    )
+    buckets = F.array(
+        *[F.expr(_f2_bucket_spark(s)) for s in F2_DEPTH_SEEDS]
+    )
+    counters = (
+        li.select(F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    est = (
+        counters.groupBy("depth")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2_d"))
+        .agg(F.min("f2_d").alias("est_f2"))
+    )
+    exact = (
+        li.groupBy("key")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("est_f2").cast("bigint").alias("est_f2"),
+        F.col("exact_f2").cast("bigint").alias("exact_f2"),
+        F.round(
+            (F.col("est_f2") - F.col("exact_f2")) / F.col("exact_f2"), 4
+        ).alias("overestimate_frac"),
+    )
+
+
+_F2_BUCKET_DUCK = (
+    f"CAST((key + {{seed}}) % 2147483648 * 2654435761 % 4294967296"
+    f" % {F2_WIDTH} AS INT)"
+)
+
+SKETCH_JOIN_SIZE_SQL = f"""
+WITH keys AS (SELECT l_partkey AS key FROM lineitem),
+counters AS (
+  SELECT depth, bucket, COUNT(*) AS c FROM (
+    SELECT u.d AS depth,
+           CASE u.d
+             WHEN 0 THEN {_F2_BUCKET_DUCK.format(seed=F2_DEPTH_SEEDS[0])}
+             WHEN 1 THEN {_F2_BUCKET_DUCK.format(seed=F2_DEPTH_SEEDS[1])}
+             WHEN 2 THEN {_F2_BUCKET_DUCK.format(seed=F2_DEPTH_SEEDS[2])}
+             ELSE {_F2_BUCKET_DUCK.format(seed=F2_DEPTH_SEEDS[3])}
+           END AS bucket
+    FROM keys CROSS JOIN (SELECT UNNEST(range(0, 4)) AS d) u
+  ) GROUP BY depth, bucket
+),
+est AS (
+  SELECT MIN(f2_d) AS est_f2 FROM (
+    SELECT depth, SUM(c * c) AS f2_d FROM counters GROUP BY depth
+  )
+),
+exact AS (
+  SELECT SUM(c * c) AS exact_f2 FROM (
+    SELECT key, COUNT(*) AS c FROM keys GROUP BY key
+  )
+)
+SELECT CAST(est_f2 AS BIGINT) AS est_f2,
+       CAST(exact_f2 AS BIGINT) AS exact_f2,
+       ROUND((est_f2 - exact_f2) / CAST(exact_f2 AS DOUBLE), 4)
+         AS overestimate_frac
+FROM est, exact
+"""
+
+QUERIES["sketch_join_size"] = sketch_join_size
+ORACLES["sketch_join_size"] = SKETCH_JOIN_SIZE_SQL
+
+# ---------------------------------------------------------------------------
+# Column profiling (ANALYZE-style optimizer statistics)
+# ---------------------------------------------------------------------------
+
+
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics of the orders table: row
+    count, null count, exact NDV, and numeric min/max (timestamps as
+    epoch seconds; strings carry NULL bounds — cross-engine float
+    rendering of bounds is avoided by keeping them typed DOUBLE).
+    These are the statistics a cost-based optimizer and a data-quality
+    monitor both consume. One aggregation pass (Spark expands the
+    multi-distinct — the honest cost of exact NDV; swap in HLL
+    (sketch_cardinality) when approximate is acceptable at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        ("o_orderkey", F.col("o_orderkey").cast("double")),
+        ("o_custkey", F.col("o_custkey").cast("double")),
+        ("o_orderstatus", F.lit(None).cast("double")),
+        ("o_totalprice", F.col("o_totalprice")),
+        ("o_orderdate", F.unix_timestamp("o_orderdate").cast("double")),
+        ("o_orderpriority", F.lit(None).cast("double")),
+    ]
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            a
+            for name, num in cols
+            for a in (
+                F.sum(F.col(name).isNull().cast("bigint")).alias(f"nulls_{name}"),
+                F.countDistinct(name).alias(f"ndv_{name}"),
+                F.min(num).alias(f"min_{name}"),
+                F.max(num).alias(f"max_{name}"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{name}', nulls_{name}, ndv_{name}, min_{name}, max_{name}"
+        for name, _ in cols
+    )
+    return agg.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(col_name, n_nulls, ndv, min_num, max_num)"
+        ),
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("ndv").cast("bigint").alias("ndv"),
+        F.round("min_num", 6).alias("min_num"),
+        F.round("max_num", 6).alias("max_num"),
+    ).orderBy("col_name")
+
+
+PROFILE_SQL = """
+WITH profile AS (
+  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         COUNT(DISTINCT o_orderkey) AS ndv,
+         MIN(CAST(o_orderkey AS DOUBLE)) AS min_num,
+         MAX(CAST(o_orderkey AS DOUBLE)) AS max_num
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*),
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_custkey),
+         MIN(CAST(o_custkey AS DOUBLE)), MAX(CAST(o_custkey AS DOUBLE))
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*),
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_orderstatus), NULL, NULL
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(*),
+         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_totalprice), MIN(o_totalprice), MAX(o_totalprice)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', COUNT(*),
+         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_orderdate),
+         MIN(CAST(EXTRACT(epoch FROM o_orderdate) AS DOUBLE)),
+         MAX(CAST(EXTRACT(epoch FROM o_orderdate) AS DOUBLE))
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*),
+         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_orderpriority), NULL, NULL
+  FROM orders
+)
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls, CAST(ndv AS BIGINT) AS ndv,
+       ROUND(min_num, 6) AS min_num, ROUND(max_num, 6) AS max_num
+FROM profile ORDER BY col_name
+"""
+
+QUERIES["profile_table_columns"] = profile_table_columns
+ORACLES["profile_table_columns"] = PROFILE_SQL
+
+# ---------------------------------------------------------------------------
+# Pre-trend detectability (power) analysis
+# ---------------------------------------------------------------------------
+
+
+def did_pretrend_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How big a parallel-trends violation could the pre-period data
+    actually detect? (The question Roth 2022, "Pretest with caution",
+    forces before trusting an insignificant pre-test.) Per cohort: the
+    inverse-variance-weighted SE of its pre-period ATT(g,t) cells from
+    the cached never-treated fit, and the minimal detectable per-period
+    pre-trend at alpha = 0.05 / 80 % power, mde = (z_a + z_b) * ivw_se.
+    A large mde says the flat pre-trend plot is uninformative, not
+    reassuring. Driver math is O(pre-cells); the SEs come from the
+    distributed fit."""
+    import math
+
+    from csdid_pyspark_spark.queries.did_events import _fit_attgt
+
+    est = _fit_attgt(spark, sf_dir, "nevertreated")
+    tbl = est.fit_result.table
+    pre = tbl[tbl["post"] == 0]
+    zsum = math.sqrt(float(C2))
+    rows = []
+    for g, grp in pre.groupby("g"):
+        ivw = 1.0 / math.sqrt(sum(1.0 / (se * se) for se in grp["se"])) 
+        rows.append(
+            (int(g), int(len(grp)), round(ivw, 6), round(zsum * ivw, 6))
+        )
+    rows.sort()
+    return spark.createDataFrame(
+        rows, "g int, n_pre int, ivw_se double, mde_pretrend double"
+    )
+
+
+from csdid_pyspark_spark.queries.did_events import ATT_CTE, NEVER_PRED  # noqa: E402
+
+DID_PRETREND_POWER_SQL = (
+    "WITH "
+    + PANEL_CTE
+    + ","
+    + ATT_CTE.format(control_pred=NEVER_PRED)
+    + f"""
+SELECT CAST(g AS INT) AS g, CAST(COUNT(*) AS INT) AS n_pre,
+       ROUND(1.0 / SQRT(SUM(1.0 / (se * se))), 6) AS ivw_se,
+       ROUND(SQRT({C2}) * (1.0 / SQRT(SUM(1.0 / (se * se)))), 6)
+         AS mde_pretrend
+FROM att_tbl WHERE post = 0
+GROUP BY g ORDER BY g
+"""
+)
+
+QUERIES["did_pretrend_power"] = did_pretrend_power
+ORACLES["did_pretrend_power"] = DID_PRETREND_POWER_SQL

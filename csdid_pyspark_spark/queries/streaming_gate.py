@@ -391,6 +391,51 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 8. Streaming CDC materialization (latest-wins upsert + tombstones)
+# ---------------------------------------------------------------------------
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state table materialized BY THE STREAMING CDC operator
+    (streaming/events.py::cdc_state_stream — applyInPandasWithState,
+    one latest-wins tuple per key) drained with availableNow, then
+    projected to MERGE semantics: tombstoned keys dropped, per-key op
+    audit counts kept. Update mode re-emits a key's snapshot each
+    micro-batch, so the projection folds to the row with the maximal
+    (monotone) n_ops per key before filtering — deterministic for any
+    batch split. Oracle: the batch CDC apply's SQL (the stream/batch
+    equivalence is the pinned claim)."""
+    from csdid_pyspark_spark.streaming.events import cdc_state_stream, stream_events
+
+    out = _drain_to_table(cdc_state_stream(stream_events(spark, sf_dir)), "update")
+    w_latest = (
+        F.struct(F.col("n_ops"), F.col("last_op"), F.col("current_value"), F.col("n_deletes"))
+    )
+    folded = (
+        out.groupBy("user_id")
+        .agg(F.max(w_latest).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.last_op").alias("last_op"),
+            F.col("s.current_value").alias("current_value"),
+            F.col("s.n_ops").alias("n_ops"),
+            F.col("s.n_deletes").alias("n_deletes"),
+        )
+    )
+    return (
+        folded.filter(F.col("last_op") != "D")
+        .select(
+            "user_id",
+            "last_op",
+            F.round("current_value", 6).alias("current_value"),
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+            F.col("n_deletes").cast("bigint").alias("n_deletes"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES.update(
     {
         "stream_windowed_counts": stream_windowed_counts,
@@ -400,8 +445,11 @@ QUERIES.update(
         "stream_join_pairs": stream_join_pairs,
         "stream_incremental_refresh": stream_incremental_refresh,
         "stream_heavy_hitters": stream_heavy_hitters,
+        "stream_cdc_apply": stream_cdc_apply,
     }
 )
+
+from csdid_pyspark_spark.queries.estimation_ext import CDC_APPLY_SQL  # noqa: E402
 
 ORACLES.update(
     {
@@ -412,5 +460,6 @@ ORACLES.update(
         "stream_join_pairs": STREAM_JOIN_PAIRS_SQL,
         "stream_incremental_refresh": STREAM_REFRESH_SQL,
         # stream_heavy_hitters: pinned VALUES golden (golden_values.py)
+        "stream_cdc_apply": CDC_APPLY_SQL,
     }
 )

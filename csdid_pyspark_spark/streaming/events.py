@@ -335,3 +335,80 @@ def mg_stream_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC materialization (latest-wins upsert + tombstones)
+# ---------------------------------------------------------------------------
+
+_CDC_OUT_SCHEMA = (
+    "user_id bigint, last_op string, current_value double, "
+    "n_ops bigint, n_deletes bigint"
+)
+_CDC_STATE_SCHEMA = (
+    "last_us bigint, last_eid bigint, last_op string, last_value double, "
+    "n_ops bigint, n_deletes bigint"
+)
+
+
+def _cdc_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        last_us, last_eid, last_op, last_value, n_ops, n_deletes = state.get
+    else:
+        last_us, last_eid, last_op, last_value, n_ops, n_deletes = (
+            -1, -1, "", 0.0, 0, 0,
+        )
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n_ops += len(pdf)
+        op = pd.Series("U", index=pdf.index)
+        op[pdf["event_type"] == "signup"] = "I"
+        op[pdf["event_type"] == "error"] = "D"
+        n_deletes += int((op == "D").sum())
+        us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        eid = pdf["event_id"].astype("int64")
+        # newest op in this chunk by (ts, event_id); compare against state
+        top = pd.DataFrame({"us": us, "eid": eid}).sort_values(
+            ["us", "eid"]
+        ).index[-1]
+        if (int(us[top]), int(eid[top])) > (last_us, last_eid):
+            last_us, last_eid = int(us[top]), int(eid[top])
+            last_op, last_value = str(op[top]), float(pdf["value"][top])
+    state.update((last_us, last_eid, last_op, last_value, n_ops, n_deletes))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "last_op": [last_op],
+            "current_value": [last_value],
+            "n_ops": [n_ops],
+            "n_deletes": [n_deletes],
+        }
+    )
+
+
+def cdc_state_stream(stream: DataFrame) -> DataFrame:
+    """Streaming MERGE materialization: per-key latest-wins state with
+    delete tombstones over the event op log ('signup' = insert,
+    'error' = delete, rest = update), via ``applyInPandasWithState``.
+    State is one 6-field tuple per key — the bounded-state property a
+    continuously-materialized table needs; each micro-batch emits the
+    key's current snapshot (update mode), so a downstream sink always
+    holds MERGE-equivalent current state. The batch equivalent is
+    queries/estimation_ext.py::cdc_state_frame; the gate query pins
+    the stream-drained state to that batch semantics via the same
+    DuckDB oracle."""
+    return (
+        stream.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cdc_fn,
+            outputStructType=_CDC_OUT_SCHEMA,
+            stateStructType=_CDC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -607,6 +607,156 @@ def run_cm(spark, n_tokens: int) -> dict:
     }
 
 
+def run_cdc(spark, n_ops: int, n_keys: int | None = None) -> dict:
+    """CDC log-apply rehearsal: an n-op change log over n/10 keys
+    (10 % delete tombstones planted via hash) materialized to current
+    state with the REAL operator (queries.estimation_ext.
+    cdc_state_frame — one window pass keyed by user). The state table
+    is never collected; the forcing action is a 3-scalar aggregate.
+    Evidence targets: wall ~linear in ops, driver flat."""
+    from csdid_pyspark_spark.queries.estimation_ext import cdc_state_frame
+
+    n_keys = n_keys or max(1, n_ops // 10)
+    h = F.pmod(F.xxhash64("id", F.lit(7)), 10)
+    log = spark.range(n_ops).select(
+        F.pmod(F.xxhash64("id", F.lit(3)), n_keys).alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + (F.col("id") / n_keys)).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.when(h == 0, "D").when(h == 1, "I").otherwise("U").alias("op"),
+        (F.pmod(F.xxhash64("id", F.lit(5)), 100000) / 100.0).alias("value"),
+    )
+    t0 = time.perf_counter()
+    row = (
+        cdc_state_frame(log)
+        .agg(
+            F.count("*").alias("live_keys"),
+            F.sum("n_ops").alias("ops_on_live_keys"),
+            F.sum("n_deletes").alias("deletes_on_live_keys"),
+        )
+        .collect()[0]
+    )
+    cdc_sec = round(time.perf_counter() - t0, 1)
+    return {
+        "metric": "stress_cdc",
+        "ops": n_ops,
+        "keys": n_keys,
+        "live_keys": int(row["live_keys"]),
+        "ops_on_live_keys": int(row["ops_on_live_keys"]),
+        "deletes_on_live_keys": int(row["deletes_on_live_keys"]),
+        "cdc_sec": cdc_sec,
+        **_driver_memory(),
+    }
+
+
+def run_hll(spark, n_ids: int) -> dict:
+    """HLL set-algebra rehearsal: two 60 %-of-population id sets with a
+    planted 20 % overlap (ids scattered to 62 bits by xxhash64, so the
+    portable register mix sees adversarially wide inputs). Runs the
+    REAL report SQL (queries.estimation_ext.hll_intersection_sql):
+    per-set estimates, register-max union, inclusion-exclusion
+    intersection AND the exact distinct-intersect for the error
+    column. Evidence targets: per-set estimate within HLL's ~6.5 %
+    (m=256) band, wall dominated by the exact check, driver flat."""
+    from csdid_pyspark_spark.queries.estimation_ext import hll_intersection_sql
+
+    spark.range(n_ids).select(
+        F.col("id").alias("rid"), F.abs(F.xxhash64("id")).alias("user_id")
+    ).createOrReplaceTempView("stress_ids")
+    half_a = "(SELECT DISTINCT user_id FROM stress_ids WHERE rid % 10 < 6)"
+    half_b = "(SELECT DISTINCT user_id FROM stress_ids WHERE rid % 10 >= 4)"
+    t0 = time.perf_counter()
+    row = spark.sql(hll_intersection_sql(half_a, half_b, spark_side=True)).collect()[0]
+    hll_sec = round(time.perf_counter() - t0, 1)
+    true_a = 0.6 * n_ids
+    return {
+        "metric": "stress_hll",
+        "ids": n_ids,
+        "est_a": float(row["est_a"]),
+        "est_b": float(row["est_b"]),
+        "est_union": float(row["est_union"]),
+        "est_intersection": float(row["est_intersection"]),
+        "exact_intersection": int(row["exact_intersection"]),
+        "set_rel_err_a": round(abs(float(row["est_a"]) - true_a) / true_a, 4),
+        "intersection_rel_err": float(row["rel_err"]),
+        "hll_sec": hll_sec,
+        **_driver_memory(),
+    }
+
+
+def run_cic(spark, n_units: int) -> dict:
+    """Changes-in-changes rehearsal with a planted constant QTE: both
+    groups draw U(0,1) pre-period outcomes, the period transform is
+    h(y) = 2y (applied to the control post draw), and treatment adds
+    +1.0 on top — so the true QTE(tau) is 1.0 at every decile. Runs
+    the REAL operator (queries.estimation_ext.cic_qte_frame: three
+    two-phase global ranks + one probe-count aggregate) on four
+    n_units-row distributions. Evidence targets: max |QTE - 1| within
+    sampling noise, wall ~linear, driver flat (ranks collect only
+    per-partition totals)."""
+    from csdid_pyspark_spark.cache import release_cache
+    from csdid_pyspark_spark.queries.estimation_ext import cic_qte_frame
+
+    def u(seed: int):
+        return (F.pmod(F.xxhash64("id", F.lit(seed)), 1000000) + 0.5) / 1000000.0
+
+    y00 = spark.range(n_units).select("id", u(11).alias("y"))
+    y10 = spark.range(n_units).select("id", u(12).alias("y"))
+    y01 = spark.range(n_units).select("id", (u(13) * 2.0).alias("y"))
+    y11 = spark.range(n_units).select("id", (u(14) * 2.0 + 1.0).alias("y"))
+    t0 = time.perf_counter()
+    out = cic_qte_frame(spark, y10, y11, y00, y01)
+    rows = out.collect()
+    release_cache(out)
+    cic_sec = round(time.perf_counter() - t0, 1)
+    max_err = max(abs(float(r["qte"]) - 1.0) for r in rows)
+    return {
+        "metric": "stress_cic",
+        "units_per_cell": n_units,
+        "deciles": len(rows),
+        "max_qte_err_vs_planted": round(max_err, 4),
+        "cic_sec": cic_sec,
+        **_driver_memory(),
+    }
+
+
+def run_conformal(spark, n_events: int) -> dict:
+    """Split-conformal rehearsal: n synthetic events over 5 metric
+    groups with uniform noise around group means, hash-split 2:1:1.
+    Runs the REAL operator (queries.estimation_ext.conformal_frame).
+    With alpha = 0.1 the held-out coverage must land at ~0.90 per
+    group — the finite-sample guarantee measured, not assumed.
+    Evidence targets: coverage in [0.89, 0.91] at this n, wall
+    ~linear, driver flat."""
+    from csdid_pyspark_spark.queries.estimation_ext import conformal_frame
+
+    etype = F.element_at(
+        F.array(*[F.lit(x) for x in ["a", "b", "c", "d", "e"]]),
+        (F.pmod(F.xxhash64("id", F.lit(21)), 5) + 1).cast("int"),
+    )
+    tagged = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        etype.alias("event_type"),
+        (
+            (F.pmod(F.xxhash64("id", F.lit(21)), 5) + 1) * 10.0
+            + (F.pmod(F.xxhash64("id", F.lit(22)), 1000000) / 1000000.0 - 0.5) * 8.0
+        ).alias("value"),
+        F.pmod(F.xxhash64("id", F.lit(23)), 4).alias("bkt"),
+    )
+    t0 = time.perf_counter()
+    rows = conformal_frame(tagged).collect()
+    conf_sec = round(time.perf_counter() - t0, 1)
+    covs = [float(r["coverage"]) for r in rows]
+    return {
+        "metric": "stress_conformal",
+        "events": n_events,
+        "groups": len(rows),
+        "coverage_min": round(min(covs), 4),
+        "coverage_max": round(max(covs), 4),
+        "conformal_sec": conf_sec,
+        **_driver_memory(),
+    }
+
+
 def run_stream(spark, n_events: int, n_files: int = 8) -> dict:
     """Structured Streaming rehearsal: n synthetic events land as
     ``n_files`` time-ordered parquet files (distinct mtimes, so
@@ -722,7 +872,7 @@ def main() -> None:
     mode = "panel"
     if args and args[0] in (
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
-        "stream",
+        "stream", "cdc", "hll", "cic", "conformal",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -745,6 +895,18 @@ def main() -> None:
     elif mode == "stream":
         n_events = int(args[0]) if args else 10_000_000
         out = run_stream(spark, n_events)
+    elif mode == "cdc":
+        n_ops = int(args[0]) if args else 50_000_000
+        out = run_cdc(spark, n_ops)
+    elif mode == "hll":
+        n_ids = int(args[0]) if args else 100_000_000
+        out = run_hll(spark, n_ids)
+    elif mode == "cic":
+        n_units = int(args[0]) if args else 2_000_000
+        out = run_cic(spark, n_units)
+    elif mode == "conformal":
+        n_events = int(args[0]) if args else 50_000_000
+        out = run_conformal(spark, n_events)
     elif mode == "docs":
         n_docs = int(args[0]) if args else 25_000
         out = run_docs(spark, n_docs)

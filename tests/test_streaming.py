@@ -511,3 +511,80 @@ def test_stream_heavy_hitters_chunking_independent(spark):
         spark.conf.set(key, default)
     assert base == tiny
     assert base  # non-trivial: the corpus has above-threshold tokens
+
+
+def test_cdc_state_stream_multibatch_matches_batch(spark, tmp_path):
+    """The streaming CDC materialization must equal the batch
+    latest-wins apply EXACTLY when the log arrives split across
+    micro-batches — including a key whose final op is a tombstone in a
+    LATER batch than its last update (state must flip to deleted), and
+    one resurrected after a tombstone (insert after delete)."""
+    import datetime as dt
+    import time
+
+    from csdid_pyspark_spark.queries.estimation_ext import cdc_state_frame
+    from csdid_pyspark_spark.streaming.events import cdc_state_stream
+
+    def d(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch1 = [
+        (1, d(1), 10, "signup", 1.0),
+        (2, d(2), 10, "click", 2.0),
+        (3, d(1), 20, "signup", 3.0),
+        (4, d(1), 30, "signup", 5.0),
+        (5, d(2), 30, "error", 0.0),   # deleted in batch 1...
+    ]
+    batch2 = [
+        (6, d(3), 10, "purchase", 9.0),  # later update wins
+        (7, d(3), 20, "error", 0.0),     # tombstone arrives batch 2
+        (8, d(3), 30, "signup", 7.0),    # ...resurrected in batch 2
+    ]
+    watch = str(tmp_path / "cdc_in")
+    now = time.time()
+    _land_file(spark, batch1, watch, "b1", now - 20, schema)
+    _land_file(spark, batch2, watch, "b2", now - 10, schema)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(watch)
+    )
+    name = "cdc_mb_sink"
+    q = (
+        cdc_state_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    out = spark.table(name)
+    # fold update-mode re-emissions: max (monotone n_ops) per key
+    from pyspark.sql import functions as F
+
+    folded = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_ops", "last_op", "current_value", "n_deletes")).alias("s"))
+        .select("user_id", "s.last_op", "s.current_value", "s.n_ops", "s.n_deletes")
+        .filter(F.col("last_op") != "D")
+    )
+    batch = cdc_state_frame(
+        spark.createDataFrame(batch1 + batch2, schema).select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U").alias("op"),
+            "value",
+        )
+    ).select(
+        "user_id", "last_op",
+        F.col("current_value"), "n_ops", "n_deletes",
+    )
+    got = {r["user_id"]: (r["last_op"], r["current_value"], r["n_ops"], r["n_deletes"])
+           for r in folded.collect()}
+    want = {r["user_id"]: (r["last_op"], r["current_value"], r["n_ops"], r["n_deletes"])
+            for r in batch.collect()}
+    assert got == want
+    assert 20 not in got          # tombstoned across the batch boundary
+    assert got[30][0] == "I"      # resurrected after an earlier tombstone
+    assert got[10] == ("U", 9.0, 3, 0)
