@@ -68,6 +68,10 @@ HEADLINE = [
     # round-5 additions
     "text_span_cut",
     "sketch_countmin_freq",
+    # round-6 additions
+    "did_cic_qte",
+    "cdc_apply_log",
+    "sketch_join_size",
 ]
 
 
@@ -132,15 +136,19 @@ def main() -> None:
     # captures only the LAST 2000 chars of stdout — r4's full-precision
     # stats line overflowed that and the round's bench was lost. runs[0]
     # is the cold first run; median/min are derivable, so arrays at 2dp
-    # are the whole detail. Budget check below drops "runs" (keeping the
-    # medians contract intact) rather than ever printing a truncatable
-    # line; full 3dp detail always lands in BENCH_DETAIL.json.
+    # are the whole detail. "runs" is POSITIONAL — the i-th array
+    # belongs to the i-th key of "queries" (JSON object order is the
+    # insertion order both here and in the driver's parse) — because
+    # repeating 29 query names a second time is what overflowed r4's
+    # line. Budget check below drops "runs" (keeping the medians
+    # contract intact) rather than ever printing a truncatable line;
+    # full named 3dp detail always lands in BENCH_DETAIL.json.
     line_obj = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": medians,
-        "runs": {n: [round(x, 2) for x in r] for n, r in runs.items()},
+        "runs": [[round(x, 2) for x in runs[n]] for n in names],
         "reps": reps,
         "first_run_total": first_run_total,
         "sf": sf,

@@ -1,43 +1,58 @@
 """Round-6 estimation / warehouse extensions.
 
-Five capability classes the earlier modules didn't cover, each a named
+Capability classes the earlier modules didn't cover, each a named
 oracle-checked query:
 
+Estimators (robustness companions to the Callaway-Sant'Anna surface;
+the reference — d2cml-ai/csdid-pyspark, ATTgt.py — implements none of
+these):
+
 * ``did_stacked_event`` — stacked event-study DiD (Cengiz, Dube,
-  Lindner & Zipperer 2019, "The effect of minimum wages on low-wage
-  jobs"): one clean-control stack per treated cohort, within-stack
-  DiD per event time against the t = g-1 baseline, pooled across
-  stacks with treated-unit weights. The estimator family the
-  reference's csdid does NOT implement (reference ATTgt.py covers
-  Callaway–Sant'Anna only); included because a user running staggered-
-  adoption designs runs both as a robustness pair.
-* ``cdc_apply_log`` — change-data-capture log application
-  (latest-wins upsert with delete tombstones), the MERGE INTO
-  semantics a lakehouse table-format sink applies; expressed as one
-  window pass over the log, no driver loop.
-* ``events_conformal_interval`` — Mondrian split-conformal prediction
-  intervals (Vovk et al.; Lei et al. 2018): hash-split train /
-  calibration / test, per-group mean predictor, exact finite-sample
-  ceil((n+1)(1-alpha)) order-statistic quantile, empirical coverage
-  on the held-out test split.
-* ``sketch_hll_intersection`` — HyperLogLog set algebra with a fully
-  portable register construction (masked Knuth multiplicative mix,
-  bucket = top 8 bits, rho via ``length(bin(w))`` — bit-identical in
-  Spark and DuckDB): cardinality of two user activity sets, their
-  register-max union, and the inclusion-exclusion intersection
-  estimate vs the exact overlap. The mergeable-sketch path a 100 TB
-  profiler uses to estimate audience overlap without a distinct-join.
-* ``events_power_analysis`` — two-sample experiment power planning per
-  metric: sample variance -> required n per arm for a 5 % MDE at
-  alpha = 0.05 / power = 0.80, and the MDE achievable at the current
-  sample size. Derived quantities are computed from 6-dp-rounded
-  moments so the integer ``ceil`` is cross-engine stable.
+  Lindner & Zipperer 2019): one clean-control stack per treated
+  cohort, within-stack DiD vs the t = g-1 baseline, treated-count
+  pooled.
+* ``did_cic_qte`` — changes-in-changes quantile treatment effects
+  (Athey & Imbens 2006) at the deciles, all selections exact integer
+  order statistics through the two-phase global rank.
+* ``did_ddd`` — triple difference (Olden & Moen 2022) with a
+  deterministic eligibility segment.
+* ``did_pretrend_power`` — minimal detectable pre-trend per cohort
+  (the Roth 2022 "can the pre-test even see it" diagnostic).
+
+Experimentation / uncertainty:
+
+* ``events_conformal_interval`` — Mondrian split-conformal intervals
+  (Lei et al. 2018): exact ceil((n+1)(1-alpha)) order-statistic
+  quantile, held-out coverage.
+* ``events_power_analysis`` — two-sample sizing per metric from
+  6-dp-rounded moments (cross-engine-stable integer ceil).
+
+Warehouse / lakehouse:
+
+* ``cdc_apply_log`` / ``stream_cdc_apply`` (streaming_gate) —
+  latest-wins CDC materialization with delete tombstones, batch window
+  pass and applyInPandasWithState stream sharing one oracle.
+* ``dim_point_in_time_join`` — SCD2 point-in-time enrichment as an
+  AS-OF join (one shuffle), never a fact x versions range join.
+* ``profile_table_columns`` — ANALYZE-style per-column statistics.
+* ``events_watermark_profile`` — out-of-orderness profile for
+  choosing a streaming watermark.
+
+Sketches / retrieval:
+
+* ``sketch_hll_intersection`` — HyperLogLog set algebra on a fully
+  portable register construction (masked Knuth mix; rho via
+  minimal-length ``bin()`` — bit-identical in Spark and DuckDB).
+* ``sketch_join_size`` — self-join-size (F2) estimate from Count-Min
+  counters (AMS; CM inner product) — the optimizer's join-blow-up
+  statistic, integer-exact across engines.
+* ``sim_retrieval_eval`` — recall@10 / MRR / nDCG of the int8
+  retriever vs exact fp32 ground truth.
+* ``sim_rank_fusion`` — reciprocal-rank fusion of heterogeneous
+  rankers (Cormack et al. 2009).
 
 All hot-path math is built-in JVM expressions (no Python UDFs); every
-query has a DuckDB oracle below. Reference surface citation: the
-reference repo (d2cml-ai/csdid-pyspark) has no counterpart for any of
-these — they extend SURVEY.md §2's "beyond-the-reference" pipeline
-inventory.
+query has a DuckDB oracle below.
 """
 
 from __future__ import annotations
@@ -1319,3 +1334,194 @@ GROUP BY g ORDER BY g
 
 QUERIES["did_pretrend_power"] = did_pretrend_power
 ORACLES["did_pretrend_power"] = DID_PRETREND_POWER_SQL
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+def dim_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment — "which dimension version was active
+    when the fact happened": every lineitem is joined to its
+    customer's SCD2 status version effective AT ship time, then rolled
+    up to revenue per as-of status. The scale-honest plan is an AS-OF
+    join (operators/asof.py: union + per-key forward-fill window — ONE
+    shuffle on the dimension key), never the fact x versions range
+    join a naive BETWEEN predicate plans. Same-date version collisions
+    (two status changes on one date) are resolved deterministically to
+    the latest change (max orderkey) BEFORE the as-of, so both engines
+    see a unique version timeline per key."""
+    from csdid_pyspark_spark.operators.asof import asof_join
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .withColumn("prev", F.lag("o_orderstatus").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus")))
+    )
+    wd = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    vers = (
+        changes.withColumn("vrn", F.row_number().over(wd))
+        .filter(F.col("vrn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status_asof"),
+            F.col("o_orderdate").alias("vts"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    facts = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "o_custkey",
+        F.col("l_shipdate").alias("vts"),
+        F.col("l_extendedprice").cast("decimal(30,6)").alias("price"),
+    )
+    pit = asof_join(
+        facts, vers, on="o_custkey", ts_col="vts", direction="backward"
+    )
+    # Facts shipped before the customer's first status version (the
+    # synthetic data does NOT honor TPC-H's shipdate >= orderdate) have
+    # no as-of match; they stay visible as an explicit 'none' bucket
+    # instead of being silently dropped.
+    return (
+        pit.groupBy(
+            F.coalesce(F.col("status_asof"), F.lit("none")).alias("status_asof")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.sum("price").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("status_asof")
+    )
+
+
+PIT_JOIN_SQL = """
+WITH changes AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+  QUALIFY prev IS NULL OR prev <> o_orderstatus
+),
+vers AS (
+  SELECT o_custkey, o_orderstatus AS status_asof, o_orderdate AS vts,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS vrn
+  FROM changes QUALIFY vrn = 1
+),
+facts AS (
+  SELECT o.o_custkey, l.l_shipdate, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+-- (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+-- the as-of lookup is resolved per DISTINCT (customer, ship time) key
+-- and joined back — fact identity is never needed.
+keys AS (SELECT DISTINCT o_custkey, l_shipdate FROM facts),
+lookup AS (
+  SELECT k.o_custkey, k.l_shipdate, v.status_asof,
+         ROW_NUMBER() OVER (PARTITION BY k.o_custkey, k.l_shipdate
+                            ORDER BY v.vts DESC) AS rn
+  FROM keys k
+  JOIN vers v ON v.o_custkey = k.o_custkey AND v.vts <= k.l_shipdate
+)
+SELECT COALESCE(m.status_asof, 'none') AS status_asof,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+         AS revenue
+FROM facts f
+LEFT JOIN (SELECT * FROM lookup WHERE rn = 1) m
+  ON m.o_custkey = f.o_custkey AND m.l_shipdate = f.l_shipdate
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dim_point_in_time_join"] = dim_point_in_time_join
+ORACLES["dim_point_in_time_join"] = PIT_JOIN_SQL
+
+# ---------------------------------------------------------------------------
+# Watermark design: out-of-orderness profile of the event stream
+# ---------------------------------------------------------------------------
+
+LATENESS_THRESHOLDS_S = (0, 600, 3600, 7200, 86400)
+
+
+def events_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the table an engineer reads before
+    choosing a streaming watermark: for each candidate lateness bound,
+    how many events would arrive LATER than that bound behind the
+    maximum event time already seen in their user's stream (arrival
+    order = event_id, the synthetic log's ingestion sequence). An
+    event counted at threshold T would be DROPPED by a watermark of T;
+    the profile shows the completeness/latency trade directly. One
+    running-max window per user, then ONE aggregation pass with a
+    conditional sum per candidate threshold (never an explode of the
+    data-scale stream), unpivoted from the single result row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = e.select(
+        (
+            (
+                F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+            )
+            / 1000000.0
+        ).alias("late_s")
+    )
+    agg = late.agg(
+        F.count("*").alias("n_total"),
+        *[
+            F.sum((F.col("late_s") > F.lit(t)).cast("bigint")).alias(f"late_{t}")
+            for t in LATENESS_THRESHOLDS_S
+        ],
+    )
+    stack = ", ".join(f"{t}, late_{t}" for t in LATENESS_THRESHOLDS_S)
+    return (
+        agg.select(
+            "n_total",
+            F.expr(
+                f"stack({len(LATENESS_THRESHOLDS_S)}, {stack})"
+                " AS (threshold_s, n_late)"
+            ),
+        )
+        .select(
+            F.col("threshold_s").cast("int").alias("threshold_s"),
+            F.col("n_late").cast("bigint").alias("n_late"),
+            F.round(F.col("n_late") / F.col("n_total"), 6).alias("frac_late"),
+        )
+        .orderBy("threshold_s")
+    )
+
+
+WATERMARK_PROFILE_SQL = f"""
+WITH late AS (
+  SELECT EXTRACT(epoch FROM MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         - EXTRACT(epoch FROM ts) AS late_s
+  FROM events
+),
+agg AS (
+  SELECT COUNT(*) AS n_total,
+{",".join(f"         SUM(CASE WHEN late_s > {t} THEN 1 ELSE 0 END) AS late_{t}" for t in LATENESS_THRESHOLDS_S)}
+  FROM late
+),
+unp AS (
+{" UNION ALL ".join(f"  SELECT {t} AS threshold_s, late_{t} AS n_late, n_total FROM agg" for t in LATENESS_THRESHOLDS_S)}
+)
+SELECT CAST(threshold_s AS INT) AS threshold_s,
+       CAST(n_late AS BIGINT) AS n_late,
+       ROUND(n_late / CAST(n_total AS DOUBLE), 6) AS frac_late
+FROM unp ORDER BY threshold_s
+"""
+
+QUERIES["events_watermark_profile"] = events_watermark_profile
+ORACLES["events_watermark_profile"] = WATERMARK_PROFILE_SQL
