@@ -163,3 +163,39 @@ def test_pin_utc_session_survives_unset_conf(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_layout_normalization_preserves_values_and_parallelizes(spark, tmp_path):
+    """A single-row-group file above LAYOUT_MIN_ROWS is compacted once
+    per session into a multi-row-group copy: same values (order-
+    insensitive), more than one scan partition, and the rewrite happens
+    exactly once (second load returns the cached path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from csdid_pyspark_spark.sources import tables as T
+
+    n = T.LAYOUT_MIN_ROWS + 5
+    tbl = pa.table({"l_orderkey": list(range(n)), "v": [i * 0.5 for i in range(n)]})
+    sf_dir = str(tmp_path / "sfX")
+    (tmp_path / "sfX").mkdir()
+    pq.write_table(tbl, f"{sf_dir}/lineitem.parquet", row_group_size=n)
+    assert pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_row_groups == 1
+
+    df = T.load_table(spark, sf_dir, "lineitem")
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == n
+    assert sum(r[0] for r in df.select("l_orderkey").collect()) == n * (n - 1) // 2
+
+    key = (spark.sparkContext.applicationId, sf_dir, "lineitem")
+    first_path = T._LAYOUT_PATH[key]
+    T.load_table(spark, sf_dir, "lineitem")
+    assert T._LAYOUT_PATH[key] == first_path
+
+    # below the threshold: untouched
+    small = pa.table({"l_orderkey": [1, 2, 3]})
+    sf2 = str(tmp_path / "sfY")
+    (tmp_path / "sfY").mkdir()
+    pq.write_table(small, f"{sf2}/lineitem.parquet")
+    T.load_table(spark, sf2, "lineitem")
+    assert T._LAYOUT_PATH[(spark.sparkContext.applicationId, sf2, "lineitem")] is None
