@@ -84,9 +84,16 @@ def shingle_table(
                 f"first (e.g. exact_dedup) — duplicate ids would silently "
                 f"inflate shingle-set sizes and every similarity built on them."
             )
+    from csdid_pyspark_spark.operators.fanout import widen_fanout
+
     carry = list(carry_cols or [])
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    df = df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("tokens"))
+    # the shingle explode fans out ~tokens-per-doc rows per input row
+    # and pipelines into this stage: widen a physically small input to
+    # core count first (no-op at real scale — fanout.py)
+    df = widen_fanout(
+        df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("tokens"))
+    )
     parts = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(n))
     shingles = F.expr(
         f"CASE WHEN size(tokens) >= {n} "

@@ -119,11 +119,18 @@ def span_cut_frame(
     union is the full [p, p+M) — so no suffix array and no boundary
     re-check pass is needed for coverage parity with the published
     formulation."""
+    from csdid_pyspark_spark.operators.fanout import widen_fanout
+
     d = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tokens")
     )
-    d = d.filter(F.size("tokens") >= w).select(
-        "doc_id", "tokens", F.size("tokens").alias("n_tok")
+    # the W-window hash explode fans out ~n_tok rows per doc inside
+    # this stage: widen a physically small corpus to core count first
+    # (no-op at real scale — fanout.py)
+    d = widen_fanout(
+        d.filter(F.size("tokens") >= w).select(
+            "doc_id", "tokens", F.size("tokens").alias("n_tok")
+        )
     )
     # the span table feeds BOTH the dup census and the mark join;
     # uncached, the tokenize+hash explode (the dominant cost) runs

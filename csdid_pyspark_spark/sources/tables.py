@@ -63,13 +63,18 @@ def pin_utc_session(spark: SparkSession) -> None:
 # (row order is NOT preserved — no query in this engine depends on file
 # order; arrival-order semantics always come from explicit columns).
 #
-# Applied only when it pays: single-row-group file with at least
-# LAYOUT_MIN_ROWS rows (at sf0.01, where the external correctness gate
-# runs, nothing qualifies — the gate always reads the driver's bytes
-# directly). Opt out with SPARK_GRAFT_LAYOUT_CACHE=0.
+# Applied only when it pays: a single-row-group file that is large by
+# rows (LAYOUT_MIN_ROWS) or dense by bytes (LAYOUT_MIN_BYTES — a 5k-doc
+# text corpus is small in rows but its token explodes fan out 1000x).
+# The rewrite changes LAYOUT only — every value, type, and instant is
+# identical (pinned by test_sources.py), so the correctness gate is
+# unaffected wherever it triggers. Opt out with
+# SPARK_GRAFT_LAYOUT_CACHE=0.
 
 LAYOUT_MIN_ROWS = 100_000
+LAYOUT_MIN_BYTES = 262_144  # dense-but-few-rows files (documents, embeddings)
 LAYOUT_TARGET_ROWS = 50_000  # per rewritten file (one row group each)
+LAYOUT_TARGET_BYTES = 131_072
 
 _LAYOUT_DIR: dict[str, str] = {}  # app_id -> temp dir
 _LAYOUT_PATH: dict[tuple[str, str, str], str | None] = {}
@@ -94,7 +99,10 @@ def _layout_normalized_path(spark: SparkSession, sf_dir: str, name: str) -> str 
         import pyarrow.parquet as pq
 
         meta = pq.ParquetFile(src).metadata
-        needs = meta.num_row_groups == 1 and meta.num_rows >= LAYOUT_MIN_ROWS
+        nbytes = os.path.getsize(src)
+        needs = meta.num_row_groups == 1 and (
+            meta.num_rows >= LAYOUT_MIN_ROWS or nbytes >= LAYOUT_MIN_BYTES
+        )
     except Exception:
         needs = False
     if not needs:
@@ -105,7 +113,14 @@ def _layout_normalized_path(spark: SparkSession, sf_dir: str, name: str) -> str 
         base = tempfile.mkdtemp(prefix="spark_graft_layout_")
         _LAYOUT_DIR[app] = base
     dst = os.path.join(base, os.path.basename(sf_dir.rstrip("/")), name)
-    n_parts = min(32, max(2, math.ceil(meta.num_rows / LAYOUT_TARGET_ROWS)))
+    n_parts = min(
+        32,
+        max(
+            2,
+            math.ceil(meta.num_rows / LAYOUT_TARGET_ROWS),
+            math.ceil(nbytes / LAYOUT_TARGET_BYTES),
+        ),
+    )
     _read_raw(spark, sf_dir, name).repartition(n_parts).write.mode(
         "overwrite"
     ).parquet(dst)
