@@ -1525,3 +1525,125 @@ FROM unp ORDER BY threshold_s
 
 QUERIES["events_watermark_profile"] = events_watermark_profile
 ORACLES["events_watermark_profile"] = WATERMARK_PROFILE_SQL
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: exact ROC AUC (Mann-Whitney rank form)
+# ---------------------------------------------------------------------------
+
+
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the trained quality classifier over the corpus,
+    computed distributed in the Mann-Whitney rank form:
+
+        AUC = (sum of positive-class ranks - n_pos (n_pos+1)/2)
+              / (n_pos * n_neg)
+
+    with TIED scores given their average rank (the textbook treatment;
+    a deterministic row-rank tiebreak would bias AUC under ties).
+    Ranks come from the two-phase global rank (no single reducer);
+    tie-averaging needs only a per-distinct-score aggregate of
+    (min rank, max rank) — one extra groupBy on score. This is the
+    scale path for exact AUC; swap in a binned approximation only when
+    the score column has unbounded distinct values AND the corpus is
+    too large to range-shuffle. Pinned VALUES golden (the IRLS fit is
+    deterministic but not SQL-expressible). NOTE: the synthetic corpus
+    label is a deterministic threshold of the same text statistics the
+    features encode, so the fit separates perfectly and the pinned AUC
+    is exactly 1.0 — the query's value is the distributed exact-AUC
+    machinery, which any real (noisy) label exercises unchanged."""
+    from csdid_pyspark_spark.operators.packing import global_rank_cumsum
+    from csdid_pyspark_spark.operators.logreg import score_column
+    from csdid_pyspark_spark.queries.llm_ops import (
+        _doc_clf_features,
+        _doc_clf_fit,
+        _doc_clf_label,
+    )
+    from csdid_pyspark_spark.cache import carry_cache
+
+    coef = _doc_clf_fit(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        score_column(_doc_clf_features(d), coef).alias("s"),
+        _doc_clf_label().alias("y"),
+    )
+    r = global_rank_cumsum(scored, ["s", "doc_id"], "s", rank_col="rn")
+    per_score = r.df.groupBy("s").agg(
+        ((F.min("rn") + F.max("rn")) / 2.0).alias("avg_rank"),
+        F.sum("y").alias("n_pos_s"),
+        F.count("*").alias("n_s"),
+    )
+    out = per_score.agg(
+        F.sum("n_pos_s").cast("bigint").alias("n_pos"),
+        (F.sum("n_s") - F.sum("n_pos_s")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("avg_rank") * F.col("n_pos_s")).alias("rank_sum_pos"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("rank_sum_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+    return carry_cache(out, r.df)
+
+
+QUERIES["quality_classifier_auc"] = quality_classifier_auc
+# oracle: pinned VALUES golden (tools/gen_golden_oracles.py)
+
+# ---------------------------------------------------------------------------
+# Robust metric: two-sided trimmed mean per group
+# ---------------------------------------------------------------------------
+
+TRIM_FRAC = 0.1
+
+
+def events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 % two-sided trimmed mean of the value metric per event_type —
+    the robust location estimate a metrics platform reports next to
+    the mean when heavy tails or data bugs are in play. Exact order
+    statistics: per group, rows ranked by (value, event_id), the
+    bottom and top ceil(0.1 n) rows dropped, the remainder averaged.
+    One window per group (per-group partitions, not single-reducer) +
+    one aggregate; the trim boundaries are integer ranks so the row
+    set is cross-engine identical."""
+    e = load_table(spark, sf_dir, "events")
+    wg = Window.partitionBy("event_type")
+    w = wg.orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wg).alias("n"),
+    ).withColumn("k", F.ceil(F.col("n") * F.lit(TRIM_FRAC)).cast("bigint"))
+    return (
+        ranked.filter((F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")))
+        .groupBy("event_type")
+        .agg(
+            F.first("n").cast("bigint").alias("n"),
+            F.first("k").cast("bigint").alias("n_trimmed_each_side"),
+            F.round(F.avg("value"), 6).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TRIMMED_MEAN_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+k AS (SELECT *, CAST(CEIL(n * {TRIM_FRAC!r}) AS BIGINT) AS k FROM ranked)
+SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+       CAST(MIN(k) AS BIGINT) AS n_trimmed_each_side,
+       ROUND(AVG(value), 6) AS trimmed_mean
+FROM k WHERE rn > k AND rn <= n - k
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["events_trimmed_mean"] = events_trimmed_mean
+ORACLES["events_trimmed_mean"] = TRIMMED_MEAN_SQL
