@@ -757,6 +757,57 @@ def run_conformal(spark, n_events: int) -> dict:
     }
 
 
+def run_pit(spark, n_facts: int, n_keys: int | None = None) -> dict:
+    """Point-in-time (as-of) join rehearsal: n facts against a
+    versioned dimension (5 versions per key, planted values = version
+    index) through the REAL operator (operators/asof.py::asof_join —
+    union + per-key forward-fill, ONE shuffle on the dimension key,
+    never a fact x versions range join). Correctness is checked
+    in-flight: each fact's timestamp deterministically selects a known
+    version index, and the rehearsal asserts ZERO mismatches on the
+    full join. Evidence targets: wall ~linear in facts, driver flat."""
+    from csdid_pyspark_spark.operators.asof import asof_join
+
+    n_keys = n_keys or max(1, n_facts // 50)
+    versions = spark.range(n_keys * 5).select(
+        (F.col("id") % n_keys).alias("k"),
+        # version v of key k effective from t = 1000*v
+        F.timestamp_seconds(
+            F.lit(1600000000) + (F.col("id") / n_keys).cast("int") * 1000
+        ).alias("vts"),
+        (F.col("id") / n_keys).cast("int").alias("version"),
+    )
+    facts = spark.range(n_facts).select(
+        F.pmod(F.xxhash64("id", F.lit(31)), n_keys).alias("k"),
+        # fact time lands mid-version-window v at offset 500
+        F.timestamp_seconds(
+            F.lit(1600000000)
+            + F.pmod(F.xxhash64("id", F.lit(32)), 5).cast("int") * 1000
+            + 500
+        ).alias("vts"),
+        F.pmod(F.xxhash64("id", F.lit(32)), 5).cast("int").alias("want_version"),
+    )
+    t0 = time.perf_counter()
+    out = asof_join(facts, versions, on="k", ts_col="vts", direction="backward")
+    row = out.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("version") != F.col("want_version")).cast("bigint")).alias(
+            "mismatches"
+        ),
+    ).collect()[0]
+    pit_sec = round(time.perf_counter() - t0, 1)
+    return {
+        "metric": "stress_pit",
+        "facts": n_facts,
+        "keys": n_keys,
+        "versions_per_key": 5,
+        "joined": int(row["n"]),
+        "mismatches": int(row["mismatches"]),
+        "pit_sec": pit_sec,
+        **_driver_memory(),
+    }
+
+
 def run_stream(spark, n_events: int, n_files: int = 8) -> dict:
     """Structured Streaming rehearsal: n synthetic events land as
     ``n_files`` time-ordered parquet files (distinct mtimes, so
@@ -872,7 +923,7 @@ def main() -> None:
     mode = "panel"
     if args and args[0] in (
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
-        "stream", "cdc", "hll", "cic", "conformal",
+        "stream", "cdc", "hll", "cic", "conformal", "pit",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -907,6 +958,9 @@ def main() -> None:
     elif mode == "conformal":
         n_events = int(args[0]) if args else 50_000_000
         out = run_conformal(spark, n_events)
+    elif mode == "pit":
+        n_facts = int(args[0]) if args else 50_000_000
+        out = run_pit(spark, n_facts)
     elif mode == "docs":
         n_docs = int(args[0]) if args else 25_000
         out = run_docs(spark, n_docs)
