@@ -55,6 +55,8 @@ __all__ = [
     "global_row_number",
     "global_rank_cumsum",
     "RankCumsum",
+    "grouped_rank",
+    "GroupedRanks",
     "release_cache",
     "cache_scope",
 ]
@@ -322,3 +324,65 @@ def global_rank_cumsum(
         part,
     )
     return RankCumsum(out, c_acc, s_acc)
+
+
+class GroupedRanks(NamedTuple):
+    df: DataFrame          # input + rank_col (1-based within each group)
+    group_counts: dict     # group key tuple -> row count
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+) -> GroupedRanks:
+    """Per-GROUP global ranks for several distributions in ONE job —
+    the multi-distribution companion to :func:`global_row_number`.
+    ``Window.partitionBy(group)`` puts each whole group through one
+    task (the skew trap when groups are data-scale); running
+    :func:`global_row_number` once per group pays one range-shuffle +
+    stats job each. Here the range shuffle runs ONCE over
+    ``(group_cols + order_cols)`` — each group's rows are contiguous
+    across the range partitioning — and one light pass collects
+    (partition, group) counts, so exclusive bases broadcast back per
+    (partition, group) and every group is ranked by partition-local
+    windows in the same stage. Returns the per-group totals from the
+    same light pass (the order-statistic consumers always need n).
+
+    Pass a unique tiebreak in ``order_cols`` for deterministic
+    output."""
+    keys = list(group_cols)
+    o = df
+    n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
+    part = (
+        o.repartitionByRange(n, *keys, *order_cols)
+        .sortWithinPartitions(*keys, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    part = part.persist()
+    stats = (
+        part.groupBy("_pid", *keys).agg(F.count("*").alias("c")).collect()
+    )
+    # exclusive base per (pid, group): rows of the SAME group in lower pids
+    per_group: dict = {}
+    bases = []
+    for r in sorted(stats, key=lambda r: (tuple(r[k] for k in keys), r["_pid"])):
+        gk = tuple(r[k] for k in keys)
+        acc = per_group.get(gk, 0)
+        bases.append((r["_pid"], *gk, acc))
+        per_group[gk] = acc + r["c"]
+    spark = df.sparkSession
+    key_schema = ", ".join(f"{k} {t}" for k, t in df.select(*keys).dtypes)
+    base_df = F.broadcast(
+        spark.createDataFrame(bases, f"_pid int, {key_schema}, _base bigint")
+    )
+    w = Window.partitionBy("_pid", *keys).orderBy(*order_cols)
+    out = _attach_cache(
+        part.join(base_df, ["_pid", *keys])
+        .withColumn(rank_col, (F.row_number().over(w) + F.col("_base")).cast("bigint"))
+        .drop("_pid", "_base"),
+        part,
+    )
+    return GroupedRanks(out, per_group)

@@ -662,23 +662,34 @@ def cic_qte_frame(spark, y10, y11, y00, y01) -> DataFrame:
     """Operator core of :func:`did_cic_qte` over the four (id, y)
     empirical distributions (treated-pre, treated-post, control-pre,
     control-post) — also driven at rehearsal scale by
-    ``stress.py cic``."""
+    ``stress.py cic``. The three required rankings run in ONE
+    grouped two-phase rank job (operators/packing.grouped_rank) —
+    one range shuffle for all three distributions instead of three
+    sequential rank jobs."""
     from csdid_pyspark_spark.cache import carry_cache
-    from csdid_pyspark_spark.operators.packing import global_rank_cumsum
+    from csdid_pyspark_spark.operators.packing import grouped_rank
 
-    r10 = global_rank_cumsum(y10, ["y", "id"], "y", rank_col="rn")
-    r11 = global_rank_cumsum(y11, ["y", "id"], "y", rank_col="rn")
-    r01 = global_rank_cumsum(y01, ["y", "id"], "y", rank_col="rn")
-    n10, n11, n01 = r10.total_count, r11.total_count, r01.total_count
+    tagged = (
+        y10.select(F.lit("t_pre").alias("cell"), "id", "y")
+        .unionByName(y11.select(F.lit("t_post").alias("cell"), "id", "y"))
+        .unionByName(y01.select(F.lit("c_post").alias("cell"), "id", "y"))
+    )
+    gr = grouped_rank(tagged, ["cell"], ["y", "id"], rank_col="rn")
+    n10 = gr.group_counts.get(("t_pre",), 0)
+    n11 = gr.group_counts.get(("t_post",), 0)
+    n01 = gr.group_counts.get(("c_post",), 0)
+
+    def cell(name: str, k_alias: str, y_alias: str) -> DataFrame:
+        return gr.df.filter(F.col("cell") == name).select(
+            F.col("rn").alias(k_alias), F.col("y").alias(y_alias)
+        )
 
     taus = spark.range(1, 10).select(
         (F.col("id") / 10.0).alias("tau"),
         F.ceil(F.col("id") / 10.0 * n10).cast("bigint").alias("k10"),
         F.ceil(F.col("id") / 10.0 * n11).cast("bigint").alias("k11"),
     )
-    q10 = taus.join(
-        r10.df.select(F.col("rn").alias("k10"), F.col("y").alias("q10")), "k10"
-    )
+    q10 = taus.join(cell("t_pre", "k10", "q10"), "k10")
     # F00 at the 9 probe values: one aggregate over control-pre rows per
     # probe (probes broadcast; the control side is scanned once).
     n00 = y00.count()
@@ -696,14 +707,9 @@ def cic_qte_frame(spark, y10, y11, y00, y01) -> DataFrame:
             F.greatest(F.lit(1), F.ceil(F.col("p00") * n01)).cast("bigint"),
         )
     )
-    qcf = p.join(
-        r01.df.select(F.col("rn").alias("k01"), F.col("y").alias("q_cf")), "k01"
-    )
+    qcf = p.join(cell("c_post", "k01", "q_cf"), "k01")
     out = (
-        qcf.join(
-            r11.df.select(F.col("rn").alias("k11"), F.col("y").alias("q11")),
-            "k11",
-        )
+        qcf.join(cell("t_post", "k11", "q11"), "k11")
         .select(
             F.round("tau", 1).alias("tau"),
             F.round("q10", 6).alias("q_pre_treated"),
@@ -714,10 +720,7 @@ def cic_qte_frame(spark, y10, y11, y00, y01) -> DataFrame:
         )
         .orderBy("tau")
     )
-    out = carry_cache(out, r10.df)
-    out = carry_cache(out, r11.df)
-    out = carry_cache(out, r01.df)
-    return out
+    return carry_cache(out, gr.df)
 
 
 DID_CIC_SQL = f"""

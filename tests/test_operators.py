@@ -1196,3 +1196,33 @@ def test_bpe_merge_uniform_runs_and_metachars(spark):
     got2 = {r["w"]: r["n_pieces"] for r in encode_pieces(w2, m2).collect()}
     # '.' must not match 'x'; '+' must not quantify
     assert got2 == {".+": 1, "x+": 2, "ab": 2}
+
+
+def test_grouped_rank_matches_per_group_window(spark):
+    """grouped_rank must reproduce per-group row_number exactly (and
+    report exact group counts) while ranking all groups in one job."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csdid_pyspark_spark.operators.packing import grouped_rank, release_cache
+
+    rows = [
+        ("a", i, float((i * 37) % 11)) for i in range(200)
+    ] + [
+        ("b", i, float((i * 13) % 7)) for i in range(55)
+    ] + [
+        ("c", 0, 1.0)
+    ]
+    df = spark.createDataFrame(rows, "cell string, id long, y double")
+    gr = grouped_rank(df, ["cell"], ["y", "id"], rank_col="rn", num_partitions=5)
+    got = {
+        (r["cell"], r["id"]): r["rn"] for r in gr.df.collect()
+    }
+    release_cache(gr.df)
+    w = Window.partitionBy("cell").orderBy("y", "id")
+    want = {
+        (r["cell"], r["id"]): r["rn"]
+        for r in df.select("cell", "id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+    assert gr.group_counts == {("a",): 200, ("b",): 55, ("c",): 1}
