@@ -346,21 +346,31 @@ def conformal_frame(e: DataFrame) -> DataFrame:
             F.abs(F.col("value") - F.col("pred")).alias("res"),
         )
     )
-    wg = Window.partitionBy("event_type")
-    w = wg.orderBy("res", "event_id")
-    qhat = (
-        cal.select(
-            "event_type",
-            "res",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(wg).alias("n_cal"),
+    # Per-group order statistic through the ONE-job grouped two-phase
+    # rank — a Window.partitionBy(event_type) would push each whole
+    # (data-scale) metric group through a single task at 100 TB.
+    from csdid_pyspark_spark.cache import release_cache
+    from csdid_pyspark_spark.operators.packing import grouped_rank
+
+    gr = grouped_rank(cal, ["event_type"], ["res", "event_id"], rank_col="rn")
+    counts = F.broadcast(
+        cal.sparkSession.createDataFrame(
+            [(k[0], int(v)) for k, v in gr.group_counts.items()],
+            "event_type string, n_cal bigint",
         )
+    )
+    qhat = (
+        gr.df.join(counts, "event_type")
         .filter(
             F.col("rn")
             == F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONF_ALPHA)).cast("int")
         )
         .select("event_type", F.col("res").alias("qhat"), "n_cal")
     )
+    # the 1-row-per-group qhat is consumed once below — materialize it
+    # and release the ranked-calibration persist now
+    qhat = F.broadcast(qhat.sparkSession.createDataFrame(qhat.collect(), qhat.schema))
+    release_cache(gr.df)
     test = e.filter(F.col("bkt") == 3)
     return (
         test.join(F.broadcast(pred), "event_type")
@@ -1608,19 +1618,28 @@ def events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean when heavy tails or data bugs are in play. Exact order
     statistics: per group, rows ranked by (value, event_id), the
     bottom and top ceil(0.1 n) rows dropped, the remainder averaged.
-    One window per group (per-group partitions, not single-reducer) +
-    one aggregate; the trim boundaries are integer ranks so the row
-    set is cross-engine identical."""
-    e = load_table(spark, sf_dir, "events")
-    wg = Window.partitionBy("event_type")
-    w = wg.orderBy("value", "event_id")
-    ranked = e.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wg).alias("n"),
-    ).withColumn("k", F.ceil(F.col("n") * F.lit(TRIM_FRAC)).cast("bigint"))
-    return (
+    Ranks come from the ONE-job grouped two-phase rank
+    (operators/packing.grouped_rank) — a Window.partitionBy(group)
+    would push each whole data-scale metric group through a single
+    task — and the trim boundaries are integer ranks so the surviving
+    row set is cross-engine identical."""
+    from csdid_pyspark_spark.cache import carry_cache
+    from csdid_pyspark_spark.operators.packing import grouped_rank
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    gr = grouped_rank(e, ["event_type"], ["value", "event_id"], rank_col="rn")
+    counts = F.broadcast(
+        spark.createDataFrame(
+            [(k[0], int(v)) for k, v in gr.group_counts.items()],
+            "event_type string, n bigint",
+        )
+    )
+    ranked = gr.df.join(counts, "event_type").withColumn(
+        "k", F.ceil(F.col("n") * F.lit(TRIM_FRAC)).cast("bigint")
+    )
+    out = (
         ranked.filter((F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")))
         .groupBy("event_type")
         .agg(
@@ -1630,6 +1649,7 @@ def events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    return carry_cache(out, gr.df)
 
 
 TRIMMED_MEAN_SQL = f"""
