@@ -1670,3 +1670,63 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES["events_trimmed_mean"] = events_trimmed_mean
 ORACLES["events_trimmed_mean"] = TRIMMED_MEAN_SQL
+
+# ---------------------------------------------------------------------------
+# k-NN join (every probe row -> its k nearest neighbors)
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN — unlike the single-query top-k scans, EVERY probe row
+    gets its k nearest neighbors in one operator
+    (operators/similarity.py::knn_join_bruteforce: broadcast the
+    smaller side, per-probe window top-k). Probes are the vec_id % 50
+    == 1 sample; neighbors come from the full remaining pool. The
+    LSH-bucketed variants (dedup_embedding_lsh, sim_ann_*) are the
+    two-large-sides scale path; this is the exact baseline and the
+    small-probe-set production shape (e.g. nightly eval queries
+    against a corpus index)."""
+    from csdid_pyspark_spark.operators.similarity import knn_join_bruteforce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 1)
+    pool = e.filter(F.col("vec_id") % 50 != 1)
+    return knn_join_bruteforce(probes, pool, k=KNN_K).select(
+        "l_id",
+        "rank",
+        "r_id",
+        F.round("cosine", 5).alias("cosine"),
+    ).orderBy("l_id", "rank")
+
+
+SIM_KNN_SQL = f"""
+WITH l AS (
+  SELECT vec_id AS l_id, embedding::DOUBLE[] AS lv FROM embeddings
+  WHERE vec_id %% 50 = 1
+),
+r AS (
+  SELECT vec_id AS r_id, embedding::DOUBLE[] AS rv FROM embeddings
+  WHERE vec_id %% 50 <> 1
+),
+scored AS (
+  SELECT l.l_id, r.r_id,
+         list_dot_product(l.lv, r.rv)
+           / (SQRT(list_dot_product(l.lv, l.lv))
+              * SQRT(list_dot_product(r.rv, r.rv))) AS cosine
+  FROM l CROSS JOIN r WHERE l.l_id <> r.r_id
+),
+ranked AS (
+  SELECT l_id, r_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY l_id
+                            ORDER BY cosine DESC, r_id) AS rank
+  FROM scored
+)
+SELECT l_id, rank, r_id, ROUND(cosine, 5) AS cosine
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY l_id, rank
+""".replace("%%", "%")
+
+QUERIES["sim_knn_join"] = sim_knn_join
+ORACLES["sim_knn_join"] = SIM_KNN_SQL

@@ -387,8 +387,13 @@ def test_q20_broadcast_prune_and_single_agg_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q20_potential_promotion")
     assert "BroadcastHashJoin" in plan
     assert "StartsWith(p_name, small)" in plan or "PushedFilters: [IsNotNull(p_name), StringStartsWith(p_name,small)" in plan
-    # exactly one scan of lineitem feeds the plan
-    assert plan.count("lineitem.parquet") == 1, plan
+    # exactly one scan of lineitem feeds the plan (the layout cache may
+    # serve it from the compacted copy, whose location is a directory
+    # named .../lineitem rather than lineitem.parquet — count FileScan
+    # nodes, not path literals)
+    import re
+
+    assert len(re.findall(r"FileScan parquet.*lineitem", plan)) == 1, plan
     assert "LeftSemi" in plan
 
 
