@@ -326,6 +326,80 @@ def global_rank_cumsum(
     return RankCumsum(out, c_acc, s_acc)
 
 
+class MultiCumsum(NamedTuple):
+    """Result of :func:`global_cumsums`: the ranked DataFrame plus the
+    exact per-measure grand totals the light pass already computed.
+    Pass ``df`` (not this tuple) to release_cache / cache_scope."""
+
+    df: DataFrame
+    total_count: int
+    totals: dict  # val_col -> Decimal grand total
+
+
+def global_cumsums(
+    df: DataFrame,
+    order_cols: list[str],
+    val_cols: list[str],
+    rank_col: str = "rn",
+    cum_prefix: str = "cum_",
+    num_partitions: int | None = None,
+) -> MultiCumsum:
+    """Global rank plus inclusive running totals of SEVERAL measures in
+    ``order_cols`` order, in one job — the multi-measure sibling of
+    :func:`global_rank_cumsum` (which scans one measure). The
+    two-sample ECDF primitive: a KS statistic needs cum(count_a) and
+    cum(count_b) over the same pooled value order, and running the
+    single-measure scan twice would pay the range shuffle + light pass
+    twice. Same discipline: ONE range shuffle on the order key, one
+    light pass collecting per-partition (count, sum per measure) — a
+    tiny row per partition — exclusive bases broadcast back, then
+    partition-local windows. No row ever passes through a single
+    reducer; measures accumulate as DECIMAL(30,6) so running totals
+    are independent of partial-sum order. Pass a unique tiebreak in
+    ``order_cols`` for deterministic output."""
+    o = df
+    for v in val_cols:
+        o = o.withColumn(f"_v_{v}", F.col(v).cast("decimal(30,6)"))
+    n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
+    part = (
+        o.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    part = part.persist()
+    aggs = [F.count("*").alias("_c")] + [
+        F.sum(f"_v_{v}").alias(f"_s_{v}") for v in val_cols
+    ]
+    stats = {r["_pid"]: r for r in part.groupBy("_pid").agg(*aggs).collect()}
+    bases, c_acc = [], 0
+    s_acc = {v: Decimal(0) for v in val_cols}
+    for pid in sorted(stats):
+        bases.append((pid, c_acc, *[s_acc[v] for v in val_cols]))
+        c_acc += stats[pid]["_c"]
+        for v in val_cols:
+            s_acc[v] += stats[pid][f"_s_{v}"] or Decimal(0)
+    spark = df.sparkSession
+    base_schema = "_pid int, _cbase bigint, " + ", ".join(
+        f"_sbase_{v} decimal(30,6)" for v in val_cols
+    )
+    base_df = F.broadcast(spark.createDataFrame(bases, base_schema))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = part.join(base_df, "_pid").withColumn(
+        rank_col, (F.row_number().over(w) + F.col("_cbase")).cast("bigint")
+    )
+    drop = ["_pid", "_cbase"]
+    for v in val_cols:
+        out = out.withColumn(
+            f"{cum_prefix}{v}",
+            (F.sum(f"_v_{v}").over(wsum) + F.col(f"_sbase_{v}")).cast(
+                "decimal(30,6)"
+            ),
+        )
+        drop += [f"_v_{v}", f"_sbase_{v}"]
+    return MultiCumsum(_attach_cache(out.drop(*drop), part), c_acc, s_acc)
+
+
 class GroupedRanks(NamedTuple):
     df: DataFrame          # input + rank_col (1-based within each group)
     group_counts: dict     # group key tuple -> row count

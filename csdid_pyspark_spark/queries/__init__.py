@@ -27,6 +27,7 @@ from csdid_pyspark_spark.queries import (
     llm_ops,
     pipeline_ext,
     relational,
+    stats_ext,
     streaming_gate,
 )
 
@@ -137,7 +138,7 @@ def _externally_green() -> tuple[set[str], set[str], set[str], dict[str, int]]:
 
 
 _raw: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-for mod in (did_events, llm_ops, relational, analytics_ext, pipeline_ext, streaming_gate, estimation_ext):
+for mod in (did_events, llm_ops, relational, analytics_ext, pipeline_ext, streaming_gate, estimation_ext, stats_ext):
     _raw.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

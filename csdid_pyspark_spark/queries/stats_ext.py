@@ -1,0 +1,444 @@
+"""Distribution-comparison statistics for experimentation readouts.
+
+The reference engine (d2cml-ai/csdid-pyspark) ships exactly one
+inference family — the DiD estimator's normal-approximation and
+multiplier-bootstrap SEs (ATTgt.py, mboot.py). A platform running that
+estimator on experiment data also needs the standard model-free
+two-sample checks, so this module adds them as oracle-checked queries,
+each sharing the A/B assignment hash of ``events_ab_srm_check``
+(pipeline_ext.py — 31-bit-masked Knuth multiplicative hash, identical
+integer arithmetic in Spark and DuckDB):
+
+* ``events_welch_ttest`` — per-metric Welch unequal-variance t with
+  Welch-Satterthwaite df, from decimal-exact moments (sums and
+  sums-of-squares accumulate as DECIMAL, so the statistic is
+  independent of partial-aggregation order — the float-sum
+  nondeterminism trap).
+* ``events_mannwhitney_u`` — rank-sum U with midrank tie handling and
+  the tie-corrected normal approximation. Pooled ranks come from the
+  two-phase distributed scan (operators/packing.py::global_rank_cumsum)
+  over the VALUE-AGGREGATED table: rank arithmetic on (value, count)
+  groups, never a data-scale ``ROW_NUMBER() OVER (ORDER BY value)``
+  through one reducer. Doubling the midranks keeps every intermediate
+  an exact integer-valued decimal.
+* ``events_ks_test`` — two-sample Kolmogorov-Smirnov D as the max
+  pooled-ECDF gap; both arms' cumulative counts come from ONE
+  two-phase scan (operators/packing.py::global_cumsums), the
+  multi-measure variant built for exactly this shape.
+* ``dq_benford_digits`` — first-significant-digit distribution of
+  order totals vs Benford's law with per-digit chi-square terms (the
+  classic bulk-data fraud/corruption screen). The digit comes from a
+  pure comparison cascade — no log10 in the data path, so no
+  cross-libm rounding hazard at power-of-ten boundaries.
+
+All hot-path math is built-in JVM expressions; every query has an
+ANSI oracle below. Outputs are rounded at 6dp only at the edge.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from csdid_pyspark_spark.cache import release_cache
+from csdid_pyspark_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# A/B arm from bit 31 of the masked Knuth multiply — the same
+# construction (and rationale comments) as srm_frame, pipeline_ext.py:
+# masking to 31 bits first keeps the product inside int64 on both
+# engines for any id, and the HIGH bit of the product actually mixes
+# (the low bit of an odd-multiplier product is just input parity).
+
+
+def _arm() -> F.Column:
+    masked = F.pmod(F.col("user_id"), F.lit(2147483648))
+    return (
+        F.pmod(masked * 2654435761, F.lit(4294967296)) / F.lit(2147483648)
+    ).cast("bigint")
+
+
+_ARM_SQL = (
+    "CAST(((user_id % 2147483648) * 2654435761) % 4294967296"
+    " // 2147483648 AS BIGINT)"
+)
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test per metric
+# ---------------------------------------------------------------------------
+
+
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t per event_type between the two hash
+    arms. One data-scale aggregation (map-side combinable); moments
+    accumulate as DECIMAL so every engine — and every partial-sum
+    order — produces bit-identical statistics: value rounds once into
+    DECIMAL(18,6), its square is the exact DECIMAL(37,12) product, and
+    the mean/variance/t arithmetic runs in double on those exact
+    inputs, mirrored operation-for-operation by the oracle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = F.col("value").cast("decimal(18,6)")
+    per_arm = (
+        e.select(F.col("event_type"), _arm().alias("arm"), d.alias("d"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("d").alias("s1"),
+            F.sum(F.col("d") * F.col("d")).alias("s2"),
+        )
+    )
+    both = per_arm.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("s1"))).cast("double").alias("s1_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s1"))).cast("double").alias("s1_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("s2"))).cast("double").alias("s2_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s2"))).cast("double").alias("s2_b"),
+    )
+    ma = F.col("s1_a") / F.col("n_a")
+    mb = F.col("s1_b") / F.col("n_b")
+    va = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    vb = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    sa = va / F.col("n_a")
+    sb = vb / F.col("n_b")
+    t = (ma - mb) / F.sqrt(sa + sb)
+    dfw = ((sa + sb) * (sa + sb)) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return both.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfw, 6).alias("df_welch"),
+    ).orderBy("event_type")
+
+
+WELCH_SQL = f"""
+WITH per_arm AS (
+  SELECT event_type, {_ARM_SQL} AS arm, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN s1 END) AS DOUBLE) AS s1_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN s1 END) AS DOUBLE) AS s1_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN s2 END) AS DOUBLE) AS s2_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN s2 END) AS DOUBLE) AS s2_b
+  FROM per_arm GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       ROUND(s1_a / n_a, 6) AS mean_a,
+       ROUND(s1_b / n_b, 6) AS mean_b,
+       ROUND((s1_a / n_a - s1_b / n_b)
+             / SQRT(((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
+                    + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b),
+             6) AS t_stat,
+       ROUND((((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
+              + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b)
+             * (((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
+                + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b)
+             / ((((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a)
+                * (((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a) / (n_a - 1)
+                + (((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b)
+                  * (((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b) / (n_b - 1)),
+             6) AS df_welch
+FROM paired ORDER BY event_type
+"""
+
+QUERIES["events_welch_ttest"] = events_welch_ttest
+ORACLES["events_welch_ttest"] = WELCH_SQL
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (midranks, tie-corrected normal approximation)
+# ---------------------------------------------------------------------------
+
+
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum test between the two hash arms over the pooled value
+    distribution. Ranks are computed on the (value, count) aggregate —
+    one data-scale groupBy, then the two-phase scan ranks DISTINCT
+    values (operators/packing.py::global_rank_cumsum: range shuffle +
+    broadcast per-partition bases; no single-reducer window). The
+    midrank of a tie block ending at inclusive cumulative count c with
+    multiplicity m is (2c - m + 1)/2; keeping 2x-midranks makes the
+    rank-sum an exact integer-valued decimal, so U is exact and the
+    tie-corrected z is a deterministic function of exact integers:
+
+        U_a = R_a - n_a(n_a+1)/2
+        sigma^2 = n_a n_b / 12 * ((n+1) - T / (n(n-1))),  T = sum(m^3 - m)
+        z = (U_a - n_a n_b / 2) / sigma
+    """
+    from csdid_pyspark_spark.operators.packing import global_rank_cumsum
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    byval = (
+        e.select(F.col("value"), _arm().alias("arm"))
+        .groupBy("value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("cnt_a"),
+        )
+    )
+    scan = global_rank_cumsum(byval, ["value"], "cnt", cum_col="cum")
+    ranked = scan.df
+    # 2*midrank = 2*cum - cnt + 1 (exact integer as decimal); the tie
+    # term m^3 - m widens through DECIMAL(12,0) products so a value
+    # with up to 1e12 duplicates stays exact in DECIMAL(38,0).
+    m12 = F.col("cnt").cast("decimal(12,0)")
+    stats = (
+        ranked.select(
+            (
+                F.col("cnt_a").cast("decimal(30,6)")
+                * (F.lit(2) * F.col("cum") - F.col("cnt") + 1)
+            ).alias("r2_a"),
+            F.col("cnt_a"),
+            F.col("cnt"),
+            (m12 * m12 * m12 - m12).cast("decimal(38,0)").alias("tie"),
+        )
+        .agg(
+            F.sum("r2_a").cast("double").alias("r2_a"),
+            F.sum("cnt_a").cast("bigint").alias("n_a"),
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum("tie").cast("double").alias("t_ties"),
+        )
+    )
+    n_a = F.col("n_a")
+    n_b = F.col("n") - F.col("n_a")
+    u_a = F.col("r2_a") / 2 - n_a * (n_a + 1) / 2
+    sigma2 = (
+        n_a * n_b / F.lit(12.0)
+        * ((F.col("n") + 1) - F.col("t_ties") / (F.col("n") * (F.col("n") - 1)))
+    )
+    out = stats.select(
+        n_a.alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        F.round((u_a - n_a * n_b / 2) / F.sqrt(sigma2), 6).alias("z_stat"),
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(ranked)
+    return result
+
+
+MWU_SQL = f"""
+WITH byval AS (
+  SELECT value, COUNT(*) AS cnt,
+         SUM(CASE WHEN {_ARM_SQL} = 0 THEN 1 ELSE 0 END) AS cnt_a
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT cnt, cnt_a,
+         SUM(CAST(cnt AS DECIMAL(30,6))) OVER (ORDER BY value) AS cum
+  FROM byval
+),
+stats AS (
+  SELECT CAST(SUM(CAST(cnt_a AS DECIMAL(30,6)) * (2 * cum - cnt + 1)) AS DOUBLE) AS r2_a,
+         CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+                       * CAST(cnt AS DECIMAL(12,0)) - cnt AS DECIMAL(38,0)))
+              AS DOUBLE) AS t_ties
+  FROM ranked
+)
+SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
+       ROUND(r2_a / 2 - n_a * (n_a + 1) / 2, 1) AS u_a,
+       ROUND((r2_a / 2 - n_a * (n_a + 1) / 2 - n_a * (n - n_a) / 2)
+             / SQRT(n_a * (n - n_a) / 12.0
+                    * ((n + 1) - t_ties / (n * (n - 1)))), 6) AS z_stat
+FROM stats
+"""
+
+QUERIES["events_mannwhitney_u"] = events_mannwhitney_u
+ORACLES["events_mannwhitney_u"] = MWU_SQL
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS between the hash arms: D = max over pooled values
+    of |ECDF_a - ECDF_b|. Both arms' cumulative counts come from ONE
+    two-phase scan over the value aggregate
+    (operators/packing.py::global_cumsums — the multi-measure scan:
+    one range shuffle, per-partition (count_a, count_b) bases
+    broadcast back), never two passes or a single-reducer window.
+    ``value_at_max`` is the smallest value attaining D (deterministic
+    under ties); ``ks_scaled`` = sqrt(n_a n_b / n) * D, the statistic
+    compared against the Kolmogorov distribution."""
+    from csdid_pyspark_spark.operators.packing import global_cumsums
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    byval = (
+        e.select(F.col("value"), _arm().alias("arm"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    mc = global_cumsums(byval, ["value"], ["cnt_a", "cnt_b"])
+    n_a, n_b = int(mc.totals["cnt_a"]), int(mc.totals["cnt_b"])
+    gaps = mc.df.select(
+        "value",
+        (
+            F.abs(
+                F.col("cum_cnt_a").cast("double") / F.lit(float(n_a))
+                - F.col("cum_cnt_b").cast("double") / F.lit(float(n_b))
+            )
+        ).alias("gap"),
+    )
+    dmax = gaps.agg(F.max("gap").alias("d"))
+    out = (
+        gaps.crossJoin(F.broadcast(dmax))
+        .filter(F.col("gap") == F.col("d"))
+        .agg(
+            F.lit(n_a).cast("bigint").alias("n_a"),
+            F.lit(n_b).cast("bigint").alias("n_b"),
+            F.round(F.min("d"), 6).alias("d_stat"),
+            F.round(
+                F.min("d")
+                * math.sqrt(n_a * n_b / float(n_a + n_b)),
+                6,
+            ).alias("ks_scaled"),
+            F.round(F.min("value"), 6).alias("value_at_max"),
+        )
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(mc.df)  # attachments don't survive .select(): release the carrier
+    return result
+
+
+KS_SQL = f"""
+WITH byval AS (
+  SELECT value,
+         SUM(CASE WHEN {_ARM_SQL} = 0 THEN 1 ELSE 0 END) AS cnt_a,
+         SUM(CASE WHEN {_ARM_SQL} = 1 THEN 1 ELSE 0 END) AS cnt_b
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b FROM byval),
+gaps AS (
+  SELECT value,
+         ABS(CAST(SUM(CAST(cnt_a AS DECIMAL(30,6))) OVER (ORDER BY value) AS DOUBLE)
+               / (SELECT CAST(n_a AS DOUBLE) FROM tot)
+             - CAST(SUM(CAST(cnt_b AS DECIMAL(30,6))) OVER (ORDER BY value) AS DOUBLE)
+               / (SELECT CAST(n_b AS DOUBLE) FROM tot)) AS gap
+  FROM byval
+)
+SELECT CAST((SELECT n_a FROM tot) AS BIGINT) AS n_a,
+       CAST((SELECT n_b FROM tot) AS BIGINT) AS n_b,
+       ROUND(MIN(gap), 6) AS d_stat,
+       ROUND(MIN(gap) * SQRT((SELECT n_a * n_b / CAST(n_a + n_b AS DOUBLE) FROM tot)),
+             6) AS ks_scaled,
+       ROUND(MIN(value), 6) AS value_at_max
+FROM gaps WHERE gap = (SELECT MAX(gap) FROM gaps)
+"""
+
+QUERIES["events_ks_test"] = events_ks_test
+ORACLES["events_ks_test"] = KS_SQL
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen
+# ---------------------------------------------------------------------------
+
+# Expected Benford mass log10(1 + 1/d), inlined as identical literals
+# in both engines (no runtime log in either data path).
+_BENFORD_P = {d: round(math.log10(1.0 + 1.0 / d), 12) for d in range(1, 10)}
+
+
+def _first_digit_spark() -> F.Column:
+    """First significant digit of a positive double by comparison
+    cascade — floor(x / 10^k) for the largest power of ten <= x. Pure
+    compare + divide + floor (identical IEEE ops in DuckDB), unlike a
+    log10-based extraction whose libm rounding at exact powers of ten
+    is engine-specific."""
+    x = F.col("o_totalprice")
+    expr = F.floor(x)  # x in [1, 10)
+    for k in range(1, 10):
+        p = float(10 ** k)
+        expr = F.when(x >= p, F.floor(x / F.lit(p))).otherwise(expr)
+    return expr.cast("int")
+
+
+def _first_digit_sql() -> str:
+    s = "FLOOR(o_totalprice)"
+    for k in range(1, 10):
+        p = float(10 ** k)
+        s = f"CASE WHEN o_totalprice >= {p!r} THEN FLOOR(o_totalprice / {p!r}) ELSE {s} END"
+    return f"CAST({s} AS INT)"
+
+
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the bulk-ledger anomaly screen (fabricated or
+    price-floored totals show up as digit-mass excess). One map-side
+    combinable aggregation over orders; expected masses are shared
+    12dp literals; chi2_term = (obs - n p)^2 / (n p) per digit sums to
+    the 8-df test statistic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    counts = o.select(_first_digit_spark().alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_digit")
+    )
+    tot = counts.agg(F.sum("n_digit").alias("tot"))
+    p_expr = F.lit(None).cast("double")
+    for d, p in _BENFORD_P.items():
+        p_expr = F.when(F.col("digit") == d, F.lit(p)).otherwise(p_expr)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("exp_n", F.col("tot") * p_expr)
+        .select(
+            "digit",
+            F.col("n_digit").cast("bigint").alias("n_digit"),
+            F.round(F.col("n_digit") / F.col("tot"), 6).alias("obs_freq"),
+            F.round(p_expr, 6).alias("exp_freq"),
+            F.round(
+                (F.col("n_digit") - F.col("exp_n"))
+                * (F.col("n_digit") - F.col("exp_n"))
+                / F.col("exp_n"),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# CAST ... AS DOUBLE matters: DuckDB parses a bare float literal as
+# DECIMAL, so without it exp_freq comes back typed Decimal (not
+# double) and the driver's typed compare rejects equal values.
+_BENFORD_CASE_SQL = "CAST(CASE digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+) + " END AS DOUBLE)"
+
+BENFORD_SQL = f"""
+WITH counts AS (
+  SELECT {_first_digit_sql()} AS digit, COUNT(*) AS n_digit
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+),
+tot AS (SELECT SUM(n_digit) AS tot FROM counts)
+SELECT digit, CAST(n_digit AS BIGINT) AS n_digit,
+       ROUND(n_digit / (SELECT CAST(tot AS DOUBLE) FROM tot), 6) AS obs_freq,
+       ROUND({_BENFORD_CASE_SQL}, 6) AS exp_freq,
+       ROUND((n_digit - (SELECT tot FROM tot) * {_BENFORD_CASE_SQL})
+             * (n_digit - (SELECT tot FROM tot) * {_BENFORD_CASE_SQL})
+             / ((SELECT tot FROM tot) * {_BENFORD_CASE_SQL}),
+             6) AS chi2_term
+FROM counts ORDER BY digit
+"""
+
+QUERIES["dq_benford_digits"] = dq_benford_digits
+ORACLES["dq_benford_digits"] = BENFORD_SQL

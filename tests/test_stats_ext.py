@@ -1,0 +1,143 @@
+"""Independent (numpy/pandas) pins for the distribution-comparison
+statistics in queries/stats_ext.py — a second implementation of each
+statistic from its textbook formula, deliberately NOT sharing the
+engine's decimal-moment / two-phase-rank machinery, so an algebra slip
+that happened to be mirrored into the SQL oracle would still be
+caught. Runs at sf0.001 (the statistics are scale-free)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from csdid_pyspark_spark.queries import stats_ext
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_pdf() -> pd.DataFrame:
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "value"])
+    df = df[df["value"].notna()].copy()
+    uid = df["user_id"].astype("int64").to_numpy()
+    df["arm"] = ((uid % 2**31) * 2654435761 % 2**32) // 2**31
+    return df
+
+
+def test_welch_ttest_vs_textbook(spark):
+    out = {
+        r["event_type"]: r
+        for r in stats_ext.events_welch_ttest(spark, SF).collect()
+    }
+    df = _events_pdf()
+    # mirror the engine's one edge rounding: value enters as DECIMAL(18,6)
+    df["v6"] = df["value"].round(6)
+    for et, g in df.groupby("event_type"):
+        a = g.loc[g.arm == 0, "v6"].to_numpy()
+        b = g.loc[g.arm == 1, "v6"].to_numpy()
+        ma, mb = a.mean(), b.mean()
+        sa = a.var(ddof=1) / len(a)
+        sb = b.var(ddof=1) / len(b)
+        t = (ma - mb) / math.sqrt(sa + sb)
+        dfw = (sa + sb) ** 2 / (sa**2 / (len(a) - 1) + sb**2 / (len(b) - 1))
+        r = out[et]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["mean_a"] == pytest.approx(ma, abs=2e-6)
+        assert r["t_stat"] == pytest.approx(t, rel=1e-5, abs=1e-5)
+        assert r["df_welch"] == pytest.approx(dfw, rel=1e-5)
+
+
+def test_mannwhitney_vs_textbook(spark):
+    r = stats_ext.events_mannwhitney_u(spark, SF).collect()[0]
+    df = _events_pdf()
+    ranks = df["value"].rank(method="average")
+    a = df["arm"].to_numpy() == 0
+    n_a, n_b = int(a.sum()), int((~a).sum())
+    r_a = float(ranks[a].sum())
+    u_a = r_a - n_a * (n_a + 1) / 2
+    n = n_a + n_b
+    _, counts = np.unique(df["value"].to_numpy(), return_counts=True)
+    ties = float((counts.astype(float) ** 3 - counts).sum())
+    sigma = math.sqrt(n_a * n_b / 12.0 * ((n + 1) - ties / (n * (n - 1))))
+    z = (u_a - n_a * n_b / 2) / sigma
+    assert r["n_a"] == n_a and r["n_b"] == n_b
+    assert r["u_a"] == pytest.approx(u_a, abs=0.51)
+    assert r["z_stat"] == pytest.approx(z, rel=1e-6, abs=1e-6)
+
+
+def test_ks_vs_textbook(spark):
+    r = stats_ext.events_ks_test(spark, SF).collect()[0]
+    df = _events_pdf()
+    a = np.sort(df.loc[df.arm == 0, "value"].to_numpy())
+    b = np.sort(df.loc[df.arm == 1, "value"].to_numpy())
+    pooled = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, pooled, side="right") / len(a)
+    cb = np.searchsorted(b, pooled, side="right") / len(b)
+    gaps = np.abs(ca - cb)
+    d = float(gaps.max())
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert r["d_stat"] == pytest.approx(d, abs=1e-6)
+    assert r["ks_scaled"] == pytest.approx(
+        d * math.sqrt(len(a) * len(b) / (len(a) + len(b))), abs=1e-5
+    )
+    assert r["value_at_max"] == pytest.approx(
+        float(pooled[np.argmax(gaps)]), abs=1e-6
+    )
+
+
+def test_benford_vs_string_digits(spark):
+    rows = {r["digit"]: r for r in stats_ext.dq_benford_digits(spark, SF).collect()}
+    tp = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])["o_totalprice"]
+    tp = tp[tp > 0]
+    digits = tp.apply(lambda x: int(str(int(x))[0]) if x >= 1 else int(f"{x:.9e}"[0]))
+    counts = digits.value_counts()
+    tot = int(counts.sum())
+    assert set(rows) == set(counts.index)
+    for d, n in counts.items():
+        p = math.log10(1 + 1 / d)
+        assert rows[d]["n_digit"] == n
+        assert rows[d]["obs_freq"] == pytest.approx(n / tot, abs=1e-6)
+        assert rows[d]["exp_freq"] == pytest.approx(p, abs=1e-6)
+        exp_n = tot * p
+        assert rows[d]["chi2_term"] == pytest.approx((n - exp_n) ** 2 / exp_n, rel=1e-4)
+
+
+def test_global_cumsums_matches_pandas(spark):
+    from csdid_pyspark_spark.cache import release_cache
+    from csdid_pyspark_spark.operators.packing import global_cumsums
+
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(1000)[::-1],  # reverse order input
+            "x": np.arange(1000) % 7,
+            "y": (np.arange(1000) % 13).astype(float) / 4,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    mc = global_cumsums(df, ["k"], ["x", "y"], num_partitions=8)
+    got = mc.df.orderBy("k").toPandas()
+    ordered = pdf.sort_values("k").reset_index(drop=True)
+    assert (got["rn"].to_numpy() == np.arange(1, 1001)).all()
+    np.testing.assert_allclose(
+        got["cum_x"].astype(float), ordered["x"].cumsum(), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["cum_y"].astype(float), ordered["y"].cumsum(), atol=1e-9
+    )
+    assert mc.total_count == 1000
+    assert float(mc.totals["x"]) == float(pdf["x"].sum())
+    assert float(mc.totals["y"]) == pytest.approx(float(pdf["y"].sum()))
+    release_cache(mc.df)
+
+
+def test_global_cumsums_no_single_partition_exchange(spark):
+    from csdid_pyspark_spark.cache import release_cache
+    from csdid_pyspark_spark.operators.packing import global_cumsums
+
+    df = spark.range(0, 5000).selectExpr("id AS k", "id % 5 AS x")
+    mc = global_cumsums(df, ["k"], ["x"], num_partitions=8)
+    plan = mc.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    release_cache(mc.df)
