@@ -30,6 +30,12 @@ integer arithmetic in Spark and DuckDB):
   classic bulk-data fraud/corruption screen). The digit comes from a
   pure comparison cascade — no log10 in the data path, so no
   cross-libm rounding hazard at power-of-ten boundaries.
+* ``events_autocorrelation`` — ACF of the daily event-count series at
+  lags 1..7, every sum an exact BIGINT (double math only on the final
+  per-lag scalars, written in oracle-identical operation order).
+* ``events_user_concentration`` — per-user modal-type-share decile
+  distribution, the automation screen; the decile is exact integer
+  division so bucketing never rides a float boundary.
 
 All hot-path math is built-in JVM expressions; every query has an
 ANSI oracle below. Outputs are rounded at 6dp only at the edge.
@@ -442,3 +448,165 @@ FROM counts ORDER BY digit
 
 QUERIES["dq_benford_digits"] = dq_benford_digits
 ORACLES["dq_benford_digits"] = BENFORD_SQL
+
+# ---------------------------------------------------------------------------
+# Daily-series autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the daily event-count series at lags 1..7 — the
+    week-structure screen that complements events_seasonality_strength
+    (which decomposes variance but reports no per-lag correlation).
+
+    r_k = sum_t (x_t - xbar)(x_{t+k} - xbar) / sum_t (x_t - xbar)^2
+    over observed day pairs, expanded so every SUM is an exact BIGINT
+    (counts, squares, and lag cross-products of daily counts — no
+    float accumulates across partitions; the only double math is the
+    per-lag scalar expression on those exact sums, written in the same
+    operation order as the oracle). The daily aggregate is the single
+    data-scale pass; the per-lag self-join runs on the tiny daily
+    frame with the lag spine and global moments broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("x"))
+    )
+    g = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            F.broadcast(b),
+            F.col("b.d") == F.date_add(F.col("a.d"), F.col("lag")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum(F.col("a.x") * F.col("b.x")).cast("bigint").alias("sxy"),
+            F.sum(F.col("a.x")).cast("bigint").alias("sx"),
+            F.sum(F.col("b.x")).cast("bigint").alias("sy"),
+        )
+    )
+    xbar = F.col("s").cast("double") / F.col("n")
+    numer = (
+        F.col("sxy").cast("double")
+        - xbar * F.col("sx")
+        - xbar * F.col("sy")
+        + F.col("m") * xbar * xbar
+    )
+    denom = F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return (
+        pairs.crossJoin(F.broadcast(g))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("m").alias("m_pairs"),
+            F.round(numer / denom, 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY 1
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS ss
+  FROM daily
+),
+lags AS (SELECT CAST(k AS INT) AS lag FROM range(1, 8) t(k)),
+pairs AS (
+  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(SUM(a.x) AS BIGINT) AS sx,
+         CAST(SUM(b.x) AS BIGINT) AS sy
+  FROM lags l, daily a
+  JOIN daily b ON b.d = a.d + l.lag
+  GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, m AS m_pairs,
+       ROUND((CAST(sxy AS DOUBLE)
+              - (CAST(s AS DOUBLE) / n) * sx
+              - (CAST(s AS DOUBLE) / n) * sy
+              + m * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n),
+             6) AS acf
+FROM pairs, g ORDER BY lag
+"""
+
+QUERIES["events_autocorrelation"] = events_autocorrelation
+ORACLES["events_autocorrelation"] = ACF_SQL
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral concentration (automation screen)
+# ---------------------------------------------------------------------------
+
+
+def events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user event-type concentration — the
+    max-share decile screen that flags automation (a scripted client
+    hammers one event_type, so its top-type share sits at 1.0 while
+    organic users spread across types). Per user: c_max = count of the
+    modal type, n_ev = total events; the decile is the EXACT integer
+    (10 * c_max) div n_ev (1..10; 10 means single-type), so bucket
+    assignment never rides on a float boundary. Two map-side-combinable
+    shuffles on user keys, then a tiny decile aggregate — nothing
+    data-scale crosses the driver."""
+    e = load_table(spark, sf_dir, "events")
+    per_ut = (
+        e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    )
+    per_user = per_ut.groupBy("user_id").agg(
+        F.sum("c").alias("n_ev"),
+        F.max("c").alias("c_max"),
+        F.count("*").alias("n_types"),
+    )
+    return (
+        per_user.select(
+            F.expr("(10 * c_max) div n_ev").cast("bigint").alias("decile"),
+            "n_ev",
+            "n_types",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_ev").cast("bigint").alias("total_events"),
+            F.round(F.sum("n_ev").cast("double") / F.count("*"), 6).alias(
+                "avg_events"
+            ),
+            F.round(F.sum("n_types").cast("double") / F.count("*"), 6).alias(
+                "avg_types"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+CONCENTRATION_SQL = """
+WITH per_ut AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, SUM(c) AS n_ev, MAX(c) AS c_max, COUNT(*) AS n_types
+  FROM per_ut GROUP BY 1
+)
+SELECT CAST((10 * c_max) // n_ev AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_ev) AS BIGINT) AS total_events,
+       ROUND(CAST(SUM(n_ev) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+       ROUND(CAST(SUM(n_types) AS DOUBLE) / COUNT(*), 6) AS avg_types
+FROM per_user GROUP BY 1 ORDER BY decile
+"""
+
+QUERIES["events_user_concentration"] = events_user_concentration
+ORACLES["events_user_concentration"] = CONCENTRATION_SQL

@@ -54,9 +54,11 @@ def test_splitmix_sign_deterministic_and_balanced(uhs, seed):
     # different draw index decorrelates: the collision chance is
     # 2^-distinct (identical hashes share one coin flip), so only
     # assert when there are enough DISTINCT hashes to make a repeat
-    # astronomically unlikely, not merely enough array elements.
+    # astronomically unlikely (2^-30 ~ 1e-9), not merely enough array
+    # elements. 8 distinct was a 1/256-per-example flake — observed at
+    # the expected chance rate, confirmed uncorrelated at larger n.
     s3 = _splitmix_sign(arr, 4, seed)
-    assert len(np.unique(arr)) < 8 or not (s1 == s3).all()
+    assert len(np.unique(arr)) < 30 or not (s1 == s3).all()
 
 
 def test_salted_join_equivalence(spark):

@@ -104,6 +104,52 @@ def test_benford_vs_string_digits(spark):
         assert rows[d]["chi2_term"] == pytest.approx((n - exp_n) ** 2 / exp_n, rel=1e-4)
 
 
+def test_autocorrelation_vs_pandas(spark):
+    out = {r["lag"]: r for r in stats_ext.events_autocorrelation(spark, SF).collect()}
+    ts = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])["ts"]
+    daily = ts.dt.normalize().value_counts().sort_index()
+    days = list(daily.index)  # pd.Timestamp keys so lookups hash-match
+    x = daily.to_numpy().astype(float)
+    by_day = dict(zip(days, x))
+    xbar = x.mean()
+    denom = float(((x - xbar) ** 2).sum())
+    for k in range(1, 8):
+        pairs = [
+            (x_t, by_day[d + pd.Timedelta(days=k)])
+            for d, x_t in zip(days, x)
+            if d + pd.Timedelta(days=k) in by_day
+        ]
+        if not pairs:
+            assert k not in out
+            continue
+        a = np.array([p[0] for p in pairs])
+        b = np.array([p[1] for p in pairs])
+        acf = float(((a - xbar) * (b - xbar)).sum()) / denom
+        r = out[k]
+        assert r["m_pairs"] == len(pairs)
+        assert r["acf"] == pytest.approx(acf, abs=1e-6)
+
+
+def test_user_concentration_vs_pandas(spark):
+    out = {r["decile"]: r for r in stats_ext.events_user_concentration(spark, SF).collect()}
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    per_ut = df.groupby(["user_id", "event_type"]).size().rename("c").reset_index()
+    per_user = per_ut.groupby("user_id").agg(
+        n_ev=("c", "sum"), c_max=("c", "max"), n_types=("c", "size")
+    )
+    per_user["decile"] = (10 * per_user["c_max"]) // per_user["n_ev"]
+    grp = per_user.groupby("decile")
+    assert set(out) == set(grp.groups)
+    assert sum(r["n_users"] for r in out.values()) == len(per_user)
+    for dec, g in grp:
+        r = out[dec]
+        assert r["n_users"] == len(g)
+        assert r["total_events"] == int(g["n_ev"].sum())
+        assert r["avg_events"] == pytest.approx(g["n_ev"].mean(), abs=1e-6)
+        assert r["avg_types"] == pytest.approx(g["n_types"].mean(), abs=1e-6)
+    assert all(1 <= d <= 10 for d in out)
+
+
 def test_global_cumsums_matches_pandas(spark):
     from csdid_pyspark_spark.cache import release_cache
     from csdid_pyspark_spark.operators.packing import global_cumsums
