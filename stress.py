@@ -918,12 +918,100 @@ def run_stream(spark, n_events: int, n_files: int = 8) -> dict:
     }
 
 
+def run_stats(spark, n_events: int) -> dict:
+    """Distribution-statistics rehearsal: the stats_ext family (daily
+    ACF, user-concentration deciles, Welch t) executed through the
+    REAL query entry points over a synthetic events table written to a
+    temp dir in the testdata layout — covering load_table
+    normalization, the hash-arm split, and the exact-BIGINT/DECIMAL
+    aggregation paths at n_events scale. A weekly intensity modulation
+    (weekend days keep 2x the rows) plants a true lag-7
+    autocorrelation the ACF must recover as the max over lags 1..7;
+    1-in-50 users emit a single event_type so the decile-10 automation
+    bucket is populated. Every query returns O(10) rows, so the driver
+    must stay flat and wall ~linear in n_events."""
+    import shutil
+    import tempfile
+
+    from csdid_pyspark_spark.queries import stats_ext
+
+    tmp = tempfile.mkdtemp(prefix="stress_stats_")
+    try:
+        h = lambda k: F.abs(F.xxhash64("id", F.lit(k)))  # noqa: E731
+        n_users = max(n_events // 50, 100)
+        day = F.pmod(h(0), F.lit(364))
+        uid = F.pmod(h(4), F.lit(n_users))
+        events = (
+            spark.range(n_events)
+            # weekend (dow 0/1) keeps 8/10 rows, weekdays 4/10: an
+            # exactly period-7 daily-count series
+            .filter(
+                F.pmod(h(1), F.lit(10))
+                < F.when(F.pmod(day, F.lit(7)) < 2, 8).otherwise(4)
+            )
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(1735689600)
+                    + day * 86400
+                    + F.pmod(h(2), F.lit(86400))
+                ).alias("ts"),
+                uid.alias("user_id"),
+                F.concat(
+                    F.lit("type_"),
+                    # 1-in-50 users are single-type automation
+                    F.when(F.pmod(uid, F.lit(50)) == 0, F.lit(0)).otherwise(
+                        F.pmod(h(3), F.lit(8))
+                    ),
+                ).alias("event_type"),
+                (F.pmod(h(5), F.lit(100000)) / F.lit(7.0)).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        t0 = time.perf_counter()
+        events.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        write_sec = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        acf = {r["lag"]: r["acf"] for r in
+               stats_ext.events_autocorrelation(spark, tmp).collect()}
+        acf_sec = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        conc = {r["decile"]: r["n_users"] for r in
+                stats_ext.events_user_concentration(spark, tmp).collect()}
+        conc_sec = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        welch = stats_ext.events_welch_ttest(spark, tmp).collect()
+        welch_sec = round(time.perf_counter() - t0, 1)
+
+        return {
+            "metric": "stress_stats",
+            "events_kept": int(
+                spark.read.parquet(f"{tmp}/events.parquet").count()
+            ),
+            "write_sec": write_sec,
+            "acf_sec": acf_sec,
+            "acf_lag7": acf.get(7),
+            "acf_max_lag": max(acf, key=lambda k: acf[k]),
+            "conc_sec": conc_sec,
+            "decile10_users": int(conc.get(10, 0)),
+            "welch_sec": welch_sec,
+            "welch_rows": len(welch),
+            "max_abs_t": max(abs(r["t_stat"]) for r in welch),
+            **_driver_memory(),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "panel"
     if args and args[0] in (
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
-        "stream", "cdc", "hll", "cic", "conformal", "pit",
+        "stream", "cdc", "hll", "cic", "conformal", "pit", "stats",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -961,6 +1049,9 @@ def main() -> None:
     elif mode == "pit":
         n_facts = int(args[0]) if args else 50_000_000
         out = run_pit(spark, n_facts)
+    elif mode == "stats":
+        n_events = int(args[0]) if args else 50_000_000
+        out = run_stats(spark, n_events)
     elif mode == "docs":
         n_docs = int(args[0]) if args else 25_000
         out = run_docs(spark, n_docs)
