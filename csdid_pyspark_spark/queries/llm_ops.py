@@ -4951,3 +4951,94 @@ FROM pairs GROUP BY corpus_id ORDER BY train_id
 
 QUERIES["decontam_neardup"] = decontam_neardup
 ORACLES["decontam_neardup"] = DECONTAM_NEARDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split that can never leak
+    a duplicate across splits: the split key is the CONTENT fingerprint
+    (md5 of whitespace-normalized lowercase text — the same identity as
+    dedup_exact_groups), not the doc_id, so byte-identical documents
+    land in the same split by construction. The first two hex chars of
+    the fingerprint give 256 deterministic buckets (train < 0xcd =
+    205/256 ~ 80.1%, val < 0xe7 ~ 10.2%, test the rest) — no RNG, so
+    the split is reproducible across runs, engines, and repartitions.
+    ``leaked_fp`` COMPUTES (not assumes) the number of fingerprints
+    spanning >1 split — the invariant the report exists to certify.
+    Plan: one fingerprint shuffle for the leak audit + one tiny split
+    aggregate; both map-side combinable, nothing data-scale reaches
+    the driver."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    b = F.substring(fp, 1, 2)
+    split = (
+        F.when(b < "cd", "train").when(b < "e7", "val").otherwise("test")
+    )
+    docs = d.select(fp.alias("fp"), split.alias("split"), "source")
+    leaks = (
+        docs.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_fp")
+        )
+    )
+    per_split = docs.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_fp"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    tot = per_split.agg(F.sum("n_docs").alias("tot"))
+    return (
+        per_split.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "n_fp",
+            "n_sources",
+            F.round(F.col("n_docs") / F.col("tot"), 6).alias("share"),
+            "leaked_fp",
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_LEAKAGE_SQL = r"""
+WITH docs AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         source
+  FROM documents
+),
+labeled AS (
+  SELECT fp, source,
+         CASE WHEN substring(fp, 1, 2) < 'cd' THEN 'train'
+              WHEN substring(fp, 1, 2) < 'e7' THEN 'val'
+              ELSE 'test' END AS split
+  FROM docs
+),
+leaks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS leaked_fp FROM (
+    SELECT fp FROM labeled GROUP BY fp HAVING COUNT(DISTINCT split) > 1
+  )
+),
+per_split AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM labeled GROUP BY split
+)
+SELECT split, n_docs, n_fp, n_sources,
+       ROUND(n_docs / (SELECT CAST(SUM(n_docs) AS DOUBLE) FROM per_split), 6)
+         AS share,
+       (SELECT leaked_fp FROM leaks) AS leaked_fp
+FROM per_split ORDER BY split
+"""
+
+QUERIES["docs_split_leakage_safe"] = docs_split_leakage_safe
+ORACLES["docs_split_leakage_safe"] = SPLIT_LEAKAGE_SQL

@@ -147,3 +147,36 @@ def test_embedding_truncation_distortion_sane(spark, sf_dir):
     assert r["mean_abs_delta"] > 0
     assert 0 <= r["frac_moved_gt_01"] <= 1
     assert r["max_abs_delta"] >= r["mean_abs_delta"]
+
+
+def test_split_leakage_safe_invariants(spark, sf_dir):
+    """Shares must sit near the 205/26/25-of-256 design, the computed
+    leak count must be zero on real data (identity is the content
+    fingerprint, so leakage is impossible by construction — the query
+    must PROVE it), and a planted byte-identical duplicate pair must
+    land in one split."""
+    from csdid_pyspark_spark.queries.llm_ops import docs_split_leakage_safe
+
+    rows = {r["split"]: r for r in docs_split_leakage_safe(spark, sf_dir).collect()}
+    assert set(rows) <= {"train", "val", "test"}
+    tot = sum(r["n_docs"] for r in rows.values())
+    assert abs(rows["train"]["n_docs"] / tot - 205 / 256) < 0.05
+    for r in rows.values():
+        assert r["leaked_fp"] == 0
+        assert r["n_fp"] <= r["n_docs"]
+
+    # planted duplicates: same normalized text => same fingerprint =>
+    # same split label, regardless of doc_id or source
+    df = spark.createDataFrame(
+        [(i, f"  Some Text {i % 7}  ", "a" if i % 2 else "b") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    b = F.substring(fp, 1, 2)
+    lab = df.select(
+        fp.alias("fp"),
+        F.when(b < "cd", "train").when(b < "e7", "val").otherwise("test").alias("s"),
+    )
+    spans = lab.groupBy("fp").agg(F.countDistinct("s").alias("ns"))
+    assert spans.filter(F.col("ns") > 1).count() == 0
+    assert spans.count() == 7
