@@ -5042,3 +5042,128 @@ FROM per_split ORDER BY split
 
 QUERIES["docs_split_leakage_safe"] = docs_split_leakage_safe
 ORACLES["docs_split_leakage_safe"] = SPLIT_LEAKAGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Cluster-safe split: near-dup clusters assigned to splits atomically
+# ---------------------------------------------------------------------------
+
+
+def docs_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stronger leakage guard over docs_split_leakage_safe: exact
+    fingerprint splitting still lets a NEAR-duplicate pair straddle
+    train/test (the eval-contamination failure mode), so here the split
+    key is the near-dup CLUSTER id (min doc_id of the Jaccard component,
+    the dedup_components identity; singletons key on themselves). Every
+    cluster lands in one split whole. The bucket is the masked Knuth
+    remix of the cluster id onto 0..255 (train < 205 ~ 80.1%, val < 231
+    ~ 10.2%) — pure int64 arithmetic, identical in DuckDB, no RNG.
+    ``leaked_clusters`` computes the number of clusters spanning >1
+    split (the certified invariant). Plan: the df-capped pair join +
+    checkpointed min-label propagation (constant lineage per round),
+    then the node->comp map joins back to documents keyed on doc_id (a
+    doc-scale equi-join, NOT a broadcast — the cluster map grows with
+    the corpus); all aggregates are map-side combinable."""
+    from csdid_pyspark_spark.cache import release_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _neardup_pairs(d)
+    comp = dedup.components(pairs)
+    release_cache(pairs)
+    docs = (
+        d.select("doc_id")
+        .join(
+            comp.select(F.col("node").alias("doc_id"), "comp"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = F.expr(
+        "pmod(pmod(cluster_id, 2147483648) * 2654435761, 4294967296)"
+        " div 16777216"
+    )
+    labeled = docs.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 205, "train")
+        .when(bucket < 231, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leaks = (
+        labeled.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_clusters")
+        )
+    )
+    per_split = labeled.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+    tot = per_split.agg(F.sum("n_docs").alias("tot"))
+    return (
+        per_split.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.round(F.col("n_docs") / F.col("tot"), 6).alias("share"),
+            "leaked_clusters",
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_CLUSTER_SQL = r"""
+WITH RECURSIVE """ + _NEARDUP_PAIRS_CTES + r""",
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.r
+),
+comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+docs AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+labeled AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296
+                   // 16777216 < 205 THEN 'train'
+              WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296
+                   // 16777216 < 231 THEN 'val'
+              ELSE 'test' END AS split
+  FROM docs
+),
+leaks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS leaked_clusters FROM (
+    SELECT cluster_id FROM labeled GROUP BY cluster_id
+    HAVING COUNT(DISTINCT split) > 1
+  )
+),
+per_split AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+  FROM labeled GROUP BY split
+)
+SELECT split, n_docs, n_clusters,
+       ROUND(n_docs / (SELECT CAST(SUM(n_docs) AS DOUBLE) FROM per_split), 6)
+         AS share,
+       (SELECT leaked_clusters FROM leaks) AS leaked_clusters
+FROM per_split ORDER BY split
+"""
+
+QUERIES["docs_split_cluster_safe"] = docs_split_cluster_safe
+ORACLES["docs_split_cluster_safe"] = SPLIT_CLUSTER_SQL

@@ -52,6 +52,9 @@ CACHE_USERS = [
     "pack_offsets",
     "pack_epoch_shuffle",
     "global_row_number",
+    "events_mannwhitney_u",
+    "events_ks_test",
+    "docs_split_cluster_safe",
 ]
 
 SMOKE_SF = "/root/testdata/sf0.001"
