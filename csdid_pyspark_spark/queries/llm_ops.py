@@ -4958,6 +4958,23 @@ ORACLES["decontam_neardup"] = DECONTAM_NEARDUP_SQL
 # ---------------------------------------------------------------------------
 
 
+def _fp_split() -> F.Column:
+    """The 80/10/10 content-fingerprint split label (see
+    docs_split_leakage_safe): md5 of whitespace-normalized lowercase
+    text, bucketed on the first two hex chars."""
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    b = F.substring(fp, 1, 2)
+    return F.when(b < "cd", "train").when(b < "e7", "val").otherwise("test")
+
+
+_FP_SPLIT_SQL = r"""CASE
+  WHEN substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2)
+       < 'cd' THEN 'train'
+  WHEN substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2)
+       < 'e7' THEN 'val'
+  ELSE 'test' END"""
+
+
 def docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split that can never leak
     a duplicate across splits: the split key is the CONTENT fingerprint
@@ -5167,3 +5184,78 @@ FROM per_split ORDER BY split
 
 QUERIES["docs_split_cluster_safe"] = docs_split_cluster_safe
 ORACLES["docs_split_cluster_safe"] = SPLIT_CLUSTER_SQL
+
+
+# ---------------------------------------------------------------------------
+# Split balance audit (source-mix homogeneity per split)
+# ---------------------------------------------------------------------------
+
+
+def docs_split_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity of each split's source mix against the
+    corpus mix — the audit that catches a biased split (a hash split
+    should be source-balanced; a skewed chi2 means the fingerprint
+    correlates with source, e.g. one source is all boilerplate
+    duplicates). Per split: chi2 = sum over sources of
+    (obs - n_split * p_src)^2 / (n_split * p_src), with p_src the
+    corpus share. One (source, split) count aggregate — integer-exact
+    — then scalar double math on the tiny cross table; df =
+    n_sources - 1."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = (
+        d.select(_fp_split().alias("split"), "source")
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("c"))
+    )
+    src_tot = cell.groupBy("source").agg(F.sum("c").alias("c_src"))
+    split_tot = cell.groupBy("split").agg(F.sum("c").alias("n_split"))
+    grand = cell.agg(F.sum("c").alias("n"))
+    exp = (
+        F.col("n_split").cast("double")
+        * F.col("c_src")
+        / F.col("n")
+    )
+    return (
+        cell.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(split_tot), "split")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "split",
+            "n_split",
+            ((F.col("c") - exp) * (F.col("c") - exp) / exp).alias("term"),
+        )
+        .groupBy("split")
+        .agg(
+            F.max("n_split").cast("bigint").alias("n_docs"),
+            F.round(F.sum("term"), 6).alias("chi2"),
+            (F.count("*") - 1).cast("bigint").alias("df"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_BALANCE_SQL = rf"""
+WITH cell AS (
+  SELECT {_FP_SPLIT_SQL} AS split, source, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+src_tot AS (SELECT source, SUM(c) AS c_src FROM cell GROUP BY 1),
+split_tot AS (SELECT split, SUM(c) AS n_split FROM cell GROUP BY 1),
+grand AS (SELECT SUM(c) AS n FROM cell),
+terms AS (
+  SELECT cell.split, st.n_split,
+         (cell.c - CAST(st.n_split AS DOUBLE) * s.c_src / (SELECT n FROM grand))
+         * (cell.c - CAST(st.n_split AS DOUBLE) * s.c_src / (SELECT n FROM grand))
+         / (CAST(st.n_split AS DOUBLE) * s.c_src / (SELECT n FROM grand)) AS term
+  FROM cell
+  JOIN src_tot s ON s.source = cell.source
+  JOIN split_tot st ON st.split = cell.split
+)
+SELECT split, CAST(MAX(n_split) AS BIGINT) AS n_docs,
+       ROUND(SUM(term), 6) AS chi2,
+       CAST(COUNT(*) - 1 AS BIGINT) AS df
+FROM terms GROUP BY split ORDER BY split
+"""
+
+QUERIES["docs_split_source_balance"] = docs_split_source_balance
+ORACLES["docs_split_source_balance"] = SPLIT_BALANCE_SQL
