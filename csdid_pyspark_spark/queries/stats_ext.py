@@ -460,23 +460,28 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which decomposes variance but reports no per-lag correlation).
 
     r_k = sum_t (x_t - xbar)(x_{t+k} - xbar) / sum_t (x_t - xbar)^2
-    over observed day pairs, expanded so every SUM is an exact BIGINT
-    (counts, squares, and lag cross-products of daily counts — no
-    float accumulates across partitions; the only double math is the
-    per-lag scalar expression on those exact sums, written in the same
-    operation order as the oracle). The daily aggregate is the single
-    data-scale pass; the per-lag self-join runs on the tiny daily
-    frame with the lag spine and global moments broadcast."""
+    over observed day pairs, expanded so every SUM is exact (counts,
+    squares, and lag cross-products of daily counts — no float
+    accumulates across partitions; the only double math is the per-lag
+    scalar expression on those exact sums, written in the same
+    operation order as the oracle). Squares and cross-products widen
+    through DECIMAL(14,0) before summing — at 100 TB a day can hold
+    ~3e8 events, so sum(x^2) ~ 3e19 silently wraps int64 in non-ANSI
+    Spark while DuckDB promotes; DECIMAL(38,0) keeps both engines
+    exact and identical up to 1e14 events/day. The daily aggregate is
+    the single data-scale pass; the per-lag self-join runs on the tiny
+    daily frame with the lag spine and global moments broadcast."""
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.select(F.col("ts").cast("date").alias("d"))
         .groupBy("d")
         .agg(F.count("*").alias("x"))
     )
+    x14 = F.col("x").cast("decimal(14,0)")
     g = daily.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+        F.sum(x14 * x14).cast("decimal(38,0)").alias("ss"),
     )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     a = daily.alias("a")
@@ -491,7 +496,10 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count("*").cast("bigint").alias("m"),
-            F.sum(F.col("a.x") * F.col("b.x")).cast("bigint").alias("sxy"),
+            F.sum(
+                F.col("a.x").cast("decimal(14,0)")
+                * F.col("b.x").cast("decimal(14,0)")
+            ).cast("decimal(38,0)").alias("sxy"),
             F.sum(F.col("a.x")).cast("bigint").alias("sx"),
             F.sum(F.col("b.x")).cast("bigint").alias("sy"),
         )
@@ -521,13 +529,15 @@ WITH daily AS (
 ),
 g AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
-         CAST(SUM(x * x) AS BIGINT) AS ss
+         CAST(SUM(CAST(x AS DECIMAL(14,0)) * CAST(x AS DECIMAL(14,0)))
+              AS DECIMAL(38,0)) AS ss
   FROM daily
 ),
 lags AS (SELECT CAST(k AS INT) AS lag FROM range(1, 8) t(k)),
 pairs AS (
   SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS m,
-         CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(a.x AS DECIMAL(14,0)) * CAST(b.x AS DECIMAL(14,0)))
+              AS DECIMAL(38,0)) AS sxy,
          CAST(SUM(a.x) AS BIGINT) AS sx,
          CAST(SUM(b.x) AS BIGINT) AS sy
   FROM lags l, daily a
