@@ -5196,10 +5196,13 @@ def docs_split_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus mix — the audit that catches a biased split (a hash split
     should be source-balanced; a skewed chi2 means the fingerprint
     correlates with source, e.g. one source is all boilerplate
-    duplicates). Per split: chi2 = sum over sources of
+    duplicates). Per split: chi2 = sum over ALL corpus sources of
     (obs - n_split * p_src)^2 / (n_split * p_src), with p_src the
-    corpus share. One (source, split) count aggregate — integer-exact
-    — then scalar double math on the tiny cross table; df =
+    corpus share — built on the splits x sources SPINE so a source a
+    split never drew still contributes its full expected mass
+    (dropping empty cells understates chi2 exactly when the split is
+    worst). One (source, split) count aggregate — integer-exact —
+    then scalar double math on the tiny cross table; df =
     n_sources - 1."""
     d = load_table(spark, sf_dir, "documents")
     cell = (
@@ -5210,19 +5213,20 @@ def docs_split_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_tot = cell.groupBy("source").agg(F.sum("c").alias("c_src"))
     split_tot = cell.groupBy("split").agg(F.sum("c").alias("n_split"))
     grand = cell.agg(F.sum("c").alias("n"))
+    spine = split_tot.crossJoin(F.broadcast(src_tot))
     exp = (
         F.col("n_split").cast("double")
         * F.col("c_src")
         / F.col("n")
     )
+    obs = F.coalesce(F.col("c"), F.lit(0))
     return (
-        cell.join(F.broadcast(src_tot), "source")
-        .join(F.broadcast(split_tot), "split")
+        spine.join(F.broadcast(cell), ["split", "source"], "left")
         .crossJoin(F.broadcast(grand))
         .select(
             "split",
             "n_split",
-            ((F.col("c") - exp) * (F.col("c") - exp) / exp).alias("term"),
+            ((obs - exp) * (obs - exp) / exp).alias("term"),
         )
         .groupBy("split")
         .agg(
@@ -5243,13 +5247,13 @@ src_tot AS (SELECT source, SUM(c) AS c_src FROM cell GROUP BY 1),
 split_tot AS (SELECT split, SUM(c) AS n_split FROM cell GROUP BY 1),
 grand AS (SELECT SUM(c) AS n FROM cell),
 terms AS (
-  SELECT cell.split, st.n_split,
-         (cell.c - CAST(st.n_split AS DOUBLE) * s.c_src / (SELECT n FROM grand))
-         * (cell.c - CAST(st.n_split AS DOUBLE) * s.c_src / (SELECT n FROM grand))
+  SELECT st.split, st.n_split,
+         (COALESCE(cell.c, 0) - CAST(st.n_split AS DOUBLE) * s.c_src / (SELECT n FROM grand))
+         * (COALESCE(cell.c, 0) - CAST(st.n_split AS DOUBLE) * s.c_src / (SELECT n FROM grand))
          / (CAST(st.n_split AS DOUBLE) * s.c_src / (SELECT n FROM grand)) AS term
-  FROM cell
-  JOIN src_tot s ON s.source = cell.source
-  JOIN split_tot st ON st.split = cell.split
+  FROM split_tot st
+  CROSS JOIN src_tot s
+  LEFT JOIN cell ON cell.split = st.split AND cell.source = s.source
 )
 SELECT split, CAST(MAX(n_split) AS BIGINT) AS n_docs,
        ROUND(SUM(term), 6) AS chi2,
