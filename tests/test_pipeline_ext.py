@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from csdid_pyspark_spark.operators import linkage
@@ -180,3 +181,17 @@ def test_split_leakage_safe_invariants(spark, sf_dir):
     spans = lab.groupBy("fp").agg(F.countDistinct("s").alias("ns"))
     assert spans.filter(F.col("ns") > 1).count() == 0
     assert spans.count() == 7
+
+
+def test_split_cluster_safe_invariants(spark, sf_dir):
+    """Every near-dup cluster must land in one split (computed
+    leaked_clusters == 0), n_clusters <= n_docs per split, and the
+    shares must sum to 1."""
+    from csdid_pyspark_spark.queries.llm_ops import docs_split_cluster_safe
+
+    rows = list(docs_split_cluster_safe(spark, sf_dir).collect())
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=2e-6)
+    for r in rows:
+        assert r["leaked_clusters"] == 0
+        assert r["n_clusters"] <= r["n_docs"]
