@@ -403,6 +403,7 @@ def global_cumsums(
 class GroupedRanks(NamedTuple):
     df: DataFrame          # input + rank_col (1-based within each group)
     group_counts: dict     # group key tuple -> row count
+    group_sums: dict | None = None  # group key tuple -> sum_col total (Decimal)
 
 
 def grouped_rank(
@@ -411,6 +412,7 @@ def grouped_rank(
     order_cols: list[str],
     rank_col: str = "rn",
     num_partitions: int | None = None,
+    sum_col: str | None = None,
 ) -> GroupedRanks:
     """Per-GROUP global ranks for several distributions in ONE job —
     the multi-distribution companion to :func:`global_row_number`.
@@ -426,7 +428,15 @@ def grouped_rank(
     same light pass (the order-statistic consumers always need n).
 
     Pass a unique tiebreak in ``order_cols`` for deterministic
-    output."""
+    output.
+
+    With ``sum_col`` the same light pass also carries per-(partition,
+    group) sums of that measure, and the output gains
+    ``cum_<sum_col>`` — the per-group INCLUSIVE cumulative sum in
+    order — plus per-group totals in ``group_sums``. The measure is
+    widened to DECIMAL(38,6) so the cumsum is exact and independent of
+    partial-aggregation order (pass integer-valued or
+    already-rounded-to-6dp measures)."""
     keys = list(group_cols)
     o = df
     n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
@@ -436,27 +446,44 @@ def grouped_rank(
         .withColumn("_pid", F.spark_partition_id())
     )
     part = part.persist()
-    stats = (
-        part.groupBy("_pid", *keys).agg(F.count("*").alias("c")).collect()
-    )
+    aggs = [F.count("*").alias("c")]
+    if sum_col is not None:
+        aggs.append(
+            F.sum(F.col(sum_col).cast("decimal(38,6)")).alias("s")
+        )
+    stats = part.groupBy("_pid", *keys).agg(*aggs).collect()
     # exclusive base per (pid, group): rows of the SAME group in lower pids
+    from decimal import Decimal
+
     per_group: dict = {}
+    per_group_sum: dict = {}
     bases = []
     for r in sorted(stats, key=lambda r: (tuple(r[k] for k in keys), r["_pid"])):
         gk = tuple(r[k] for k in keys)
         acc = per_group.get(gk, 0)
-        bases.append((r["_pid"], *gk, acc))
+        if sum_col is not None:
+            sacc = per_group_sum.get(gk, Decimal(0))
+            bases.append((r["_pid"], *gk, acc, sacc))
+            per_group_sum[gk] = sacc + (r["s"] or Decimal(0))
+        else:
+            bases.append((r["_pid"], *gk, acc))
         per_group[gk] = acc + r["c"]
     spark = df.sparkSession
     key_schema = ", ".join(f"{k} {t}" for k, t in df.select(*keys).dtypes)
-    base_df = F.broadcast(
-        spark.createDataFrame(bases, f"_pid int, {key_schema}, _base bigint")
-    )
+    base_schema = f"_pid int, {key_schema}, _base bigint"
+    if sum_col is not None:
+        base_schema += ", _bsum decimal(38,6)"
+    base_df = F.broadcast(spark.createDataFrame(bases, base_schema))
     w = Window.partitionBy("_pid", *keys).orderBy(*order_cols)
-    out = _attach_cache(
-        part.join(base_df, ["_pid", *keys])
-        .withColumn(rank_col, (F.row_number().over(w) + F.col("_base")).cast("bigint"))
-        .drop("_pid", "_base"),
-        part,
+    joined = part.join(base_df, ["_pid", *keys]).withColumn(
+        rank_col, (F.row_number().over(w) + F.col("_base")).cast("bigint")
     )
-    return GroupedRanks(out, per_group)
+    if sum_col is not None:
+        wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        joined = joined.withColumn(
+            f"cum_{sum_col}",
+            F.sum(F.col(sum_col).cast("decimal(38,6)")).over(wrows)
+            + F.col("_bsum"),
+        )
+    out = _attach_cache(joined.drop("_pid", "_base", "_bsum"), part)
+    return GroupedRanks(out, per_group, per_group_sum if sum_col is not None else None)

@@ -2591,3 +2591,83 @@ def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sketch_hll_partitioned_union"] = sketch_hll_partitioned_union
+
+
+# ---------------------------------------------------------------------------
+# Grouped weighted median (exact, two-phase grouped scan)
+# ---------------------------------------------------------------------------
+
+
+def groupby_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median of l_extendedprice per return
+    flag — the robust per-segment price statistic groupby_median can't
+    give (percentile() weights every row equally). Lower weighted
+    median: the smallest price whose inclusive cumulative weight
+    reaches half the group total, decided on exact DECIMAL weights
+    (2*cum >= tot — no float boundary). The cumulative weights come
+    from operators/packing.py::grouped_rank with sum_col: ONE range
+    shuffle over (flag, price) on the VALUE-AGGREGATED table plus a
+    broadcast of per-(partition, group) bases — never a
+    whole-group-through-one-task ``SUM() OVER (PARTITION BY flag
+    ORDER BY price)`` window."""
+    from csdid_pyspark_spark.cache import release_cache
+    from csdid_pyspark_spark.operators.packing import grouped_rank
+
+    l = load_table(spark, sf_dir, "lineitem")
+    byv = (
+        l.groupBy("l_returnflag", "l_extendedprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("w")
+        )
+    )
+    gr = grouped_rank(
+        byv, ["l_returnflag"], ["l_extendedprice"], sum_col="w"
+    )
+    tot = F.broadcast(
+        spark.createDataFrame(
+            [(k[0], v) for k, v in sorted(gr.group_sums.items())],
+            "l_returnflag string, tot decimal(38,6)",
+        )
+    )
+    out = (
+        gr.df.join(tot, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("tot").cast("double"), 6).alias("total_weight"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum_w") * 2 >= F.col("tot"),
+                        F.col("l_extendedprice"),
+                    )
+                ),
+                6,
+            ).alias("wmedian"),
+        )
+        .orderBy("l_returnflag")
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(gr.df)
+    return result
+
+
+GROUPBY_WMEDIAN_SQL = """
+WITH byv AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, l_extendedprice, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM byv
+)
+SELECT l_returnflag,
+       ROUND(CAST(MAX(tot) AS DOUBLE), 6) AS total_weight,
+       ROUND(MIN(CASE WHEN cw * 2 >= tot THEN l_extendedprice END), 6) AS wmedian
+FROM cum GROUP BY 1 ORDER BY l_returnflag
+"""
+
+QUERIES["groupby_weighted_median"] = groupby_weighted_median
+ORACLES["groupby_weighted_median"] = GROUPBY_WMEDIAN_SQL

@@ -55,6 +55,7 @@ CACHE_USERS = [
     "events_mannwhitney_u",
     "events_ks_test",
     "docs_split_cluster_safe",
+    "groupby_weighted_median",
 ]
 
 SMOKE_SF = "/root/testdata/sf0.001"

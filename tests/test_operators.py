@@ -1226,3 +1226,69 @@ def test_grouped_rank_matches_per_group_window(spark):
     }
     assert got == want
     assert gr.group_counts == {("a",): 200, ("b",): 55, ("c",): 1}
+
+
+def test_grouped_rank_sum_col_cumsum_exact(spark):
+    """With sum_col, grouped_rank must attach the per-group INCLUSIVE
+    cumulative measure and exact per-group totals — matching the
+    per-group window cumsum bit-for-bit (DECIMAL path)."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csdid_pyspark_spark.operators.packing import grouped_rank, release_cache
+
+    rows = [("a", i, float((i * 7) % 23 + 1)) for i in range(97)] + [
+        ("b", i, float((i * 3) % 5 + 1)) for i in range(31)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    gr = grouped_rank(df, ["g"], ["id"], sum_col="w", num_partitions=4)
+    got = {(r["g"], r["id"]): r["cum_w"] for r in gr.df.collect()}
+    release_cache(gr.df)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["id"]): r["cw"]
+        for r in df.select(
+            "g", "id",
+            F.sum(F.col("w").cast("decimal(38,6)")).over(w).alias("cw"),
+        ).collect()
+    }
+    assert got == want
+    assert gr.group_sums == {
+        ("a",): Decimal(sum((i * 7) % 23 + 1 for i in range(97))),
+        ("b",): Decimal(sum((i * 3) % 5 + 1 for i in range(31))),
+    }
+
+
+def test_groupby_weighted_median_vs_pandas(spark):
+    """Lower weighted median per flag must match a direct pandas
+    computation on the same definition (smallest value with 2*cum >=
+    total weight)."""
+    import pandas as pd
+
+    from csdid_pyspark_spark.queries.relational import groupby_weighted_median
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: r
+        for r in groupby_weighted_median(spark, sf).collect()
+    }
+    pdf = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    for flag, g in pdf.groupby("l_returnflag"):
+        byv = (
+            g.groupby("l_extendedprice")["l_quantity"].sum().sort_index()
+        )
+        cum = byv.cumsum()
+        tot = float(byv.sum())
+        med = float(cum.index[(2 * cum >= tot).to_numpy().argmax()])
+        r = got[flag]
+        assert r["total_weight"] == pytest.approx(tot, abs=1e-6)
+        assert r["wmedian"] == pytest.approx(med, abs=1e-6)
