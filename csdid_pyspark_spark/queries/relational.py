@@ -2671,3 +2671,65 @@ FROM cum GROUP BY 1 ORDER BY l_returnflag
 
 QUERIES["groupby_weighted_median"] = groupby_weighted_median
 ORACLES["groupby_weighted_median"] = GROUPBY_WMEDIAN_SQL
+
+
+def groupby_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted lower quartiles (p25/p50/p75) of l_extendedprice per
+    return flag — the full-distribution companion to
+    groupby_weighted_median, from the SAME single grouped cum-weight
+    scan. Each quantile is the smallest price whose inclusive
+    cumulative weight reaches p of the group total, decided with
+    integer-scaled exact DECIMAL compares (4*cum >= tot, 2*cum >= tot,
+    4*cum >= 3*tot) so no boundary ever rides a float."""
+    from csdid_pyspark_spark.cache import release_cache
+    from csdid_pyspark_spark.operators.packing import grouped_rank
+
+    l = load_table(spark, sf_dir, "lineitem")
+    byv = (
+        l.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("w"))
+    )
+    gr = grouped_rank(byv, ["l_returnflag"], ["l_extendedprice"], sum_col="w")
+    tot = F.broadcast(
+        spark.createDataFrame(
+            [(k[0], v) for k, v in sorted(gr.group_sums.items())],
+            "l_returnflag string, tot decimal(38,6)",
+        )
+    )
+    c, t, v = F.col("cum_w"), F.col("tot"), F.col("l_extendedprice")
+    out = (
+        gr.df.join(tot, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min(F.when(c * 4 >= t, v)), 6).alias("wp25"),
+            F.round(F.min(F.when(c * 2 >= t, v)), 6).alias("wp50"),
+            F.round(F.min(F.when(c * 4 >= t * 3, v)), 6).alias("wp75"),
+        )
+        .orderBy("l_returnflag")
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(gr.df)
+    return result
+
+
+GROUPBY_WQUANTILES_SQL = """
+WITH byv AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, l_extendedprice, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM byv
+)
+SELECT l_returnflag,
+       ROUND(MIN(CASE WHEN cw * 4 >= tot THEN l_extendedprice END), 6) AS wp25,
+       ROUND(MIN(CASE WHEN cw * 2 >= tot THEN l_extendedprice END), 6) AS wp50,
+       ROUND(MIN(CASE WHEN cw * 4 >= tot * 3 THEN l_extendedprice END), 6) AS wp75
+FROM cum GROUP BY 1 ORDER BY l_returnflag
+"""
+
+QUERIES["groupby_weighted_quantiles"] = groupby_weighted_quantiles
+ORACLES["groupby_weighted_quantiles"] = GROUPBY_WQUANTILES_SQL

@@ -56,6 +56,7 @@ CACHE_USERS = [
     "events_ks_test",
     "docs_split_cluster_safe",
     "groupby_weighted_median",
+    "groupby_weighted_quantiles",
 ]
 
 SMOKE_SF = "/root/testdata/sf0.001"
