@@ -474,6 +474,34 @@ def run_rank(spark, n_rows: int) -> dict:
     ).collect()[0]
     boot_s = time.time() - t0
 
+    # grouped weighted order statistics (grouped_rank + sum_col): the
+    # weighted-median path over 16 groups — one range shuffle, bases
+    # broadcast, per-group totals from the light stats pass.
+    t0 = time.time()
+    byv = (
+        df.select(
+            F.pmod(F.xxhash64("id"), F.lit(16)).alias("g"),
+            F.round(F.col("value"), 3).alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count("*").cast("decimal(18,6)").alias("w"))
+    )
+    gr = packing.grouped_rank(byv, ["g"], ["v"], sum_col="w")
+    tot = F.broadcast(
+        spark.createDataFrame(
+            [(int(k[0]), val) for k, val in sorted(gr.group_sums.items())],
+            "g bigint, tot decimal(38,6)",
+        )
+    )
+    wmed = (
+        gr.df.join(tot, "g")
+        .groupBy("g")
+        .agg(F.min(F.when(F.col("cum_w") * 2 >= F.col("tot"), F.col("v"))).alias("m"))
+        .collect()
+    )
+    packing.release_cache(gr.df)
+    wmedian_s = time.time() - t0
+
     return {
         "metric": "stress_rank",
         "rows": n_rows,
@@ -482,6 +510,8 @@ def run_rank(spark, n_rows: int) -> dict:
         "poisson_boot_reps": reps,
         "poisson_boot_sec": round(boot_s, 1),
         "boot_se": round(float(boot["se"]), 4),
+        "wmedian_groups": len(wmed),
+        "wmedian_sec": round(wmedian_s, 1),
         **_driver_memory(),
     }
 
