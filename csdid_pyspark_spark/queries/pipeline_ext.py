@@ -1413,3 +1413,97 @@ ORDER BY doc_id, chunk_id
 
 QUERIES["text_chunk_windows"] = text_chunk_windows
 ORACLES["text_chunk_windows"] = TEXT_CHUNK_SQL
+
+
+# ---------------------------------------------------------------------------
+# ε-DP median (exponential mechanism, seeded Gumbel-max)
+# ---------------------------------------------------------------------------
+
+
+def dp_noisy_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-mechanism (McSherry–Talwar) median of events.value
+    at ε=1: candidate utility u(v) = -dist(rank interval of v, n/2)
+    (rank-distance sensitivity 1), selected via the Gumbel-max trick —
+    score = ε·u/2 + Gumbel(U_v) with U_v a seeded integer-hash uniform
+    of the candidate's RANK (never a stringified float, which formats
+    differently across engines). Rank intervals come from
+    operators/packing.py::global_rank_cumsum over the value-aggregated
+    table (two-phase scan, no single-reducer window); the distance is
+    kept in exact doubled-rank integer units. Same privacy caveat as
+    dp_noisy_counts: under the default public ``DP_SEED`` this is a
+    deterministic, oracle-checkable MECHANISM DEMO — a private release
+    must set SPARK_GRAFT_DP_SEED before import, and the oracle tracks
+    any seed choice because both engines derive from the one constant."""
+    from csdid_pyspark_spark.cache import release_cache
+    from csdid_pyspark_spark.operators.packing import global_rank_cumsum
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    byval = e.groupBy("value").agg(F.count("*").alias("cnt"))
+    scan = global_rank_cumsum(byval, ["value"], "cnt")
+    n = int(scan.total_sum)  # total rows, exact from the light pass
+    cum = F.col("cum").cast("bigint")  # inclusive count cumsum
+    # doubled-units distance from n/2 to [cum-cnt, cum]; 0 if inside
+    d2 = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.lit(n) - 2 * cum,
+        2 * (cum - F.col("cnt")) - F.lit(n),
+    )
+    h = F.pmod(
+        F.col("rn") * 2654435761 + F.lit(DP_SEED * 40503 + 12345),
+        F.lit(2147483648),
+    )
+    u01 = (h.cast("double") + 0.5) / F.lit(2147483648.0)
+    gumbel = -F.log(-F.log(u01))
+    score = F.lit(-0.25) * d2.cast("double") + gumbel  # ε=1: ε·u/2 = -d2/4
+    out = (
+        scan.df.select(
+            F.col("value"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            d2.alias("rank_dist2"),
+            score.alias("_score"),
+        )
+        .orderBy(F.desc("_score"), "value")
+        .limit(1)
+        .select(
+            F.round("value", 6).alias("dp_median"),
+            "cnt",
+            "rank_dist2",
+            F.round("_score", 6).alias("score"),
+        )
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(scan.df)
+    return result
+
+
+DP_MEDIAN_SQL = f"""
+WITH byval AS (
+  SELECT value, COUNT(*) AS cnt FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS n FROM byval),
+ranked AS (
+  SELECT value, cnt,
+         ROW_NUMBER() OVER (ORDER BY value) AS rn,
+         SUM(cnt) OVER (ORDER BY value) AS cum
+  FROM byval
+),
+scored AS (
+  SELECT value, cnt,
+         GREATEST(CAST(0 AS BIGINT),
+                  (SELECT n FROM tot) - 2 * cum,
+                  2 * (cum - cnt) - (SELECT n FROM tot)) AS rank_dist2,
+         -0.25 * CAST(GREATEST(CAST(0 AS BIGINT),
+                               (SELECT n FROM tot) - 2 * cum,
+                               2 * (cum - cnt) - (SELECT n FROM tot)) AS DOUBLE)
+         + (-ln(-ln((CAST((rn * 2654435761 + {DP_SEED * 40503 + 12345})
+                          % 2147483648 AS DOUBLE) + 0.5) / 2147483648.0)))
+           AS _score
+  FROM ranked
+)
+SELECT ROUND(value, 6) AS dp_median, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rank_dist2 AS BIGINT) AS rank_dist2, ROUND(_score, 6) AS score
+FROM scored ORDER BY _score DESC, value LIMIT 1
+"""
+
+QUERIES["dp_noisy_median"] = dp_noisy_median
+ORACLES["dp_noisy_median"] = DP_MEDIAN_SQL

@@ -57,6 +57,7 @@ CACHE_USERS = [
     "docs_split_cluster_safe",
     "groupby_weighted_median",
     "groupby_weighted_quantiles",
+    "dp_noisy_median",
 ]
 
 SMOKE_SF = "/root/testdata/sf0.001"
