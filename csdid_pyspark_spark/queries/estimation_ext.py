@@ -1730,3 +1730,98 @@ ORDER BY l_id, rank
 
 QUERIES["sim_knn_join"] = sim_knn_join
 ORACLES["sim_knn_join"] = SIM_KNN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the HARDEST different-label neighbor (highest cosine — the
+    negative a triplet loss learns most from) and the nearest
+    same-label neighbor, plus the triplet margin pos_cos - neg_cos. A
+    negative margin means a different-label vector sits closer than
+    any same-label one — the label-noise flag a curation pass acts on.
+    One broadcast join of the probe sample against the pool and ONE
+    window pass partitioned by (probe, same-label) — per-probe groups,
+    never a global window; the LSH-bucketed family remains the
+    two-large-sides path."""
+    from csdid_pyspark_spark.functions.vectors import as_double_array, cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    l = e.filter(F.col("vec_id") % 50 == 2).select(
+        F.col("vec_id").alias("l_id"),
+        F.col("label").alias("l_label"),
+        as_double_array("embedding").alias("l_v"),
+    )
+    r = e.filter(F.col("vec_id") % 50 != 2).select(
+        F.col("vec_id").alias("r_id"),
+        F.col("label").alias("r_label"),
+        as_double_array("embedding").alias("r_v"),
+    )
+    scored = l.join(F.broadcast(r), F.col("l_id") != F.col("r_id")).select(
+        "l_id",
+        "l_label",
+        "r_id",
+        (F.col("l_label") == F.col("r_label")).alias("same"),
+        cosine(F.col("l_v"), F.col("r_v")).alias("cosine"),
+    )
+    w = Window.partitionBy("l_id", "same").orderBy(F.desc("cosine"), F.col("r_id"))
+    best = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    out = (
+        best.groupBy("l_id")
+        .agg(
+            F.max("l_label").alias("l_label"),
+            F.max(F.when(F.col("same"), F.col("r_id"))).alias("pos_id"),
+            F.round(F.max(F.when(F.col("same"), F.col("cosine"))), 5).alias("pos_cos"),
+            F.max(F.when(~F.col("same"), F.col("r_id"))).alias("neg_id"),
+            F.round(F.max(F.when(~F.col("same"), F.col("cosine"))), 5).alias("neg_cos"),
+            F.round(
+                F.max(F.when(F.col("same"), F.col("cosine")))
+                - F.max(F.when(~F.col("same"), F.col("cosine"))),
+                5,
+            ).alias("margin"),
+        )
+        .orderBy("l_id")
+    )
+    return out
+
+
+HARD_NEG_SQL = """
+WITH l AS (
+  SELECT vec_id AS l_id, label AS l_label, embedding::DOUBLE[] AS lv
+  FROM embeddings WHERE vec_id % 50 = 2
+),
+r AS (
+  SELECT vec_id AS r_id, label AS r_label, embedding::DOUBLE[] AS rv
+  FROM embeddings WHERE vec_id % 50 <> 2
+),
+scored AS (
+  SELECT l.l_id, l.l_label, r.r_id, (l.l_label = r.r_label) AS same,
+         list_dot_product(l.lv, r.rv)
+           / (SQRT(list_dot_product(l.lv, l.lv))
+              * SQRT(list_dot_product(r.rv, r.rv))) AS cosine
+  FROM l CROSS JOIN r WHERE l.l_id <> r.r_id
+),
+best AS (
+  SELECT * FROM (
+    SELECT l_id, l_label, r_id, same, cosine,
+           ROW_NUMBER() OVER (PARTITION BY l_id, same
+                              ORDER BY cosine DESC, r_id) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+)
+SELECT l_id, MAX(l_label) AS l_label,
+       MAX(CASE WHEN same THEN r_id END) AS pos_id,
+       ROUND(MAX(CASE WHEN same THEN cosine END), 5) AS pos_cos,
+       MAX(CASE WHEN NOT same THEN r_id END) AS neg_id,
+       ROUND(MAX(CASE WHEN NOT same THEN cosine END), 5) AS neg_cos,
+       ROUND(MAX(CASE WHEN same THEN cosine END)
+             - MAX(CASE WHEN NOT same THEN cosine END), 5) AS margin
+FROM best GROUP BY l_id ORDER BY l_id
+"""
+
+QUERIES["sim_hard_negatives"] = sim_hard_negatives
+ORACLES["sim_hard_negatives"] = HARD_NEG_SQL
