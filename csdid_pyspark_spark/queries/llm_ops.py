@@ -4991,11 +4991,7 @@ def docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver."""
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-    b = F.substring(fp, 1, 2)
-    split = (
-        F.when(b < "cd", "train").when(b < "e7", "val").otherwise("test")
-    )
-    docs = d.select(fp.alias("fp"), split.alias("split"), "source")
+    docs = d.select(fp.alias("fp"), _fp_split().alias("split"), "source")
     leaks = (
         docs.groupBy("fp")
         .agg(F.countDistinct("split").alias("ns"))
