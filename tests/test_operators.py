@@ -1292,3 +1292,40 @@ def test_groupby_weighted_median_vs_pandas(spark):
         r = got[flag]
         assert r["total_weight"] == pytest.approx(tot, abs=1e-6)
         assert r["wmedian"] == pytest.approx(med, abs=1e-6)
+
+
+def test_hard_negatives_vs_numpy(spark):
+    """Margins must match a direct numpy computation: hardest
+    different-label cosine vs nearest same-label cosine per probe."""
+    import numpy as np
+    import pandas as pd
+
+    from csdid_pyspark_spark.queries.estimation_ext import sim_hard_negatives
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["l_id"]: r for r in sim_hard_negatives(spark, sf).collect()}
+    pdf = pd.read_parquet(f"{sf}/embeddings.parquet")
+    V = np.stack(pdf["embedding"].to_numpy()).astype(float)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    probe_mask = ids % 50 == 2
+    pool_mask = ~probe_mask
+    assert set(got) == set(ids[probe_mask].tolist())
+    for i in np.flatnonzero(probe_mask):
+        cos = V[pool_mask] @ V[i]
+        pid, plab = ids[pool_mask], labels[pool_mask]
+        same = plab == labels[i]
+        r = got[ids[i]]
+        # ties broken by smallest r_id: sort by (-cos, id)
+        def best(mask):
+            order = np.lexsort((pid[mask], -cos[mask]))
+            return cos[mask][order[0]], pid[mask][order[0]]
+        if same.any():
+            c, j = best(same)
+            assert r["pos_id"] == j and r["pos_cos"] == round(float(c), 5)
+        if (~same).any():
+            c, j = best(~same)
+            assert r["neg_id"] == j and r["neg_cos"] == round(float(c), 5)
+        if same.any() and (~same).any():
+            assert r["margin"] is not None
