@@ -5259,3 +5259,53 @@ FROM terms GROUP BY split ORDER BY split
 
 QUERIES["docs_split_source_balance"] = docs_split_source_balance
 ORACLES["docs_split_source_balance"] = SPLIT_BALANCE_SQL
+
+
+def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph — the HUB
+    readout dedup_cluster_histogram can't give: a chain of pairwise
+    near-dups and a template cloned into N docs can form same-size
+    clusters, but only the template shows a high per-document DEGREE.
+    Curation uses the high-degree tail as the boilerplate/template
+    review queue. One symmetric count over the df-capped pair list
+    (already bounded), then a tiny histogram aggregate."""
+    from csdid_pyspark_spark.cache import release_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _neardup_pairs(d)
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    out = (
+        deg.groupBy("degree")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .orderBy("degree")
+        .select(F.col("degree").cast("bigint").alias("degree"), "n_docs", "example_doc")
+    )
+    result = out.localCheckpoint(eager=True)
+    release_cache(pairs)
+    return result
+
+
+NEARDUP_DEGREE_SQL = r"""
+WITH """ + _NEARDUP_PAIRS_CTES + r""",
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+QUERIES["neardup_degree_histogram"] = neardup_degree_histogram
+ORACLES["neardup_degree_histogram"] = NEARDUP_DEGREE_SQL

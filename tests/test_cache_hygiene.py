@@ -58,6 +58,7 @@ CACHE_USERS = [
     "groupby_weighted_median",
     "groupby_weighted_quantiles",
     "dp_noisy_median",
+    "neardup_degree_histogram",
 ]
 
 SMOKE_SF = "/root/testdata/sf0.001"
