@@ -480,9 +480,14 @@ def grouped_rank(
     )
     if sum_col is not None:
         wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # coalesce: an all-NULL measure prefix in a partition slice
+        # must still carry the prior partitions' base, not NULL it out
         joined = joined.withColumn(
             f"cum_{sum_col}",
-            F.sum(F.col(sum_col).cast("decimal(38,6)")).over(wrows)
+            F.coalesce(
+                F.sum(F.col(sum_col).cast("decimal(38,6)")).over(wrows),
+                F.lit(0).cast("decimal(38,6)"),
+            )
             + F.col("_bsum"),
         )
     out = _attach_cache(joined.drop("_pid", "_base", "_bsum"), part)

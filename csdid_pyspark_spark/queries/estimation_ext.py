@@ -1761,7 +1761,10 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("r_label"),
         as_double_array("embedding").alias("r_v"),
     )
-    scored = l.join(F.broadcast(r), F.col("l_id") != F.col("r_id")).select(
+    # broadcast the ~2% PROBE side, never the corpus-scale pool: the
+    # inner nested-loop join is symmetric in result, ~50x smaller in
+    # broadcast bytes, and the pool keeps streaming executor-side
+    scored = r.join(F.broadcast(l), F.col("l_id") != F.col("r_id")).select(
         "l_id",
         "l_label",
         "r_id",

@@ -1420,6 +1420,11 @@ ORACLES["text_chunk_windows"] = TEXT_CHUNK_SQL
 # ---------------------------------------------------------------------------
 
 
+# pre-masked in exact Python arithmetic so any SPARK_GRAFT_DP_SEED
+# (however large) yields an in-int64-range literal in BOTH engines
+_DP_MEDIAN_SEED_MIX = (DP_SEED * 40503 + 12345) % 2147483648
+
+
 def dp_noisy_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential-mechanism (McSherry–Talwar) median of events.value
     at ε=1: candidate utility u(v) = -dist(rank interval of v, n/2)
@@ -1448,8 +1453,14 @@ def dp_noisy_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n) - 2 * cum,
         2 * (cum - F.col("cnt")) - F.lit(n),
     )
+    # mask rn to 31 bits BEFORE the Knuth multiply (the repo-wide
+    # portable-hash rule): unmasked, rn * 2654435761 exits int64 at
+    # ~3.5e9 distinct values — Spark wraps silently, DuckDB errors,
+    # and the oracle stops tracking the seed. The seed mix is likewise
+    # pre-masked in Python so a large private seed stays in range.
     h = F.pmod(
-        F.col("rn") * 2654435761 + F.lit(DP_SEED * 40503 + 12345),
+        F.pmod(F.col("rn"), F.lit(2147483648)) * 2654435761
+        + F.lit(_DP_MEDIAN_SEED_MIX),
         F.lit(2147483648),
     )
     u01 = (h.cast("double") + 0.5) / F.lit(2147483648.0)
@@ -1495,7 +1506,7 @@ scored AS (
          -0.25 * CAST(GREATEST(CAST(0 AS BIGINT),
                                (SELECT n FROM tot) - 2 * cum,
                                2 * (cum - cnt) - (SELECT n FROM tot)) AS DOUBLE)
-         + (-ln(-ln((CAST((rn * 2654435761 + {DP_SEED * 40503 + 12345})
+         + (-ln(-ln((CAST(((rn % 2147483648) * 2654435761 + {_DP_MEDIAN_SEED_MIX})
                           % 2147483648 AS DOUBLE) + 0.5) / 2147483648.0)))
            AS _score
   FROM ranked

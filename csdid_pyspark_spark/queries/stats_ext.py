@@ -568,7 +568,8 @@ def events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     hammers one event_type, so its top-type share sits at 1.0 while
     organic users spread across types). Per user: c_max = count of the
     modal type, n_ev = total events; the decile is the EXACT integer
-    (10 * c_max) div n_ev (1..10; 10 means single-type), so bucket
+    (10 * c_max) div n_ev (0..10 — 10 means single-type, 0 means the
+    modal share is under 10%, i.e. 11+ types all minor), so bucket
     assignment never rides on a float boundary. Two map-side-combinable
     shuffles on user keys, then a tiny decile aggregate — nothing
     data-scale crosses the driver."""

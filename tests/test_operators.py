@@ -1329,3 +1329,32 @@ def test_hard_negatives_vs_numpy(spark):
             assert r["neg_id"] == j and r["neg_cos"] == round(float(c), 5)
         if same.any() and (~same).any():
             assert r["margin"] is not None
+
+
+def test_grouped_rank_sum_col_null_prefix_carries_base(spark):
+    """A partition slice whose leading sum_col values are NULL must
+    still carry the prior partitions' cumulative base instead of
+    nulling cum_<sum_col>."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csdid_pyspark_spark.operators.packing import grouped_rank, release_cache
+
+    rows = [("g", i, None if 40 <= i < 60 else float(i % 7 + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    gr = grouped_rank(df, ["g"], ["id"], sum_col="w", num_partitions=5)
+    got = {r["id"]: r["cum_w"] for r in gr.df.collect()}
+    release_cache(gr.df)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["cw"]
+        for r in df.select(
+            "id", F.sum(F.col("w").cast("decimal(38,6)")).over(w).alias("cw")
+        ).collect()
+    }
+    assert all(got[i] is not None for i in range(40, 100))
+    assert got == want

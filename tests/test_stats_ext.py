@@ -147,7 +147,9 @@ def test_user_concentration_vs_pandas(spark):
         assert r["total_events"] == int(g["n_ev"].sum())
         assert r["avg_events"] == pytest.approx(g["n_ev"].mean(), abs=1e-6)
         assert r["avg_types"] == pytest.approx(g["n_types"].mean(), abs=1e-6)
-    assert all(1 <= d <= 10 for d in out)
+    # 0 is legal (modal share < 10% needs 11+ types per user); today's
+    # testdata has few types so the floor sits at 1, but don't pin that
+    assert all(0 <= d <= 10 for d in out)
 
 
 def test_global_cumsums_matches_pandas(spark):
