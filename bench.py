@@ -78,6 +78,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # 1-min load BEFORE any Spark work: three rounds in a row the captured
+    # bench disagreed with a clean solo re-run because something else was
+    # running on the box. With the pre-run load on the line, a contaminated
+    # capture is self-identifying from the artifact alone (load1 >> 1 on an
+    # otherwise-idle 32-core box means: distrust this capture).
+    load1_pre = round(os.getloadavg()[0], 2)
     spark = get_spark("csdid-pyspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -114,6 +120,7 @@ def main() -> None:
     # rep-1 total is what single-run rounds (r1-r3) measured: cold
     # codegen/page cache. Kept for apples-to-apples history comparison.
     first_run_total = round(sum(r[0] for r in runs.values()), 3)
+    load1_post = round(os.getloadavg()[0], 2)
     detail = {
         "metric": "headline_queries_wall",
         "value": total,
@@ -121,6 +128,8 @@ def main() -> None:
         "queries_stats": stats,
         "reps": reps,
         "first_run_total": first_run_total,
+        "load1": load1_pre,
+        "load1_post": load1_post,
         "sf": sf,
     }
     try:
@@ -151,6 +160,8 @@ def main() -> None:
         "runs": [[round(x, 2) for x in runs[n]] for n in names],
         "reps": reps,
         "first_run_total": first_run_total,
+        "load1": load1_pre,
+        "load1_post": load1_post,
         "sf": sf,
     }
     line = json.dumps(line_obj, separators=(",", ":"))

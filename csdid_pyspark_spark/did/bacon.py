@@ -54,8 +54,30 @@ def _cell_stats(
     for r in cells:
         g, t = float(r[gname]), int(r[tname])
         ymeans[(g, t)] = float(r["ybar"])
-        ncoh[g] = int(r["n"])
+        n = int(r["n"])
+        # balance check: every (g, t) cell of a cohort must report the
+        # same unit count, or the decomposition's weights — which take
+        # ncoh[g] from ONE cell — would silently depend on collect
+        # order and the sum(w)=1 / sum(w·est)=beta identities break.
+        prev = ncoh.setdefault(g, n)
+        if prev != n:
+            raise ValueError(
+                f"bacon_decompose requires a balanced panel: cohort "
+                f"{g!r} has {prev} units in one period and {n} in "
+                f"period {t} (filter to complete units first, as the "
+                f"estimator's preprocessing does)."
+            )
         periods.add(t)
+    # a balanced panel also observes every cohort in every period
+    missing = [
+        (g, t) for g in ncoh for t in sorted(periods) if (g, t) not in ymeans
+    ]
+    if missing:
+        raise ValueError(
+            f"bacon_decompose requires a balanced panel: missing "
+            f"(cohort, period) cells {missing[:5]}"
+            f"{'...' if len(missing) > 5 else ''}."
+        )
     return ymeans, ncoh, sorted(periods)
 
 

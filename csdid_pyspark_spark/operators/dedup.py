@@ -51,6 +51,7 @@ def shingle_table(
     n: int = 3,
     carry_cols: list[str] | None = None,
     check_unique_ids: bool = False,
+    widen: bool = True,
 ) -> DataFrame:
     """Distinct (id, shingle) postings: word n-gram shingles of the
     whitespace-tokenized text. 0-based Spark array subscripts; docs
@@ -90,10 +91,14 @@ def shingle_table(
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # the shingle explode fans out ~tokens-per-doc rows per input row
     # and pipelines into this stage: widen a physically small input to
-    # core count first (no-op at real scale — fanout.py)
-    df = widen_fanout(
-        df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("tokens"))
-    )
+    # core count first (no-op at real scale — fanout.py). Callers that
+    # join TWO shingle tables pass widen=False on the smaller side:
+    # the downstream shingle-keyed shuffle re-spreads both sides
+    # anyway, so paying the repartition twice buys nothing
+    # (dedup_incremental's +39% round-6 regression).
+    df = df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("tokens"))
+    if widen:
+        df = widen_fanout(df)
     parts = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(n))
     shingles = F.expr(
         f"CASE WHEN size(tokens) >= {n} "
@@ -343,7 +348,12 @@ def jaccard_pairs_between(
     before sizes, mirroring :func:`jaccard_pairs` semantics.
 
     Columns: delta_id, corpus_id, jaccard (≥ ``threshold``)."""
-    sh_d = shingle_table(delta, text_col, id_col, n)
+    # only the CORPUS side gets the fan-out widen: it carries ~all the
+    # explode work (the delta is the bounded daily batch), and both
+    # sides get re-spread by the shingle-keyed join shuffle regardless —
+    # widening the delta too was pure overhead at small scale (r6 bench)
+    # and a no-op at large
+    sh_d = shingle_table(delta, text_col, id_col, n, widen=False)
     # corpus postings feed the hot-df measurement, corpus-doc sizes AND
     # the intersection join — persist once instead of re-running the
     # corpus-wide explode+distinct (the dominant cost) three times

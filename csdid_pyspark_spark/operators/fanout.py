@@ -17,12 +17,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+def _scan_only(df: DataFrame) -> bool:
+    """True when ``df``'s plan is exchange-free (scan + narrow ops
+    only), which makes ``df.rdd.getNumPartitions()`` a pure metadata
+    read. The check reads the non-adaptive PHYSICAL plan (sparkPlan):
+    building it runs the analyzer/optimizer/planner but executes no
+    job, and every shuffle or broadcast appears in it as an
+    ``*Exchange`` node — a frame containing one already had its
+    partitioning set by that shuffle (shuffle.partitions / AQE
+    coalesce), so widening is pointless, and calling ``.rdd`` on it
+    under AQE would materialize upstream query stages EAGERLY (silent
+    execution at plan-build time)."""
+    try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+    except Exception:
+        return False  # can't tell -> never risk eager .rdd
+    return "Exchange" not in plan
+
 
 def widen_fanout(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``target`` (default: the session's
-    defaultParallelism) when it currently has fewer partitions; return
-    it unchanged otherwise. Use immediately before explode-heavy
-    per-row work on physically small inputs."""
+    defaultParallelism) when it is a scan-only frame with fewer
+    partitions; return it unchanged otherwise. Use immediately before
+    explode-heavy per-row work on physically small inputs.
+
+    PRECONDITION (enforced, not just documented): the check only runs
+    on exchange-free plans. A frame that already contains a shuffle
+    (join/agg/repartition/...) is returned unchanged — its width was
+    set by that shuffle — and its ``.rdd`` is never touched, because
+    under AQE ``.rdd`` on a shuffled plan materializes query stages
+    eagerly."""
+    if not _scan_only(df):
+        return df
     t = target or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < t:
         return df.repartition(t)

@@ -104,7 +104,33 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 0, F.col("s2"))).cast("double").alias("s2_a"),
         F.sum(F.when(F.col("arm") == 1, F.col("s2"))).cast("double").alias("s2_b"),
     )
-    ma = F.col("s1_a") / F.col("n_a")
+    # degenerate-arm guard: an event_type whose values all land in one
+    # arm (or with a single value in an arm) would otherwise emit
+    # NULL/NaN statistics with no signal — fail loudly instead. The
+    # branch never fires on a healthy split, so it adds no output and
+    # changes no hash; raise_error keeps the guard declarative (no
+    # extra driver-side action on the hot path).
+    _bad = (
+        F.col("n_a").isNull()
+        | F.col("n_b").isNull()
+        | (F.col("n_a") < 2)
+        | (F.col("n_b") < 2)
+    )
+    _guarded_n_a = F.when(
+        _bad,
+        F.raise_error(
+            F.concat(
+                F.lit("events_welch_ttest: event_type '"),
+                F.col("event_type"),
+                F.lit("' has a degenerate arm (needs >=2 values in both arms; got n_a="),
+                F.coalesce(F.col("n_a").cast("string"), F.lit("0")),
+                F.lit(", n_b="),
+                F.coalesce(F.col("n_b").cast("string"), F.lit("0")),
+                F.lit(")"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("n_a"))
+    ma = F.col("s1_a") / _guarded_n_a
     mb = F.col("s1_b") / F.col("n_b")
     va = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
         F.col("n_a") - 1
@@ -223,8 +249,21 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tie").cast("double").alias("t_ties"),
         )
     )
-    n_a = F.col("n_a")
-    n_b = F.col("n") - F.col("n_a")
+    # degenerate-arm guard (see events_welch_ttest): all values in one
+    # arm would make sigma 0 and z NULL — raise instead, declaratively.
+    n_a = F.when(
+        (F.col("n_a") <= 0) | (F.col("n_a") >= F.col("n")),
+        F.raise_error(
+            F.concat(
+                F.lit("events_mannwhitney_u: degenerate split (n_a="),
+                F.col("n_a").cast("string"),
+                F.lit(" of n="),
+                F.col("n").cast("string"),
+                F.lit("); both arms must be non-empty"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("n_a"))
+    n_b = F.col("n") - n_a
     u_a = F.col("r2_a") / 2 - n_a * (n_a + 1) / 2
     sigma2 = (
         n_a * n_b / F.lit(12.0)
@@ -300,6 +339,14 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mc = global_cumsums(byval, ["value"], ["cnt_a", "cnt_b"])
     n_a, n_b = int(mc.totals["cnt_a"]), int(mc.totals["cnt_b"])
+    if n_a == 0 or n_b == 0:
+        release_cache(mc.df)
+        raise ValueError(
+            f"events_ks_test: degenerate split — arm A has {n_a} values "
+            f"and arm B has {n_b}; a two-sample KS needs both arms "
+            f"non-empty (is the id population a single user, or the "
+            f"value column all-null in one arm?)."
+        )
     gaps = mc.df.select(
         "value",
         (

@@ -78,6 +78,28 @@ LAYOUT_TARGET_BYTES = 131_072
 
 _LAYOUT_DIR: dict[str, str] = {}  # app_id -> temp dir
 _LAYOUT_PATH: dict[tuple[str, str, str], str | None] = {}
+_LAYOUT_CLEANUP_REGISTERED = False
+
+
+def _register_layout_cleanup() -> None:
+    """Remove every session's compaction dir at interpreter exit. The
+    rewrites are a per-process cache (keyed by applicationId), so
+    without this repeated runs would accumulate parquet copies in /tmp
+    indefinitely. atexit (not a SparkSession-stop hook) because the
+    dirs outlive individual sessions within one process on purpose —
+    a restarted session gets a fresh applicationId and its own dir."""
+    global _LAYOUT_CLEANUP_REGISTERED
+    if _LAYOUT_CLEANUP_REGISTERED:
+        return
+    import atexit
+    import shutil
+
+    def _cleanup() -> None:
+        for d in _LAYOUT_DIR.values():
+            shutil.rmtree(d, ignore_errors=True)
+
+    atexit.register(_cleanup)
+    _LAYOUT_CLEANUP_REGISTERED = True
 
 
 def _layout_normalized_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
@@ -112,7 +134,21 @@ def _layout_normalized_path(spark: SparkSession, sf_dir: str, name: str) -> str 
     if base is None:
         base = tempfile.mkdtemp(prefix="spark_graft_layout_")
         _LAYOUT_DIR[app] = base
-    dst = os.path.join(base, os.path.basename(sf_dir.rstrip("/")), name)
+        _register_layout_cleanup()
+    # key the rewrite dir by the FULL normalized source path, not its
+    # basename: two data dirs with the same leaf name (/a/sf0.01 and
+    # /b/sf0.01) in one session must not share a dst, or the second
+    # mode('overwrite') rewrite would silently serve its rows to the
+    # first dir's cached entry. The basename stays in the name purely
+    # for human readability of /tmp listings.
+    import hashlib
+
+    src_key = hashlib.sha256(
+        os.path.normpath(os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:12]
+    dst = os.path.join(
+        base, f"{os.path.basename(sf_dir.rstrip('/'))}-{src_key}", name
+    )
     n_parts = min(
         32,
         max(
