@@ -11,6 +11,9 @@ these):
   Lindner & Zipperer 2019): one clean-control stack per treated
   cohort, within-stack DiD vs the t = g-1 baseline, treated-count
   pooled.
+* ``did_sunab_event`` — Sun-Abraham (2021) interaction-weighted
+  event study: cohort-share-weighted CATT(g, e) against the fixed
+  e = -1 baseline, leads and lags in one series.
 * ``did_cic_qte`` — changes-in-changes quantile treatment effects
   (Athey & Imbens 2006) at the deciles, all selections exact integer
   order statistics through the two-phase global rank.
@@ -204,6 +207,118 @@ FROM per_stack GROUP BY e ORDER BY e
 
 QUERIES["did_stacked_event"] = did_stacked_event
 ORACLES["did_stacked_event"] = DID_STACKED_SQL
+
+# ---------------------------------------------------------------------------
+# Sun-Abraham interaction-weighted event study (Sun & Abraham 2021)
+# ---------------------------------------------------------------------------
+
+
+def did_sunab_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interaction-weighted event-study coefficients (Sun & Abraham
+    2021, "Estimating dynamic treatment effects in event studies with
+    heterogeneous treatment effects", J. Econometrics 225(2)).
+
+    Their IW estimator saturates the event-study regression with
+    cohort x relative-period interactions and then averages the
+    cohort-specific coefficients with cohort-share weights; with a
+    never-treated comparison group the interaction coefficients are
+    numerically the 2x2 cell-mean DiDs against the FIXED e = -1
+    baseline, so the whole estimator reduces to cell algebra:
+
+        CATT(g, e) = [ybar_g(g+e) - ybar_g(g-1)]
+                   - [ybar_nev(g+e) - ybar_nev(g-1)]
+        IW(e)      = sum_g n_g * CATT(g, e) / sum_g n_g
+                     over cohorts with period g+e observed
+
+    Differences from the Callaway-Sant'Anna dynamic aggregation
+    (did_aggte_dynamic): SA keeps the SAME baseline period g-1 for
+    every event time including the leads (CS varies the pre-period
+    base), reports the full lead/lag profile as one series, and
+    weights by the cohort shares among cohorts contributing to each
+    specific e (the "interaction weights" that fix TWFE's
+    negative-weight contamination).
+
+    Scale shape: ONE data-scale aggregation (the (g, period) cell
+    means over the derived panel — map-side combinable); the cell
+    table is |G|x|T| rows, so every downstream join is broadcast-tiny
+    and the weighting is exact cell algebra, no per-unit second pass.
+    Balanced panel (panel_from_events filters to complete units), so
+    cell-mean differences equal the mean of per-unit differences.
+    """
+    panel = panel_from_events(spark, sf_dir)
+    cb = panel.groupBy("g", "period").agg(
+        F.avg("y").alias("ybar"), F.count("*").alias("n")
+    )
+    tr = cb.filter(F.col("g") > 0).select(
+        "g", F.col("period").alias("t"), F.col("ybar").alias("y_gt"), "n"
+    )
+    tb = cb.filter(F.col("g") > 0).select(
+        F.col("g").alias("g_b"), F.col("period").alias("t_b"),
+        F.col("ybar").alias("y_gbase"),
+    )
+    ctrl = cb.filter(F.col("g") == 0).select(
+        F.col("period").alias("t_c"), F.col("ybar").alias("y_ct")
+    )
+    cells = (
+        tr.join(
+            F.broadcast(tb),
+            (F.col("g") == F.col("g_b")) & (F.col("t_b") == F.col("g") - 1),
+        )
+        .join(F.broadcast(ctrl), F.col("t_c") == F.col("t"))
+        .join(
+            F.broadcast(
+                ctrl.select(
+                    F.col("t_c").alias("t_c0"), F.col("y_ct").alias("y_cbase")
+                )
+            ),
+            F.col("t_c0") == F.col("g") - 1,
+        )
+        .filter(F.col("t") != F.col("g") - 1)
+        .select(
+            (F.col("t") - F.col("g")).cast("int").alias("e"),
+            (
+                (F.col("y_gt") - F.col("y_gbase"))
+                - (F.col("y_ct") - F.col("y_cbase"))
+            ).alias("catt"),
+            F.col("n"),
+        )
+    )
+    return (
+        cells.groupBy("e")
+        .agg(
+            F.round(F.sum(F.col("catt") * F.col("n")) / F.sum("n"), 6).alias(
+                "att_iw"
+            ),
+            F.sum("n").cast("bigint").alias("n_treated"),
+            F.count("*").cast("bigint").alias("n_cohorts"),
+        )
+        .orderBy("e")
+    )
+
+
+DID_SUNAB_SQL = f"""
+WITH {PANEL_CTE},
+cb AS (
+  SELECT g, period, AVG(y) AS ybar, COUNT(*) AS n FROM panel GROUP BY 1, 2
+),
+cells AS (
+  SELECT CAST(tr.period - tr.g AS INT) AS e,
+         (tr.ybar - tb.ybar) - (c.ybar - c0.ybar) AS catt,
+         tr.n
+  FROM cb tr
+  JOIN cb tb ON tb.g = tr.g AND tb.period = tr.g - 1
+  JOIN cb c  ON c.g = 0 AND c.period = tr.period
+  JOIN cb c0 ON c0.g = 0 AND c0.period = tr.g - 1
+  WHERE tr.g > 0 AND tr.period <> tr.g - 1
+)
+SELECT e, ROUND(SUM(catt * n) / SUM(n), 6) AS att_iw,
+       CAST(SUM(n) AS BIGINT) AS n_treated,
+       CAST(COUNT(*) AS BIGINT) AS n_cohorts
+FROM cells GROUP BY e ORDER BY e
+"""
+
+QUERIES["did_sunab_event"] = did_sunab_event
+ORACLES["did_sunab_event"] = DID_SUNAB_SQL
 
 # ---------------------------------------------------------------------------
 # CDC log application (latest-wins upsert + delete tombstones)

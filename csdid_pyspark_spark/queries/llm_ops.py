@@ -4428,6 +4428,41 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sim_ann_pq"] = sim_ann_pq
 
 
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (operators/ivfpq.py — the Faiss
+    ``IVFx,PQy`` architecture, Jégou et al. 2011): deterministic
+    coarse quantizer restricts the search to the probed cells,
+    residual PQ codes (16×32) score candidates via per-cell ADC
+    tables without touching a float vector, exact re-rank of the
+    top-60 candidates to top-10. THE 100 TB ANN shape: a probe is a
+    partition-pruned scan of codes, the exact pass touches a bounded
+    candidate set. n_probe is the data-dependent recall knob: this
+    500-vector corpus is near-UNIFORM in 64d (no cluster structure —
+    IVF's worst case), so 6 of 8 cells are probed to clear the 0.9
+    recall gate; on real embedding corpora, where neighbors share
+    cells, the probe ratio is what shrinks. Deterministic end to end
+    → pinned VALUES golden; recall vs exact L2 is pytest-gated
+    (= 1.0 at sf0.01 with these settings)."""
+    from csdid_pyspark_spark.operators.ivfpq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") != 0),
+        q,
+        n_cells=8,
+        n_probe=6,
+        m=16,
+        k_codes=32,
+        iters=3,
+        n_candidates=60,
+        k_out=10,
+    )
+
+
+QUERIES["sim_ann_ivfpq"] = sim_ann_ivfpq
+
+
 # ---------------------------------------------------------------------------
 # Heavy hitters, interval coverage, epoch shuffling
 # ---------------------------------------------------------------------------

@@ -463,3 +463,34 @@ def test_bacon_identities_always_treated_and_pooled_never(spark):
     roles = {(r[0], r[1], r[2]) for r in decomp}
     assert ("late_vs_early", 4.0, 1.0) in roles
     assert not any(r[1] == 1.0 for r in decomp)
+
+
+def test_sunab_matches_cs_dynamic_on_lags_diverges_on_leads(spark):
+    """Sun-Abraham's IW lag coefficients (e >= 0) are numerically the
+    Callaway-Sant'Anna dynamic aggregation with never-treated controls:
+    the post-period CATT(g, g+e) cells use the same base period g-1 and
+    the same cohort-share weights. The LEADS differ by construction —
+    SA keeps the fixed e = -1 baseline while CS's pre-period cells use
+    the varying base min(g, t) - 1 — so agreement on lags plus
+    divergence on some lead pins that both sides compute what they
+    claim (on data where the varying base actually moves: the sf0.001
+    derived panel has cohorts at 3/4/5 over 6 periods)."""
+    from csdid_pyspark_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    sa = {
+        int(r["e"]): float(r["att_iw"])
+        for r in QUERIES["did_sunab_event"](spark, sf).collect()
+    }
+    cs = {
+        float(r["egt"]): float(r["att"])
+        for r in QUERIES["did_aggte_dynamic"](spark, sf).collect()
+    }
+    lags = [e for e in sa if e >= 0]
+    assert lags, "derived panel must have post periods"
+    assert -1 not in sa, "e = -1 is the SA baseline, identically zero"
+    for e in lags:
+        assert abs(sa[e] - cs[float(e)]) < 2e-6, (e, sa[e], cs[float(e)])
+    leads = [e for e in sa if e < -1]
+    assert leads, "derived panel must have leads"
+    assert any(abs(sa[e] - cs.get(float(e), float("nan"))) > 1e-6 for e in leads)

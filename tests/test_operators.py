@@ -1358,3 +1358,55 @@ def test_grouped_rank_sum_col_null_prefix_carries_base(spark):
     }
     assert all(got[i] is not None for i in range(40, 100))
     assert got == want
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ (probe restriction + residual ADC + exact re-rank) must
+    recover the exact L2 top-10 on the sf0.01 corpus at the query
+    settings (this near-uniform synthetic corpus needs 6/8 probes —
+    IVF's worst case; the gate is >= 0.9), and the coarse quantizer
+    must produce identical assignments under a different partitioning
+    (decimal-exact centroid means)."""
+    from csdid_pyspark_spark.operators.ivfpq import coarse_kmeans, ivfpq_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").filter(
+        F.col("vec_id") != 0
+    )
+    q = [
+        float(x)
+        for x in load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(x) for x in q]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = {
+        r["vec_id"]
+        for r in emb.select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in ivfpq_topk(
+            emb, q, n_cells=8, n_probe=6, m=16, k_codes=32, iters=3,
+            n_candidates=60, k_out=10,
+        ).collect()
+    }
+    recall = len(exact & got) / 10
+    assert recall >= 0.9, f"IVF-PQ recall too low: {recall}"
+
+    a1 = {r["vec_id"]: r["cell"] for r in coarse_kmeans(emb, k=8, iters=3)[0].collect()}
+    a2 = {
+        r["vec_id"]: r["cell"]
+        for r in coarse_kmeans(emb.repartition(13), k=8, iters=3)[0].collect()
+    }
+    assert a1 == a2  # partitioning-independent coarse assignments
