@@ -838,6 +838,40 @@ def run_pit(spark, n_facts: int, n_keys: int | None = None) -> dict:
     }
 
 
+def _land_time_ordered(ev, work: str, n_files: int, base: int, span_s: int) -> str:
+    """Land ``ev`` (any schema with an event-time ``ts`` column monotone
+    in generation order) as ``n_files`` time-sliced parquet file groups
+    under ``work/in``, every file with a DISTINCT mtime in slice order.
+    FileStreamSource processes files by mtime, so this guarantees
+    per-user nondecreasing event time across micro-batches — the
+    precondition the stateful operators' batch-parity claims rest on
+    (an mtime TIE would let a later time-subrange drain first)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    watch = os.path.join(work, "in")
+    os.makedirs(watch)
+    slice_len = span_s // n_files + 1
+    for i in range(n_files):
+        lo = base + i * slice_len
+        hi = lo + slice_len
+        part = ev.filter(
+            (F.unix_timestamp("ts") >= lo) & (F.unix_timestamp("ts") < hi)
+        )
+        stage = os.path.join(work, f"stage{i}")
+        part.coalesce(4).write.mode("overwrite").parquet(stage)
+        dst_i = 0
+        for src in sorted(_glob.glob(stage + "/part-*.parquet")):
+            dst = os.path.join(watch, f"f{i:02d}_{dst_i}.parquet")
+            shutil.copy(src, dst)
+            mt = 1_000_000 + i * 1000 + dst_i
+            os.utime(dst, (mt, mt))
+            dst_i += 1
+        shutil.rmtree(stage)
+    return watch
+
+
 def run_stream(spark, n_events: int, n_files: int = 8) -> dict:
     """Structured Streaming rehearsal: n synthetic events land as
     ``n_files`` time-ordered parquet files (distinct mtimes, so
@@ -868,37 +902,8 @@ def run_stream(spark, n_events: int, n_files: int = 8) -> dict:
         ).alias("ts"),
     )
     work = tempfile.mkdtemp(prefix="stress_stream_")
-    watch = os.path.join(work, "in")
-    os.makedirs(watch)
     try:
-        # one time-slice per file, mtimes in slice order: per-user
-        # timestamps are then nondecreasing across micro-batches, the
-        # precondition for last-event-state sessionization to equal
-        # the batch result
-        slice_len = span_s // n_files + 1
-        for i in range(n_files):
-            lo = base + i * slice_len
-            hi = lo + slice_len
-            part = ev.filter(
-                (F.unix_timestamp("ts") >= lo) & (F.unix_timestamp("ts") < hi)
-            )
-            stage = os.path.join(work, f"stage{i}")
-            part.coalesce(4).write.mode("overwrite").parquet(stage)
-            import glob as _glob
-
-            # sorted part files are in partition order = id order = time
-            # order (ts is monotone in id); every file gets a DISTINCT
-            # mtime in that order — FileStreamSource processes by mtime,
-            # and a tie would let a later time-subrange drain first,
-            # breaking the per-user nondecreasing-ts precondition
-            dst_i = 0
-            for src in sorted(_glob.glob(stage + "/part-*.parquet")):
-                dst = os.path.join(watch, f"f{i:02d}_{dst_i}.parquet")
-                shutil.copy(src, dst)
-                mt = 1_000_000 + i * 1000 + dst_i
-                os.utime(dst, (mt, mt))
-                dst_i += 1
-            shutil.rmtree(stage)
+        watch = _land_time_ordered(ev, work, n_files, base, span_s)
 
         stream = (
             spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
@@ -944,6 +949,258 @@ def run_stream(spark, n_events: int, n_files: int = 8) -> dict:
         "stream_sessionize_sec": stream_sec,
         "batch_sessionize_sec": batch_sec,
         "batch_parity": parity,
+        **_driver_memory(),
+    }
+
+
+def _synth_oplog(spark, n_events: int, base: int, span_s: int):
+    """CDC-shaped synthetic op log: monotone event time, 1-in-10
+    inserts ('signup'), 1-in-10 delete tombstones ('error'), the rest
+    updates, deterministic values."""
+    n_users = max(1000, n_events // 200)
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id", F.lit("u")), n_users).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("id") * span_s / n_events).cast("bigint")
+        ).alias("ts"),
+        F.when(F.pmod("id", 10) == 0, "signup")
+        .when(F.pmod("id", 10) == 9, "error")
+        .otherwise("click")
+        .alias("event_type"),
+        (F.pmod("id", 1000) / 10.0).alias("value"),
+    )
+    return ev, n_users
+
+
+_STREAM_EV_SCHEMA = (
+    "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+)
+
+
+def run_stream_cdc(spark, n_events: int, n_files: int = 8) -> dict:
+    """Streaming CDC rehearsal WITH A MID-STREAM CRASH: the op log
+    lands as time-ordered files, cdc_state_stream
+    (applyInPandasWithState, one latest-wins tuple per key) drains it
+    one file per micro-batch through a foreachBatch sink that writes
+    idempotent batch_id partitions — and the sink RAISES after writing
+    batch n_files/2 (write landed, commit didn't: the at-least-once
+    window). A restart from the same checkpoint replays that batch;
+    exactly-once holds iff (a) the overwrite-by-batch-id sink dedups
+    the replayed write and (b) the state store rolled back to the last
+    committed version so n_ops counts every op EXACTLY once. Parity
+    leg: every user's final (last_op, current_value, n_ops, n_deletes)
+    must equal the batch latest-wins computation over the same files —
+    an off-by-one-batch replay would inflate n_ops and fail it."""
+    import os
+    import shutil
+    import tempfile
+
+    from csdid_pyspark_spark.streaming.events import (
+        cdc_state_stream,
+        write_idempotent_batch,
+    )
+
+    span_s = 30 * 86400
+    base = 1_700_000_000
+    ev, n_users = _synth_oplog(spark, n_events, base, span_s)
+    work = tempfile.mkdtemp(prefix="stress_scdc_")
+    try:
+        watch = _land_time_ordered(ev, work, n_files, base, span_s)
+        data_dir = os.path.join(work, "state_out")
+        ckpt = os.path.join(work, "ckpt")
+        crash_at = n_files // 2
+        crashed = {"fired": False}
+
+        def on_batch(bdf, batch_id: int) -> None:
+            write_idempotent_batch(bdf, data_dir, batch_id)
+            if batch_id == crash_at and not crashed["fired"]:
+                crashed["fired"] = True
+                raise RuntimeError(
+                    "injected crash: sink write landed, batch not committed"
+                )
+
+        def start():
+            stream = (
+                spark.readStream.schema(_STREAM_EV_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(watch)
+            )
+            return (
+                cdc_state_stream(stream)
+                .writeStream.foreachBatch(on_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        t0 = time.perf_counter()
+        q1 = start()
+        try:
+            q1.awaitTermination(560)
+        except Exception:
+            pass  # the injected crash surfaces here, by design
+        assert crashed["fired"], "crash injection never reached its batch"
+        q2 = start()
+        if not q2.awaitTermination(560):
+            q2.stop()
+            raise TimeoutError("restart drain did not finish in 560s")
+        stream_sec = round(time.perf_counter() - t0, 1)
+        n_batches = len(q2.recentProgress)
+
+        # latest snapshot per user: n_ops strictly grows on every
+        # emission for that user, so max_by(n_ops) is the final state
+        snap = spark.read.parquet(data_dir)
+        final = snap.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("last_op", "current_value", "n_ops", "n_deletes"),
+                "n_ops",
+            ).alias("s")
+        ).select("user_id", "s.*")
+
+        t0 = time.perf_counter()
+        raw = spark.read.parquet(watch)
+        op = (
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+        )
+        truth = raw.groupBy("user_id").agg(
+            F.count("*").alias("t_ops"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "t_deletes"
+            ),
+            F.max_by(F.struct(op.alias("op"), "value"), F.struct("ts", "event_id")).alias(
+                "last"
+            ),
+        )
+        bad = (
+            final.join(truth, "user_id", "full_outer")
+            .filter(
+                F.col("t_ops").isNull()
+                | F.col("n_ops").isNull()
+                | (F.col("n_ops") != F.col("t_ops"))
+                | (F.col("n_deletes") != F.col("t_deletes"))
+                | (F.col("last_op") != F.col("last.op"))
+                | (F.col("current_value") != F.col("last.value"))
+            )
+            .count()
+        )
+        batch_sec = round(time.perf_counter() - t0, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "metric": "stress_stream_cdc",
+        "events": n_events,
+        "users": n_users,
+        "micro_batches_after_restart": n_batches,
+        "crash_injected": True,
+        "stream_sec": stream_sec,
+        "batch_check_sec": batch_sec,
+        "mismatched_users": bad,
+        "exactly_once_parity": bad == 0,
+        **_driver_memory(),
+    }
+
+
+def run_stream_refresh(spark, n_events: int, n_files: int = 8) -> dict:
+    """Incremental-refresh rehearsal WITH A MID-STREAM CRASH: each
+    micro-batch lands in its batch_id partition then the (day x type)
+    materialized view recomputes over everything accumulated; the
+    callback RAISES right after batch n_files/2's data write (the
+    exact failure window test_streaming pins at small scale). The
+    restart replays that batch — its overwrite replaces the earlier
+    attempt — and after the drain the LAST refresh must equal the
+    direct batch aggregation over the input files. An append-mode sink
+    would double the replayed batch's rows and fail the count parity."""
+    import os
+    import shutil
+    import tempfile
+
+    from csdid_pyspark_spark.streaming.events import (
+        accumulated_batches,
+        write_idempotent_batch,
+    )
+
+    span_s = 30 * 86400
+    base = 1_700_000_000
+    ev, n_users = _synth_oplog(spark, n_events, base, span_s)
+    work = tempfile.mkdtemp(prefix="stress_srefresh_")
+    try:
+        watch = _land_time_ordered(ev, work, n_files, base, span_s)
+        data_dir = os.path.join(work, "data")
+        ckpt = os.path.join(work, "ckpt")
+        crash_at = n_files // 2
+        crashed = {"fired": False}
+        out: dict = {}
+
+        def on_batch(bdf, batch_id: int) -> None:
+            write_idempotent_batch(bdf, data_dir, batch_id)
+            if batch_id == crash_at and not crashed["fired"]:
+                crashed["fired"] = True
+                raise RuntimeError(
+                    "injected crash: data written, refresh + commit skipped"
+                )
+            out["rows"] = (
+                accumulated_batches(spark, data_dir)
+                .groupBy(F.to_date("ts").alias("day"), "event_type")
+                .agg(F.count("*").cast("bigint").alias("n_events"))
+                .collect()
+            )
+
+        def start():
+            stream = (
+                spark.readStream.schema(_STREAM_EV_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(watch)
+            )
+            return (
+                stream.writeStream.foreachBatch(on_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        t0 = time.perf_counter()
+        q1 = start()
+        try:
+            q1.awaitTermination(560)
+        except Exception:
+            pass  # injected crash
+        assert crashed["fired"], "crash injection never reached its batch"
+        q2 = start()
+        if not q2.awaitTermination(560):
+            q2.stop()
+            raise TimeoutError("restart drain did not finish in 560s")
+        stream_sec = round(time.perf_counter() - t0, 1)
+        n_batches = len(q2.recentProgress)
+
+        got = {
+            (str(r["day"]), r["event_type"]): r["n_events"] for r in out["rows"]
+        }
+        t0 = time.perf_counter()
+        want = {
+            (str(r["day"]), r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(watch)
+            .groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"))
+            .collect()
+        }
+        batch_sec = round(time.perf_counter() - t0, 1)
+        parity = got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "metric": "stress_stream_refresh",
+        "events": n_events,
+        "users": n_users,
+        "view_cells": len(got),
+        "micro_batches_after_restart": n_batches,
+        "crash_injected": True,
+        "stream_sec": stream_sec,
+        "batch_check_sec": batch_sec,
+        "refresh_parity": parity,
         **_driver_memory(),
     }
 
@@ -1041,7 +1298,8 @@ def main() -> None:
     mode = "panel"
     if args and args[0] in (
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
-        "stream", "cdc", "hll", "cic", "conformal", "pit", "stats",
+        "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
+        "conformal", "pit", "stats",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -1064,6 +1322,12 @@ def main() -> None:
     elif mode == "stream":
         n_events = int(args[0]) if args else 10_000_000
         out = run_stream(spark, n_events)
+    elif mode == "streamcdc":
+        n_events = int(args[0]) if args else 10_000_000
+        out = run_stream_cdc(spark, n_events)
+    elif mode == "streamrefresh":
+        n_events = int(args[0]) if args else 10_000_000
+        out = run_stream_refresh(spark, n_events)
     elif mode == "cdc":
         n_ops = int(args[0]) if args else 50_000_000
         out = run_cdc(spark, n_ops)

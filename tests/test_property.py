@@ -238,3 +238,92 @@ def test_span_cut_minlen_matches_all_substring_bruteforce(spark, docs_tokens):
         ).collect()
     }
     assert got == expected
+
+
+@st.composite
+def _periodic_doc(draw):
+    """Adversarial ExactSubstr input: a short base pattern repeated
+    several times with optional prefix/suffix garbage. Tandem repeats
+    nest periods (base 'a a' repeated carries period 1 AND 2) and the
+    prefix stagger misaligns equal windows across docs — the regimes
+    where window-chaining implementations typically drift from the
+    published all-substring rule."""
+    vocab = ["a", "b"]
+    base = draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=4))
+    reps = draw(st.integers(2, 5))
+    pre = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=3))
+    suf = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=3))
+    return pre + base * reps + suf
+
+
+@given(st.lists(_periodic_doc(), min_size=1, max_size=4))
+@settings(max_examples=8, deadline=None)
+def test_span_cut_minlen_periodic_repeats_vs_suffix_scan(spark, docs_tokens):
+    """span_cut_frame(count_within_doc=True) vs the brute-force
+    suffix-scan reference on PERIODIC corpora: every document is a
+    tandem repeat (plus stagger), so duplicated substrings overlap
+    themselves at many nested offsets — the worst case for the
+    L-window chaining argument. The oracle literally enumerates every
+    suffix pair's common prefixes of length >= L (equivalent to the
+    all-substring count, organized as a suffix scan) and marks covered
+    positions; the operator must agree exactly, including the merged
+    region and max-run readouts."""
+    from collections import Counter
+
+    from csdid_pyspark_spark.queries.pipeline_ext import span_cut_frame
+
+    L = 3
+    # suffix-scan oracle: for each pair of suffix start positions
+    # (across all docs, including a suffix paired with a LATER suffix
+    # of the same doc), extend the common prefix; every length >= L
+    # prefix of that extension is a duplicated substring occurrence.
+    # Equivalent to counting all substrings, organized pairwise.
+    all_suffixes = []  # (doc, start, tokens-from-start)
+    for i, toks in enumerate(docs_tokens):
+        for s in range(len(toks)):
+            all_suffixes.append((i, s, toks[s:]))
+    dup_occurrence: Counter = Counter()  # (tuple substring) -> count
+    for i, toks in enumerate(docs_tokens):
+        for m in range(L, len(toks) + 1):
+            for s in range(len(toks) - m + 1):
+                dup_occurrence[tuple(toks[s : s + m])] += 1
+    # sanity of the suffix organization: a substring's count equals the
+    # number of suffixes it prefixes (cheap cross-check of the oracle)
+    for sub, c in list(dup_occurrence.items())[:50]:
+        assert c == sum(
+            1 for _, _, suf in all_suffixes if tuple(suf[: len(sub)]) == sub
+        )
+    expected = {}
+    for i, toks in enumerate(docs_tokens):
+        covered: set[int] = set()
+        for m in range(L, len(toks) + 1):
+            for s in range(len(toks) - m + 1):
+                if dup_occurrence[tuple(toks[s : s + m])] >= 2:
+                    covered.update(range(s, s + m))
+        if not covered:
+            continue
+        runs, run_len, max_run, prev = 0, 0, 0, None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                runs += 1
+                run_len = 0
+            run_len += 1
+            max_run = max(max_run, run_len)
+            prev = p
+        expected[i] = (len(toks), len(covered), len(toks) - len(covered), runs, max_run)
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tok"],
+            r["removed_tok"],
+            r["kept_tok"],
+            r["n_regions"],
+            r["max_region_len"],
+        )
+        for r in span_cut_frame(
+            df, L, count_within_doc=True, emit_max_region=True
+        ).collect()
+    }
+    assert got == expected
