@@ -1111,3 +1111,161 @@ ORACLES = {
     "docs_source_entropy": DOCS_SOURCE_ENTROPY_SQL,
     "orders_interarrival": ORDERS_INTERARRIVAL_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (exact, over exposure-set coalitions)
+# ---------------------------------------------------------------------------
+
+_SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+
+
+def _shapley_terms() -> list[tuple[str, int, int, float]]:
+    """(channel, S, S∪{i}, weight) for every channel i and every
+    coalition S not containing i: weight = |S|!·(n−|S|−1)!/n! — the
+    exact Shapley kernel for n = 4 channels (32 rows, a literal)."""
+    fact = [1, 1, 2, 6, 24]
+    n = len(_SHAPLEY_CHANNELS)
+    rows = []
+    for name, bit in _SHAPLEY_CHANNELS:
+        for s in range(1 << n):
+            if s & bit:
+                continue
+            k = bin(s).count("1")
+            rows.append((name, s, s + bit, fact[k] * fact[n - 1 - k] / float(fact[n])))
+    return rows
+
+
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion credit per marketing channel
+    (Shapley 1953 applied to attribution à la Zhao-Mahboobi-Bagheri
+    2018): the characteristic function v(S) is the observed conversion
+    rate (purchase) among users whose exposure set is EXACTLY S over
+    the four non-purchase event types, and each channel's credit is
+    the Shapley average of its marginal contributions v(S∪{i})−v(S)
+    over all 2³ coalitions. Unlike last-touch/position heuristics
+    (events_attribution_*), this is order-free and satisfies the
+    efficiency/symmetry axioms; unlike the Markov model it needs no
+    chain assumption. Coalitions missing from the data contribute
+    v = 0 (documented estimator convention).
+
+    Scale shape: ONE data-scale groupBy(user_id, day) builds the
+    exposure bitmask + conversion flag (map-side combinable MAXes); the
+    16-row v(S) table and the 32-row Shapley kernel are broadcast
+    literals, so channel count — not corpus size — bounds the algebra
+    (exact Shapley is 2^n; past ~20 channels you sample permutations
+    instead)."""
+    e = load_table(spark, sf_dir, "events")
+    bits = [
+        F.max(F.when(F.col("event_type") == name, 1).otherwise(0)).alias(f"b_{name}")
+        for name, _ in _SHAPLEY_CHANNELS
+    ]
+    u = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        *bits,
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    mask = sum(
+        (F.col(f"b_{name}") * bit for name, bit in _SHAPLEY_CHANNELS),
+        F.lit(0),
+    )
+    m = (
+        u.select(mask.alias("mask"), "conv")
+        .groupBy("mask")
+        .agg(F.count("*").alias("n"), F.sum("conv").alias("c"))
+    )
+    # v(∅) = 0 by the attribution convention (a journey with no
+    # channel touch earns no credit baseline): mask-0 units are
+    # conversion-only days whose empirical rate is trivially ~1 and
+    # would poison every marginal as v(S∪{i}) − 1.
+    v = m.filter(F.col("mask") != 0).select(
+        "mask", (F.col("c").cast("double") / F.col("n")).alias("v")
+    )
+    terms = spark.createDataFrame(
+        _shapley_terms(), "channel string, s int, s1 int, w double"
+    )
+    v0 = v.select(F.col("mask").alias("m0"), F.col("v").alias("v0"))
+    v1 = v.select(F.col("mask").alias("m1"), F.col("v").alias("v1"))
+    shap = (
+        terms.join(F.broadcast(v0), F.col("m0") == F.col("s"), "left")
+        .join(F.broadcast(v1), F.col("m1") == F.col("s1"), "left")
+        .groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("w")
+                    * (
+                        F.coalesce(F.col("v1"), F.lit(0.0))
+                        - F.coalesce(F.col("v0"), F.lit(0.0))
+                    )
+                ),
+                6,
+            ).alias("shapley")
+        )
+    )
+    chan = spark.createDataFrame(
+        list(_SHAPLEY_CHANNELS), "channel string, bit int"
+    )
+    expo = (
+        chan.join(F.broadcast(m), F.col("mask").bitwiseAND(F.col("bit")) != 0)
+        .groupBy("channel")
+        .agg(F.sum("n").alias("n_exposed"))
+    )
+    return (
+        shap.join(F.broadcast(expo), "channel", "left")
+        .select(
+            "channel",
+            "shapley",
+            F.coalesce(F.col("n_exposed"), F.lit(0)).cast("bigint").alias(
+                "n_exposed"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+_SHAPLEY_TERMS_SQL = ",\n    ".join(
+    f"('{c}', {s}, {s1}, CAST({w!r} AS DOUBLE))"
+    for c, s, s1, w in _shapley_terms()
+)
+_SHAPLEY_CHAN_SQL = ", ".join(f"('{c}', {b})" for c, b in _SHAPLEY_CHANNELS)
+
+SHAPLEY_SQL = f"""
+WITH u AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b_view,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b_click,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS b_signup,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b_error,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT b_view * 1 + b_click * 2 + b_signup * 4 + b_error * 8 AS mask,
+         COUNT(*) AS n, SUM(conv) AS c
+  FROM u GROUP BY 1
+),
+v AS (SELECT mask, CAST(c AS DOUBLE) / n AS v FROM m WHERE mask <> 0),
+terms(channel, s, s1, w) AS (VALUES
+    {_SHAPLEY_TERMS_SQL}),
+chan(channel, bit) AS (VALUES {_SHAPLEY_CHAN_SQL}),
+shap AS (
+  SELECT t.channel,
+         ROUND(SUM(t.w * (COALESCE(v1.v, 0.0) - COALESCE(v0.v, 0.0))), 6) AS shapley
+  FROM terms t
+  LEFT JOIN v v0 ON v0.mask = t.s
+  LEFT JOIN v v1 ON v1.mask = t.s1
+  GROUP BY 1
+),
+expo AS (
+  SELECT c.channel, SUM(m.n) AS n_exposed
+  FROM chan c JOIN m ON (m.mask & c.bit) <> 0 GROUP BY 1
+)
+SELECT s.channel, s.shapley,
+       CAST(COALESCE(e.n_exposed, 0) AS BIGINT) AS n_exposed
+FROM shap s LEFT JOIN expo e ON e.channel = s.channel
+ORDER BY s.channel
+"""
+
+QUERIES["events_shapley_attribution"] = events_shapley_attribution
+ORACLES["events_shapley_attribution"] = SHAPLEY_SQL

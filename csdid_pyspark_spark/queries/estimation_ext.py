@@ -14,6 +14,9 @@ these):
 * ``did_sunab_event`` — Sun-Abraham (2021) interaction-weighted
   event study: cohort-share-weighted CATT(g, e) against the fixed
   e = -1 baseline, leads and lags in one series.
+* ``did_dcdh_effect`` — de Chaisemartin & D'Haultfœuille (2020)
+  DID_M: switcher-weighted instantaneous effects, never comparing
+  against an already-treated group.
 * ``did_cic_qte`` — changes-in-changes quantile treatment effects
   (Athey & Imbens 2006) at the deciles, all selections exact integer
   order statistics through the two-phase global rank.
@@ -319,6 +322,140 @@ FROM cells GROUP BY e ORDER BY e
 
 QUERIES["did_sunab_event"] = did_sunab_event
 ORACLES["did_sunab_event"] = DID_SUNAB_SQL
+
+# ---------------------------------------------------------------------------
+# de Chaisemartin & D'Haultfœuille DID_M (2020)
+# ---------------------------------------------------------------------------
+
+
+def did_dcdh_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DID_M instantaneous switcher effect (de Chaisemartin &
+    D'Haultfœuille 2020, "Two-way fixed effects estimators with
+    heterogeneous treatment effects", AER 110(9)) — the third estimator
+    of the staggered-DiD referee trifecta next to Goodman-Bacon
+    (did_bacon_decomposition) and Sun-Abraham (did_sunab_event).
+
+    Per switch period t, compare the period-(t-1)→t outcome change of
+    the groups that switch INTO treatment at t (here: cohort g = t)
+    against the same change among groups still untreated at t (never
+    treated or g > t — dCDH's stable-control requirement; in staggered
+    adoption no group switches out, so the DID_- leg is empty):
+
+        DID_+(t) = [ȳ_{g=t}(t) - ȳ_{g=t}(t-1)]
+                 - Σ_c n_c [ȳ_c(t) - ȳ_c(t-1)] / Σ_c n_c
+
+    and DID_M = Σ_t n_t DID_+(t) / Σ_t n_t with switching-unit
+    weights (the overall row, t = -1). Unlike TWFE this never uses an
+    already-treated group as a control, so it is robust to
+    heterogeneous/dynamic effects by construction.
+
+    Scale shape: identical to did_sunab_event — one data-scale
+    (g, period) cell-mean aggregation, then broadcast-tiny cell
+    algebra."""
+    panel = panel_from_events(spark, sf_dir)
+    cb = panel.groupBy("g", "period").agg(
+        F.avg("y").alias("ybar"), F.count("*").alias("n")
+    )
+    sw = (
+        cb.filter((F.col("g") > 0) & (F.col("period") == F.col("g")))
+        .alias("t")
+        .join(
+            F.broadcast(
+                cb.select(
+                    F.col("g").alias("g_p"),
+                    F.col("period").alias("t_p"),
+                    F.col("ybar").alias("y_prev"),
+                )
+            ),
+            (F.col("g") == F.col("g_p")) & (F.col("t_p") == F.col("g") - 1),
+        )
+        .select(
+            F.col("g").cast("int").alias("t"),
+            (F.col("ybar") - F.col("y_prev")).alias("dy_sw"),
+            F.col("n").alias("n_sw"),
+        )
+    )
+    c1 = cb.select(
+        F.col("g").alias("g_c"), F.col("period").alias("t_c"),
+        F.col("ybar").alias("y_c1"), F.col("n").alias("n_c"),
+    )
+    c0 = cb.select(
+        F.col("g").alias("g_c0"), F.col("period").alias("t_c0"),
+        F.col("ybar").alias("y_c0"),
+    )
+    ctrl = (
+        sw.select("t")
+        .join(
+            F.broadcast(c1),
+            (F.col("t_c") == F.col("t"))
+            & ((F.col("g_c") == 0) | (F.col("g_c") > F.col("t"))),
+        )
+        .join(
+            F.broadcast(c0),
+            (F.col("g_c0") == F.col("g_c")) & (F.col("t_c0") == F.col("t") - 1),
+        )
+        .groupBy("t")
+        .agg(
+            (
+                F.sum(F.col("n_c") * (F.col("y_c1") - F.col("y_c0")))
+                / F.sum("n_c")
+            ).alias("dy_ctrl")
+        )
+    )
+    per_t = sw.join(F.broadcast(ctrl), "t").select(
+        "t",
+        (F.col("dy_sw") - F.col("dy_ctrl")).alias("did_plus"),
+        "n_sw",
+    )
+    overall = per_t.agg(
+        F.lit(-1).cast("int").alias("t"),
+        F.round(
+            F.sum(F.col("did_plus") * F.col("n_sw")) / F.sum("n_sw"), 6
+        ).alias("did_plus"),
+        F.sum("n_sw").cast("bigint").alias("n_switchers"),
+    )
+    return (
+        per_t.select(
+            "t", F.round("did_plus", 6).alias("did_plus"),
+            F.col("n_sw").cast("bigint").alias("n_switchers"),
+        )
+        .unionAll(overall)
+        .orderBy("t")
+    )
+
+
+DID_DCDH_SQL = f"""
+WITH {PANEL_CTE},
+cb AS (
+  SELECT g, period, AVG(y) AS ybar, COUNT(*) AS n FROM panel GROUP BY 1, 2
+),
+sw AS (
+  SELECT CAST(t.g AS INT) AS t, t.ybar - tp.ybar AS dy_sw, t.n AS n_sw
+  FROM cb t JOIN cb tp ON tp.g = t.g AND tp.period = t.g - 1
+  WHERE t.g > 0 AND t.period = t.g
+),
+ctrl AS (
+  SELECT s.t, SUM(c1.n * (c1.ybar - c0.ybar)) / SUM(c1.n) AS dy_ctrl
+  FROM (SELECT DISTINCT t FROM sw) s
+  JOIN cb c1 ON c1.period = s.t AND (c1.g = 0 OR c1.g > s.t)
+  JOIN cb c0 ON c0.g = c1.g AND c0.period = s.t - 1
+  GROUP BY s.t
+),
+per_t AS (
+  SELECT sw.t, dy_sw - dy_ctrl AS did_plus, n_sw
+  FROM sw JOIN ctrl ON ctrl.t = sw.t
+)
+SELECT t, ROUND(did_plus, 6) AS did_plus, CAST(n_sw AS BIGINT) AS n_switchers
+FROM per_t
+UNION ALL
+SELECT -1, ROUND(SUM(did_plus * n_sw) / SUM(n_sw), 6),
+       CAST(SUM(n_sw) AS BIGINT)
+FROM per_t
+ORDER BY t
+"""
+
+QUERIES["did_dcdh_effect"] = did_dcdh_effect
+ORACLES["did_dcdh_effect"] = DID_DCDH_SQL
 
 # ---------------------------------------------------------------------------
 # CDC log application (latest-wins upsert + delete tombstones)

@@ -668,3 +668,268 @@ FROM per_user GROUP BY 1 ORDER BY decile
 
 QUERIES["events_user_concentration"] = events_user_concentration
 ORACLES["events_user_concentration"] = CONCENTRATION_SQL
+
+# ---------------------------------------------------------------------------
+# Distribution drift between time slices (PSI — population stability index)
+# ---------------------------------------------------------------------------
+
+
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-drift screen between two time slices of the events table
+    (reference = days 1-15, current = the rest): the Population
+    Stability Index Σ (p_cur − p_ref)·ln(p_cur / p_ref), the standard
+    ML-ops data-drift gate (≥ 0.2 = retrain/alert). Two legs:
+
+    * ``value_decile`` — the numeric column bucketed into 10
+      fixed-width bins scaled by the REFERENCE slice's max (current
+      rows past it clamp into the top bin — exactly what a deployed
+      scorer would see), so the bin edges are one exact scalar, never
+      an engine-specific quantile sketch;
+    * ``event_type`` — the categorical column on its observed values.
+
+    Laplace-smoothed shares ((n + 0.5)/(N + 0.5k)) keep empty-in-one-
+    slice buckets finite. All shares are identical doubles in both
+    engines (integer counts through IEEE ops in mirrored order); ln is
+    applied to those identical inputs (same cross-libm exposure as the
+    long-green TF-IDF query) and the 10-term sums round at 6dp.
+
+    Scale shape: one data-scale aggregation per leg (map-side
+    combinable), everything after is ≤10-row algebra; the reference
+    max rides a broadcast crossJoin, not a second pass."""
+    e = load_table(spark, sf_dir, "events")
+    is_ref = F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+
+    v = e.filter(F.col("value").isNotNull()).select(
+        is_ref.alias("is_ref"), "value"
+    )
+    mx = v.filter(F.col("is_ref") == 1).agg(F.max("value").alias("mx"))
+    bucket = F.least(
+        F.lit(9),
+        F.greatest(F.lit(0), F.floor(F.col("value") * 10.0 / F.col("mx"))),
+    ).cast("int")
+    bc = (
+        v.crossJoin(F.broadcast(mx))
+        .select("is_ref", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    tc = e.groupBy("event_type").agg(
+        F.sum(is_ref).alias("n_ref"), F.sum(1 - is_ref).alias("n_cur")
+    )
+
+    def psi_of(counts: DataFrame, label: str) -> DataFrame:
+        tot = counts.agg(
+            F.sum("n_ref").alias("nr"),
+            F.sum("n_cur").alias("nc"),
+            F.count("*").alias("k"),
+        )
+        pc = (F.col("n_cur").cast("double") + 0.5) / (
+            F.col("nc").cast("double") + 0.5 * F.col("k").cast("double")
+        )
+        pr = (F.col("n_ref").cast("double") + 0.5) / (
+            F.col("nr").cast("double") + 0.5 * F.col("k").cast("double")
+        )
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(
+                F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"),
+                F.max("nr").cast("bigint").alias("n_ref"),
+                F.max("nc").cast("bigint").alias("n_cur"),
+                F.count("*").cast("bigint").alias("n_buckets"),
+            )
+            .select(
+                F.lit(label).alias("column_name"), "psi", "n_ref", "n_cur",
+                "n_buckets",
+            )
+        )
+
+    return (
+        psi_of(tc, "event_type")
+        .unionAll(psi_of(bc, "value_decile"))
+        .orderBy("column_name")
+    )
+
+
+DRIFT_PSI_SQL = """
+WITH v AS (
+  SELECT CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS is_ref, value
+  FROM events WHERE value IS NOT NULL
+),
+mx AS (SELECT MAX(value) AS mx FROM v WHERE is_ref = 1),
+bc AS (
+  SELECT CAST(LEAST(9, GREATEST(0, FLOOR(value * 10.0 / (SELECT mx FROM mx)))) AS INT) AS bucket,
+         SUM(is_ref) AS n_ref, SUM(1 - is_ref) AS n_cur
+  FROM v GROUP BY 1
+),
+tc AS (
+  SELECT event_type,
+         SUM(CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END) AS n_cur
+  FROM events GROUP BY 1
+),
+bpsi AS (
+  SELECT ROUND(SUM(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t.nc AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE))
+                    - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t.nr AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)))
+                 * LN(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t.nc AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)))
+                      / ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t.nr AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE))))), 6) AS psi,
+         CAST(MAX(t.nr) AS BIGINT) AS n_ref, CAST(MAX(t.nc) AS BIGINT) AS n_cur,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM bc CROSS JOIN (SELECT SUM(n_ref) AS nr, SUM(n_cur) AS nc, COUNT(*) AS k FROM bc) t
+),
+tpsi AS (
+  SELECT ROUND(SUM(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t.nc AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE))
+                    - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t.nr AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)))
+                 * LN(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t.nc AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)))
+                      / ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t.nr AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE))))), 6) AS psi,
+         CAST(MAX(t.nr) AS BIGINT) AS n_ref, CAST(MAX(t.nc) AS BIGINT) AS n_cur,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM tc CROSS JOIN (SELECT SUM(n_ref) AS nr, SUM(n_cur) AS nc, COUNT(*) AS k FROM tc) t
+)
+SELECT 'event_type' AS column_name, psi, n_ref, n_cur, n_buckets FROM tpsi
+UNION ALL
+SELECT 'value_decile', psi, n_ref, n_cur, n_buckets FROM bpsi
+ORDER BY column_name
+"""
+
+QUERIES["profile_drift_psi"] = profile_drift_psi
+ORACLES["profile_drift_psi"] = DRIFT_PSI_SQL
+
+# ---------------------------------------------------------------------------
+# mSPRT always-valid experiment monitor (mixture sequential probability ratio)
+# ---------------------------------------------------------------------------
+
+MSPRT_TAU2 = 0.01  # mixture prior variance on the mean difference
+
+
+def events_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B readout: the normal-mixture SPRT
+    (Robbins 1970; the "always-valid p-value" of Johari, Koomen,
+    Pekelis & Walsh 2017) evaluated after every day of the experiment.
+    Peeking at a fixed-horizon t-test daily inflates false positives
+    several-fold; the mSPRT martingale keeps the type-I guarantee at
+    EVERY look. Per day d (cumulative over days ≤ d):
+
+        Δ̂_d  = x̄_a − x̄_b,   V_d = s²_pooled · (1/n_a + 1/n_b)
+        logΛ_d = ½·ln(V_d/(V_d+τ²)) + Δ̂²_d·τ²/(2·V_d·(V_d+τ²))
+        p_d   = min(1, exp(−max_{k≤d} logΛ_k))   (monotone ↓)
+
+    Scale shape: ONE data-scale aggregation (per-day decimal-exact
+    moments per hash arm, map-side combinable); the cumulative sums
+    and the running max are triangle joins over the ~30-row day table
+    (broadcast nested loop on a result-sized frame — never a
+    data-scale window). Decimal accumulation makes every cumulative
+    moment bit-identical across engines; the double algebra on top is
+    mirrored operation-for-operation by the oracle (ln/exp on
+    identical inputs — the TF-IDF-established libm exposure)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = F.col("value").cast("decimal(18,6)")
+    arm = _arm()
+    daily = (
+        e.select(F.to_date("ts").alias("day"), arm.alias("arm"), d.alias("d"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("dn_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("dn_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("d"))).alias("ds1_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("d"))).alias("ds1_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("d") * F.col("d"))).alias("ds2_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("d") * F.col("d"))).alias("ds2_b"),
+        )
+    )
+    k = daily.select(
+        F.col("day").alias("kday"), "dn_a", "dn_b", "ds1_a", "ds1_b",
+        "ds2_a", "ds2_b",
+    )
+    cum = (
+        daily.select("day")
+        .join(F.broadcast(k), F.col("kday") <= F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.sum("dn_a").cast("double").alias("n_a"),
+            F.sum("dn_b").cast("double").alias("n_b"),
+            F.sum("ds1_a").cast("double").alias("s1_a"),
+            F.sum("ds1_b").cast("double").alias("s1_b"),
+            F.sum("ds2_a").cast("double").alias("s2_a"),
+            F.sum("ds2_b").cast("double").alias("s2_b"),
+        )
+    )
+    delta = F.col("s1_a") / F.col("n_a") - F.col("s1_b") / F.col("n_b")
+    var_p = (
+        (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a"))
+        + (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b"))
+    ) / (F.col("n_a") + F.col("n_b") - 2.0)
+    vd = var_p * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    tau2 = F.lit(float(MSPRT_TAU2))
+    loglam = 0.5 * F.log(vd / (vd + tau2)) + delta * delta * tau2 / (
+        2.0 * vd * (vd + tau2)
+    )
+    ll = cum.select(
+        "day",
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n"),
+        delta.alias("mean_diff"),
+        loglam.alias("log_lambda"),
+    )
+    lk = ll.select(F.col("day").alias("kday"), F.col("log_lambda").alias("ll_k"))
+    runmax = (
+        ll.join(F.broadcast(lk), F.col("kday") <= F.col("day"))
+        .groupBy("day", "n", "mean_diff", "log_lambda")
+        .agg(F.max("ll_k").alias("ll_max"))
+    )
+    return runmax.select(
+        "day",
+        "n",
+        F.round("mean_diff", 6).alias("mean_diff"),
+        F.round("log_lambda", 6).alias("log_lambda"),
+        F.round(F.least(F.lit(1.0), F.exp(-F.col("ll_max"))), 6).alias(
+            "p_always_valid"
+        ),
+    ).orderBy("day")
+
+
+MSPRT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN {_ARM_SQL} = 0 THEN 1 ELSE 0 END) AS dn_a,
+         SUM(CASE WHEN {_ARM_SQL} = 1 THEN 1 ELSE 0 END) AS dn_b,
+         SUM(CASE WHEN {_ARM_SQL} = 0 THEN CAST(value AS DECIMAL(18,6)) END) AS ds1_a,
+         SUM(CASE WHEN {_ARM_SQL} = 1 THEN CAST(value AS DECIMAL(18,6)) END) AS ds1_b,
+         SUM(CASE WHEN {_ARM_SQL} = 0 THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS ds2_a,
+         SUM(CASE WHEN {_ARM_SQL} = 1 THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS ds2_b
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT d.day,
+         CAST(SUM(k.dn_a) AS DOUBLE) AS n_a, CAST(SUM(k.dn_b) AS DOUBLE) AS n_b,
+         CAST(SUM(k.ds1_a) AS DOUBLE) AS s1_a, CAST(SUM(k.ds1_b) AS DOUBLE) AS s1_b,
+         CAST(SUM(k.ds2_a) AS DOUBLE) AS s2_a, CAST(SUM(k.ds2_b) AS DOUBLE) AS s2_b
+  FROM (SELECT day FROM daily) d
+  JOIN daily k ON k.day <= d.day
+  GROUP BY d.day
+),
+ll AS (
+  SELECT day, CAST(n_a + n_b AS BIGINT) AS n,
+         s1_a / n_a - s1_b / n_b AS mean_diff,
+         0.5 * LN((((s2_a - s1_a * s1_a / n_a) + (s2_b - s1_b * s1_b / n_b)) / (n_a + n_b - 2.0)
+                   * (1.0 / n_a + 1.0 / n_b))
+                  / ((((s2_a - s1_a * s1_a / n_a) + (s2_b - s1_b * s1_b / n_b)) / (n_a + n_b - 2.0)
+                      * (1.0 / n_a + 1.0 / n_b)) + CAST({MSPRT_TAU2} AS DOUBLE)))
+         + (s1_a / n_a - s1_b / n_b) * (s1_a / n_a - s1_b / n_b) * CAST({MSPRT_TAU2} AS DOUBLE)
+           / (2.0 * (((s2_a - s1_a * s1_a / n_a) + (s2_b - s1_b * s1_b / n_b)) / (n_a + n_b - 2.0)
+                     * (1.0 / n_a + 1.0 / n_b))
+              * ((((s2_a - s1_a * s1_a / n_a) + (s2_b - s1_b * s1_b / n_b)) / (n_a + n_b - 2.0)
+                  * (1.0 / n_a + 1.0 / n_b)) + CAST({MSPRT_TAU2} AS DOUBLE))) AS log_lambda
+  FROM cum
+)
+SELECT d.day, d.n, ROUND(d.mean_diff, 6) AS mean_diff,
+       ROUND(d.log_lambda, 6) AS log_lambda,
+       ROUND(LEAST(1.0, EXP(-MAX(k.log_lambda))), 6) AS p_always_valid
+FROM ll d JOIN ll k ON k.day <= d.day
+GROUP BY d.day, d.n, d.mean_diff, d.log_lambda
+ORDER BY d.day
+"""
+
+QUERIES["events_msprt_monitor"] = events_msprt_monitor
+ORACLES["events_msprt_monitor"] = MSPRT_SQL
