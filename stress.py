@@ -1205,6 +1205,109 @@ def run_stream_refresh(spark, n_events: int, n_files: int = 8) -> dict:
     }
 
 
+def run_ivfpq(spark, n_vecs: int, dim: int = 64, n_clusters: int = 50) -> dict:
+    """IVF-PQ rehearsal on a CLUSTERED synthetic corpus — the regime
+    the index is built for (the sf0.01 gate corpus is near-uniform,
+    IVF's worst case, and needs 6/8 probes; here neighbors share
+    cells, so few probes suffice). n_vecs vectors in `dim`-d: each is
+    one of ``n_clusters`` seeded hash-derived cluster centers plus
+    small per-coordinate jitter, all generated executor-side (no
+    driver materialization). Query = a fresh jitter of cluster 0's
+    center; ground truth = exact L2 top-10 (brute force). Evidence:
+    recall@10 of the 16-cell/3-probe residual-PQ pipeline, wall time,
+    flat driver memory."""
+    from csdid_pyspark_spark.operators.ivfpq import ivfpq_topk
+
+    # center(c, j) and jitter derive from splitmix-style integer hashes
+    # -> deterministic, executor-side, no numpy broadcast
+    def center_expr(cvar: str) -> str:
+        return (
+            f"transform(sequence(0, {dim - 1}), j -> "
+            f"cast(pmod(hash({cvar} * 1000 + j, 42), 1000) as double) / 100.0)"
+        )
+
+    # per-vector jitter MAGNITUDE varies (0..~0.5 per coord): the true
+    # neighbors of a center query are the low-jitter members, so the
+    # rehearsal demands the PQ codes rank WITHIN the probed cluster,
+    # not just find it (constant jitter would make the top-10 an
+    # unrankable tie set for any quantizer)
+    emb = (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.pmod(F.xxhash64("id", F.lit("c")), n_clusters).alias("c"),
+            (F.pmod(F.xxhash64("id", F.lit("s")), 97) / 97.0 * 0.5).alias("scale"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"zip_with({center_expr('c')}, "
+                f"transform(sequence(0, {dim - 1}), j -> "
+                f"scale * cast(pmod(hash(vec_id * {dim} + j, 7), 1000) as double) / 1000.0), "
+                f"(a, b) -> a + b)"
+            ).alias("embedding"),
+        )
+    )
+    q_row = (
+        spark.range(1)
+        .select(F.expr(center_expr("cast(0 as bigint)")).alias("q"))
+        .first()
+    )
+    q = [float(x) for x in q_row["q"]]
+    # explicit core-count partitioning: rightsizing by bytes would
+    # coalesce 20k small rows onto 1 partition and serialize every
+    # k-means/PQ pass of the index build onto one core
+    cores = spark.sparkContext.defaultParallelism
+    emb = emb.repartition(cores).persist()
+    emb.count()
+    qarr = F.array(*[F.lit(x) for x in q])
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding"), qarr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    t0 = time.perf_counter()
+    exact = {
+        r["vec_id"]
+        for r in emb.select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    exact_sec = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    # rerank pool = 2.5% of the corpus: PQ codes quantize away tiny
+    # distance differences, so the vectors nearest a cluster center
+    # form an ADC TIE GROUP sharing the minimal code tuple, and the
+    # group grows WITH the corpus (members per planted cluster) — the
+    # exact-rerank pool must exceed it or the deterministic id-tiebreak
+    # crowds the true top-k out (measured at 20k: recall 0.1 with pool
+    # 100, 1.0 with pool 500; at 100k: 0.6 with 500, green at 2500).
+    # The pool is still a bounded exact pass — 2.5% of probed codes.
+    n_cand = max(500, n_vecs // 40)
+    got = {
+        r["vec_id"]
+        for r in ivfpq_topk(
+            emb, q, n_cells=16, n_probe=3, m=16, k_codes=32, iters=3,
+            n_candidates=n_cand, k_out=10,
+        ).collect()
+    }
+    ivfpq_sec = round(time.perf_counter() - t0, 1)
+    emb.unpersist()
+    return {
+        "metric": "stress_ivfpq",
+        "vectors": n_vecs,
+        "dim": dim,
+        "clusters": n_clusters,
+        "probe_fraction": round(3 / 16, 3),
+        "rerank_pool": n_cand,
+        "recall_at_10": round(len(exact & got) / 10, 2),
+        "exact_bruteforce_sec": exact_sec,
+        "ivfpq_total_sec": ivfpq_sec,
+        **_driver_memory(),
+    }
+
+
 def run_stats(spark, n_events: int) -> dict:
     """Distribution-statistics rehearsal: the stats_ext family (daily
     ACF, user-concentration deciles, Welch t) executed through the
@@ -1299,7 +1402,7 @@ def main() -> None:
     if args and args[0] in (
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
-        "conformal", "pit", "stats",
+        "conformal", "pit", "stats", "ivfpq",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -1328,6 +1431,9 @@ def main() -> None:
     elif mode == "streamrefresh":
         n_events = int(args[0]) if args else 10_000_000
         out = run_stream_refresh(spark, n_events)
+    elif mode == "ivfpq":
+        n_vecs = int(args[0]) if args else 100_000
+        out = run_ivfpq(spark, n_vecs)
     elif mode == "cdc":
         n_ops = int(args[0]) if args else 50_000_000
         out = run_cdc(spark, n_ops)
