@@ -1,0 +1,171 @@
+"""Cell-algebra robustness estimators over an arbitrary long panel.
+
+Sun-Abraham (2021) interaction-weighted event studies and the
+de Chaisemartin-D'Haultfœuille (2020) DID_M both reduce, on a balanced
+panel with a never-treated comparison group, to algebra over the
+(cohort, period) cell-mean table — ONE data-scale aggregation
+(map-side combinable), then broadcast-tiny joins. These helpers take
+any long panel DataFrame, so the same code serves the oracle-checked
+queries (queries/estimation_ext.py — derived sf panel) and the
+multi-million-row planted-truth rehearsals (stress.py panel DGP).
+
+Estimator derivations and reference comparisons live on the query
+docstrings (did_sunab_event / did_dcdh_effect)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cells(
+    panel: DataFrame, yname: str, tname: str, gname: str
+) -> DataFrame:
+    """(g, period) cell means + unit counts — the single data-scale
+    pass both estimators share. Column names are normalized so the
+    algebra below stays fixed."""
+    return (
+        panel.select(
+            F.col(gname).alias("g"),
+            F.col(tname).alias("period"),
+            F.col(yname).alias("y"),
+        )
+        .groupBy("g", "period")
+        .agg(F.avg("y").alias("ybar"), F.count("*").alias("n"))
+    )
+
+
+def sunab_event_frame(
+    panel: DataFrame,
+    yname: str = "y",
+    tname: str = "period",
+    gname: str = "g",
+) -> DataFrame:
+    """Sun-Abraham IW event-study profile: (e, att_iw, n_treated,
+    n_cohorts), att_iw rounded at 6dp. CATT(g, e) against the fixed
+    e = -1 baseline with a pooled never-treated (g = 0) control;
+    weights are cohort shares among cohorts contributing to each e."""
+    cb = _cells(panel, yname, tname, gname)
+    tr = cb.filter(F.col("g") > 0).select(
+        "g", F.col("period").alias("t"), F.col("ybar").alias("y_gt"), "n"
+    )
+    tb = cb.filter(F.col("g") > 0).select(
+        F.col("g").alias("g_b"), F.col("period").alias("t_b"),
+        F.col("ybar").alias("y_gbase"),
+    )
+    ctrl = cb.filter(F.col("g") == 0).select(
+        F.col("period").alias("t_c"), F.col("ybar").alias("y_ct")
+    )
+    cells = (
+        tr.join(
+            F.broadcast(tb),
+            (F.col("g") == F.col("g_b")) & (F.col("t_b") == F.col("g") - 1),
+        )
+        .join(F.broadcast(ctrl), F.col("t_c") == F.col("t"))
+        .join(
+            F.broadcast(
+                ctrl.select(
+                    F.col("t_c").alias("t_c0"), F.col("y_ct").alias("y_cbase")
+                )
+            ),
+            F.col("t_c0") == F.col("g") - 1,
+        )
+        .filter(F.col("t") != F.col("g") - 1)
+        .select(
+            (F.col("t") - F.col("g")).cast("int").alias("e"),
+            (
+                (F.col("y_gt") - F.col("y_gbase"))
+                - (F.col("y_ct") - F.col("y_cbase"))
+            ).alias("catt"),
+            F.col("n"),
+        )
+    )
+    return (
+        cells.groupBy("e")
+        .agg(
+            F.round(F.sum(F.col("catt") * F.col("n")) / F.sum("n"), 6).alias(
+                "att_iw"
+            ),
+            F.sum("n").cast("bigint").alias("n_treated"),
+            F.count("*").cast("bigint").alias("n_cohorts"),
+        )
+        .orderBy("e")
+    )
+
+
+def dcdh_frame(
+    panel: DataFrame,
+    yname: str = "y",
+    tname: str = "period",
+    gname: str = "g",
+) -> DataFrame:
+    """dCDH DID_M: per switch period t the switcher-vs-not-yet-treated
+    instantaneous DiD (did_plus, rounded 6dp) with switcher counts,
+    plus the switcher-weighted overall DID_M as the t = -1 row."""
+    cb = _cells(panel, yname, tname, gname)
+    sw = (
+        cb.filter((F.col("g") > 0) & (F.col("period") == F.col("g")))
+        .alias("t")
+        .join(
+            F.broadcast(
+                cb.select(
+                    F.col("g").alias("g_p"),
+                    F.col("period").alias("t_p"),
+                    F.col("ybar").alias("y_prev"),
+                )
+            ),
+            (F.col("g") == F.col("g_p")) & (F.col("t_p") == F.col("g") - 1),
+        )
+        .select(
+            F.col("g").cast("int").alias("t"),
+            (F.col("ybar") - F.col("y_prev")).alias("dy_sw"),
+            F.col("n").alias("n_sw"),
+        )
+    )
+    c1 = cb.select(
+        F.col("g").alias("g_c"), F.col("period").alias("t_c"),
+        F.col("ybar").alias("y_c1"), F.col("n").alias("n_c"),
+    )
+    c0 = cb.select(
+        F.col("g").alias("g_c0"), F.col("period").alias("t_c0"),
+        F.col("ybar").alias("y_c0"),
+    )
+    ctrl = (
+        sw.select("t")
+        .join(
+            F.broadcast(c1),
+            (F.col("t_c") == F.col("t"))
+            & ((F.col("g_c") == 0) | (F.col("g_c") > F.col("t"))),
+        )
+        .join(
+            F.broadcast(c0),
+            (F.col("g_c0") == F.col("g_c")) & (F.col("t_c0") == F.col("t") - 1),
+        )
+        .groupBy("t")
+        .agg(
+            (
+                F.sum(F.col("n_c") * (F.col("y_c1") - F.col("y_c0")))
+                / F.sum("n_c")
+            ).alias("dy_ctrl")
+        )
+    )
+    per_t = sw.join(F.broadcast(ctrl), "t").select(
+        "t",
+        (F.col("dy_sw") - F.col("dy_ctrl")).alias("did_plus"),
+        "n_sw",
+    )
+    overall = per_t.agg(
+        F.lit(-1).cast("int").alias("t"),
+        F.round(
+            F.sum(F.col("did_plus") * F.col("n_sw")) / F.sum("n_sw"), 6
+        ).alias("did_plus"),
+        F.sum("n_sw").cast("bigint").alias("n_switchers"),
+    )
+    return (
+        per_t.select(
+            "t", F.round("did_plus", 6).alias("did_plus"),
+            F.col("n_sw").cast("bigint").alias("n_switchers"),
+        )
+        .unionAll(overall)
+        .orderBy("t")
+    )

@@ -248,55 +248,9 @@ def did_sunab_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     Balanced panel (panel_from_events filters to complete units), so
     cell-mean differences equal the mean of per-unit differences.
     """
-    panel = panel_from_events(spark, sf_dir)
-    cb = panel.groupBy("g", "period").agg(
-        F.avg("y").alias("ybar"), F.count("*").alias("n")
-    )
-    tr = cb.filter(F.col("g") > 0).select(
-        "g", F.col("period").alias("t"), F.col("ybar").alias("y_gt"), "n"
-    )
-    tb = cb.filter(F.col("g") > 0).select(
-        F.col("g").alias("g_b"), F.col("period").alias("t_b"),
-        F.col("ybar").alias("y_gbase"),
-    )
-    ctrl = cb.filter(F.col("g") == 0).select(
-        F.col("period").alias("t_c"), F.col("ybar").alias("y_ct")
-    )
-    cells = (
-        tr.join(
-            F.broadcast(tb),
-            (F.col("g") == F.col("g_b")) & (F.col("t_b") == F.col("g") - 1),
-        )
-        .join(F.broadcast(ctrl), F.col("t_c") == F.col("t"))
-        .join(
-            F.broadcast(
-                ctrl.select(
-                    F.col("t_c").alias("t_c0"), F.col("y_ct").alias("y_cbase")
-                )
-            ),
-            F.col("t_c0") == F.col("g") - 1,
-        )
-        .filter(F.col("t") != F.col("g") - 1)
-        .select(
-            (F.col("t") - F.col("g")).cast("int").alias("e"),
-            (
-                (F.col("y_gt") - F.col("y_gbase"))
-                - (F.col("y_ct") - F.col("y_cbase"))
-            ).alias("catt"),
-            F.col("n"),
-        )
-    )
-    return (
-        cells.groupBy("e")
-        .agg(
-            F.round(F.sum(F.col("catt") * F.col("n")) / F.sum("n"), 6).alias(
-                "att_iw"
-            ),
-            F.sum("n").cast("bigint").alias("n_treated"),
-            F.count("*").cast("bigint").alias("n_cohorts"),
-        )
-        .orderBy("e")
-    )
+    from csdid_pyspark_spark.did.robust_cells import sunab_event_frame
+
+    return sunab_event_frame(panel_from_events(spark, sf_dir))
 
 
 DID_SUNAB_SQL = f"""
@@ -352,76 +306,9 @@ def did_dcdh_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to did_sunab_event — one data-scale
     (g, period) cell-mean aggregation, then broadcast-tiny cell
     algebra."""
-    panel = panel_from_events(spark, sf_dir)
-    cb = panel.groupBy("g", "period").agg(
-        F.avg("y").alias("ybar"), F.count("*").alias("n")
-    )
-    sw = (
-        cb.filter((F.col("g") > 0) & (F.col("period") == F.col("g")))
-        .alias("t")
-        .join(
-            F.broadcast(
-                cb.select(
-                    F.col("g").alias("g_p"),
-                    F.col("period").alias("t_p"),
-                    F.col("ybar").alias("y_prev"),
-                )
-            ),
-            (F.col("g") == F.col("g_p")) & (F.col("t_p") == F.col("g") - 1),
-        )
-        .select(
-            F.col("g").cast("int").alias("t"),
-            (F.col("ybar") - F.col("y_prev")).alias("dy_sw"),
-            F.col("n").alias("n_sw"),
-        )
-    )
-    c1 = cb.select(
-        F.col("g").alias("g_c"), F.col("period").alias("t_c"),
-        F.col("ybar").alias("y_c1"), F.col("n").alias("n_c"),
-    )
-    c0 = cb.select(
-        F.col("g").alias("g_c0"), F.col("period").alias("t_c0"),
-        F.col("ybar").alias("y_c0"),
-    )
-    ctrl = (
-        sw.select("t")
-        .join(
-            F.broadcast(c1),
-            (F.col("t_c") == F.col("t"))
-            & ((F.col("g_c") == 0) | (F.col("g_c") > F.col("t"))),
-        )
-        .join(
-            F.broadcast(c0),
-            (F.col("g_c0") == F.col("g_c")) & (F.col("t_c0") == F.col("t") - 1),
-        )
-        .groupBy("t")
-        .agg(
-            (
-                F.sum(F.col("n_c") * (F.col("y_c1") - F.col("y_c0")))
-                / F.sum("n_c")
-            ).alias("dy_ctrl")
-        )
-    )
-    per_t = sw.join(F.broadcast(ctrl), "t").select(
-        "t",
-        (F.col("dy_sw") - F.col("dy_ctrl")).alias("did_plus"),
-        "n_sw",
-    )
-    overall = per_t.agg(
-        F.lit(-1).cast("int").alias("t"),
-        F.round(
-            F.sum(F.col("did_plus") * F.col("n_sw")) / F.sum("n_sw"), 6
-        ).alias("did_plus"),
-        F.sum("n_sw").cast("bigint").alias("n_switchers"),
-    )
-    return (
-        per_t.select(
-            "t", F.round("did_plus", 6).alias("did_plus"),
-            F.col("n_sw").cast("bigint").alias("n_switchers"),
-        )
-        .unionAll(overall)
-        .orderBy("t")
-    )
+    from csdid_pyspark_spark.did.robust_cells import dcdh_frame
+
+    return dcdh_frame(panel_from_events(spark, sf_dir))
 
 
 DID_DCDH_SQL = f"""

@@ -172,6 +172,22 @@ def run_panel(spark, n_units: int, n_periods: int, bstrap: bool = False) -> dict
     truth = TAU * (post["t"] - post["g"] + 1)
     max_err = float((post["att"] - truth).abs().max())
 
+    # robustness companions on the same planted panel: SA must recover
+    # tau*(e+1) on the lags and ~0 on the leads (the DGP's confounder is
+    # time-invariant, so the fixed-baseline cell differences remove it);
+    # dCDH's instantaneous DID_M must recover tau.
+    from csdid_pyspark_spark.did.robust_cells import dcdh_frame, sunab_event_frame
+
+    t0 = time.perf_counter()
+    sa = sunab_event_frame(panel, yname="y", tname="t", gname="g").collect()
+    sa_err = max(
+        abs(r["att_iw"] - (TAU * (r["e"] + 1) if r["e"] >= 0 else 0.0))
+        for r in sa
+    )
+    dc = dcdh_frame(panel, yname="y", tname="t", gname="g").collect()
+    dcdh_m = next(r["did_plus"] for r in dc if r["t"] == -1)
+    robust_s = time.perf_counter() - t0
+
     return {
         "metric": "stress_panel_bstrap" if bstrap else "stress_panel",
         "rows": n_rows,
@@ -180,6 +196,11 @@ def run_panel(spark, n_units: int, n_periods: int, bstrap: bool = False) -> dict
         "fit_dr_sec": round(fit_s, 1),
         "aggte_dynamic_sec": round(agg_s, 1),
         "max_abs_att_error": round(max_err, 4),
+        "sunab_dcdh_sec": round(robust_s, 1),
+        "sunab_event_times": len(sa),
+        "sunab_max_abs_error": round(float(sa_err), 4),
+        "dcdh_did_m": round(float(dcdh_m), 4),
+        "dcdh_abs_error": round(abs(float(dcdh_m) - TAU), 4),
         **_driver_memory(),
     }
 
