@@ -1,0 +1,162 @@
+"""Synthetic control (Abadie & Gardeazabal 2003; Abadie, Diamond &
+Hainmueller 2010) — the comparative-case-study companion of the DiD
+robustness suite: ONE treated unit, a donor pool of untreated units,
+and a simplex-weighted combination of donors fitted on PRE-treatment
+outcomes that serves as the counterfactual after treatment.
+
+Reference scope: the reference package (d2cml-ai/csdid-pyspark,
+ATTgt.py) has no synthetic-control path; this is part of the engine's
+beyond-reference estimator surface, built from the published method.
+
+Scale design — the donor pool is the data-scale object (millions of
+candidate units at 100 TB), the fitted problem is not:
+
+1. PRE-SCREEN distributedly: one broadcast join of the treated unit's
+   pre-period series against the panel + one groupBy(id) aggregation
+   ranks every donor by pre-period squared distance; only the top
+   ``donor_k`` survive (classical SC uses tens of donors — past that
+   the simplex weights are sparse anyway, and interpolation bias from
+   far-away donors grows: Abadie 2021 §4).
+2. COLLECT only the K surviving donor series (K × T scalars).
+3. SOLVE the simplex-constrained least squares driver-side with
+   Frank-Wolfe (deterministic: fixed iterations, 2/(k+2) steps,
+   lowest-index tie-breaks — no dependence on partitioning).
+4. The synthetic series / gap table is T rows — result-sized.
+
+The whole executor→driver traffic is O(K·T) floats, independent of
+panel rows — the same contract as the estimator's Gram passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _frank_wolfe_simplex(X, y, iters: int = 800):
+    """min_w ||X w - y||² s.t. w ≥ 0, Σw = 1, via Frank-Wolfe.
+    X: (T0 × K) numpy array, y: (T0,). Deterministic: w₀ = e₀, the
+    linear-minimization oracle picks the LOWEST gradient index (ties →
+    lowest index), step 2/(k+2)."""
+    import numpy as np
+
+    K = X.shape[1]
+    w = np.zeros(K)
+    w[0] = 1.0
+    for k in range(iters):
+        grad = 2.0 * X.T @ (X @ w - y)
+        j = int(np.argmin(grad))  # argmin returns the first (lowest) index
+        step = 2.0 / (k + 2.0)
+        w *= 1.0 - step
+        w[j] += step
+    return w
+
+
+def synthetic_control(
+    panel: DataFrame,
+    treated_id,
+    t0,
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    donor_ids: DataFrame | None = None,
+    donor_k: int = 50,
+    fw_iters: int = 800,
+) -> dict:
+    """Fit a synthetic control for ``treated_id`` treated from period
+    ``t0`` (first treated period; all periods < t0 are the fit window).
+
+    ``donor_ids``: optional single-column DataFrame restricting the
+    donor pool (e.g. never-treated units); default = every other unit.
+
+    Returns a dict:
+      ``weights``   {donor_id: weight} for weights > 1e-6, simplex;
+      ``series``    list of (period, actual, synthetic, gap) over ALL
+                    periods, sorted;
+      ``att_post``  mean post-period gap (the SC treatment estimate);
+      ``pre_rmspe`` / ``post_rmspe`` and their ratio — the
+                    Abadie-style placebo-test statistic.
+    """
+    import numpy as np
+
+    p = panel.select(
+        F.col(idname).alias("id"),
+        F.col(tname).alias("t"),
+        F.col(yname).alias("y"),
+    )
+    treated = p.filter(F.col("id") == treated_id)
+    tr_rows = treated.orderBy("t").collect()
+    if not tr_rows:
+        raise ValueError(f"treated unit {treated_id!r} not in panel")
+    periods = [r["t"] for r in tr_rows]
+    y_tr = {r["t"]: float(r["y"]) for r in tr_rows}
+    pre = [t for t in periods if t < t0]
+    post = [t for t in periods if t >= t0]
+    if len(pre) < 2:
+        raise ValueError(
+            f"synthetic control needs >=2 pre-treatment periods before "
+            f"t0={t0!r}; the treated unit has {len(pre)}"
+        )
+
+    donors = p.filter(F.col("id") != treated_id)
+    if donor_ids is not None:
+        pool = donor_ids.toDF("id")
+        donors = donors.join(F.broadcast(pool), "id", "left_semi")
+    # distributed pre-screen: squared pre-period distance per donor via
+    # a broadcast of the T0 treated values — one agg over the panel
+    tr_pre = F.create_map(
+        *[x for t in pre for x in (F.lit(t), F.lit(y_tr[t]))]
+    )
+    scored = (
+        donors.filter(F.col("t") < t0)
+        .select(
+            "id",
+            ((F.col("y") - tr_pre[F.col("t")]) ** 2).alias("d2"),
+            F.lit(1).alias("one"),
+        )
+        .groupBy("id")
+        .agg(F.sum("d2").alias("dist"), F.sum("one").alias("n_pre"))
+        # complete pre-window only: a donor missing pre periods would
+        # fake a small distance by absence
+        .filter(F.col("n_pre") == len(pre))
+        .orderBy("dist", "id")
+        .limit(donor_k)
+        .select("id")
+    )
+    kept = (
+        donors.join(F.broadcast(scored), "id", "left_semi")
+        .orderBy("id", "t")
+        .collect()
+    )
+    series: dict = {}
+    for r in kept:
+        series.setdefault(r["id"], {})[r["t"]] = float(r["y"])
+    # donors must also cover the post window to form the counterfactual
+    donor_list = sorted(
+        d for d, s in series.items() if all(t in s for t in periods)
+    )
+    if not donor_list:
+        raise ValueError("no donor covers the full observation window")
+    X = np.array([[series[d][t] for d in donor_list] for t in pre])
+    yv = np.array([y_tr[t] for t in pre])
+    w = _frank_wolfe_simplex(X, yv, iters=fw_iters)
+
+    out_series = []
+    for t in periods:
+        synth = float(
+            sum(w[j] * series[d][t] for j, d in enumerate(donor_list))
+        )
+        out_series.append((t, y_tr[t], synth, y_tr[t] - synth))
+    gaps = {t: g for t, _, _, g in out_series}
+    pre_rmspe = float(np.sqrt(np.mean([gaps[t] ** 2 for t in pre])))
+    post_rmspe = float(np.sqrt(np.mean([gaps[t] ** 2 for t in post]))) if post else 0.0
+    return {
+        "weights": {
+            d: float(w[j]) for j, d in enumerate(donor_list) if w[j] > 1e-6
+        },
+        "series": out_series,
+        "att_post": float(np.mean([gaps[t] for t in post])) if post else 0.0,
+        "pre_rmspe": pre_rmspe,
+        "post_rmspe": post_rmspe,
+        "rmspe_ratio": float(post_rmspe / pre_rmspe) if pre_rmspe > 0 else float("inf"),
+    }

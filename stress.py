@@ -1329,6 +1329,62 @@ def run_ivfpq(spark, n_vecs: int, dim: int = 64, n_clusters: int = 50) -> dict:
     }
 
 
+def run_synth(spark, n_donors: int, n_periods: int = 20, t0: int = 14) -> dict:
+    """Synthetic-control rehearsal: the DONOR POOL is the data-scale
+    object (n_donors × n_periods rows, executor-side synthesis); the
+    treated unit is donor 1's latent series plus tiny noise plus a
+    +2.0 effect from t0, so the distributed pre-screen must surface
+    donor 1 out of the whole pool before the bounded Frank-Wolfe fit.
+    Evidence: weight mass on donor 1, att_post ≈ 2.0, wall dominated
+    by ONE aggregation over the pool, flat driver memory."""
+    from csdid_pyspark_spark.did.synth import synthetic_control
+
+    lvl = (F.pmod(F.xxhash64("id", F.lit("l")), 1000) / 50.0).alias("lvl")
+    slope = (F.pmod(F.xxhash64("id", F.lit("s")), 100) / 100.0).alias("slope")
+    t = spark.range(n_periods).select(F.col("id").alias("t"))
+    donors = (
+        spark.range(1, n_donors + 1)
+        .select("id", lvl, slope)
+        .crossJoin(t)
+        .select(
+            "id",
+            F.col("t").cast("int").alias("period"),
+            (
+                F.col("lvl")
+                + F.col("slope") * F.col("t")
+                + F.pmod(F.xxhash64("id", "t"), 100) / 1000.0
+            ).alias("y"),
+        )
+    )
+    d1 = [
+        (r["period"], float(r["y"]))
+        for r in donors.filter(F.col("id") == 1).orderBy("period").collect()
+    ]
+    treated = spark.createDataFrame(
+        [
+            (0, p, y + 0.003 * ((p * 7) % 3) + (2.0 if p >= t0 else 0.0))
+            for p, y in d1
+        ],
+        "id bigint, period int, y double",
+    )
+    panel = donors.unionAll(treated)
+    t_start = time.perf_counter()
+    res = synthetic_control(panel, treated_id=0, t0=t0, donor_k=25)
+    wall = round(time.perf_counter() - t_start, 1)
+    return {
+        "metric": "stress_synth",
+        "donors": n_donors,
+        "panel_rows": n_donors * n_periods + n_periods,
+        "donor_k": 25,
+        "w_donor1": round(res["weights"].get(1, 0.0), 4),
+        "att_post": round(res["att_post"], 4),
+        "att_abs_error": round(abs(res["att_post"] - 2.0), 4),
+        "rmspe_ratio": round(res["rmspe_ratio"], 1),
+        "fit_sec": wall,
+        **_driver_memory(),
+    }
+
+
 def run_stats(spark, n_events: int) -> dict:
     """Distribution-statistics rehearsal: the stats_ext family (daily
     ACF, user-concentration deciles, Welch t) executed through the
@@ -1423,7 +1479,7 @@ def main() -> None:
     if args and args[0] in (
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
-        "conformal", "pit", "stats", "ivfpq",
+        "conformal", "pit", "stats", "ivfpq", "synth",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -1455,6 +1511,9 @@ def main() -> None:
     elif mode == "ivfpq":
         n_vecs = int(args[0]) if args else 100_000
         out = run_ivfpq(spark, n_vecs)
+    elif mode == "synth":
+        n_donors = int(args[0]) if args else 1_000_000
+        out = run_synth(spark, n_donors)
     elif mode == "cdc":
         n_ops = int(args[0]) if args else 50_000_000
         out = run_cdc(spark, n_ops)

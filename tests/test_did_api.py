@@ -494,3 +494,59 @@ def test_sunab_matches_cs_dynamic_on_lags_diverges_on_leads(spark):
     leads = [e for e in sa if e < -1]
     assert leads, "derived panel must have leads"
     assert any(abs(sa[e] - cs.get(float(e), float("nan"))) > 1e-6 for e in leads)
+
+
+def test_synthetic_control_recovers_planted_combo_and_effect(spark):
+    """Synthetic control on a panel where the treated unit is BY
+    CONSTRUCTION a convex combination (0.5, 0.3, 0.2) of three donors
+    plus a +2.0 effect from t0. Weight recovery is asserted on an
+    IDENTIFIABLE pool (8 donors < 10 pre periods); with K donors >
+    pre-periods any number of simplex combinations fit the pre window
+    exactly, so on the wide 50-donor pool only the functional claims
+    hold: ~0 pre gaps, att_post ~ 2.0, large RMSPE ratio (the
+    placebo-test signature)."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.synth import synthetic_control
+
+    rng = np.random.default_rng(7)
+    T, t0 = 14, 10
+
+    def build(n_donors):
+        rows, base = [], {}
+        for d in range(1, n_donors + 1):
+            lvl, slope = rng.normal(10, 3), rng.normal(0.2, 0.1)
+            base[d] = [lvl + slope * t + rng.normal(0, 0.05) for t in range(T)]
+            rows += [(d, t, base[d][t]) for t in range(T)]
+        treated = [
+            0.5 * base[1][t] + 0.3 * base[2][t] + 0.2 * base[3][t]
+            + (2.0 if t >= t0 else 0.0)
+            for t in range(T)
+        ]
+        rows += [(0, t, treated[t]) for t in range(T)]
+        return spark.createDataFrame(rows, "id bigint, period int, y double")
+
+    # identifiable pool: 8 donors, 10 pre periods -> weights pinned
+    panel8 = build(8)
+    res = synthetic_control(panel8, treated_id=0, t0=t0, donor_k=8)
+    w = res["weights"]
+    assert abs(w.get(1, 0.0) - 0.5) < 0.05, w
+    assert abs(w.get(2, 0.0) - 0.3) < 0.05, w
+    assert abs(w.get(3, 0.0) - 0.2) < 0.05, w
+    assert abs(sum(w.values()) - 1.0) < 1e-6
+    pre_gaps = [g for t, _, _, g in res["series"] if t < t0]
+    assert max(abs(g) for g in pre_gaps) < 0.1
+    assert abs(res["att_post"] - 2.0) < 0.1
+    assert res["rmspe_ratio"] > 10
+
+    # determinism: a different partitioning yields identical weights
+    res2 = synthetic_control(panel8.repartition(13), treated_id=0, t0=t0, donor_k=8)
+    assert res2["weights"] == w
+
+    # wide pool (underdetermined weights): the FIT still must be right
+    panel50 = build(50)
+    res50 = synthetic_control(panel50, treated_id=0, t0=t0, donor_k=50)
+    pre_gaps = [g for t, _, _, g in res50["series"] if t < t0]
+    assert max(abs(g) for g in pre_gaps) < 0.15
+    assert abs(res50["att_post"] - 2.0) < 0.15
+    assert res50["rmspe_ratio"] > 10
