@@ -27,6 +27,12 @@ Usage:
     python stress.py clf   [n_rows]                # default 10_000_000
     python stress.py rank  [n_rows]                # default 20_000_000
     python stress.py [n_units] [n_periods]         # legacy: panel mode
+
+Further modes (each a scale-critical operator family; see the run_*
+docstrings): tokens, spans [minlen], srm, er, cm, stream, streamcdc,
+streamrefresh (the last two inject a mid-stream crash and verify
+exactly-once recovery), cdc, hll, cic, conformal, pit, stats, ivfpq,
+synth.
 """
 
 from __future__ import annotations
