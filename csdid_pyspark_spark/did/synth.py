@@ -52,33 +52,20 @@ def _frank_wolfe_simplex(X, y, iters: int = 800):
     return w
 
 
-def synthetic_control(
+def _screen_and_collect(
     panel: DataFrame,
     treated_id,
     t0,
-    yname: str = "y",
-    tname: str = "period",
-    idname: str = "id",
-    donor_ids: DataFrame | None = None,
-    donor_k: int = 50,
-    fw_iters: int = 800,
-) -> dict:
-    """Fit a synthetic control for ``treated_id`` treated from period
-    ``t0`` (first treated period; all periods < t0 are the fit window).
-
-    ``donor_ids``: optional single-column DataFrame restricting the
-    donor pool (e.g. never-treated units); default = every other unit.
-
-    Returns a dict:
-      ``weights``   {donor_id: weight} for weights > 1e-6, simplex;
-      ``series``    list of (period, actual, synthetic, gap) over ALL
-                    periods, sorted;
-      ``att_post``  mean post-period gap (the SC treatment estimate);
-      ``pre_rmspe`` / ``post_rmspe`` and their ratio — the
-                    Abadie-style placebo-test statistic.
-    """
-    import numpy as np
-
+    yname: str,
+    tname: str,
+    idname: str,
+    donor_ids: DataFrame | None,
+    donor_k: int,
+):
+    """Distributed part shared by the fit and the placebo test: treated
+    series collect, donor pre-screen (one aggregation over the pool),
+    and the bounded K-series collect. Returns (periods, y_tr, series,
+    donor_list, pre, post)."""
     p = panel.select(
         F.col(idname).alias("id"),
         F.col(tname).alias("t"),
@@ -137,19 +124,64 @@ def synthetic_control(
     )
     if not donor_list:
         raise ValueError("no donor covers the full observation window")
-    X = np.array([[series[d][t] for d in donor_list] for t in pre])
-    yv = np.array([y_tr[t] for t in pre])
-    w = _frank_wolfe_simplex(X, yv, iters=fw_iters)
+    return periods, y_tr, series, donor_list, pre, post
 
+
+def _fit_one(y_map, donor_series, donor_list, periods, pre, post, fw_iters):
+    """Driver-side FW fit + gap/RMSPE readouts for one (pseudo-)treated
+    series against a donor list already in memory."""
+    import numpy as np
+
+    X = np.array([[donor_series[d][t] for d in donor_list] for t in pre])
+    yv = np.array([y_map[t] for t in pre])
+    w = _frank_wolfe_simplex(X, yv, iters=fw_iters)
     out_series = []
     for t in periods:
         synth = float(
-            sum(w[j] * series[d][t] for j, d in enumerate(donor_list))
+            sum(w[j] * donor_series[d][t] for j, d in enumerate(donor_list))
         )
-        out_series.append((t, y_tr[t], synth, y_tr[t] - synth))
+        out_series.append((t, y_map[t], synth, y_map[t] - synth))
     gaps = {t: g for t, _, _, g in out_series}
     pre_rmspe = float(np.sqrt(np.mean([gaps[t] ** 2 for t in pre])))
-    post_rmspe = float(np.sqrt(np.mean([gaps[t] ** 2 for t in post]))) if post else 0.0
+    post_rmspe = (
+        float(np.sqrt(np.mean([gaps[t] ** 2 for t in post]))) if post else 0.0
+    )
+    return w, out_series, gaps, pre_rmspe, post_rmspe
+
+
+def synthetic_control(
+    panel: DataFrame,
+    treated_id,
+    t0,
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    donor_ids: DataFrame | None = None,
+    donor_k: int = 50,
+    fw_iters: int = 800,
+) -> dict:
+    """Fit a synthetic control for ``treated_id`` treated from period
+    ``t0`` (first treated period; all periods < t0 are the fit window).
+
+    ``donor_ids``: optional single-column DataFrame restricting the
+    donor pool (e.g. never-treated units); default = every other unit.
+
+    Returns a dict:
+      ``weights``   {donor_id: weight} for weights > 1e-6, simplex;
+      ``series``    list of (period, actual, synthetic, gap) over ALL
+                    periods, sorted;
+      ``att_post``  mean post-period gap (the SC treatment estimate);
+      ``pre_rmspe`` / ``post_rmspe`` and their ratio — the
+                    Abadie-style placebo-test statistic.
+    """
+    import numpy as np
+
+    periods, y_tr, series, donor_list, pre, post = _screen_and_collect(
+        panel, treated_id, t0, yname, tname, idname, donor_ids, donor_k
+    )
+    w, out_series, gaps, pre_rmspe, post_rmspe = _fit_one(
+        y_tr, series, donor_list, periods, pre, post, fw_iters
+    )
     return {
         "weights": {
             d: float(w[j]) for j, d in enumerate(donor_list) if w[j] > 1e-6
@@ -159,4 +191,62 @@ def synthetic_control(
         "pre_rmspe": pre_rmspe,
         "post_rmspe": post_rmspe,
         "rmspe_ratio": float(post_rmspe / pre_rmspe) if pre_rmspe > 0 else float("inf"),
+    }
+
+
+def placebo_test(
+    panel: DataFrame,
+    treated_id,
+    t0,
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    donor_ids: DataFrame | None = None,
+    donor_k: int = 50,
+    fw_iters: int = 800,
+) -> dict:
+    """Abadie-style IN-SPACE placebo inference: refit the synthetic
+    control pretending each screened donor were the treated unit (its
+    donors = the other screened series), and rank the REAL treated
+    unit's post/pre RMSPE ratio among the placebo ratios. A treated
+    ratio that no placebo matches is the SC analogue of a small
+    p-value; p = (1 + #{placebo >= treated}) / (1 + n_placebos) — the
+    standard permutation form.
+
+    Cost shape: the distributed screen+collect runs ONCE (shared with
+    the main fit); every placebo fit is a driver-side Frank-Wolfe over
+    the K series already in memory, so inference adds ZERO Spark jobs —
+    at 100 TB the placebo loop costs the same as at 100 MB.
+
+    Returns ``{treated_ratio, placebo_ratios: {id: ratio}, p_value,
+    att_post, weights}``."""
+    import numpy as np
+
+    periods, y_tr, series, donor_list, pre, post = _screen_and_collect(
+        panel, treated_id, t0, yname, tname, idname, donor_ids, donor_k
+    )
+    w, out_series, gaps, pre_rmspe, post_rmspe = _fit_one(
+        y_tr, series, donor_list, periods, pre, post, fw_iters
+    )
+    treated_ratio = (
+        float(post_rmspe / pre_rmspe) if pre_rmspe > 0 else float("inf")
+    )
+    placebo_ratios: dict = {}
+    for d in donor_list:
+        rest = [x for x in donor_list if x != d]
+        if not rest:
+            continue
+        _, _, _, pre_r, post_r = _fit_one(
+            series[d], series, rest, periods, pre, post, fw_iters
+        )
+        placebo_ratios[d] = float(post_r / pre_r) if pre_r > 0 else float("inf")
+    n_ge = sum(1 for r in placebo_ratios.values() if r >= treated_ratio)
+    return {
+        "treated_ratio": treated_ratio,
+        "placebo_ratios": placebo_ratios,
+        "p_value": (1 + n_ge) / (1 + len(placebo_ratios)),
+        "att_post": float(np.mean([gaps[t] for t in post])) if post else 0.0,
+        "weights": {
+            d: float(w[j]) for j, d in enumerate(donor_list) if w[j] > 1e-6
+        },
     }
