@@ -1967,3 +1967,87 @@ FROM best GROUP BY l_id ORDER BY l_id
 
 QUERIES["sim_hard_negatives"] = sim_hard_negatives
 ORACLES["sim_hard_negatives"] = HARD_NEG_SQL
+
+# ---------------------------------------------------------------------------
+# Synthetic control (Abadie) + in-space placebo inference
+# ---------------------------------------------------------------------------
+
+_SYNTH_T0 = 3  # cohort-3 unit: treated from period 3
+
+
+def _synth_setup(spark: SparkSession, sf_dir: str):
+    """Treated unit = the lowest-id cohort-3 unit of the derived panel;
+    donor pool = the never-treated units (g = 0)."""
+    panel = panel_from_events(spark, sf_dir)
+    treated_id = (
+        panel.filter(F.col("g") == _SYNTH_T0)
+        .agg(F.min("id").alias("id"))
+        .first()["id"]
+    )
+    donors = panel.filter(F.col("g") == 0).select("id").distinct()
+    return panel, treated_id, donors
+
+
+def did_synth_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-control gap series for one treated unit
+    (did/synth.py::synthetic_control — Abadie & Gardeazabal 2003 /
+    Abadie, Diamond & Hainmueller 2010; no counterpart anywhere in the
+    reference package): the distributed donor pre-screen ranks every
+    never-treated unit by pre-period distance in ONE aggregation, only
+    the top-25 series reach the driver, and the deterministic
+    Frank-Wolfe simplex fit produces the counterfactual. Output: the
+    (period, actual, synthetic, gap) series — post-period gaps are the
+    unit-level treatment-effect path. Deterministic end to end →
+    pinned VALUES golden."""
+    from csdid_pyspark_spark.did.synth import synthetic_control
+
+    panel, treated_id, donors = _synth_setup(spark, sf_dir)
+    res = synthetic_control(
+        panel,
+        treated_id=treated_id,
+        t0=_SYNTH_T0,
+        donor_ids=donors,
+        donor_k=25,
+    )
+    rows = [
+        (int(t), round(a, 6), round(s, 6), round(g, 6))
+        for t, a, s, g in res["series"]
+    ]
+    return spark.createDataFrame(
+        rows, "period int, actual double, synthetic double, gap double"
+    ).orderBy("period")
+
+
+def did_synth_placebo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-space placebo distribution for the synthetic control above
+    (did/synth.py::placebo_test): every screened donor is refit as a
+    pseudo-treated unit — all driver-side over the already-collected
+    series, zero extra Spark jobs — and the treated unit's post/pre
+    RMSPE ratio is ranked among them. Output: one row per unit
+    (is_treated flags the real one) plus the permutation p-value on
+    the treated row. Deterministic → pinned VALUES golden."""
+    from csdid_pyspark_spark.did.synth import placebo_test
+
+    panel, treated_id, donors = _synth_setup(spark, sf_dir)
+    res = placebo_test(
+        panel,
+        treated_id=treated_id,
+        t0=_SYNTH_T0,
+        donor_ids=donors,
+        donor_k=25,
+    )
+    rows = [
+        (int(d), round(r, 6), 0, None)
+        for d, r in sorted(res["placebo_ratios"].items())
+    ]
+    rows.append(
+        (int(treated_id), round(res["treated_ratio"], 6), 1,
+         round(res["p_value"], 6))
+    )
+    return spark.createDataFrame(
+        rows, "unit_id int, rmspe_ratio double, is_treated int, p_value double"
+    ).orderBy("unit_id")
+
+
+QUERIES["did_synth_control"] = did_synth_control
+QUERIES["did_synth_placebo"] = did_synth_placebo
