@@ -327,3 +327,86 @@ def test_span_cut_minlen_periodic_repeats_vs_suffix_scan(spark, docs_tokens):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([0, 0, 3, 4, 5]),   # cohort (never-treated twice as likely)
+            st.integers(0, 99),                 # unit-level base (scaled below)
+        ),
+        min_size=8,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_sunab_dcdh_match_numpy_bruteforce(spark, units):
+    """sunab_event_frame / dcdh_frame vs a literal numpy transcription
+    of the published formulas on random small balanced panels: cell
+    means, fixed-baseline CATTs, cohort-share weights, switcher DiDs.
+    Skips draws lacking a never-treated cohort or any treated cohort
+    (the operators require both)."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.robust_cells import dcdh_frame, sunab_event_frame
+
+    cohorts = {g for g, _ in units}
+    if 0 not in cohorts or not (cohorts - {0}):
+        return
+    periods = list(range(1, 7))
+    rows = []
+    y = {}
+    for i, (g, b) in enumerate(units):
+        for t in periods:
+            # deterministic pseudo-outcome with cohort/time structure
+            v = b / 10.0 + 0.3 * t + (1.5 if 0 < g <= t else 0.0) + ((i * 7 + t * 3) % 11) / 10.0
+            rows.append((i, t, g, v))
+            y[(i, t)] = v
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+
+    gs = sorted(cohorts - {0})
+    cell = {
+        (g, t): np.mean([y[(i, t)] for i, (gg, _) in enumerate(units) if gg == g])
+        for g in cohorts
+        for t in periods
+    }
+    n_g = {g: sum(1 for gg, _ in units if gg == g) for g in cohorts}
+
+    # ---- Sun-Abraham reference
+    expected_sa = {}
+    for g in gs:
+        for t in periods:
+            if t == g - 1:
+                continue
+            catt = (cell[(g, t)] - cell[(g, g - 1)]) - (
+                cell[(0, t)] - cell[(0, g - 1)]
+            )
+            expected_sa.setdefault(t - g, []).append((catt, n_g[g]))
+    got = {
+        r["e"]: (r["att_iw"], r["n_treated"], r["n_cohorts"])
+        for r in sunab_event_frame(panel).collect()
+    }
+    assert set(got) == set(expected_sa)
+    for e, pairs in expected_sa.items():
+        att = sum(c * n for c, n in pairs) / sum(n for _, n in pairs)
+        assert abs(got[e][0] - round(att, 6)) < 2e-6, (e, got[e], att)
+        assert got[e][1] == sum(n for _, n in pairs)
+        assert got[e][2] == len(pairs)
+
+    # ---- dCDH reference
+    expected_dc = {}
+    for g in gs:
+        ctrl = [(c, n_g[c]) for c in cohorts if c == 0 or c > g]
+        dy_ctrl = sum(n * (cell[(c, g)] - cell[(c, g - 1)]) for c, n in ctrl) / sum(
+            n for _, n in ctrl
+        )
+        expected_dc[g] = (cell[(g, g)] - cell[(g, g - 1)]) - dy_ctrl
+    got_dc = {r["t"]: (r["did_plus"], r["n_switchers"]) for r in dcdh_frame(panel).collect()}
+    for g, d in expected_dc.items():
+        assert abs(got_dc[g][0] - round(d, 6)) < 2e-6, (g, got_dc[g], d)
+        assert got_dc[g][1] == n_g[g]
+    did_m = sum(d * n_g[g] for g, d in expected_dc.items()) / sum(
+        n_g[g] for g in expected_dc
+    )
+    assert abs(got_dc[-1][0] - round(did_m, 6)) < 2e-6
+    assert got_dc[-1][1] == sum(n_g[g] for g in expected_dc)
