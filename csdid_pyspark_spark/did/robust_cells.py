@@ -169,3 +169,127 @@ def dcdh_frame(
         .unionAll(overall)
         .orderBy("t")
     )
+
+
+def sunab_event_se_frame(
+    panel: DataFrame,
+    yname: str = "y",
+    tname: str = "period",
+    gname: str = "g",
+    idname: str = "id",
+) -> DataFrame:
+    """Sun-Abraham IW event-study with PLUG-IN standard errors from the
+    unit-level influence representation (fixed cohort-share weights,
+    the SA paper's plug-in; weight-estimation noise is O(1/N) lower
+    order):
+
+        ψ_i(e) = w_g·(d_i(g,e) − μ_g(e))/n_g              i ∈ cohort g
+        ψ_i(e) = −Σ_g w_g·(d_i(g,e) − μ_0g(e))/n_0        i never-treated
+        SE(e)  = sqrt(Σ_i ψ_i(e)²),   d_i(g,e) = y_i(g+e) − y_i(g−1)
+
+    The second line is the part naive per-cell SE formulas drop: one
+    never-treated unit serves EVERY cohort's CATT at event time e with
+    a DIFFERENT baseline per cohort, so its contributions correlate
+    across cohorts and must be summed per unit BEFORE squaring.
+
+    Scale shape: the (g, e) cell spec with weights/means is broadcast-
+    tiny; unit-level d_i comes from one self-join of the panel keyed by
+    (id, period) — the same plan family as the stacked estimator — and
+    the ψ aggregation is two map-side-combinable shuffles (per (id, e),
+    then per e). Executor→driver traffic: the event-time profile only.
+
+    Output: (e, att_iw, se, n_treated) — att_iw identical to
+    :func:`sunab_event_frame`."""
+    p = panel.select(
+        F.col(idname).alias("id"),
+        F.col(gname).alias("g"),
+        F.col(tname).alias("period"),
+        F.col(yname).alias("y"),
+    )
+    cb = _cells(p, "y", "period", "g")
+    tr = cb.filter(F.col("g") > 0).select(
+        "g", F.col("period").alias("t"), F.col("ybar").alias("mu_end"), "n"
+    )
+    tb = cb.filter(F.col("g") > 0).select(
+        F.col("g").alias("g_b"), F.col("period").alias("t_b"),
+        F.col("ybar").alias("mu_base"),
+    )
+    ctrl = cb.filter(F.col("g") == 0).select(
+        F.col("period").alias("t_c"), F.col("ybar").alias("mu_c"),
+        F.col("n").alias("n_0"),
+    )
+    cells = (
+        tr.join(
+            F.broadcast(tb),
+            (F.col("g") == F.col("g_b")) & (F.col("t_b") == F.col("g") - 1),
+        )
+        .join(F.broadcast(ctrl), F.col("t_c") == F.col("t"))
+        .join(
+            F.broadcast(
+                ctrl.select(
+                    F.col("t_c").alias("t_c0"), F.col("mu_c").alias("mu_c0")
+                )
+            ),
+            F.col("t_c0") == F.col("g") - 1,
+        )
+        .filter(F.col("t") != F.col("g") - 1)
+        .select(
+            F.col("g").alias("cg"),
+            (F.col("t") - F.col("g")).cast("int").alias("e"),
+            "t",
+            (F.col("g") - 1).alias("base"),
+            F.col("n").alias("n_g"),
+            "n_0",
+            (F.col("mu_end") - F.col("mu_base")).alias("mu_g"),
+            (F.col("mu_c") - F.col("mu_c0")).alias("mu_0g"),
+        )
+    )
+    # cohort-share weights among cohorts contributing to each e
+    wsum = cells.groupBy("e").agg(F.sum("n_g").alias("n_e"))
+    cells = cells.join(F.broadcast(wsum), "e").withColumn(
+        "w_g", F.col("n_g") / F.col("n_e")
+    )
+    # unit-level d_i(g,e): end-period rows joined to their base-period
+    # rows (one (id)-keyed shuffle), restricted to the unit's own
+    # cohort or the never-treated pool
+    p1 = p.select("id", F.col("g").alias("gu"), "period", "y")
+    p0 = p.select(
+        F.col("id").alias("bid"), F.col("period").alias("bperiod"),
+        F.col("y").alias("y0"),
+    )
+    dy = (
+        p1.join(F.broadcast(cells), p1["period"] == cells["t"])
+        .filter((F.col("gu") == F.col("cg")) | (F.col("gu") == 0))
+        .join(
+            p0,
+            (F.col("id") == F.col("bid")) & (F.col("base") == F.col("bperiod")),
+        )
+        .select(
+            "id", "gu", "cg", "e", "w_g", "n_g", "n_0", "mu_g", "mu_0g",
+            "n_e",
+            (F.col("y") - F.col("y0")).alias("d"),
+        )
+    )
+    psi_term = F.when(
+        F.col("gu") == F.col("cg"),
+        F.col("w_g") * (F.col("d") - F.col("mu_g")) / F.col("n_g"),
+    ).otherwise(
+        -F.col("w_g") * (F.col("d") - F.col("mu_0g")) / F.col("n_0")
+    )
+    per_unit = dy.groupBy("e", "id").agg(F.sum(psi_term).alias("psi"))
+    se = per_unit.groupBy("e").agg(
+        F.sqrt(F.sum(F.col("psi") * F.col("psi"))).alias("se_raw")
+    )
+    att = cells.groupBy("e").agg(
+        F.round(F.sum(F.col("w_g") * (F.col("mu_g") - F.col("mu_0g"))), 6).alias(
+            "att_iw"
+        ),
+        F.max("n_e").cast("bigint").alias("n_treated"),
+    )
+    return (
+        att.join(se, "e")
+        .select(
+            "e", "att_iw", F.round("se_raw", 6).alias("se"), "n_treated"
+        )
+        .orderBy("e")
+    )

@@ -17,6 +17,12 @@ these):
 * ``did_dcdh_effect`` — de Chaisemartin & D'Haultfœuille (2020)
   DID_M: switcher-weighted instantaneous effects, never comparing
   against an already-treated group.
+* ``did_sunab_event_se`` — SA with plug-in influence-function SEs
+  (per-unit ψ summed across cohorts BEFORE squaring — the shared-
+  control covariance naive per-cell combinations drop).
+* ``did_synth_control`` / ``did_synth_placebo`` — Abadie synthetic
+  control gap series + in-space placebo inference (did/synth.py:
+  distributed donor pre-screen, driver-side Frank-Wolfe).
 * ``did_cic_qte`` — changes-in-changes quantile treatment effects
   (Athey & Imbens 2006) at the deciles, all selections exact integer
   order statistics through the two-phase global rank.
@@ -2051,3 +2057,70 @@ def did_synth_placebo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["did_synth_control"] = did_synth_control
 QUERIES["did_synth_placebo"] = did_synth_placebo
+
+# ---------------------------------------------------------------------------
+# Sun-Abraham event study with influence-function standard errors
+# ---------------------------------------------------------------------------
+
+
+def did_sunab_event_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """did_sunab_event plus plug-in standard errors from the unit-level
+    influence representation (did/robust_cells.py::sunab_event_se_frame
+    — see its docstring for the ψ formulas). The point worth the extra
+    query: a never-treated unit serves EVERY cohort's CATT at an event
+    time with a different baseline per cohort, so its contributions
+    correlate across cohorts — naive per-cell SE combination drops that
+    covariance; here per-unit ψ terms are summed BEFORE squaring
+    (pinned against a literal numpy transcription in
+    tests/test_did_api.py)."""
+    from csdid_pyspark_spark.did.robust_cells import sunab_event_se_frame
+
+    return sunab_event_se_frame(panel_from_events(spark, sf_dir))
+
+
+DID_SUNAB_SE_SQL = f"""
+WITH {PANEL_CTE},
+cb AS (
+  SELECT g, period, AVG(y) AS ybar, COUNT(*) AS n FROM panel GROUP BY 1, 2
+),
+cells AS (
+  SELECT tr.g AS cg, CAST(tr.period - tr.g AS INT) AS e, tr.period AS t,
+         tr.g - 1 AS base, tr.n AS n_g, c.n AS n_0,
+         tr.ybar - tb.ybar AS mu_g,
+         c.ybar - c0.ybar AS mu_0g
+  FROM cb tr
+  JOIN cb tb ON tb.g = tr.g AND tb.period = tr.g - 1
+  JOIN cb c  ON c.g = 0 AND c.period = tr.period
+  JOIN cb c0 ON c0.g = 0 AND c0.period = tr.g - 1
+  WHERE tr.g > 0 AND tr.period <> tr.g - 1
+),
+wc AS (
+  SELECT cells.*, CAST(n_g AS DOUBLE) / s.n_e AS w_g, s.n_e
+  FROM cells JOIN (SELECT e, SUM(n_g) AS n_e FROM cells GROUP BY e) s
+    ON s.e = cells.e
+),
+dy AS (
+  SELECT p1.id, p1.g AS gu, w.cg, w.e, w.w_g, w.n_g, w.n_0, w.mu_g, w.mu_0g,
+         p1.y - p0.y AS d
+  FROM wc w
+  JOIN panel p1 ON p1.period = w.t AND (p1.g = w.cg OR p1.g = 0)
+  JOIN panel p0 ON p0.period = w.base AND p0.id = p1.id
+),
+per_unit AS (
+  SELECT e, id,
+         SUM(CASE WHEN gu = cg THEN w_g * (d - mu_g) / n_g
+                  ELSE -w_g * (d - mu_0g) / n_0 END) AS psi
+  FROM dy GROUP BY 1, 2
+),
+se AS (SELECT e, SQRT(SUM(psi * psi)) AS se_raw FROM per_unit GROUP BY e),
+att AS (
+  SELECT e, ROUND(SUM(w_g * (mu_g - mu_0g)), 6) AS att_iw,
+         CAST(MAX(n_e) AS BIGINT) AS n_treated
+  FROM wc GROUP BY e
+)
+SELECT a.e, a.att_iw, ROUND(s.se_raw, 6) AS se, a.n_treated
+FROM att a JOIN se s ON s.e = a.e ORDER BY a.e
+"""
+
+QUERIES["did_sunab_event_se"] = did_sunab_event_se
+ORACLES["did_sunab_event_se"] = DID_SUNAB_SE_SQL

@@ -590,3 +590,74 @@ def test_synthetic_control_placebo_inference(spark):
 
     null = placebo_test(with_treated(0.0), treated_id=0, t0=t0, donor_k=D)
     assert null["p_value"] > 0.2
+
+
+def test_sunab_se_matches_numpy_influence_formula(spark):
+    """sunab_event_se_frame vs a literal numpy transcription of the
+    influence representation on a random balanced panel — including
+    the cross-cohort covariance through shared never-treated units
+    that naive per-cell SE combination drops (verified: the naive
+    formula differs from the correct one on this panel, so the test
+    would catch an implementation that quietly dropped the
+    covariance)."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.robust_cells import (
+        sunab_event_frame,
+        sunab_event_se_frame,
+    )
+
+    rng = np.random.default_rng(3)
+    periods = list(range(1, 7))
+    units = [(i, [0, 3, 4, 5][i % 4]) for i in range(120)]
+    y = {}
+    rows = []
+    for i, g in units:
+        fe = rng.normal(0, 1)
+        for t in periods:
+            v = fe + 0.2 * t + (0.8 if 0 < g <= t else 0.0) + rng.normal(0, 0.3)
+            y[(i, t)] = v
+            rows.append((i, t, g, v))
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+
+    got = {
+        r["e"]: (r["att_iw"], r["se"], r["n_treated"])
+        for r in sunab_event_se_frame(panel).collect()
+    }
+    base = {
+        r["e"]: r["att_iw"] for r in sunab_event_frame(panel).collect()
+    }
+    assert set(got) == set(base)
+    for e in base:
+        assert got[e][0] == base[e]  # identical point estimates
+
+    gs = [3, 4, 5]
+    never = [i for i, g in units if g == 0]
+    n0 = len(never)
+    coh = {g: [i for i, gg in units if gg == g] for g in gs}
+    for e in got:
+        cells = [g for g in gs if (g + e) in periods and e != -1]
+        n_e = sum(len(coh[g]) for g in cells)
+        psi = {}
+        naive_var = 0.0
+        for g in cells:
+            w = len(coh[g]) / n_e
+            d_tr = {i: y[(i, g + e)] - y[(i, g - 1)] for i in coh[g]}
+            d_c = {i: y[(i, g + e)] - y[(i, g - 1)] for i in never}
+            mu_g = np.mean(list(d_tr.values()))
+            mu_0 = np.mean(list(d_c.values()))
+            for i, d in d_tr.items():
+                psi[i] = psi.get(i, 0.0) + w * (d - mu_g) / len(coh[g])
+            for i, d in d_c.items():
+                psi[i] = psi.get(i, 0.0) - w * (d - mu_0) / n0
+            naive_var += w * w * (
+                np.var(list(d_tr.values())) / len(coh[g])
+                + np.var(list(d_c.values())) / n0
+            )
+        se_np = float(np.sqrt(sum(v * v for v in psi.values())))
+        assert abs(got[e][1] - round(se_np, 6)) < 2e-6, (e, got[e][1], se_np)
+        assert got[e][2] == n_e
+        if len(cells) > 1:
+            # the shared-control covariance is REAL on this panel: the
+            # naive independent-cell combination disagrees measurably
+            assert abs(np.sqrt(naive_var) - se_np) > 1e-4
