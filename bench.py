@@ -75,6 +75,25 @@ HEADLINE = [
 ]
 
 
+def _cpu_canary_ms() -> float:
+    """Fixed-work CPU microbenchmark (20 x 512x512 matmuls on a seeded
+    matrix): a host-speed reference independent of Spark AND of
+    loadavg. Round-7 measured same-code bench totals spanning 29-36s
+    with load1 = 0.0 both times — hypervisor-level contention that
+    loadavg cannot see. Two captures are comparable iff their canaries
+    are; a capture whose canary is 20% slower should have its totals
+    discounted accordingly."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((512, 512))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        a = a @ a * 1e-3  # rescale to keep values finite
+    if not np.isfinite(a[0, 0]):  # defeat any dead-code elimination
+        print("", end="")
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -84,6 +103,7 @@ def main() -> None:
     # capture is self-identifying from the artifact alone (load1 >> 1 on an
     # otherwise-idle 32-core box means: distrust this capture).
     load1_pre = round(os.getloadavg()[0], 2)
+    calib_ms = _cpu_canary_ms()
     spark = get_spark("csdid-pyspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -130,6 +150,7 @@ def main() -> None:
         "first_run_total": first_run_total,
         "load1": load1_pre,
         "load1_post": load1_post,
+        "calib_ms": calib_ms,
         "sf": sf,
     }
     try:
@@ -162,6 +183,7 @@ def main() -> None:
         "first_run_total": first_run_total,
         "load1": load1_pre,
         "load1_post": load1_post,
+        "calib_ms": calib_ms,
         "sf": sf,
     }
     line = json.dumps(line_obj, separators=(",", ":"))
