@@ -9,13 +9,33 @@ any long panel DataFrame, so the same code serves the oracle-checked
 queries (queries/estimation_ext.py — derived sf panel) and the
 multi-million-row planted-truth rehearsals (stress.py panel DGP).
 
+The balanced-panel / never-treated-present preconditions are ENFORCED,
+not assumed: every cell the algebra requires (cohort base cells, g=0
+control cells, unit base rows) rides a left join guarded by
+:func:`_req`, which raises loudly when the cell is absent instead of
+letting an inner join silently drop cohorts/periods and emit a
+plausible-but-wrong estimate.
+
 Estimator derivations and reference comparisons live on the query
 docstrings (did_sunab_event / did_dcdh_effect)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _req(val: Column, *msg: Column | str) -> Column:
+    """Guard a join-supplied cell value: raise loudly when the cell the
+    estimator's algebra REQUIRES is absent (NULL after a left join)
+    instead of letting an inner join silently drop the cohort/period —
+    which would yield a plausible-but-wrong estimate on an unbalanced
+    panel or one without a never-treated (g=0) group. Declarative
+    (raise_error in a when-branch), so healthy inputs pay nothing and
+    no hash changes — same convention as bacon.py's balance guard and
+    the stats_ext degenerate-arm raises."""
+    parts = [F.lit(m) if isinstance(m, str) else m.cast("string") for m in msg]
+    return F.when(val.isNull(), F.raise_error(F.concat(*parts))).otherwise(val)
 
 
 def _cells(
@@ -60,8 +80,9 @@ def sunab_event_frame(
         tr.join(
             F.broadcast(tb),
             (F.col("g") == F.col("g_b")) & (F.col("t_b") == F.col("g") - 1),
+            "left",
         )
-        .join(F.broadcast(ctrl), F.col("t_c") == F.col("t"))
+        .join(F.broadcast(ctrl), F.col("t_c") == F.col("t"), "left")
         .join(
             F.broadcast(
                 ctrl.select(
@@ -69,13 +90,34 @@ def sunab_event_frame(
                 )
             ),
             F.col("t_c0") == F.col("g") - 1,
+            "left",
         )
         .filter(F.col("t") != F.col("g") - 1)
         .select(
             (F.col("t") - F.col("g")).cast("int").alias("e"),
             (
-                (F.col("y_gt") - F.col("y_gbase"))
-                - (F.col("y_ct") - F.col("y_cbase"))
+                (
+                    F.col("y_gt")
+                    - _req(
+                        F.col("y_gbase"),
+                        "sunab_event_frame: cohort g=", F.col("g"),
+                        " has no base-period (g-1) cell — unbalanced panel",
+                    )
+                )
+                - (
+                    _req(
+                        F.col("y_ct"),
+                        "sunab_event_frame: no never-treated (g=0) cell at "
+                        "period ", F.col("t"),
+                        " — control group absent or panel unbalanced",
+                    )
+                    - _req(
+                        F.col("y_cbase"),
+                        "sunab_event_frame: no never-treated (g=0) cell at "
+                        "base period ", F.col("g") - 1,
+                        " for cohort g=", F.col("g"),
+                    )
+                )
             ).alias("catt"),
             F.col("n"),
         )
@@ -115,10 +157,18 @@ def dcdh_frame(
                 )
             ),
             (F.col("g") == F.col("g_p")) & (F.col("t_p") == F.col("g") - 1),
+            "left",
         )
         .select(
             F.col("g").cast("int").alias("t"),
-            (F.col("ybar") - F.col("y_prev")).alias("dy_sw"),
+            (
+                F.col("ybar")
+                - _req(
+                    F.col("y_prev"),
+                    "dcdh_frame: switcher cohort g=", F.col("g"),
+                    " has no pre-switch (g-1) cell — unbalanced panel",
+                )
+            ).alias("dy_sw"),
             F.col("n").alias("n_sw"),
         )
     )
@@ -149,9 +199,17 @@ def dcdh_frame(
             ).alias("dy_ctrl")
         )
     )
-    per_t = sw.join(F.broadcast(ctrl), "t").select(
+    per_t = sw.join(F.broadcast(ctrl), "t", "left").select(
         "t",
-        (F.col("dy_sw") - F.col("dy_ctrl")).alias("did_plus"),
+        (
+            F.col("dy_sw")
+            - _req(
+                F.col("dy_ctrl"),
+                "dcdh_frame: no not-yet-treated control cell pair "
+                "(t, t-1) at switch period ", F.col("t"),
+                " — control group exhausted or panel unbalanced",
+            )
+        ).alias("did_plus"),
         "n_sw",
     )
     overall = per_t.agg(
@@ -222,8 +280,9 @@ def sunab_event_se_frame(
         tr.join(
             F.broadcast(tb),
             (F.col("g") == F.col("g_b")) & (F.col("t_b") == F.col("g") - 1),
+            "left",
         )
-        .join(F.broadcast(ctrl), F.col("t_c") == F.col("t"))
+        .join(F.broadcast(ctrl), F.col("t_c") == F.col("t"), "left")
         .join(
             F.broadcast(
                 ctrl.select(
@@ -231,6 +290,7 @@ def sunab_event_se_frame(
                 )
             ),
             F.col("t_c0") == F.col("g") - 1,
+            "left",
         )
         .filter(F.col("t") != F.col("g") - 1)
         .select(
@@ -240,8 +300,28 @@ def sunab_event_se_frame(
             (F.col("g") - 1).alias("base"),
             F.col("n").alias("n_g"),
             "n_0",
-            (F.col("mu_end") - F.col("mu_base")).alias("mu_g"),
-            (F.col("mu_c") - F.col("mu_c0")).alias("mu_0g"),
+            (
+                F.col("mu_end")
+                - _req(
+                    F.col("mu_base"),
+                    "sunab_event_se_frame: cohort g=", F.col("g"),
+                    " has no base-period (g-1) cell — unbalanced panel",
+                )
+            ).alias("mu_g"),
+            (
+                _req(
+                    F.col("mu_c"),
+                    "sunab_event_se_frame: no never-treated (g=0) cell at "
+                    "period ", F.col("t"),
+                    " — control group absent or panel unbalanced",
+                )
+                - _req(
+                    F.col("mu_c0"),
+                    "sunab_event_se_frame: no never-treated (g=0) cell at "
+                    "base period ", F.col("g") - 1,
+                    " for cohort g=", F.col("g"),
+                )
+            ).alias("mu_0g"),
         )
     )
     # cohort-share weights among cohorts contributing to each e
@@ -263,11 +343,21 @@ def sunab_event_se_frame(
         .join(
             p0,
             (F.col("id") == F.col("bid")) & (F.col("base") == F.col("bperiod")),
+            "left",
         )
         .select(
             "id", "gu", "cg", "e", "w_g", "n_g", "n_0", "mu_g", "mu_0g",
             "n_e",
-            (F.col("y") - F.col("y0")).alias("d"),
+            (
+                F.col("y")
+                - _req(
+                    F.col("y0"),
+                    "sunab_event_se_frame: unit ", F.col("id"),
+                    " is missing its base-period ", F.col("base"),
+                    " row — unbalanced panel; filter to complete units "
+                    "first",
+                )
+            ).alias("d"),
         )
     )
     psi_term = F.when(

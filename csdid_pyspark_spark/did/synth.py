@@ -61,11 +61,16 @@ def _screen_and_collect(
     idname: str,
     donor_ids: DataFrame | None,
     donor_k: int,
+    screen_k: int | None = None,
 ):
     """Distributed part shared by the fit and the placebo test: treated
     series collect, donor pre-screen (one aggregation over the pool),
-    and the bounded K-series collect. Returns (periods, y_tr, series,
-    donor_list, pre, post)."""
+    and the bounded K-series collect. ``screen_k`` (default =
+    ``donor_k``) controls how many donor series are COLLECTED — the
+    placebo test oversamples here so each placebo can be re-screened
+    against its own nearest donors driver-side. Returns (periods,
+    y_tr, series, donor_list, pre, post)."""
+    screen_k = donor_k if screen_k is None else max(screen_k, donor_k)
     p = panel.select(
         F.col(idname).alias("id"),
         F.col(tname).alias("t"),
@@ -107,7 +112,7 @@ def _screen_and_collect(
         # fake a small distance by absence
         .filter(F.col("n_pre") == len(pre))
         .orderBy("dist", "id")
-        .limit(donor_k)
+        .limit(screen_k)
         .select("id")
     )
     kept = (
@@ -125,6 +130,18 @@ def _screen_and_collect(
     if not donor_list:
         raise ValueError("no donor covers the full observation window")
     return periods, y_tr, series, donor_list, pre, post
+
+
+def _nearest(y_map, series, candidates, pre, k):
+    """The ``k`` candidates nearest to ``y_map`` by pre-window squared
+    distance (ties -> lower id), returned SORTED BY ID so the fit's
+    design-matrix column order is deterministic. Driver-side over
+    already-collected series — zero Spark jobs."""
+    scored = sorted(
+        (sum((series[d][t] - y_map[t]) ** 2 for t in pre), d)
+        for d in candidates
+    )
+    return sorted(d for _, d in scored[:k])
 
 
 def _fit_one(y_map, donor_series, donor_list, periods, pre, post, fw_iters):
@@ -206,25 +223,42 @@ def placebo_test(
     fw_iters: int = 800,
 ) -> dict:
     """Abadie-style IN-SPACE placebo inference: refit the synthetic
-    control pretending each screened donor were the treated unit (its
-    donors = the other screened series), and rank the REAL treated
-    unit's post/pre RMSPE ratio among the placebo ratios. A treated
-    ratio that no placebo matches is the SC analogue of a small
-    p-value; p = (1 + #{placebo >= treated}) / (1 + n_placebos) — the
-    standard permutation form.
+    control pretending each screened donor were the treated unit, and
+    rank the REAL treated unit's post/pre RMSPE ratio among the
+    placebo ratios. A treated ratio that no placebo matches is the SC
+    analogue of a small p-value; p = (1 + #{placebo >= treated}) /
+    (1 + n_placebos) — the standard permutation form.
 
-    Cost shape: the distributed screen+collect runs ONCE (shared with
-    the main fit); every placebo fit is a driver-side Frank-Wolfe over
-    the K series already in memory, so inference adds ZERO Spark jobs —
-    at 100 TB the placebo loop costs the same as at 100 MB.
+    Donor screening: the distributed screen collects an OVERSAMPLED
+    pool (3x ``donor_k`` nearest to the real treated unit); the real
+    fit then uses its ``donor_k`` nearest within that pool (= the
+    original screen set) and EVERY PLACEBO IS RE-SCREENED driver-side
+    against its own ``donor_k`` nearest pool members, so a placebo is
+    never forced to fit through donors chosen for someone else (which
+    would inflate its pre-RMSPE and bias the permutation p-value
+    toward significance). Deviation from Abadie's full-pool
+    procedure: placebo donor pools are restricted to the collected 3x
+    sample, so placebos get the nearest of a NEIGHBORHOOD of the
+    treated unit rather than of the full pool — the returned p-value
+    is exact for that neighborhood permutation, conservative-leaning
+    as screen_k grows.
+
+    Cost shape: the distributed screen+collect runs ONCE (3·K series);
+    every placebo re-screen + Frank-Wolfe fit is driver-side over the
+    series already in memory, so inference adds ZERO Spark jobs — at
+    100 TB the placebo loop costs the same as at 100 MB.
 
     Returns ``{treated_ratio, placebo_ratios: {id: ratio}, p_value,
-    att_post, weights}``."""
+    att_post, weights}``. ``placebo_ratios`` covers the ``donor_k``
+    units of the REAL fit's donor set (the classical count), each fit
+    on its own re-screened pool."""
     import numpy as np
 
-    periods, y_tr, series, donor_list, pre, post = _screen_and_collect(
-        panel, treated_id, t0, yname, tname, idname, donor_ids, donor_k
+    periods, y_tr, series, pool, pre, post = _screen_and_collect(
+        panel, treated_id, t0, yname, tname, idname, donor_ids, donor_k,
+        screen_k=3 * donor_k,
     )
+    donor_list = _nearest(y_tr, series, pool, pre, donor_k)
     w, out_series, gaps, pre_rmspe, post_rmspe = _fit_one(
         y_tr, series, donor_list, periods, pre, post, fw_iters
     )
@@ -233,7 +267,9 @@ def placebo_test(
     )
     placebo_ratios: dict = {}
     for d in donor_list:
-        rest = [x for x in donor_list if x != d]
+        rest = _nearest(
+            series[d], series, [x for x in pool if x != d], pre, donor_k
+        )
         if not rest:
             continue
         _, _, _, pre_r, post_r = _fit_one(

@@ -15,7 +15,12 @@ where the table itself is large, nothing changes.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+_probe_warned = False
+
 
 def _scan_only(df: DataFrame) -> bool:
     """True when ``df``'s plan is exchange-free (scan + narrow ops
@@ -30,7 +35,23 @@ def _scan_only(df: DataFrame) -> bool:
     execution at plan-build time)."""
     try:
         plan = df._jdf.queryExecution().sparkPlan().toString()
-    except Exception:
+    except Exception as exc:  # private-API drift must be OBSERVABLE:
+        # returning False silently turns widen_fanout into a permanent
+        # no-op (explode parallelism collapses with no signal), so warn
+        # once per process before degrading.
+        global _probe_warned
+        if not _probe_warned:
+            _probe_warned = True
+            warnings.warn(
+                "widen_fanout plan probe failed "
+                f"({type(exc).__name__}: {exc}); fan-out widening is "
+                "DISABLED for this process — explode-heavy operators on "
+                "small inputs will run at scan parallelism. The probe "
+                "uses the private _jdf.queryExecution() API; check the "
+                "installed PySpark version.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return False  # can't tell -> never risk eager .rdd
     return "Exchange" not in plan
 

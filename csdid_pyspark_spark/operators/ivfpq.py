@@ -61,11 +61,11 @@ def coarse_kmeans(
     init = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init]
     vec = df.select(id_col, vec_col)
-    assigned = None
-    for _ in range(iters):
+
+    def _assign(cents: list[list[float]]) -> DataFrame:
         cand = vec.select(
             id_col,
-            F.posexplode(_centroid_array(centroids)).alias("cell", "cen"),
+            F.posexplode(_centroid_array(cents)).alias("cell", "cen"),
             F.col(vec_col),
         ).select(
             id_col,
@@ -78,9 +78,12 @@ def coarse_kmeans(
                 lambda acc, v: acc + v,
             ).alias("d2"),
         )
-        assigned = cand.groupBy(id_col).agg(
+        return cand.groupBy(id_col).agg(
             F.min_by("cell", F.struct("d2", "cell")).alias("cell")
         )
+
+    for _ in range(iters):
+        assigned = _assign(centroids)
         upd = (
             vec.join(assigned, id_col)
             .select("cell", F.posexplode(vec_col).alias("dim", "x"))
@@ -100,7 +103,12 @@ def coarse_kmeans(
             [new[c][d] for d in sorted(new[c])] if c in new else centroids[c]
             for c in range(k)
         ]
-    return assigned, centroids
+    # final assignment against the POST-update centroids: the stored
+    # cell membership and the query-time probe ranking (which sees the
+    # returned centroids) must agree, or a vector can live in a cell
+    # whose centroid is no longer its nearest — silently costing recall
+    # at small n_probe.
+    return _assign(centroids), centroids
 
 
 def build_ivfpq_index(

@@ -4434,7 +4434,10 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse quantizer restricts the search to the probed cells,
     residual PQ codes (16×32) score candidates via per-cell ADC
     tables without touching a float vector, exact re-rank of the
-    top-60 candidates to top-10. THE 100 TB ANN shape: a probe is a
+    top-90 candidates to top-10 (the rerank pool must exceed the ADC
+    minimal-code tie groups, which grew when the r8 coarse-quantizer
+    fix made stored cell membership consistent with the returned
+    centroids). THE 100 TB ANN shape: a probe is a
     partition-pruned scan of codes, the exact pass touches a bounded
     candidate set. n_probe is the data-dependent recall knob: this
     500-vector corpus is near-UNIFORM in 64d (no cluster structure —
@@ -4455,7 +4458,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=16,
         k_codes=32,
         iters=3,
-        n_candidates=60,
+        n_candidates=90,
         k_out=10,
     )
 

@@ -703,9 +703,28 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_ref.alias("is_ref"), "value"
     )
     mx = v.filter(F.col("is_ref") == 1).agg(F.max("value").alias("mx"))
+    # degenerate-reference guard: an empty / all-null / non-positive
+    # reference slice makes mx NULL (or the scale meaningless), every
+    # row lands in one NULL bucket, and the query would emit a
+    # misleading ~0 PSI. Fail loudly instead — same convention as the
+    # Welch/MWU/KS degenerate-arm raises above; the branch never fires
+    # on a healthy slice, so the hash is unchanged.
+    _mx = F.when(
+        F.col("mx").isNull() | (F.col("mx") <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "profile_drift_psi: reference slice (days 1-15) has "
+                    "no positive values to scale the deciles (max="
+                ),
+                F.coalesce(F.col("mx").cast("string"), F.lit("NULL")),
+                F.lit("); check the ts/value columns of the input"),
+            )
+        ),
+    ).otherwise(F.col("mx"))
     bucket = F.least(
         F.lit(9),
-        F.greatest(F.lit(0), F.floor(F.col("value") * 10.0 / F.col("mx"))),
+        F.greatest(F.lit(0), F.floor(F.col("value") * 10.0 / _mx)),
     ).cast("int")
     bc = (
         v.crossJoin(F.broadcast(mx))

@@ -661,3 +661,68 @@ def test_sunab_se_matches_numpy_influence_formula(spark):
             # the shared-control covariance is REAL on this panel: the
             # naive independent-cell combination disagrees measurably
             assert abs(np.sqrt(naive_var) - se_np) > 1e-4
+
+
+def _balanced_panel(spark, cohorts=(0, 3, 4), periods=range(1, 6), n_per=6):
+    rows = []
+    uid = 0
+    for g in cohorts:
+        for _ in range(n_per):
+            for t in periods:
+                tau = 0.5 if 0 < g <= t else 0.0
+                rows.append((uid, int(t), int(g), 0.1 * t + tau + 0.01 * uid))
+            uid += 1
+    return spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+
+
+def test_robust_cells_raise_on_missing_required_cells(spark):
+    """The r8 completeness guards (did/robust_cells.py::_req): absent
+    never-treated cells / cohort base cells / unit base rows must RAISE
+    instead of silently dropping cohorts through inner joins — the
+    failure mode the round-7 advice flagged (plausible-but-wrong
+    estimates on unbalanced input)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from csdid_pyspark_spark.did.robust_cells import (
+        dcdh_frame,
+        sunab_event_frame,
+        sunab_event_se_frame,
+    )
+
+    import pyspark.sql.functions as F
+
+    ok = _balanced_panel(spark)
+    # healthy input: all three frames evaluate without raising
+    assert sunab_event_frame(ok).collect()
+    assert dcdh_frame(ok).collect()
+    assert sunab_event_se_frame(ok).collect()
+
+    # 1. no never-treated cohort at all -> control cells absent
+    no_ctrl = ok.filter(F.col("g") != 0)
+    with pytest.raises(SparkRuntimeException, match="never-treated"):
+        sunab_event_frame(no_ctrl).collect()
+    with pytest.raises(SparkRuntimeException, match="never-treated"):
+        sunab_event_se_frame(no_ctrl).collect()
+
+    # 2. a cohort missing its base period (g-1) cell
+    no_base = ok.filter(~((F.col("g") == 4) & (F.col("period") == 3)))
+    with pytest.raises(SparkRuntimeException, match="base-period"):
+        sunab_event_frame(no_base).collect()
+    with pytest.raises(SparkRuntimeException, match="pre-switch"):
+        dcdh_frame(no_base).collect()
+
+    # 3. dCDH: control pool exhausted at a switch period (drop every
+    # control cell pair at t=4: never-treated AND not-yet-treated)
+    no_pair = ok.filter(
+        ~((F.col("g").isin(0, 5)) & (F.col("period").isin(3, 4)))
+    )
+    with pytest.raises(SparkRuntimeException, match="control"):
+        dcdh_frame(no_pair).collect()
+
+    # 4. SE path: one unit missing its base-period row
+    drop_unit_row = ok.filter(
+        ~((F.col("id") == 6) & (F.col("period") == 2) & (F.col("g") == 3))
+    )
+    with pytest.raises(SparkRuntimeException, match="missing its base-period"):
+        sunab_event_se_frame(drop_unit_row).collect()

@@ -189,3 +189,24 @@ def test_global_cumsums_no_single_partition_exchange(spark):
     plan = mc.df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     release_cache(mc.df)
+
+
+def test_profile_drift_psi_raises_on_degenerate_reference(spark, tmp_path):
+    """The r8 guard: an events table whose reference slice (days 1-15)
+    has no positive values must raise loudly instead of bucketing
+    everything into one NULL bin and reporting a misleading ~0 PSI."""
+    from csdid_pyspark_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    # healthy slice sanity: the real table evaluates fine
+    assert stats_ext.profile_drift_psi(spark, "/root/testdata/sf0.001").count() == 2
+
+    import pyspark.sql.functions as F
+
+    deg = e.filter(F.dayofmonth("ts") > 15)
+    out = str(tmp_path / "degenerate")
+    deg.write.parquet(out + "/events.parquet")
+    # AQE may wrap the USER_RAISED_EXCEPTION in a stage-materialization
+    # SparkException, so match the message, not the class
+    with pytest.raises(Exception, match="reference slice"):
+        stats_ext.profile_drift_psi(spark, out).collect()
