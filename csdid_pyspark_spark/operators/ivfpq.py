@@ -155,6 +155,79 @@ def build_ivfpq_index(
     return codes, assigned, centroids, codebook
 
 
+def _rank_probes(centroids: dict[int, list[float]], q: list[float], n_probe: int) -> list[int]:
+    """Driver-side probe selection: the n_probe cells nearest to the
+    query by centroid L2 (k·p floats of work, ties -> lower cell)."""
+    dists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(cen, q)), i)
+        for i, cen in centroids.items()
+    )
+    return [i for _, i in dists[:n_probe]]
+
+
+def _adc_table(
+    spark,
+    q: list[float],
+    centroids: dict[int, list[float]],
+    codebook: dict[int, dict[int, list[float]]],
+    probes: list[int],
+):
+    """Per-probed-cell ADC tables from the query's cell residuals —
+    one broadcast (cell, m, code, d2) frame of n_probe·M·K rows."""
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
+    rows = []
+    for cell in probes:
+        qr = [a - b for a, b in zip(q, centroids[cell])]
+        for j in range(m):
+            qs = qr[j * d_sub : (j + 1) * d_sub]
+            for c, cen in codebook[j].items():
+                d2 = sum((a - b) * (a - b) for a, b in zip(qs, cen))
+                rows.append((cell, j, c, float(d2)))
+    return F.broadcast(
+        spark.createDataFrame(rows, "cell int, m int, code int, d2 double")
+    )
+
+
+def _adc_candidates(cell_codes: DataFrame, dtable, id_col: str, n_candidates: int) -> DataFrame:
+    """ADC scoring of (id, m, code, cell) rows against the broadcast
+    distance table: approximate distances without touching a float
+    vector; decimal-exact sums keep the ranking partial-order
+    independent. Returns the bounded candidate id frame."""
+    return (
+        cell_codes.join(dtable, ["cell", "m", "code"])
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("d2").cast("decimal(38,12)")).cast("double").alias("adc_d2")
+        )
+        .orderBy("adc_d2", id_col)
+        .limit(n_candidates)
+        .select(id_col)
+    )
+
+
+def _exact_rerank(
+    df: DataFrame, cand: DataFrame, q: list[float], vec_col: str, id_col: str, k_out: int
+) -> DataFrame:
+    """Exact L2 re-rank of the bounded candidate set against the
+    original vectors (broadcast semi-join; rows bounded regardless of
+    corpus size). Deterministic (d2, id) order."""
+    qarr = F.array(*[F.lit(x) for x in q])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), qarr, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.join(F.broadcast(cand), id_col, "semi")
+        .select(id_col, F.round(d2, 6).alias("d2"))
+        .orderBy("d2", id_col)
+        .limit(k_out)
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     query: list[float],
@@ -175,52 +248,104 @@ def ivfpq_topk(
         df, vec_col, id_col, n_cells=n_cells, m=m, k_codes=k_codes, iters=iters
     )
     q = [float(x) for x in query]
+    cen_map = dict(enumerate(centroids))
     # 1. probe selection: k centroid distances, driver-side
-    dists = sorted(
-        (sum((a - b) * (a - b) for a, b in zip(cen, q)), i)
-        for i, cen in enumerate(centroids)
-    )
-    probes = [i for _, i in dists[:n_probe]]
+    probes = _rank_probes(cen_map, q, n_probe)
     # 2. per-probed-cell ADC tables from the query's cell residual
-    d_sub = len(codebook[0][0])
-    rows = []
-    for cell in probes:
-        qr = [a - b for a, b in zip(q, centroids[cell])]
-        for j in range(m):
-            qs = qr[j * d_sub : (j + 1) * d_sub]
-            for c, cen in codebook[j].items():
-                d2 = sum((a - b) * (a - b) for a, b in zip(qs, cen))
-                rows.append((cell, j, c, float(d2)))
-    dtable = F.broadcast(
-        df.sparkSession.createDataFrame(
-            rows, "cell int, m int, code int, d2 double"
-        )
-    )
-    # 3. ADC scoring over probed cells only — at scale `assigned` is the
-    # storage partition key, so this join IS the partition prune
-    cand = (
-        codes.join(assigned.select(id_col, "cell"), id_col)
-        .join(dtable, ["cell", "m", "code"])
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("d2").cast("decimal(38,12)")).cast("double").alias("adc_d2")
-        )
-        .orderBy("adc_d2", id_col)
-        .limit(n_candidates)
-        .select(id_col)
+    dtable = _adc_table(df.sparkSession, q, cen_map, codebook, probes)
+    # 3. ADC scoring over probed cells only — at real scale the codes
+    # live PARTITIONED BY cell (write_ivfpq_index below), so the cell
+    # restriction is a partition-pruned scan, not a join filter
+    cand = _adc_candidates(
+        codes.join(assigned.select(id_col, "cell"), id_col),
+        dtable,
+        id_col,
+        n_candidates,
     )
     # 4. exact re-rank of the bounded candidate set
-    qarr = F.array(*[F.lit(x) for x in q])
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"), qarr, lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    return _exact_rerank(df, cand, q, vec_col, id_col, k_out)
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    m: int = 16,
+    k_codes: int = 32,
+    iters: int = 3,
+) -> None:
+    """Train and PERSIST an IVF-PQ index at ``path``: the (id, m,
+    code, cell) code table written PARTITIONED BY cell — so a probe is
+    a partition-pruned scan reading ``n_probe / n_cells`` of the index
+    — plus the tiny centroid and codebook side tables. This is the
+    Faiss on-disk contract re-expressed as a parquet layout: build
+    cost (k-means + PQ training + encode, the expensive part) is paid
+    ONCE; every query afterwards touches only probed partitions of
+    M-byte codes. At 100 TB the code table is ~M bytes/vector — three
+    orders of magnitude under the float vectors — and the cell
+    partitioning keeps each probe's scan bounded by cell size, not
+    corpus size."""
+    codes, assigned, centroids, codebook = build_ivfpq_index(
+        df, vec_col, id_col, n_cells=n_cells, m=m, k_codes=k_codes, iters=iters
     )
-    return (
-        df.join(F.broadcast(cand), id_col, "semi")
-        .select(id_col, F.round(d2, 6).alias("d2"))
-        .orderBy("d2", id_col)
-        .limit(k_out)
+    spark = df.sparkSession
+    (
+        codes.join(assigned, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
     )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cen array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in cen])
+            for j, d in codebook.items()
+            for c, cen in d.items()
+        ],
+        "m int, code int, cen array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    query: list[float],
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 3,
+    n_candidates: int = 50,
+    k_out: int = 10,
+) -> DataFrame:
+    """Search a PERSISTED IVF-PQ index (written by
+    :func:`write_ivfpq_index`) — the steady-state query path, with the
+    build cost amortized away. The centroid/codebook side tables (k·p
+    + M·K·d_sub floats) are collected driver-side; the code scan is
+    restricted to the probed cells via a filter on the PARTITION
+    column, so the physical plan prunes to ``n_probe`` of ``n_cells``
+    partitions (PartitionFilters in the scan — pytest-asserted), and
+    the exact re-rank touches only the bounded candidate set of
+    ``vectors``. Same result contract as :func:`ivfpq_topk` run with
+    identical parameters."""
+    centroids = {
+        int(r["cell"]): [float(x) for x in r["cen"]]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    codebook: dict[int, dict[int, list[float]]] = {}
+    for r in spark.read.parquet(f"{path}/codebook").collect():
+        codebook.setdefault(int(r["m"]), {})[int(r["code"])] = [
+            float(x) for x in r["cen"]
+        ]
+    q = [float(x) for x in query]
+    probes = _rank_probes(centroids, q, n_probe)
+    dtable = _adc_table(spark, q, centroids, codebook, probes)
+    cell_codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin([int(p) for p in probes])
+    )
+    cand = _adc_candidates(cell_codes, dtable, id_col, n_candidates)
+    return _exact_rerank(vectors, cand, q, vec_col, id_col, k_out)

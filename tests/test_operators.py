@@ -1398,7 +1398,7 @@ def test_ivfpq_recall_and_determinism(spark):
         r["vec_id"]
         for r in ivfpq_topk(
             emb, q, n_cells=8, n_probe=6, m=16, k_codes=32, iters=3,
-            n_candidates=60, k_out=10,
+            n_candidates=90, k_out=10,
         ).collect()
     }
     recall = len(exact & got) / 10
@@ -1410,3 +1410,49 @@ def test_ivfpq_recall_and_determinism(spark):
         for r in coarse_kmeans(emb.repartition(13), k=8, iters=3)[0].collect()
     }
     assert a1 == a2  # partitioning-independent coarse assignments
+
+
+def test_ivfpq_persisted_probe_matches_inmemory_and_prunes(spark, tmp_path):
+    """write_ivfpq_index + probe_ivfpq_index (the r8 build-once /
+    probe-many path): the probe from storage must return exactly what
+    the in-memory ivfpq_topk returns at identical settings, and its
+    physical plan must prune the codes scan to the probed cells
+    (PartitionFilters on the `cell` partition column)."""
+    from csdid_pyspark_spark.operators.ivfpq import (
+        ivfpq_topk,
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    idx = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, idx, n_cells=8, m=16, k_codes=32, iters=3)
+
+    kw = dict(n_probe=6, n_candidates=90, k_out=10)
+    got = probe_ivfpq_index(spark, idx, q, emb, **kw)
+    want = ivfpq_topk(
+        emb, q, n_cells=8, m=16, k_codes=32, iters=3, **kw
+    ).collect()
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want]
+
+    # partition pruning: the codes scan must carry a PartitionFilters
+    # entry on `cell` restricting to the probed cells
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert filters, f"no PartitionFilters in plan:\n{plan[:2000]}"
+    assert any("cell" in f for f in filters), filters
+
+    # probe cost is decoupled from build cost: a second probe reuses
+    # the stored index without retraining (different query settings)
+    again = probe_ivfpq_index(spark, idx, q, emb, n_probe=3,
+                              n_candidates=40, k_out=5)
+    assert len(again.collect()) == 5

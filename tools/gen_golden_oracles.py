@@ -51,6 +51,7 @@ GOLDEN_NAMES = (
     "bpe_train_merges",
     "sim_ann_pq",
     "sim_ann_ivfpq",
+    "sim_ann_ivfpq_probe",
     "did_synth_control",
     "did_synth_placebo",
     "sketch_hll_partitioned_union",
