@@ -229,6 +229,126 @@ def dcdh_frame(
     )
 
 
+def dcdh_placebo_frame(
+    panel: DataFrame,
+    yname: str = "y",
+    tname: str = "period",
+    gname: str = "g",
+) -> DataFrame:
+    """dCDH placebo DID_M^pl (de Chaisemartin & D'Haultfœuille 2020
+    §3.3 — the estimator's OWN pre-trend diagnostic): for the groups
+    that switch at t, compare their (t-2)→(t-1) outcome change — one
+    period BEFORE anything happens to them — against the same change
+    among the SAME control set DID_+(t) uses (never-treated or g > t):
+
+        DID_pl(t) = [ȳ_{g=t}(t-1) − ȳ_{g=t}(t-2)]
+                  − Σ_c n_c [ȳ_c(t-1) − ȳ_c(t-2)] / Σ_c n_c
+
+    A DID_pl(t) far from zero means the switchers were already on a
+    different trend than their controls BEFORE switching, so DID_+(t)
+    is not identified — the exact analogue of the CS pre-test, but
+    computed with dCDH's own weights and control set. Only defined for
+    switch periods with two pre-periods inside the panel window
+    (cohorts with g-2 < min(period) are EXCLUDED, not errors — the
+    restriction every dCDH implementation applies); within the
+    restricted set, missing cells raise via :func:`_req` like the
+    main estimator.
+
+    Output: (t, did_placebo, n_switchers) per eligible switch period,
+    plus the switcher-weighted overall DID_M^pl as the t = -1 row —
+    the same shape as :func:`dcdh_frame`.
+
+    Scale shape: identical to dcdh_frame — one data-scale (g, period)
+    cell-mean aggregation, then broadcast-tiny cell algebra (the
+    period-window min rides the same tiny frame)."""
+    cb = _cells(panel, yname, tname, gname)
+    pmin = cb.agg(F.min("period").alias("pmin"))
+    sw = (
+        cb.filter((F.col("g") > 0) & (F.col("period") == F.col("g") - 1))
+        .crossJoin(F.broadcast(pmin))
+        .filter(F.col("g") - 2 >= F.col("pmin"))
+        .join(
+            F.broadcast(
+                cb.select(
+                    F.col("g").alias("g_p"),
+                    F.col("period").alias("t_p"),
+                    F.col("ybar").alias("y_m2"),
+                )
+            ),
+            (F.col("g") == F.col("g_p")) & (F.col("t_p") == F.col("g") - 2),
+            "left",
+        )
+        .select(
+            F.col("g").cast("int").alias("t"),
+            (
+                F.col("ybar")
+                - _req(
+                    F.col("y_m2"),
+                    "dcdh_placebo_frame: switcher cohort g=", F.col("g"),
+                    " has no (g-2) cell inside the window — unbalanced "
+                    "panel",
+                )
+            ).alias("dy_sw_pl"),
+            F.col("n").alias("n_sw"),
+        )
+    )
+    c1 = cb.select(
+        F.col("g").alias("g_c"), F.col("period").alias("t_c"),
+        F.col("ybar").alias("y_c1"), F.col("n").alias("n_c"),
+    )
+    c0 = cb.select(
+        F.col("g").alias("g_c0"), F.col("period").alias("t_c0"),
+        F.col("ybar").alias("y_c0"),
+    )
+    ctrl = (
+        sw.select("t")
+        .join(
+            F.broadcast(c1),
+            (F.col("t_c") == F.col("t") - 1)
+            & ((F.col("g_c") == 0) | (F.col("g_c") > F.col("t"))),
+        )
+        .join(
+            F.broadcast(c0),
+            (F.col("g_c0") == F.col("g_c")) & (F.col("t_c0") == F.col("t") - 2),
+        )
+        .groupBy("t")
+        .agg(
+            (
+                F.sum(F.col("n_c") * (F.col("y_c1") - F.col("y_c0")))
+                / F.sum("n_c")
+            ).alias("dy_ctrl_pl")
+        )
+    )
+    per_t = sw.join(F.broadcast(ctrl), "t", "left").select(
+        "t",
+        (
+            F.col("dy_sw_pl")
+            - _req(
+                F.col("dy_ctrl_pl"),
+                "dcdh_placebo_frame: no control cell pair (t-1, t-2) at "
+                "switch period ", F.col("t"),
+                " — control group exhausted or panel unbalanced",
+            )
+        ).alias("did_placebo"),
+        "n_sw",
+    )
+    overall = per_t.agg(
+        F.lit(-1).cast("int").alias("t"),
+        F.round(
+            F.sum(F.col("did_placebo") * F.col("n_sw")) / F.sum("n_sw"), 6
+        ).alias("did_placebo"),
+        F.sum("n_sw").cast("bigint").alias("n_switchers"),
+    )
+    return (
+        per_t.select(
+            "t", F.round("did_placebo", 6).alias("did_placebo"),
+            F.col("n_sw").cast("bigint").alias("n_switchers"),
+        )
+        .unionAll(overall)
+        .orderBy("t")
+    )
+
+
 def sunab_event_se_frame(
     panel: DataFrame,
     yname: str = "y",

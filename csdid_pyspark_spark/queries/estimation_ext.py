@@ -350,6 +350,58 @@ ORDER BY t
 QUERIES["did_dcdh_effect"] = did_dcdh_effect
 ORACLES["did_dcdh_effect"] = DID_DCDH_SQL
 
+
+def did_dcdh_placebo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DID_M^pl — the dCDH placebo estimator
+    (did/robust_cells.py::dcdh_placebo_frame; de Chaisemartin &
+    D'Haultfœuille 2020 §3.3): the switchers' (t-2)→(t-1) change vs
+    the SAME not-yet-treated control set DID_+(t) uses, i.e. the
+    estimator's own pre-trend diagnostic. Completes the did_dcdh_effect
+    pair the way did_pretrend_wald completes the CS estimator. Output
+    mirrors did_dcdh_effect: per eligible switch period plus the
+    switcher-weighted overall row at t = -1. Same scale shape: one
+    (g, period) cell-mean aggregation, broadcast-tiny algebra after."""
+    from csdid_pyspark_spark.did.robust_cells import dcdh_placebo_frame
+
+    return dcdh_placebo_frame(panel_from_events(spark, sf_dir))
+
+
+DID_DCDH_PLACEBO_SQL = f"""
+WITH {PANEL_CTE},
+cb AS (
+  SELECT g, period, AVG(y) AS ybar, COUNT(*) AS n FROM panel GROUP BY 1, 2
+),
+sw AS (
+  SELECT CAST(t.g AS INT) AS t, t.ybar - tp.ybar AS dy_sw_pl, t.n AS n_sw
+  FROM cb t
+  JOIN cb tp ON tp.g = t.g AND tp.period = t.g - 2
+  WHERE t.g > 0 AND t.period = t.g - 1
+    AND t.g - 2 >= (SELECT MIN(period) FROM cb)
+),
+ctrl AS (
+  SELECT s.t, SUM(c1.n * (c1.ybar - c0.ybar)) / SUM(c1.n) AS dy_ctrl_pl
+  FROM (SELECT DISTINCT t FROM sw) s
+  JOIN cb c1 ON c1.period = s.t - 1 AND (c1.g = 0 OR c1.g > s.t)
+  JOIN cb c0 ON c0.g = c1.g AND c0.period = s.t - 2
+  GROUP BY s.t
+),
+per_t AS (
+  SELECT sw.t, dy_sw_pl - dy_ctrl_pl AS did_placebo, n_sw
+  FROM sw JOIN ctrl ON ctrl.t = sw.t
+)
+SELECT t, ROUND(did_placebo, 6) AS did_placebo,
+       CAST(n_sw AS BIGINT) AS n_switchers
+FROM per_t
+UNION ALL
+SELECT -1, ROUND(SUM(did_placebo * n_sw) / SUM(n_sw), 6),
+       CAST(SUM(n_sw) AS BIGINT)
+FROM per_t
+ORDER BY t
+"""
+
+QUERIES["did_dcdh_placebo"] = did_dcdh_placebo
+ORACLES["did_dcdh_placebo"] = DID_DCDH_PLACEBO_SQL
+
 # ---------------------------------------------------------------------------
 # CDC log application (latest-wins upsert + delete tombstones)
 # ---------------------------------------------------------------------------

@@ -410,3 +410,31 @@ def test_sunab_dcdh_match_numpy_bruteforce(spark, units):
     )
     assert abs(got_dc[-1][0] - round(did_m, 6)) < 2e-6
     assert got_dc[-1][1] == sum(n_g[g] for g in expected_dc)
+
+    # ---- dCDH placebo reference (DID_M^pl): the (t-2)->(t-1) change
+    # of the switchers-at-t vs the SAME control set, only for cohorts
+    # with g-2 inside the window
+    from csdid_pyspark_spark.did.robust_cells import dcdh_placebo_frame
+
+    pmin = min(periods)
+    expected_pl = {}
+    for g in gs:
+        if g - 2 < pmin:
+            continue
+        ctrl = [(c, n_g[c]) for c in cohorts if c == 0 or c > g]
+        dy_ctrl = sum(
+            n * (cell[(c, g - 1)] - cell[(c, g - 2)]) for c, n in ctrl
+        ) / sum(n for _, n in ctrl)
+        expected_pl[g] = (cell[(g, g - 1)] - cell[(g, g - 2)]) - dy_ctrl
+    got_pl = {
+        r["t"]: (r["did_placebo"], r["n_switchers"])
+        for r in dcdh_placebo_frame(panel).collect()
+    }
+    assert set(got_pl) == set(expected_pl) | {-1}
+    for g, d in expected_pl.items():
+        assert abs(got_pl[g][0] - round(d, 6)) < 2e-6, (g, got_pl[g], d)
+        assert got_pl[g][1] == n_g[g]
+    did_pl = sum(d * n_g[g] for g, d in expected_pl.items()) / sum(
+        n_g[g] for g in expected_pl
+    )
+    assert abs(got_pl[-1][0] - round(did_pl, 6)) < 2e-6
