@@ -378,6 +378,32 @@ def sunab_event_se_frame(
 
     Output: (e, att_iw, se, n_treated) — att_iw identical to
     :func:`sunab_event_frame`."""
+    cells, per_unit = _sunab_cells_and_psi(panel, yname, tname, gname, idname)
+    se = per_unit.groupBy("e").agg(
+        F.sqrt(F.sum(F.col("psi") * F.col("psi"))).alias("se_raw")
+    )
+    att = cells.groupBy("e").agg(
+        F.round(F.sum(F.col("w_g") * (F.col("mu_g") - F.col("mu_0g"))), 6).alias(
+            "att_iw"
+        ),
+        F.max("n_e").cast("bigint").alias("n_treated"),
+    )
+    return (
+        att.join(se, "e")
+        .select(
+            "e", "att_iw", F.round("se_raw", 6).alias("se"), "n_treated"
+        )
+        .orderBy("e")
+    )
+
+
+def _sunab_cells_and_psi(
+    panel: DataFrame, yname: str, tname: str, gname: str, idname: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared by the SA plug-in SE and the multiplier-bootstrap bands:
+    the broadcast-tiny (g, e) cell spec with weights/means, and the
+    per-(e, id) influence contributions ψ_i(e) (summed across cohorts
+    per unit BEFORE squaring — the shared-never-treated covariance)."""
     p = panel.select(
         F.col(idname).alias("id"),
         F.col(gname).alias("g"),
@@ -487,19 +513,78 @@ def sunab_event_se_frame(
         -F.col("w_g") * (F.col("d") - F.col("mu_0g")) / F.col("n_0")
     )
     per_unit = dy.groupBy("e", "id").agg(F.sum(psi_term).alias("psi"))
-    se = per_unit.groupBy("e").agg(
-        F.sqrt(F.sum(F.col("psi") * F.col("psi"))).alias("se_raw")
-    )
-    att = cells.groupBy("e").agg(
-        F.round(F.sum(F.col("w_g") * (F.col("mu_g") - F.col("mu_0g"))), 6).alias(
-            "att_iw"
-        ),
-        F.max("n_e").cast("bigint").alias("n_treated"),
-    )
-    return (
-        att.join(se, "e")
-        .select(
-            "e", "att_iw", F.round("se_raw", 6).alias("se"), "n_treated"
+    return cells, per_unit
+
+
+def sunab_event_band_frame(
+    panel: DataFrame,
+    yname: str = "y",
+    tname: str = "period",
+    gname: str = "g",
+    idname: str = "id",
+    biters: int = 999,
+    alp: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Sun-Abraham event study with UNIFORM (sup-t) confidence bands
+    via the seeded multiplier bootstrap (did/mboot.py — the same
+    splitmix64 Rademacher machinery the CS estimator uses): the
+    per-unit influence contributions ψ_i(e) from
+    :func:`_sunab_cells_and_psi` are resampled with unit-level ±1
+    weights held FIXED ACROSS event times, so each draw perturbs the
+    whole event-time profile coherently and the max-|t| quantile gives
+    a critical value whose band covers the ENTIRE profile at 1-α —
+    the event-study plot band (Callaway-Sant'Anna §4.2 semantics,
+    applied to the SA estimator).
+
+    The IF table handed to mboot is ψ·N (N = contributing units), so
+    mboot's sig/√N recovers the plug-in SE scale exactly; see the SE
+    derivation on :func:`sunab_event_se_frame`.
+
+    Scale shape: the ψ table is the data-scale object and stays on
+    executors — mboot's mapInPandas emits (biters × |e|) partials per
+    partition, one shuffle reduces them; driver memory is
+    O(biters·|e|). Deterministic (seeded hashes) → pinned golden.
+
+    Output: (e, att_iw, se_boot, crit_val, band_lo, band_hi,
+    n_treated), ordered by e."""
+    from csdid_pyspark_spark.did.mboot import mboot
+
+    cells, per_unit = _sunab_cells_and_psi(panel, yname, tname, gname, idname)
+    att_rows = (
+        cells.groupBy("e")
+        .agg(
+            F.sum(F.col("w_g") * (F.col("mu_g") - F.col("mu_0g"))).alias("att"),
+            F.max("n_e").cast("bigint").alias("n_treated"),
         )
-        .orderBy("e")
+        .collect()
     )
+    n_units = per_unit.select("id").distinct().count()
+    if_df = per_unit.select(
+        F.col("e").cast("long").alias("key"),
+        F.xxhash64("id").alias("uh"),
+        (F.col("psi") * F.lit(float(n_units))).alias("inf"),
+    )
+    mb = mboot(if_df, "key", "uh", "inf", n_units, biters=biters, alp=alp, seed=seed)
+    crit = mb.crit_val
+    rows = []
+    for r in sorted(att_rows, key=lambda r: r["e"]):
+        e = int(r["e"])
+        att = float(r["att"])
+        se = mb.se.get(e, float("nan"))
+        rows.append(
+            (
+                e,
+                round(att, 6),
+                round(se, 6),
+                round(crit, 6),
+                round(att - crit * se, 6),
+                round(att + crit * se, 6),
+                int(r["n_treated"]),
+            )
+        )
+    return panel.sparkSession.createDataFrame(
+        rows,
+        "e int, att_iw double, se_boot double, crit_val double, "
+        "band_lo double, band_hi double, n_treated bigint",
+    ).orderBy("e")

@@ -2176,3 +2176,28 @@ FROM att a JOIN se s ON s.e = a.e ORDER BY a.e
 
 QUERIES["did_sunab_event_se"] = did_sunab_event_se
 ORACLES["did_sunab_event_se"] = DID_SUNAB_SE_SQL
+
+
+def did_sunab_event_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """did_sunab_event_se plus UNIFORM sup-t confidence bands from the
+    seeded multiplier bootstrap
+    (did/robust_cells.py::sunab_event_band_frame): unit-level ±1
+    Rademacher weights — one splitmix64 draw per (unit, b), held fixed
+    across event times — perturb the whole ψ profile coherently; the
+    1-α quantile of max_e |draw_e / σ_e| is the critical value whose
+    band covers the ENTIRE event-study path simultaneously, the
+    correct band to draw on an event-study plot (pointwise ±1.96·se
+    undercovers across |E| looks). Not expressible in portable SQL
+    (seeded hash bootstrap) → pinned VALUES golden, the same contract
+    as did_attgt_bootstrap; the bootstrap machinery itself is the
+    long-green did/mboot.py path. Deterministic across partitionings
+    (pytest-gated) because the per-unit sign depends only on
+    xxhash64(id) and the draw index."""
+    from csdid_pyspark_spark.did.robust_cells import sunab_event_band_frame
+
+    return sunab_event_band_frame(
+        panel_from_events(spark, sf_dir), biters=999, alp=0.05, seed=42
+    )
+
+
+QUERIES["did_sunab_event_band"] = did_sunab_event_band

@@ -31,6 +31,7 @@ sys.path.insert(0, REPO)
 GOLDEN_SF_DIR = "/root/testdata/sf0.01"
 GOLDEN_NAMES = (
     "did_attgt_bootstrap",
+    "did_sunab_event_band",
     "did_pretrend_wald",
     "did_attgt_cluster",
     "dedup_minhash_lsh",
