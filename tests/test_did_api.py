@@ -774,3 +774,69 @@ def test_sunab_band_covers_planted_profile(spark):
         for r in sunab_event_band_frame(panel.repartition(13)).collect()
     }
     assert again == band  # seeded draws are partitioning-invariant
+
+
+def test_honest_bounds_planted_violation(spark):
+    """honest_bounds_frame on a DGP with a PLANTED linear parallel-
+    trends violation (treated units drift by gamma per period relative
+    to controls, on top of a true effect of 0.8): the naive M=0 CI
+    excludes the truth (the violation biases every post coefficient by
+    (e+1)*gamma), while the relative-magnitudes M=1 interval — whose
+    width is calibrated from the observed pre-period slopes — covers
+    it. Also: widths grow monotonically in both M and e, M=0
+    reproduces the pointwise CI, and a profile without e <= -2 raises
+    (nothing to calibrate s_pre from)."""
+    import numpy as np
+    import pytest
+
+    from csdid_pyspark_spark.did.honest import honest_bounds_frame
+    from csdid_pyspark_spark.did.robust_cells import sunab_event_se_frame
+
+    gamma = 0.3
+    rng = np.random.default_rng(11)
+    periods = list(range(1, 7))
+    units = [(i, [0, 3, 4, 5][i % 4]) for i in range(160)]
+    rows = []
+    for i, g in units:
+        fe = rng.normal(0, 1)
+        for t in periods:
+            v = fe + 0.2 * t + rng.normal(0, 0.1)
+            if g > 0:
+                v += gamma * t  # the violation: a differential trend
+                if g <= t:
+                    v += 0.8  # the true effect
+            rows.append((i, t, g, v))
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+
+    prof = sunab_event_se_frame(panel)
+    got = {
+        (r["e"], r["mbar"]): r.asDict()
+        for r in honest_bounds_frame(prof).collect()
+    }
+    es = sorted({e for e, _ in got})
+    assert es and all(e >= 0 for e in es)
+    for e in es:
+        r0, r1 = got[(e, 0.0)], got[(e, 1.0)]
+        # M=0 = pointwise CI: the planted bias (e+1)*gamma pushes it
+        # off the truth entirely
+        assert r0["set_lo"] == r0["set_hi"] == r0["att"]
+        assert r0["ci_lo"] > 0.8, (e, r0)
+        # M=1: pre-slope-calibrated set reaches back to the truth
+        assert r1["ci_lo"] <= 0.8 <= r1["ci_hi"], (e, r1)
+        # monotone widths in mbar and e
+        widths = [
+            got[(e, m)]["set_hi"] - got[(e, m)]["set_lo"]
+            for m in (0.0, 0.5, 1.0, 1.5, 2.0)
+        ]
+        assert widths == sorted(widths)
+    for m in (0.5, 1.0, 2.0):
+        we = [got[(e, m)]["set_hi"] - got[(e, m)]["set_lo"] for e in es]
+        assert we == sorted(we)
+
+    # a profile without observed pre coefficients (nothing to
+    # calibrate s_pre from) -> loud raise, not silent NULL widths
+    lags_only = spark.createDataFrame(
+        [(0, 0.8, 0.05), (1, 0.82, 0.05)], "e int, att_iw double, se double"
+    )
+    with pytest.raises(Exception, match="calibrate"):
+        honest_bounds_frame(lags_only).collect()
