@@ -1495,6 +1495,174 @@ ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style n-gram LM perplexity filter (train on a reference slice,
+# score everything, gate)
+# ---------------------------------------------------------------------------
+
+# interpolation / smoothing constants and the keep gate — exact halves
+# and short decimals so both engines parse identical doubles
+_LM_LAMBDA = 0.9
+_LM_ALPHA = 0.5
+_LM_PPL_KEEP = 32.0
+
+
+def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM perplexity filter (Wenzek et al. 2020,
+    "CCNet: Extracting high quality monolingual datasets from web
+    crawl data" — the standard LLM-curation quality op): train an
+    interpolated bigram LM on a REFERENCE slice of the corpus (the
+    deterministic md5-fingerprint half, same family as docs_split_*),
+    score EVERY document by perplexity under it, and gate. Unlike
+    lm_score (corpus-frequency proxy over the whole corpus), this is a
+    held-out probability model:
+
+        p(w2|w1) = λ·c₂(w1,w2)/c₁(w1)                (ML bigram)
+                 + (1-λ)·(c₁(w2)+α)/(N+α·(V+1))      (add-α unigram,
+                                                      +1 OOV bucket)
+        ppl(doc) = exp(−avg over bigram positions of ln p)
+
+    with λ=0.9, α=0.5 trained ONLY on reference-slice counts; unseen
+    bigrams back off to the smoothed unigram, unseen words to the α
+    floor, so garbled/out-of-domain text gets high perplexity. `keep`
+    gates at ppl ≤ 32 — calibrated to this corpus's perplexity range
+    (26-43) so both branches are exercised and oracle-checked; a
+    production deployment calibrates the cut per corpus/language the
+    way CCNet does (head/middle/tail perplexity terciles). Docs
+    shorter than 2 tokens never enter — no bigram positions.
+
+    All probabilities are built from integer counts through mirrored
+    double arithmetic (exact halves, shared decimal literals), so ln
+    sees bit-identical inputs in both engines — the long-green TF-IDF
+    libm pattern; output rounds at 6dp.
+
+    Scale shape: two map-side-combinable count aggregations over the
+    reference slice (unigram, bigram — state bounded by observed
+    vocab, not corpus size), then the doc-side bigram explode joins
+    the count tables (AQE broadcasts them when small, shuffle-joins
+    when not) and ONE per-doc aggregation. No UDFs, no driver-side
+    model object — the "LM" is two count tables, which is what makes
+    this runnable at 100 TB where a KenLM binary per executor would
+    not be."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = d.filter(F.size(tk) >= 2).select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8",
+            1,
+        ).otherwise(0).alias("is_ref"),
+        tk.alias("tokens"),
+    )
+    uni = (
+        toks.filter(F.col("is_ref") == 1)
+        .select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = uni.agg(
+        F.sum("c1").cast("bigint").alias("n_tok"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("tokens") - 2),
+        lambda i: F.struct(
+            F.element_at("tokens", i + 1).alias("w1"),
+            F.element_at("tokens", i + 2).alias("w2"),
+        ),
+    )
+    grams = toks.select(
+        "doc_id", "is_ref", F.explode(pairs).alias("p")
+    ).select("doc_id", "is_ref", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = (
+        grams.filter(F.col("is_ref") == 1)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    scored = (
+        grams.join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1")), "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_big = F.when(
+        F.col("c2").isNotNull() & F.col("c1_w1").isNotNull(),
+        F.col("c2") / F.col("c1_w1"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (F.coalesce(F.col("c1_w2"), F.lit(0)) + F.lit(_LM_ALPHA)) / (
+        F.col("n_tok") + F.lit(_LM_ALPHA) * (F.col("v") + 1)
+    )
+    # NOT 1.0 - _LM_LAMBDA: that computes 0.09999999999999998, a
+    # different double from the SQL oracle's literal 0.1
+    lp = F.log(F.lit(_LM_LAMBDA) * p_big + F.lit(0.1) * p_uni)
+    return (
+        scored.groupBy("doc_id", "is_ref")
+        .agg(
+            F.round(F.exp(-F.avg(lp)), 6).alias("ppl"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "is_ref",
+            "n_bigrams",
+            "ppl",
+            F.when(F.col("ppl") <= _LM_PPL_KEEP, 1).otherwise(0).alias("keep"),
+        )
+    )
+
+
+QUALITY_LM_PPL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS is_ref,
+         string_split_regex(lower(trim(text)), '\s+') AS tokens
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+),
+uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT UNNEST(tokens) AS w FROM toks WHERE is_ref = 1)
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS v
+  FROM uni
+),
+grams AS (
+  SELECT doc_id, is_ref,
+         UNNEST(list_transform(range(1, len(tokens)), i -> tokens[i])) AS w1,
+         UNNEST(list_transform(range(1, len(tokens)), i -> tokens[i+1])) AS w2
+  FROM toks
+),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM grams WHERE is_ref = 1 GROUP BY 1, 2
+),
+scored AS (
+  SELECT g.doc_id, g.is_ref,
+         LN(CAST(0.9 AS DOUBLE) *
+            (CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                  THEN b.c2 / u1.c1 ELSE CAST(0 AS DOUBLE) END)
+          + CAST(0.1 AS DOUBLE) *
+            ((COALESCE(u2.c1, 0) + CAST(0.5 AS DOUBLE))
+             / (t.n_tok + CAST(0.5 AS DOUBLE) * (t.v + 1)))) AS lp
+  FROM grams g
+  LEFT JOIN big b ON b.w1 = g.w1 AND b.w2 = g.w2
+  LEFT JOIN uni u1 ON u1.w = g.w1
+  LEFT JOIN uni u2 ON u2.w = g.w2
+  CROSS JOIN tot t
+)
+SELECT doc_id, is_ref, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(EXP(-AVG(lp)), 6) AS ppl,
+       CASE WHEN ROUND(EXP(-AVG(lp)), 6) <= CAST(32.0 AS DOUBLE)
+            THEN 1 ELSE 0 END AS keep
+FROM scored GROUP BY 1, 2
+"""
+
+QUERIES["quality_lm_perplexity"] = quality_lm_perplexity
+ORACLES["quality_lm_perplexity"] = QUALITY_LM_PPL_SQL
+
+
+# ---------------------------------------------------------------------------
 # Embedding int8 quantization (vector compression for ANN serving)
 # ---------------------------------------------------------------------------
 

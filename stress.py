@@ -1335,6 +1335,95 @@ def run_ivfpq(spark, n_vecs: int, dim: int = 64, n_clusters: int = 50) -> dict:
     }
 
 
+def run_lm(spark, n_docs: int, vocab: int = 5000) -> dict:
+    """N-gram LM perplexity rehearsal (queries/llm_ops.py::
+    quality_lm_perplexity shape at scale): train the interpolated
+    bigram model on the md5-fingerprint half of n_docs synthetic
+    documents (~75 tokens each -> ~75·n_docs/2 training tokens), score
+    EVERY document, gate. The model is two count tables whose size is
+    bounded by observed vocab (unigrams) and observed bigram types —
+    independent of corpus size once the vocab saturates — so the
+    doc-side scoring join is the only data-scale stage. Evidence:
+    wall time for train+score, count-table sizes, kept fraction, flat
+    driver memory."""
+    docs = synth_docs(spark, n_docs, vocab=vocab).select("doc_id", "text")
+    tk = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = docs.filter(F.size(tk) >= 2).select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8", 1
+        ).otherwise(0).alias("is_ref"),
+        tk.alias("tokens"),
+    )
+    t0 = time.perf_counter()
+    uni = (
+        toks.filter(F.col("is_ref") == 1)
+        .select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = uni.agg(
+        F.sum("c1").cast("bigint").alias("n_tok"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("tokens") - 2),
+        lambda i: F.struct(
+            F.element_at("tokens", i + 1).alias("w1"),
+            F.element_at("tokens", i + 2).alias("w2"),
+        ),
+    )
+    grams = toks.select("doc_id", "is_ref", F.explode(pairs).alias("p")).select(
+        "doc_id", "is_ref", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    big = (
+        grams.filter(F.col("is_ref") == 1)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    scored = (
+        grams.join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1")), "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_big = F.when(
+        F.col("c2").isNotNull() & F.col("c1_w1").isNotNull(),
+        F.col("c2") / F.col("c1_w1"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (F.coalesce(F.col("c1_w2"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("n_tok") + F.lit(0.5) * (F.col("v") + 1)
+    )
+    lp = F.log(F.lit(0.9) * p_big + F.lit(0.1) * p_uni)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.exp(-F.avg(lp)).alias("ppl"), F.count("*").alias("n_bigrams")
+    )
+    summary = per_doc.agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.min("ppl"), 2).alias("ppl_min"),
+        F.round(F.expr("percentile_approx(ppl, 0.5)"), 2).alias("ppl_med"),
+        F.round(F.max("ppl"), 2).alias("ppl_max"),
+        F.sum(F.when(F.col("ppl") <= 2000.0, 1).otherwise(0)).alias("kept"),
+    ).first()
+    score_sec = round(time.perf_counter() - t0, 1)
+    n_uni = uni.count()
+    n_big = big.count()
+    return {
+        "metric": "stress_lm_perplexity",
+        "docs": n_docs,
+        "vocab": vocab,
+        "train_unigrams": n_uni,
+        "train_bigram_types": n_big,
+        "scored_docs": int(summary["n_scored"]),
+        "kept": int(summary["kept"]),
+        "ppl_min": float(summary["ppl_min"]),
+        "ppl_med": float(summary["ppl_med"]),
+        "ppl_max": float(summary["ppl_max"]),
+        "train_score_sec": score_sec,
+        **_driver_memory(),
+    }
+
+
 def run_ivfpq_index(spark, n_vecs: int, dim: int = 64, n_clusters: int = 50) -> dict:
     """Persisted-index rehearsal (r8): same clustered corpus as
     run_ivfpq, but the index is TRAINED + WRITTEN once
@@ -1587,7 +1676,7 @@ def main() -> None:
     if args and args[0] in (
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
-        "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth",
+        "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -1622,6 +1711,9 @@ def main() -> None:
     elif mode == "ivfpqidx":
         n_vecs = int(args[0]) if args else 100_000
         out = run_ivfpq_index(spark, n_vecs)
+    elif mode == "lm":
+        n_docs = int(args[0]) if args else 1_000_000
+        out = run_lm(spark, n_docs)
     elif mode == "synth":
         n_donors = int(args[0]) if args else 1_000_000
         out = run_synth(spark, n_donors)
