@@ -1456,3 +1456,46 @@ def test_ivfpq_persisted_probe_matches_inmemory_and_prunes(spark, tmp_path):
     again = probe_ivfpq_index(spark, idx, q, emb, n_probe=3,
                               n_candidates=40, k_out=5)
     assert len(again.collect()) == 5
+
+
+def test_postings_index_probe_matches_between_and_skips_corpus_exchange(spark, tmp_path):
+    """build_postings_index + jaccard_pairs_against_index (the r8
+    maintained-index path behind dedup_incremental) must return exactly
+    what jaccard_pairs_between computes from scratch, and the corpus
+    side of the intersection join must come straight off the bucketed
+    scan — the only Exchanges in the plan are delta-side (the 100 TB
+    contract: the index shuffle was paid at build time)."""
+    from csdid_pyspark_spark.cache import release_cache
+
+    sf = "/root/testdata/sf0.01"
+    d = load_table(spark, sf, "documents")
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    table = "t_postings_idx_test"
+    try:
+        dedup.build_postings_index(
+            corpus, table, str(tmp_path / "idx"), n=3, max_df=50
+        )
+        got_df = dedup.jaccard_pairs_against_index(
+            delta, table, str(tmp_path / "idx"), n=3, threshold=0.5
+        )
+        got = {(r["delta_id"], r["corpus_id"], r["jaccard"]) for r in got_df.collect()}
+        want_df = dedup.jaccard_pairs_between(
+            delta, corpus, n=3, threshold=0.5, max_df=50
+        )
+        want = {(r["delta_id"], r["corpus_id"], r["jaccard"]) for r in want_df.collect()}
+        assert got == want and want  # identical, non-trivial
+        # corpus postings reach the shingle join without their own
+        # shuffle: no Exchange directly above the bucketed table scan
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        scan_lines = [
+            ln for ln in plan.splitlines() if table in ln and "Scan" in ln
+        ]
+        assert scan_lines, plan[:1500]
+        assert re.search(r"Bucketed: true", plan), "bucketed scan not used"
+        release_cache(got_df)
+        release_cache(want_df)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
