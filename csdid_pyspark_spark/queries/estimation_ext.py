@@ -2227,8 +2227,9 @@ def did_honest_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DID_HONEST_SQL = f"""
-WITH {PANEL_CTE},
+# SA event-study profile (e, att, se) with influence-function SEs and
+# the e = -1 baseline row appended — shared by both Honest-DiD oracles
+SA_PROF_CTES = f"""{PANEL_CTE},
 cb AS (
   SELECT g, period, AVG(y) AS ybar, COUNT(*) AS n FROM panel GROUP BY 1, 2
 ),
@@ -2268,7 +2269,10 @@ prof AS (
     (SELECT e, ROUND(SQRT(SUM(psi * psi)), 6) AS se FROM per_unit GROUP BY e) s
   ON s.e = a.e
   UNION ALL SELECT -1, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
-),
+)"""
+
+DID_HONEST_SQL = f"""
+WITH {SA_PROF_CTES},
 steps AS (
   SELECT ABS(t.att - p.att) AS step
   FROM prof t JOIN prof p ON p.e = t.e - 1
@@ -2290,3 +2294,64 @@ WHERE e >= 0 ORDER BY e, mbar
 
 QUERIES["did_honest_bounds"] = did_honest_bounds
 ORACLES["did_honest_bounds"] = DID_HONEST_SQL
+
+
+def did_honest_smoothness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rambachan-Roth "Honest DiD" bounds under the SMOOTHNESS
+    restriction Δ^SD (did/honest.py::honest_smoothness_frame — RR
+    2023, REStud 90(5)), the complement to did_honest_bounds' Δ^RM:
+    where Δ^RM lets the post-period trend DRIFT by M̄× the worst
+    observed pre-period slope, Δ^SD commits to extrapolating the
+    boundary pre-trend slope LINEARLY and lets only its CURVATURE
+    change — by at most mbar × c_pre per period (c_pre = worst
+    observed pre-period second difference). mbar = 0 is therefore the
+    linear-extrapolation debiased point estimate, not the raw one; the
+    two restrictions answer different referee priors and their
+    breakdown M̄'s need not agree. Same result-sized scale shape as
+    did_honest_bounds on top of the long-green SA influence-SE plan."""
+    from csdid_pyspark_spark.did.honest import honest_smoothness_frame
+    from csdid_pyspark_spark.did.robust_cells import sunab_event_se_frame
+
+    return honest_smoothness_frame(
+        sunab_event_se_frame(panel_from_events(spark, sf_dir))
+    )
+
+
+DID_HONEST_SD_SQL = f"""
+WITH {SA_PROF_CTES},
+slopes AS (
+  SELECT t.e, t.att - p.att AS slope
+  FROM prof t JOIN prof p ON p.e = t.e - 1
+  WHERE t.e <= -1
+),
+slast AS (SELECT MAX(slope) AS s_last FROM slopes WHERE e = -1),
+curv AS (
+  SELECT ABS(s.slope - p.slope) AS curv
+  FROM slopes s JOIN slopes p ON p.e = s.e - 1
+),
+cpre AS (SELECT MAX(curv) AS c_pre FROM curv),
+grid AS (
+  SELECT CAST(mbar AS DOUBLE) AS mbar
+  FROM (VALUES (0.0), (0.5), (1.0), (1.5), (2.0)) g(mbar)
+)
+SELECT e, mbar, ROUND(att, 6) AS att,
+       ROUND(att - (e + 1) * s_last
+                 - mbar * c_pre * (CAST((e + 1) * (e + 2) AS DOUBLE) / 2),
+             6) AS set_lo,
+       ROUND(att - (e + 1) * s_last
+                 + mbar * c_pre * (CAST((e + 1) * (e + 2) AS DOUBLE) / 2),
+             6) AS set_hi,
+       ROUND(att - (e + 1) * s_last
+                 - mbar * c_pre * (CAST((e + 1) * (e + 2) AS DOUBLE) / 2)
+                 - CAST(1.959964 AS DOUBLE) * se,
+             6) AS ci_lo,
+       ROUND(att - (e + 1) * s_last
+                 + mbar * c_pre * (CAST((e + 1) * (e + 2) AS DOUBLE) / 2)
+                 + CAST(1.959964 AS DOUBLE) * se,
+             6) AS ci_hi
+FROM prof CROSS JOIN slast CROSS JOIN cpre CROSS JOIN grid
+WHERE e >= 0 ORDER BY e, mbar
+"""
+
+QUERIES["did_honest_smoothness"] = did_honest_smoothness
+ORACLES["did_honest_smoothness"] = DID_HONEST_SD_SQL

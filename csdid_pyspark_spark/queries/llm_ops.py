@@ -5635,3 +5635,158 @@ FROM deg GROUP BY degree ORDER BY degree
 
 QUERIES["neardup_degree_histogram"] = neardup_degree_histogram
 ORACLES["neardup_degree_histogram"] = NEARDUP_DEGREE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Appendix A1.1)
+# ---------------------------------------------------------------------------
+
+def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters, the standard pre-training text gate
+    alongside the composite quality_filter: per document, the fraction
+    of characters covered by (a) the single heaviest word n-gram for
+    n = 2, 3, 4 ("top-n-gram character fraction") and (b) all
+    DUPLICATED word n-grams for n = 5, 10 ("duplicate-n-gram character
+    fraction"), gated at Gopher's published thresholds (0.20 / 0.18 /
+    0.16 / 0.15 / 0.10). Two documented adaptations: the corpus has no
+    newlines, so Gopher's duplicate-line/paragraph legs are omitted
+    rather than emitted as degenerate zeros; and "most frequent
+    n-gram" is made deterministic as the n-gram maximizing
+    count x char-length (ties in raw count would otherwise make the
+    covered-character fraction depend on tie order). Duplicate
+    fractions use the standard overlap-ignoring accounting
+    (sum of count x char-length over duplicated n-grams), as in the
+    public Dolma/RedPajama reimplementations, so they can exceed 1 on
+    pathological inputs.
+
+    Scale shape: ONE scan -> one explode producing (n, gram) pairs for
+    all five n values together (no per-n rescans), one map-side-
+    combinable count shuffle keyed by (doc_id, n, gram), and one
+    per-doc_id conditional-aggregation shuffle; the base char totals
+    join back on doc_id. At 100 TB that is two narrow shuffles and the
+    explode fan-out is bounded by 5x the token count."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim("text"), r"\s+")
+    toks = d.select("doc_id", tk.alias("tk"))
+    base = toks.select(
+        "doc_id",
+        F.length(F.array_join("tk", " ")).cast("bigint").alias("total"),
+    )
+
+    def ng(n: int) -> str:
+        return (
+            f"CASE WHEN size(tk) >= {n} THEN "
+            f"transform(sequence(1, size(tk) - {n} + 1), "
+            f"i -> named_struct('n', {n}, 'g', array_join(slice(tk, i, {n}), ' '))) "
+            f"ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>) END"
+        )
+
+    grams = F.expr("concat(" + ", ".join(ng(n) for n in (2, 3, 4, 5, 10)) + ")")
+    counts = (
+        toks.select("doc_id", F.explode(grams).alias("s"))
+        .select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    cl = (F.col("c") * F.length("g")).cast("bigint")
+    dup = F.when(F.col("c") > 1, cl)
+    met = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, cl)).alias("t2"),
+        F.max(F.when(F.col("n") == 3, cl)).alias("t3"),
+        F.max(F.when(F.col("n") == 4, cl)).alias("t4"),
+        F.sum(F.when(F.col("n") == 5, dup)).alias("d5"),
+        F.sum(F.when(F.col("n") == 10, dup)).alias("d10"),
+    )
+    tot = F.col("total").cast("double")
+    fr = base.join(met, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce(F.col("t2"), F.lit(0)).cast("double") / tot, 6).alias(
+            "top2gram_frac"
+        ),
+        F.round(F.coalesce(F.col("t3"), F.lit(0)).cast("double") / tot, 6).alias(
+            "top3gram_frac"
+        ),
+        F.round(F.coalesce(F.col("t4"), F.lit(0)).cast("double") / tot, 6).alias(
+            "top4gram_frac"
+        ),
+        F.round(F.coalesce(F.col("d5"), F.lit(0)).cast("double") / tot, 6).alias(
+            "dup5gram_frac"
+        ),
+        F.round(F.coalesce(F.col("d10"), F.lit(0)).cast("double") / tot, 6).alias(
+            "dup10gram_frac"
+        ),
+    )
+    flags = [
+        (F.col("top2gram_frac") > 0.20, "top2gram"),
+        (F.col("top3gram_frac") > 0.18, "top3gram"),
+        (F.col("top4gram_frac") > 0.16, "top4gram"),
+        (F.col("dup5gram_frac") > 0.15, "dup5gram"),
+        (F.col("dup10gram_frac") > 0.10, "dup10gram"),
+    ]
+    bad = flags[0][0]
+    for cond, _ in flags[1:]:
+        bad = bad | cond
+    return fr.select(
+        "doc_id",
+        "top2gram_frac",
+        "top3gram_frac",
+        "top4gram_frac",
+        "dup5gram_frac",
+        "dup10gram_frac",
+        (~bad).alias("keep"),
+        F.concat_ws(
+            ",", *[F.when(cond, F.lit(name)) for cond, name in flags]
+        ).alias("reasons"),
+    )
+
+
+QUALITY_GOPHER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(length(array_to_string(tk, ' ')) AS BIGINT) AS total
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, n,
+         UNNEST(list_transform(range(1, len(tk) - n + 2),
+                i -> array_to_string(tk[i:i+n-1], ' '))) AS g
+  FROM toks CROSS JOIN (VALUES (2), (3), (4), (5), (10)) nn(n)
+),
+counts AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY ALL),
+met AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN c * length(g) END) AS t2,
+         MAX(CASE WHEN n = 3 THEN c * length(g) END) AS t3,
+         MAX(CASE WHEN n = 4 THEN c * length(g) END) AS t4,
+         SUM(CASE WHEN n = 5 AND c > 1 THEN c * length(g) END) AS d5,
+         SUM(CASE WHEN n = 10 AND c > 1 THEN c * length(g) END) AS d10
+  FROM counts GROUP BY doc_id
+),
+fr AS (
+  SELECT b.doc_id,
+         ROUND(CAST(COALESCE(t2, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top2gram_frac,
+         ROUND(CAST(COALESCE(t3, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top3gram_frac,
+         ROUND(CAST(COALESCE(t4, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top4gram_frac,
+         ROUND(CAST(COALESCE(d5, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS dup5gram_frac,
+         ROUND(CAST(COALESCE(d10, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS dup10gram_frac
+  FROM base b LEFT JOIN met m USING (doc_id)
+)
+SELECT doc_id, top2gram_frac, top3gram_frac, top4gram_frac,
+       dup5gram_frac, dup10gram_frac,
+       NOT (top2gram_frac > 0.20 OR top3gram_frac > 0.18
+            OR top4gram_frac > 0.16 OR dup5gram_frac > 0.15
+            OR dup10gram_frac > 0.10) AS keep,
+       concat_ws(',',
+         CASE WHEN top2gram_frac > 0.20 THEN 'top2gram' END,
+         CASE WHEN top3gram_frac > 0.18 THEN 'top3gram' END,
+         CASE WHEN top4gram_frac > 0.16 THEN 'top4gram' END,
+         CASE WHEN dup5gram_frac > 0.15 THEN 'dup5gram' END,
+         CASE WHEN dup10gram_frac > 0.10 THEN 'dup10gram' END) AS reasons
+FROM fr
+"""
+
+QUERIES["quality_gopher_repetition"] = quality_gopher_repetition
+ORACLES["quality_gopher_repetition"] = QUALITY_GOPHER_SQL

@@ -840,3 +840,106 @@ def test_honest_bounds_planted_violation(spark):
     )
     with pytest.raises(Exception, match="calibrate"):
         honest_bounds_frame(lags_only).collect()
+
+
+def test_honest_smoothness_planted_curvature(spark):
+    """honest_smoothness_frame separates the two violation shapes:
+
+    (a) PLANTED LINEAR violation (gamma*t differential trend): Delta^SD
+        extrapolates the boundary slope, so even the mbar = 0
+        (zero-curvature) CI covers the truth — the case Delta^RM's
+        M = 0 gets wrong (see test_honest_bounds_planted_violation).
+    (b) PLANTED QUADRATIC violation (gamma*t^2) on a SINGLE cohort
+        (multi-cohort aggregation with equal weights makes the
+        aggregated pre profile exactly linear — composition shifts
+        cancel the curvature, a fact this test tripped over): the
+        linear extrapolation is biased and the mbar = 0 CI excludes
+        the truth, while the observed pre-period curvature is exactly
+        2*gamma, making the quadratic path the KNIFE-EDGE extremal
+        path of Delta^SD(1) — so coverage is asserted at mbar = 1.5
+        and the mbar = 1 set boundary is asserted to sit near the
+        truth (the calibration is tight, not just wide).
+
+    Plus: widths monotone in mbar and e, mbar = 0 is a point set, and
+    degenerate profiles raise instead of emitting NULL bounds."""
+    import numpy as np
+    import pytest
+
+    from csdid_pyspark_spark.did.honest import honest_smoothness_frame
+    from csdid_pyspark_spark.did.robust_cells import sunab_event_se_frame
+
+    def dgp(trend, cohorts):
+        rng = np.random.default_rng(23)
+        rows = []
+        for i in range(400):
+            g = cohorts[i % len(cohorts)]
+            fe = rng.normal(0, 1)
+            for t in range(1, 7):
+                v = fe + 0.2 * t + rng.normal(0, 0.1)
+                if g > 0:
+                    v += trend(t)
+                    if g <= t:
+                        v += 0.8
+                rows.append((i, t, g, v))
+        return spark.createDataFrame(
+            rows, "id bigint, period int, g int, y double"
+        )
+
+    # (a) linear violation: Delta^SD(0) debiases it away
+    prof_lin = sunab_event_se_frame(dgp(lambda t: 0.3 * t, [0, 3, 4, 5]))
+    got_lin = {
+        (r["e"], r["mbar"]): r.asDict()
+        for r in honest_smoothness_frame(prof_lin).collect()
+    }
+    es = sorted({e for e, _ in got_lin})
+    assert es and all(e >= 0 for e in es)
+    for e in es:
+        r0 = got_lin[(e, 0.0)]
+        assert r0["set_lo"] == r0["set_hi"]
+        assert r0["ci_lo"] <= 0.8 <= r0["ci_hi"], (e, r0)
+
+    # (b) quadratic violation, single cohort g = 4
+    gamma = 0.15
+    prof_quad = sunab_event_se_frame(
+        dgp(lambda t: gamma * t * t, [0, 4])
+    )
+    got = {
+        (r["e"], r["mbar"]): r.asDict()
+        for r in honest_smoothness_frame(prof_quad).collect()
+    }
+    es = sorted({e for e, _ in got})
+    assert es == [0, 1, 2]
+    for e in es:
+        r0 = got[(e, 0.0)]
+        assert r0["set_lo"] == r0["set_hi"]  # mbar = 0 is a point
+        assert r0["ci_lo"] > 0.8 or r0["ci_hi"] < 0.8, (e, r0)
+        # mbar = 1.5: the quadratic path is the extremal (knife-edge)
+        # member of Delta^SD(c_pre), so coverage is asserted strictly
+        # above mbar = 1 — calibration noise is amplified by
+        # (e+1)(e+2)/2, so the mbar = 1 boundary itself is only
+        # checked at e = 0 below
+        r15 = got[(e, 1.5)]
+        assert r15["ci_lo"] <= 0.8 <= r15["ci_hi"], (e, r15)
+        widths = [
+            got[(e, m)]["set_hi"] - got[(e, m)]["set_lo"]
+            for m in (0.0, 0.5, 1.0, 1.5, 2.0)
+        ]
+        assert widths == sorted(widths)
+    for m in (0.5, 1.0, 2.0):
+        we = [got[(e, m)]["set_hi"] - got[(e, m)]["set_lo"] for e in es]
+        assert we == sorted(we)
+    # knife-edge tightness at e = 0 (amplification factor 1): the
+    # mbar = 1 set boundary lands essentially ON the truth
+    assert abs(got[(0, 1.0)]["set_lo"] - 0.8) < 0.1, got[(0, 1.0)]
+
+    # degenerate profiles raise loudly
+    no_curvature = spark.createDataFrame(
+        [(-2, 0.1, 0.05), (0, 0.8, 0.05)], "e int, att_iw double, se double"
+    )
+    with pytest.raises(Exception, match="curvature"):
+        honest_smoothness_frame(no_curvature).collect()
+    no_boundary_slope = spark.createDataFrame(
+        [(-3, 0.1, 0.05), (0, 0.8, 0.05)], "e int, att_iw double, se double"
+    )
+    with pytest.raises(Exception, match="honest_smoothness_frame"):
+        honest_smoothness_frame(no_boundary_slope).collect()

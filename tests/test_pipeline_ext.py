@@ -195,3 +195,51 @@ def test_split_cluster_safe_invariants(spark, sf_dir):
     for r in rows:
         assert r["leaked_clusters"] == 0
         assert r["n_clusters"] <= r["n_docs"]
+
+
+def test_gopher_repetition_known_fractions(spark, tmp_path):
+    """quality_gopher_repetition on hand-computable docs:
+
+    - doc 1 = 'ab ab ab ab': the top 2-gram 'ab ab' (5 chars) occurs
+      3 times -> top2 = 15/11; flagged on every top-n leg it reaches.
+    - doc 2 = 60 distinct tokens, no repeats at all: every fraction is
+      just the single heaviest n-gram's chars (counts all 1, no dup
+      5/10-grams) and the doc is kept (docs must be long enough that
+      one n-gram is a small char share — Gopher's thresholds assume
+      web-scale docs).
+    - doc 3 = a 12-token phrase repeated 3x: all its 5-grams and
+      10-grams inside the repeated region duplicate -> dup legs fire.
+    """
+    from csdid_pyspark_spark.queries.llm_ops import quality_gopher_repetition
+
+    rows = [
+        (1, "ab ab ab ab", "en", "s", 0),
+        (2, " ".join(f"w{i:02d}" for i in range(60)), "en", "s", 0),
+        (3, " ".join(["p%d" % (i % 12) for i in range(36)]), "en", "s", 0),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    p = str(tmp_path / "docs")
+    d.write.parquet(p + "/documents.parquet")
+    out = {r["doc_id"]: r for r in quality_gopher_repetition(spark, p).collect()}
+    assert set(out) == {1, 2, 3}
+
+    r1 = out[1]
+    # 'ab ab ab ab' = 11 chars; top 2-gram 'ab ab' (5 chars) x3 = 15
+    assert r1["top2gram_frac"] == round(15 / 11, 6)
+    # top 3-gram 'ab ab ab' (8 chars) x2 = 16
+    assert r1["top3gram_frac"] == round(16 / 11, 6)
+    assert not r1["keep"] and "top2gram" in r1["reasons"]
+
+    r2 = out[2]
+    # all counts are 1: tokens are 3 chars, top-n = n*3 + (n-1) spaces
+    total = 60 * 3 + 59
+    assert r2["top2gram_frac"] == round(7 / total, 6)
+    assert r2["dup5gram_frac"] == 0.0 and r2["dup10gram_frac"] == 0.0
+    assert r2["keep"] and r2["reasons"] == ""
+
+    r3 = out[3]
+    assert r3["dup5gram_frac"] > 0.15 and r3["dup10gram_frac"] > 0.10
+    assert not r3["keep"]
+    assert "dup5gram" in r3["reasons"] and "dup10gram" in r3["reasons"]
