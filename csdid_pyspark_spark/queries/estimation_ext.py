@@ -2355,3 +2355,28 @@ WHERE e >= 0 ORDER BY e, mbar
 
 QUERIES["did_honest_smoothness"] = did_honest_smoothness
 ORACLES["did_honest_smoothness"] = DID_HONEST_SD_SQL
+
+
+def did_bjs_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borusyak-Jaravel-Spiess imputation event study
+    (did/imputation.py::bjs_imputation_frame — BJS 2024, REStud
+    91(6)): two-way fixed effects fitted on UNTREATED observations
+    only, treated counterfactuals imputed as alpha_hat_i +
+    lambda_hat_t, effects averaged by event time. Completes the
+    modern staggered-DiD triad next to Callaway-Sant'Anna
+    (did_attgt_*) and Sun-Abraham (did_sunab_*) — the three agree
+    asymptotically under parallel trends but weight cohorts
+    differently, so disagreement between them is itself a diagnostic.
+    Scale shape: the exact LS solution in two data-scale shuffles —
+    the iterative-demeaning shuffle-per-iteration loop is replaced by
+    absorbing unit effects analytically and solving the T x T lambda
+    system driver-side from O(T^2) aggregated floats (docstring of
+    did/imputation.py). Oracle: pinned golden — the closed form needs
+    a matrix solve SQL cannot express; parity vs a full-dummy lstsq
+    brute force is pinned by tests/test_did_api.py."""
+    from csdid_pyspark_spark.did.imputation import bjs_imputation_frame
+
+    return bjs_imputation_frame(panel_from_events(spark, sf_dir))
+
+
+QUERIES["did_bjs_imputation"] = did_bjs_imputation

@@ -1526,6 +1526,38 @@ def run_ivfpq_index(spark, n_vecs: int, dim: int = 64, n_clusters: int = 50) -> 
     }
 
 
+def run_bjs(spark, n_units: int, n_periods: int = 20) -> dict:
+    """BJS imputation rehearsal on the staggered synthetic panel
+    (planted dynamic effect TAU*(e+1), unit FE + covariate trend +
+    cohort-shifted adoption): runs bjs_imputation_frame on
+    n_units x n_periods rows. Evidence targets: max |att_e -
+    TAU*(e+1)| within sampling noise, wall dominated by the TWO
+    data-scale shuffles (groupBy id, treated-join id), driver memory
+    flat (only the T x T lambda system and tiny aggregates come back,
+    independent of n_units)."""
+    from csdid_pyspark_spark.did.imputation import bjs_imputation_frame
+
+    panel = synth_panel(spark, n_units, n_periods)
+    t0_s = time.perf_counter()
+    rows = bjs_imputation_frame(
+        panel, yname="y", tname="t", gname="g", idname="id"
+    ).collect()
+    fit_sec = round(time.perf_counter() - t0_s, 1)
+    max_err = max(
+        abs(float(r["att"]) - TAU * (int(r["e"]) + 1)) for r in rows
+    )
+    return {
+        "metric": "stress_bjs",
+        "n_units": n_units,
+        "n_periods": n_periods,
+        "rows": n_units * n_periods,
+        "event_times": len(rows),
+        "max_att_err_vs_planted": round(max_err, 4),
+        "fit_sec": fit_sec,
+        **_driver_memory(),
+    }
+
+
 def run_synth(spark, n_donors: int, n_periods: int = 20, t0: int = 14) -> dict:
     """Synthetic-control rehearsal: the DONOR POOL is the data-scale
     object (n_donors × n_periods rows, executor-side synthesis); the
@@ -1677,6 +1709,7 @@ def main() -> None:
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
+        "bjs",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -1717,6 +1750,9 @@ def main() -> None:
     elif mode == "synth":
         n_donors = int(args[0]) if args else 1_000_000
         out = run_synth(spark, n_donors)
+    elif mode == "bjs":
+        n_units = int(args[0]) if args else 200_000
+        out = run_bjs(spark, n_units)
     elif mode == "cdc":
         n_ops = int(args[0]) if args else 50_000_000
         out = run_cdc(spark, n_ops)

@@ -943,3 +943,77 @@ def test_honest_smoothness_planted_curvature(spark):
     )
     with pytest.raises(Exception, match="honest_smoothness_frame"):
         honest_smoothness_frame(no_boundary_slope).collect()
+
+
+def test_bjs_imputation_matches_dummy_lstsq(spark):
+    """bjs_imputation_frame (analytic unit-FE absorption + driver-side
+    T x T solve) must equal the FULL-DUMMY least-squares brute force —
+    unit + period dummies lstsq on untreated observations, impute,
+    average by event time — to 6dp, and recover planted dynamic
+    effects. Also: the two imputability guards raise on designs BJS
+    itself calls unidentified."""
+    import collections
+
+    import numpy as np
+    import pytest
+
+    from csdid_pyspark_spark.did.imputation import bjs_imputation_frame
+
+    rng = np.random.default_rng(7)
+    rows = []
+    true = {0: 0.5, 1: 0.9, 2: 1.3, 3: 1.7}
+    for i in range(300):
+        g = [0, 3, 4, 5][i % 4]
+        a = rng.normal(0, 1)
+        for t in range(1, 7):
+            lam = 0.3 * t + 0.1 * (t % 2)  # non-linear time effects
+            v = a + lam + rng.normal(0, 0.05)
+            if g > 0 and t >= g:
+                v += true[t - g]
+            rows.append((i, t, g, v))
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    got = {r["e"]: r["att"] for r in bjs_imputation_frame(panel).collect()}
+
+    unt = [(i, t, y) for (i, t, g, y) in rows if g == 0 or t < g]
+    ids = sorted({i for i, _, _ in unt})
+    ts = sorted({t for _, t, _ in unt})
+    im = {v: k for k, v in enumerate(ids)}
+    tm = {v: k for k, v in enumerate(ts)}
+    X = np.zeros((len(unt), len(ids) + len(ts) - 1))
+    yv = np.zeros(len(unt))
+    for r, (i, t, y) in enumerate(unt):
+        X[r, im[i]] = 1
+        if tm[t] > 0:
+            X[r, len(ids) + tm[t] - 1] = 1
+        yv[r] = y
+    coef, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    al = {i: coef[im[i]] for i in ids}
+    lm = {ts[0]: 0.0}
+    lm.update({t: coef[len(ids) + tm[t] - 1] for t in ts if tm[t] > 0})
+    acc = collections.defaultdict(list)
+    for (i, t, g, y) in rows:
+        if g > 0 and t >= g:
+            acc[t - g].append(y - al[i] - lm[t])
+    for e, vals in acc.items():
+        assert abs(got[e] - round(float(np.mean(vals)), 6)) < 1e-6, e
+        assert abs(got[e] - true[e]) < 0.05, (e, got[e])
+
+    # guard 1: treated unit with no untreated period (g = 1 treats
+    # from the first period on)
+    bad1 = spark.createDataFrame(
+        [(1, t, 1, 1.0) for t in range(1, 4)]
+        + [(2, t, 0, 0.0) for t in range(1, 4)],
+        "id bigint, period int, g int, y double",
+    )
+    with pytest.raises(ValueError, match="no untreated"):
+        bjs_imputation_frame(bad1).collect()
+
+    # guard 2: a treated period no untreated unit reaches (all units
+    # treated by t = 3, no never-treated cohort)
+    bad2 = spark.createDataFrame(
+        [(1, t, 2, 1.0) for t in range(1, 4)]
+        + [(2, t, 3, 0.0) for t in range(1, 4)],
+        "id bigint, period int, g int, y double",
+    )
+    with pytest.raises(ValueError, match="unidentified"):
+        bjs_imputation_frame(bad2).collect()

@@ -55,6 +55,7 @@ GOLDEN_NAMES = (
     "sim_ann_ivfpq_probe",
     "did_synth_control",
     "did_synth_placebo",
+    "did_bjs_imputation",
     "sketch_hll_partitioned_union",
     "sim_mmr_diversify",
     # exact Mann-Whitney AUC of the IRLS fit: deterministic, fit not
