@@ -67,3 +67,59 @@ def pagerank_undirected(
     edges.unpersist()
     nodes.unpersist()  # the final rank vector is already materialized
     return ranks
+
+
+def label_propagation(
+    pairs: DataFrame,
+    iters: int = 4,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan, Albert &
+    Kumara 2007) over an undirected pair list — the community-detection
+    pass that separates DENSE near-dup cliques from the sparse bridges
+    connected components would merge across.
+
+    Labels start as node ids; per round every node adopts the MODE of
+    its neighbors' labels, ties broken toward the SMALLEST label. The
+    tie-break makes the classic randomized update rule deterministic
+    and partition-independent: the vote winner is selected by
+    max_by(label, c * 1e9 - label) — injective while neighbor counts
+    and labels stay below 1e9, so no two (count, label) pairs share a
+    score. Fixed iteration count (synchronous LPA can oscillate on
+    bipartite structure; a fixed unrolling is reproducible and lets an
+    unrolled SQL oracle mirror it exactly).
+
+    Per round: one edge-join + one (node, label) count shuffle + one
+    per-node argmax — all map-side combinable, O(|E|) shuffle rows per
+    round, constant lineage depth via the persist/release ladder
+    (same discipline as :func:`pagerank_undirected`). Returns
+    (node, label)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .persist()
+    )
+    labels = edges.select(F.col("d").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).persist()
+    for _ in range(iters):
+        votes = (
+            edges.join(labels.select(F.col("node").alias("s"), "label"), "s")
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        new = (
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "label", F.col("c") * F.lit(1000000000) - F.col("label")
+                ).alias("label")
+            )
+            .persist()
+        )
+        new.count()  # materialize before releasing the predecessor
+        labels.unpersist()
+        labels = new
+    edges.unpersist()
+    return labels

@@ -5790,3 +5790,222 @@ FROM fr
 
 QUERIES["quality_gopher_repetition"] = quality_gopher_repetition
 ORACLES["quality_gopher_repetition"] = QUALITY_GOPHER_SQL
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling — the standard way to tilt a raw
+    crawl toward a target domain without training a classifier: model
+    target and raw corpora as bags of HASHED word bigrams (B = 256
+    buckets), weight every document by its log likelihood ratio
+
+        logw(doc) = sum over doc bigrams of
+                    ln p_tgt[bucket] - ln p_raw[bucket]
+
+    (add-0.5 smoothed bucket probabilities), then sample WITHOUT
+    replacement via deterministic Gumbel top-k: key = logw + Gumbel
+    noise from an md5-uniform, take the k = 200 largest keys. The
+    target domain here is sources src1-src4 (a deterministic slice of
+    the corpus standing in for "quality domain" text); the raw
+    distribution is the whole corpus.
+
+    Probabilities are integer counts through mirrored double
+    arithmetic so ln sees bit-identical inputs in both engines (the
+    TF-IDF/LM-perplexity libm pattern); the Gumbel uniform is an
+    md5-derived 32-bit integer, so selection is deterministic and
+    partition-independent.
+
+    Scale shape: one bigram explode with map-side-combinable bucket
+    counts (state = 256 buckets x 2, independent of corpus size), the
+    256-row likelihood-ratio table broadcasts back onto the exploded
+    bigrams, ONE per-doc sum shuffle, and the global top-k is a
+    TakeOrdered (no full sort). At 100 TB: two narrow shuffles plus a
+    k-row collect."""
+    B = 256
+    K = 200
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = d.filter(F.size(tk) >= 2).select(
+        "doc_id",
+        F.col("source").isin("src1", "src2", "src3", "src4").alias("is_tgt"),
+        tk.alias("tokens"),
+    )
+    big = toks.select(
+        "doc_id",
+        "is_tgt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> tokens[i-1] || ' ' || tokens[i])"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        F.pmod(
+            F.conv(F.substring(F.md5("bg"), 1, 4), 16, 10).cast("long"), B
+        ).alias("b"),
+    )
+    raw_c = big.groupBy("b").agg(
+        F.count("*").alias("c_r"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("c_t"),
+    )
+    totals = raw_c.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    lr_tbl = raw_c.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log(
+                (F.col("c_t").cast("double") + 0.5)
+                / (F.col("n_t").cast("double") + 128.0)
+            )
+            - F.log(
+                (F.col("c_r").cast("double") + 0.5)
+                / (F.col("n_r").cast("double") + 128.0)
+            )
+        ).alias("lr"),
+    )
+    logw = (
+        big.join(F.broadcast(lr_tbl), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("logw"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.col("logw") - F.log(-F.log(u))
+    return (
+        logw.select(
+            "doc_id",
+            F.round("logw", 6).alias("logw"),
+            F.round(key, 6).alias("gumbel_key"),
+        )
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(K)
+    )
+
+
+SAMPLE_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source IN ('src1', 'src2', 'src3', 'src4') AS is_tgt,
+         string_split_regex(lower(trim(text)), '\s+') AS tokens
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+),
+big AS (
+  SELECT doc_id, is_tgt,
+         CAST('0x' || substr(md5(bg), 1, 4) AS BIGINT) % 256 AS b
+  FROM (
+    SELECT doc_id, is_tgt,
+           UNNEST(list_transform(range(1, len(tokens)),
+                  i -> tokens[i] || ' ' || tokens[i+1])) AS bg
+    FROM toks
+  )
+),
+raw_c AS (
+  SELECT b, COUNT(*) AS c_r,
+         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_t
+  FROM big GROUP BY b
+),
+totals AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM raw_c),
+lr_tbl AS (
+  SELECT b,
+         ln((CAST(c_t AS DOUBLE) + 0.5) / (CAST(n_t AS DOUBLE) + 128.0))
+       - ln((CAST(c_r AS DOUBLE) + 0.5) / (CAST(n_r AS DOUBLE) + 128.0)) AS lr
+  FROM raw_c CROSS JOIN totals
+),
+logw AS (
+  SELECT doc_id, SUM(lr) AS logw
+  FROM big JOIN lr_tbl USING (b) GROUP BY doc_id
+)
+SELECT doc_id, ROUND(logw, 6) AS logw,
+       ROUND(logw - ln(-ln(
+         (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dsir'), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+         / 4294967296.0)), 6) AS gumbel_key
+FROM logw
+ORDER BY gumbel_key DESC, doc_id
+LIMIT 200
+"""
+
+QUERIES["sample_dsir_importance"] = sample_dsir_importance
+ORACLES["sample_dsir_importance"] = SAMPLE_DSIR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the near-dup graph
+# ---------------------------------------------------------------------------
+
+def dedup_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round deterministic label propagation
+    (operators/graph.py::label_propagation — min-label tie-break, one
+    edge-join + vote-count + argmax shuffle per round) over the same
+    df-capped near-dup pair graph dedup_components walks. Communities
+    answer a different curation question than components: a connected
+    component can chain two dense duplicate cliques through one bridge
+    pair, while LPA assigns each clique its own label — the unit you'd
+    keep one representative per. Output: one row per community with
+    its size and smallest member, ordered by community label. The
+    oracle unrolls the same four voting rounds as chained CTEs with
+    the identical integer argmax score, so the hash check covers every
+    round's tie-breaks."""
+    from csdid_pyspark_spark.cache import attach_cache, release_cache
+    from csdid_pyspark_spark.operators.graph import label_propagation
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _neardup_pairs(d)
+    lab = label_propagation(pairs, iters=4)
+    release_cache(pairs)
+    out = (
+        lab.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("node").cast("bigint").alias("example_doc"),
+        )
+        .orderBy("community")
+        .select(F.col("community").cast("bigint").alias("community"), "n_docs", "example_doc")
+    )
+    return attach_cache(out, lab)
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    body = """, ed AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT DISTINCT d AS node, d AS label FROM ed)"""
+    prev = "l0"
+    for k in range(1, iters + 1):
+        body += f""",
+v{k} AS (
+  SELECT ed.d AS node, {prev}.label, COUNT(*) AS c
+  FROM ed JOIN {prev} ON {prev}.node = ed.s
+  GROUP BY 1, 2
+),
+l{k} AS (
+  SELECT node, arg_max(label, c * 1000000000 - label) AS label FROM v{k}
+  GROUP BY node
+)"""
+        prev = f"l{k}"
+    return (
+        "WITH "
+        + _NEARDUP_PAIRS_CTES
+        + body
+        + f"""
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(node) AS BIGINT) AS example_doc
+FROM {prev} GROUP BY label ORDER BY community"""
+    )
+
+
+DEDUP_LPA_SQL = _lpa_sql()
+
+QUERIES["dedup_communities_lpa"] = dedup_communities_lpa
+ORACLES["dedup_communities_lpa"] = DEDUP_LPA_SQL

@@ -1424,6 +1424,101 @@ def run_lm(spark, n_docs: int, vocab: int = 5000) -> dict:
     }
 
 
+def run_dsir(spark, n_docs: int) -> dict:
+    """DSIR importance-resampling rehearsal at corpus scale: hashed-
+    bigram likelihood-ratio weights for EVERY document (the
+    sample_dsir_importance plan — one bigram explode, 256-bucket count
+    state independent of corpus size, broadcast LR table, one per-doc
+    sum shuffle, TakeOrdered top-k) over n_docs synthetic documents
+    with a PLANTED target domain: docs whose source is src_0/src_1
+    rewrite their tokens into a CONCENTRATED 5-token vocabulary (a
+    hashed bag-of-bigrams model only separates distributions whose
+    bucket mass differs — uniform synthetic vocab is the adversarial
+    case where every bucket share is 1/B on both sides and all
+    likelihood ratios collapse to ~0; this rehearsal's first version
+    proved that by selecting at the 0.2 base rate), and the target
+    slice is source = src_0. Evidence: selection wall,
+    target-vocabulary share of the top-k (should be ~1.0 — src_1 docs
+    share the concentrated vocabulary), flat driver memory."""
+    B = 256
+    K = 1000
+    docs = synth_docs(spark, n_docs).select("doc_id", "source", "text")
+    # plant the domain: sources src_0/src_1 rewrite tokens into a
+    # disjoint vocabulary block by prefixing
+    is_dom = F.col("source").isin("src_0", "src_1")
+    tk = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = docs.select(
+        "doc_id",
+        (F.col("source") == "src_0").alias("is_tgt"),
+        F.when(
+            is_dom,
+            F.transform(
+                tk,
+                lambda w: F.concat(
+                    F.lit("dom_"), F.pmod(F.xxhash64(w), F.lit(5)).cast("string")
+                ),
+            ),
+        ).otherwise(tk).alias("tokens"),
+        is_dom.alias("is_dom"),
+    )
+    t0 = time.perf_counter()
+    big = toks.select(
+        "doc_id",
+        "is_tgt",
+        "is_dom",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> tokens[i-1] || ' ' || tokens[i])"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        "is_dom",
+        F.pmod(
+            F.conv(F.substring(F.md5("bg"), 1, 4), 16, 10).cast("long"), B
+        ).alias("b"),
+    )
+    raw_c = big.groupBy("b").agg(
+        F.count("*").alias("c_r"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("c_t"),
+    )
+    totals = raw_c.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    lr_tbl = raw_c.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("c_t").cast("double") + 0.5) / (F.col("n_t").cast("double") + 128.0))
+            - F.log((F.col("c_r").cast("double") + 0.5) / (F.col("n_r").cast("double") + 128.0))
+        ).alias("lr"),
+    )
+    logw = (
+        big.join(F.broadcast(lr_tbl), "b")
+        .groupBy("doc_id", "is_dom")
+        .agg(F.sum("lr").alias("logw"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))), 1, 8), 16, 10).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    top = (
+        logw.select("doc_id", "is_dom", (F.col("logw") - F.log(-F.log(u))).alias("key"))
+        .orderBy(F.col("key").desc())
+        .limit(K)
+        .collect()
+    )
+    sel_sec = round(time.perf_counter() - t0, 1)
+    dom_share = sum(1 for r in top if r["is_dom"]) / len(top)
+    return {
+        "metric": "stress_dsir",
+        "n_docs": n_docs,
+        "k": K,
+        "sel_sec": sel_sec,
+        "target_vocab_share_of_topk": round(dom_share, 4),
+        **_driver_memory(),
+    }
+
+
 def run_ivfpq_index(spark, n_vecs: int, dim: int = 64, n_clusters: int = 50) -> dict:
     """Persisted-index rehearsal (r8): same clustered corpus as
     run_ivfpq, but the index is TRAINED + WRITTEN once
@@ -1709,7 +1804,7 @@ def main() -> None:
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
-        "bjs",
+        "bjs", "dsir",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -1753,6 +1848,9 @@ def main() -> None:
     elif mode == "bjs":
         n_units = int(args[0]) if args else 200_000
         out = run_bjs(spark, n_units)
+    elif mode == "dsir":
+        n_docs = int(args[0]) if args else 1_000_000
+        out = run_dsir(spark, n_docs)
     elif mode == "cdc":
         n_ops = int(args[0]) if args else 50_000_000
         out = run_cdc(spark, n_ops)

@@ -1499,3 +1499,27 @@ def test_postings_index_probe_matches_between_and_skips_corpus_exchange(spark, t
         release_cache(want_df)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 5-cliques joined by a single bridge edge: connected
+    components would merge them into one blob, deterministic LPA
+    gives each clique its own community (the min member's label) and
+    assigns the bridge endpoints to their home cliques. Determinism:
+    two runs agree row-for-row."""
+    from csdid_pyspark_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4, 5]) + clique([10, 11, 12, 13, 14]) + [(5, 10)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["label"] for r in label_propagation(pairs, iters=4).collect()}
+    assert set(got) == set(range(1, 6)) | set(range(10, 15))
+    # each clique collapses to a single label; the two labels differ
+    lab_a = {got[n] for n in range(1, 6)}
+    lab_b = {got[n] for n in range(10, 15)}
+    assert len(lab_a) == 1 and len(lab_b) == 1
+    assert lab_a != lab_b
+    again = {r["node"]: r["label"] for r in label_propagation(pairs, iters=4).collect()}
+    assert again == got

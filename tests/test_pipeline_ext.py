@@ -243,3 +243,49 @@ def test_gopher_repetition_known_fractions(spark, tmp_path):
     assert r3["dup5gram_frac"] > 0.15 and r3["dup10gram_frac"] > 0.10
     assert not r3["keep"]
     assert "dup5gram" in r3["reasons"] and "dup10gram" in r3["reasons"]
+
+
+def test_dsir_selects_target_like_docs(spark, tmp_path):
+    """sample_dsir_importance on a corpus with a PLANTED domain split:
+    target-domain docs (src1) write about 'alpha beta gamma', the rest
+    about 'delta epsilon zeta'. Docs from the raw pool that LOOK like
+    the target (same vocabulary) must receive higher importance
+    weights than raw-vocabulary docs, and the Gumbel top-k must be
+    dominated by target-vocabulary documents. Also: deterministic
+    across invocations."""
+    from csdid_pyspark_spark.queries.llm_ops import sample_dsir_importance
+
+    tgt_text = "alpha beta gamma alpha beta gamma alpha beta"
+    raw_text = "delta epsilon zeta delta epsilon zeta delta epsilon"
+    rows = []
+    # 50 target-domain docs (src1) with target vocabulary
+    for i in range(50):
+        rows.append((i, tgt_text, "en", "src1", 0))
+    # 300 raw docs from other sources: 100 with target-like text
+    # (ids 1000-1099), 200 with raw text (ids 2000-2199)
+    for i in range(100):
+        rows.append((1000 + i, tgt_text, "en", "src9", 0))
+    for i in range(200):
+        rows.append((2000 + i, raw_text, "en", "src9", 0))
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    p = str(tmp_path / "docs")
+    d.write.parquet(p + "/documents.parquet")
+
+    got = sample_dsir_importance(spark, p).collect()
+    assert len(got) == 200
+    by_id = {r["doc_id"]: r for r in got}
+    tgt_like = [r for r in got if r["doc_id"] < 2000]
+    raw_like = [r for r in got if r["doc_id"] >= 2000]
+    # every target-like doc outweighs every raw-vocabulary doc
+    min_tgt_w = min(r["logw"] for r in tgt_like)
+    max_raw_w = max((r["logw"] for r in raw_like), default=float("-inf"))
+    assert min_tgt_w > max_raw_w
+    # the sample tilts hard toward target vocabulary: all 150
+    # target-like docs survive, the remaining 50 slots go to raw docs
+    assert len(tgt_like) == 150
+    # deterministic
+    again = sample_dsir_importance(spark, p).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+    assert set(by_id) == {r["doc_id"] for r in again}
