@@ -185,7 +185,16 @@ def bjs_imputation_frame(
             A[idx[s], idx[t]] -= float(r["w"])
     lam = {base: 0.0}
     if T1:
-        sol = np.linalg.solve(A, b)
+        try:
+            sol = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError as exc:
+            raise ValueError(
+                "bjs_imputation_frame: the lambda normal equations are "
+                "singular — the untreated observations do not connect "
+                "every period to the baseline through shared units "
+                "(disconnected period blocks), so time effects are not "
+                "jointly identified."
+            ) from exc
         for t, k in idx.items():
             lam[t] = float(sol[k])
 

@@ -5698,26 +5698,28 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n") == 5, dup)).alias("d5"),
         F.sum(F.when(F.col("n") == 10, dup)).alias("d10"),
     )
+    # total = 0 (whitespace-only text) would make every fraction
+    # NULL/0-divided and `keep` silently NULL in BOTH engines — flag
+    # those docs explicitly instead
     tot = F.col("total").cast("double")
+
+    def frac(num):
+        return F.when(
+            F.col("total") > 0,
+            F.round(F.coalesce(num, F.lit(0)).cast("double") / tot, 6),
+        ).otherwise(F.lit(0.0))
+
     fr = base.join(met, "doc_id", "left").select(
         "doc_id",
-        F.round(F.coalesce(F.col("t2"), F.lit(0)).cast("double") / tot, 6).alias(
-            "top2gram_frac"
-        ),
-        F.round(F.coalesce(F.col("t3"), F.lit(0)).cast("double") / tot, 6).alias(
-            "top3gram_frac"
-        ),
-        F.round(F.coalesce(F.col("t4"), F.lit(0)).cast("double") / tot, 6).alias(
-            "top4gram_frac"
-        ),
-        F.round(F.coalesce(F.col("d5"), F.lit(0)).cast("double") / tot, 6).alias(
-            "dup5gram_frac"
-        ),
-        F.round(F.coalesce(F.col("d10"), F.lit(0)).cast("double") / tot, 6).alias(
-            "dup10gram_frac"
-        ),
+        "total",
+        frac(F.col("t2")).alias("top2gram_frac"),
+        frac(F.col("t3")).alias("top3gram_frac"),
+        frac(F.col("t4")).alias("top4gram_frac"),
+        frac(F.col("d5")).alias("dup5gram_frac"),
+        frac(F.col("d10")).alias("dup10gram_frac"),
     )
     flags = [
+        (F.col("total") == 0, "empty"),
         (F.col("top2gram_frac") > 0.20, "top2gram"),
         (F.col("top3gram_frac") > 0.18, "top3gram"),
         (F.col("top4gram_frac") > 0.16, "top4gram"),
@@ -5766,20 +5768,21 @@ met AS (
   FROM counts GROUP BY doc_id
 ),
 fr AS (
-  SELECT b.doc_id,
-         ROUND(CAST(COALESCE(t2, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top2gram_frac,
-         ROUND(CAST(COALESCE(t3, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top3gram_frac,
-         ROUND(CAST(COALESCE(t4, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top4gram_frac,
-         ROUND(CAST(COALESCE(d5, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS dup5gram_frac,
-         ROUND(CAST(COALESCE(d10, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS dup10gram_frac
+  SELECT b.doc_id, b.total,
+         CASE WHEN total > 0 THEN ROUND(CAST(COALESCE(t2, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) ELSE 0.0 END AS top2gram_frac,
+         CASE WHEN total > 0 THEN ROUND(CAST(COALESCE(t3, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) ELSE 0.0 END AS top3gram_frac,
+         CASE WHEN total > 0 THEN ROUND(CAST(COALESCE(t4, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) ELSE 0.0 END AS top4gram_frac,
+         CASE WHEN total > 0 THEN ROUND(CAST(COALESCE(d5, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) ELSE 0.0 END AS dup5gram_frac,
+         CASE WHEN total > 0 THEN ROUND(CAST(COALESCE(d10, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6) ELSE 0.0 END AS dup10gram_frac
   FROM base b LEFT JOIN met m USING (doc_id)
 )
 SELECT doc_id, top2gram_frac, top3gram_frac, top4gram_frac,
        dup5gram_frac, dup10gram_frac,
-       NOT (top2gram_frac > 0.20 OR top3gram_frac > 0.18
+       NOT (total = 0 OR top2gram_frac > 0.20 OR top3gram_frac > 0.18
             OR top4gram_frac > 0.16 OR dup5gram_frac > 0.15
             OR dup10gram_frac > 0.10) AS keep,
        concat_ws(',',
+         CASE WHEN total = 0 THEN 'empty' END,
          CASE WHEN top2gram_frac > 0.20 THEN 'top2gram' END,
          CASE WHEN top3gram_frac > 0.18 THEN 'top3gram' END,
          CASE WHEN top4gram_frac > 0.16 THEN 'top4gram' END,

@@ -1519,6 +1519,59 @@ def run_dsir(spark, n_docs: int) -> dict:
     }
 
 
+def run_lpa(spark, n_nodes: int) -> dict:
+    """Label-propagation rehearsal on a planted-community graph:
+    n_nodes/5 disjoint 5-cliques (10 internal edges each) with a
+    single bridge edge between every 100th clique and its neighbor —
+    the structure where connected components over-merge and LPA must
+    not. 4 synchronous voting rounds = 4x (edge-join + vote-count +
+    argmax) shuffles over ~2.2x n_nodes edges. Evidence: every
+    recovered community has EXACTLY 5 members (bridges never merge),
+    community count equals the planted clique count, wall per round,
+    flat driver memory (only the size histogram collects)."""
+    from csdid_pyspark_spark.operators.graph import label_propagation
+
+    n_cliques = n_nodes // 5
+    cl = spark.range(n_cliques).select(F.col("id").alias("c"))
+    intra = cl.select(
+        "c",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, 3), a -> "
+                "transform(sequence(a + 1, 4), b -> named_struct('a', a, 'b', b))))"
+            )
+        ).alias("p"),
+    ).select(
+        (F.col("c") * 5 + F.col("p.a")).alias("id_a"),
+        (F.col("c") * 5 + F.col("p.b")).alias("id_b"),
+    )
+    bridges = cl.filter((F.col("c") % 100 == 0) & (F.col("c") < n_cliques - 1)).select(
+        (F.col("c") * 5 + 4).alias("id_a"), ((F.col("c") + 1) * 5).alias("id_b")
+    )
+    pairs = intra.unionByName(bridges)
+    t0 = time.perf_counter()
+    lab = label_propagation(pairs, iters=4)
+    sizes = (
+        lab.groupBy("label")
+        .count()
+        .groupBy("count")
+        .agg(F.count("*").alias("n_comm"))
+        .collect()
+    )
+    lpa_sec = round(time.perf_counter() - t0, 1)
+    lab.unpersist()
+    hist = {int(r["count"]): int(r["n_comm"]) for r in sizes}
+    return {
+        "metric": "stress_lpa",
+        "n_nodes": n_nodes,
+        "n_edges": n_cliques * 10 + max(0, (n_cliques - 1) // 100 + 1) - 1,
+        "community_size_histogram": hist,
+        "all_cliques_exact": hist == {5: n_cliques},
+        "lpa_sec": lpa_sec,
+        **_driver_memory(),
+    }
+
+
 def run_ivfpq_index(spark, n_vecs: int, dim: int = 64, n_clusters: int = 50) -> dict:
     """Persisted-index rehearsal (r8): same clustered corpus as
     run_ivfpq, but the index is TRAINED + WRITTEN once
@@ -1804,7 +1857,7 @@ def main() -> None:
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
-        "bjs", "dsir",
+        "bjs", "dsir", "lpa",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -1851,6 +1904,9 @@ def main() -> None:
     elif mode == "dsir":
         n_docs = int(args[0]) if args else 1_000_000
         out = run_dsir(spark, n_docs)
+    elif mode == "lpa":
+        n_nodes = int(args[0]) if args else 2_000_000
+        out = run_lpa(spark, n_nodes)
     elif mode == "cdc":
         n_ops = int(args[0]) if args else 50_000_000
         out = run_cdc(spark, n_ops)

@@ -1017,3 +1017,79 @@ def test_bjs_imputation_matches_dummy_lstsq(spark):
     )
     with pytest.raises(ValueError, match="unidentified"):
         bjs_imputation_frame(bad2).collect()
+
+
+def test_bjs_imputation_singular_design_raises(spark):
+    """Two disconnected untreated period blocks (units observed
+    untreated ONLY in periods {1,2} or ONLY in {3,4}, never both):
+    time effects are not jointly identified and the lambda system is
+    singular — the estimator must raise its named error, not emit
+    numpy's bare LinAlgError or silent garbage."""
+    import pytest
+
+    from csdid_pyspark_spark.did.imputation import bjs_imputation_frame
+
+    rows = []
+    # block A: never-treated units observed only in periods 1-2
+    for i in range(10):
+        rows += [(i, 1, 0, 1.0), (i, 2, 0, 1.1)]
+    # block B: never-treated units observed only in periods 3-4
+    for i in range(10, 20):
+        rows += [(i, 3, 0, 2.0), (i, 4, 0, 2.1)]
+    # a treated unit anchored in block A, treated in period 3
+    rows += [(30, 1, 3, 1.0), (30, 2, 3, 1.0), (30, 3, 3, 9.9)]
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    with pytest.raises(ValueError, match="singular"):
+        bjs_imputation_frame(panel).collect()
+
+
+def test_estimator_triad_agrees_on_planted_dgp(spark):
+    """Triangulation across the three modern staggered-DiD estimators
+    on ONE planted DGP (parallel trends hold, dynamic effect
+    tau_e = 0.4*(e+1), homogeneous across cohorts): Callaway-
+    Sant'Anna dynamic aggregation, Sun-Abraham IW, and BJS imputation
+    must each recover the truth AND sit within noise of each other.
+    They weight cohorts differently, so exact equality is not expected
+    — but on a homogeneous-effect DGP disagreement beyond sampling
+    noise means one implementation is wrong."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.attgt import ATTgt, aggte
+    from csdid_pyspark_spark.did.imputation import bjs_imputation_frame
+    from csdid_pyspark_spark.did.robust_cells import sunab_event_frame
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(400):
+        g = [0, 3, 4, 5][i % 4]
+        fe = rng.normal(0, 1)
+        for t in range(1, 7):
+            v = fe + 0.25 * t + 0.1 * (t % 3) + rng.normal(0, 0.1)
+            if g > 0 and t >= g:
+                v += 0.4 * (t - g + 1)
+            rows.append((i, float(t), float(g), v))
+    panel = spark.createDataFrame(rows, "id bigint, period double, g double, y double")
+
+    est = ATTgt(panel, "y", "period", "id", "g", allow_unbalanced_panel=False)
+    est.fit(est_method="dr")
+    dyn = aggte(est, "dynamic")
+    cs = {int(e): a for e, a in zip(dyn.egt, dyn.att_egt) if e >= 0}
+
+    ipanel = panel.selectExpr(
+        "id", "CAST(period AS INT) AS period", "CAST(g AS INT) AS g", "y"
+    )
+    sa = {
+        int(r["e"]): float(r["att_iw"])
+        for r in sunab_event_frame(ipanel).collect()
+        if int(r["e"]) >= 0
+    }
+    bjs = {int(r["e"]): float(r["att"]) for r in bjs_imputation_frame(ipanel).collect()}
+
+    es = sorted(cs)
+    assert es == sorted(sa) == sorted(bjs) == [0, 1, 2, 3]
+    for e in es:
+        truth = 0.4 * (e + 1)
+        for name, got in (("cs", cs), ("sa", sa), ("bjs", bjs)):
+            assert abs(got[e] - truth) < 0.05, (name, e, got[e], truth)
+        assert abs(cs[e] - sa[e]) < 0.05, (e, cs[e], sa[e])
+        assert abs(cs[e] - bjs[e]) < 0.05, (e, cs[e], bjs[e])

@@ -245,6 +245,24 @@ def test_gopher_repetition_known_fractions(spark, tmp_path):
     assert "dup5gram" in r3["reasons"] and "dup10gram" in r3["reasons"]
 
 
+def test_gopher_repetition_empty_doc_flagged(spark, tmp_path):
+    """A whitespace-only document has zero joined-token characters;
+    without an explicit guard every fraction becomes a NULL division
+    and `keep` is silently NULL in Spark AND DuckDB alike. The guard
+    turns it into keep=false with reason 'empty'."""
+    from csdid_pyspark_spark.queries.llm_ops import quality_gopher_repetition
+
+    d = spark.createDataFrame(
+        [(1, "   ", "en", "s", 0), (2, "ok " * 30, "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    p = str(tmp_path / "docs")
+    d.write.parquet(p + "/documents.parquet")
+    out = {r["doc_id"]: r for r in quality_gopher_repetition(spark, p).collect()}
+    assert out[1]["keep"] is False and out[1]["reasons"] == "empty"
+    assert out[1]["top2gram_frac"] == 0.0
+
+
 def test_dsir_selects_target_like_docs(spark, tmp_path):
     """sample_dsir_importance on a corpus with a PLANTED domain split:
     target-domain docs (src1) write about 'alpha beta gamma', the rest
