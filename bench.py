@@ -72,6 +72,10 @@ HEADLINE = [
     "did_cic_qte",
     "cdc_apply_log",
     "sketch_join_size",
+    # round-8 additions
+    "did_bjs_imputation",
+    "quality_gopher_repetition",
+    "sample_dsir_importance",
 ]
 
 

@@ -48,6 +48,31 @@ absorbing the unit effects analytically:
 Total: two data-scale shuffles (groupBy id, treated-join id) plus
 tiny-key aggregations. No Python row-UDFs; the only driver math is the
 T x T solve.
+
+STANDARD ERRORS (:func:`bjs_imputation_se_frame`): the estimator is
+LINEAR in y, and because lambda comes from the same aggregated
+(T-1) x (T-1) system, the exact weight of every observation on every
+att_e is computable from broadcast-sized algebra — no resampling and
+no extra data-scale machinery. With M = A^{-1} and
+gamma_e[t] = (1/n_e)[#treated obs at (e, t)
+                     - sum_{units i treated at e} 1{t in U_i}/n_i],
+delta_e = M gamma_e (A symmetric), the weight on an untreated
+observation (j, s) is
+
+    w_js(e) = -a_j(e)/(n_e n_j) - delta_e[s] + d_j(e)/n_j ,
+    d_j(e)  = sum_{t in U_j, t != base} delta_e[t],
+
+(a_j(e) = 1 when unit j itself is treated at event time e) and the
+weight on a treated observation in D_e is 1/n_e. BJS's conservative
+clustered variance (their eq. for \\hat{V} with cell-demeaned treated
+residuals) is then
+
+    V_e = sum_units ( sum_obs w * eps_hat )^2,
+
+with eps_hat = y - alpha_hat - lambda_hat on untreated observations
+and eps_hat = tau_hat - attbar_{g,t} (cell mean removed) on treated
+ones — upward-biased under within-cell effect heterogeneity, exact
+under homogeneity, per BJS Sec. 4.3.
 """
 
 from __future__ import annotations
@@ -56,24 +81,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bjs_imputation_frame(
+def _bjs_core(
     panel: DataFrame,
-    yname: str = "y",
-    tname: str = "period",
-    gname: str = "g",
-    idname: str = "id",
-) -> DataFrame:
-    """BJS imputation event study: (e, att, n_obs) for every observed
-    post event time e = period - g >= 0, att = mean over treated
-    observations at e of y_it - (alpha_hat_i + lambda_hat_t), rounded
-    6dp, ordered by e. Cohort convention: g = 0 marks never-treated
-    units; g > 0 treats from period g onward.
-
-    Raises when the design is not imputable (BJS's own precondition):
-    a treated unit with NO untreated periods (alpha_i unidentified) or
-    a treated period with NO untreated observations (lambda_t
-    unidentified)."""
+    yname: str,
+    tname: str,
+    gname: str,
+    idname: str,
+) -> dict:
+    """Shared first stage: guards, the lambda solve, and the persisted
+    per-unit frame. Returns the frames + driver-side pieces both the
+    point-estimate and SE paths build on."""
     import numpy as np
+
+    from csdid_pyspark_spark.cache import persist_rightsized, release_cache
 
     p = panel.select(
         F.col(idname).alias("id"),
@@ -88,8 +108,6 @@ def bjs_imputation_frame(
     # re-read by the W-pair explode, the stats pass, and the imputation
     # join — without the persist each of those recomputes the groupBy
     # from the raw panel (observed: 3 extra data-scale passes).
-    from csdid_pyspark_spark.cache import persist_rightsized, release_cache
-
     um, _ = persist_rightsized(
         untreated.groupBy("id").agg(
             F.avg("y").alias("ybar"),
@@ -184,9 +202,10 @@ def bjs_imputation_frame(
         if s in idx and t in idx:
             A[idx[s], idx[t]] -= float(r["w"])
     lam = {base: 0.0}
+    Minv = None
     if T1:
         try:
-            sol = np.linalg.solve(A, b)
+            Minv = np.linalg.inv(A)
         except np.linalg.LinAlgError as exc:
             raise ValueError(
                 "bjs_imputation_frame: the lambda normal equations are "
@@ -195,10 +214,10 @@ def bjs_imputation_frame(
                 "(disconnected period blocks), so time effects are not "
                 "jointly identified."
             ) from exc
+        sol = Minv @ b
         for t, k in idx.items():
             lam[t] = float(sol[k])
 
-    # -- impute and aggregate by event time ----------------------------
     lam_map = F.create_map(
         *[F.lit(x) for t, v in sorted(lam.items()) for x in (t, v)]
     )
@@ -215,9 +234,42 @@ def bjs_imputation_frame(
             ).alias("alpha"),
         )
     )
+    return {
+        "p": p,
+        "untreated": untreated,
+        "treated": treated,
+        "um": um,
+        "lam": lam,
+        "lam_map": lam_map,
+        "alpha": alpha,
+        "base": base,
+        "est": est,
+        "idx": idx,
+        "Minv": Minv,
+    }
+
+
+def bjs_imputation_frame(
+    panel: DataFrame,
+    yname: str = "y",
+    tname: str = "period",
+    gname: str = "g",
+    idname: str = "id",
+) -> DataFrame:
+    """BJS imputation event study: (e, att, n_obs) for every observed
+    post event time e = period - g >= 0, att = mean over treated
+    observations at e of y_it - (alpha_hat_i + lambda_hat_t), rounded
+    6dp, ordered by e. Cohort convention: g = 0 marks never-treated
+    units; g > 0 treats from period g onward.
+
+    Raises when the design is not imputable (BJS's own precondition):
+    a treated unit with NO untreated periods (alpha_i unidentified) or
+    a treated period with NO untreated observations (lambda_t
+    unidentified)."""
+    c = _bjs_core(panel, yname, tname, gname, idname)
     tau = (
-        treated.withColumn("lam_m", lam_map)
-        .join(alpha, "id")
+        c["treated"].withColumn("lam_m", c["lam_map"])
+        .join(c["alpha"], "id")
         .select(
             (F.col("period") - F.col("g")).cast("int").alias("e"),
             (
@@ -235,5 +287,160 @@ def bjs_imputation_frame(
     )
     # caller releases the per-unit cache after the final action
     # (release_cache convention shared by the two-phase operators)
-    result._two_phase_cache = [um]  # type: ignore[attr-defined]
+    result._two_phase_cache = [c["um"]]  # type: ignore[attr-defined]
+    return result
+
+
+def bjs_imputation_se_frame(
+    panel: DataFrame,
+    yname: str = "y",
+    tname: str = "period",
+    gname: str = "g",
+    idname: str = "id",
+) -> DataFrame:
+    """BJS event study WITH the paper's conservative clustered SEs:
+    (e, att, se, n_obs), rounded 6dp, ordered by e. See the module
+    docstring for the exact per-observation weight algebra; everything
+    beyond the shared first stage is two tiny collected aggregations
+    (the gamma_e inputs and the per-(g,t) cell means) plus three
+    map-side-combinable shuffles keyed by unit — per-(unit, e) score
+    assembly and the final sum of squares. Executor->driver traffic
+    stays O(T^2 + |E|*T) floats."""
+    import numpy as np
+
+    c = _bjs_core(panel, yname, tname, gname, idname)
+    treated, untreated, um = c["treated"], c["untreated"], c["um"]
+    est, base, idx, Minv = c["est"], c["base"], c["idx"], c["Minv"]
+    spark = panel.sparkSession
+
+    te = treated.select(
+        "id",
+        "g",
+        "period",
+        "y",
+        (F.col("period") - F.col("g")).cast("int").alias("e"),
+    )
+    # -- tiny collected aggregations for gamma_e and the cell means ----
+    tstats = te.join(um.select("id", "n_i", "uperiods"), "id")
+    c1_rows = tstats.groupBy("e", "period").count().collect()
+    c2_rows = (
+        tstats.select("e", (1.0 / F.col("n_i")).alias("w"),
+                      F.explode("uperiods").alias("t"))
+        .groupBy("e", "t")
+        .agg(F.sum("w").alias("w"))
+        .collect()
+    )
+    n_e = {}
+    for r in c1_rows:
+        n_e[int(r["e"])] = n_e.get(int(r["e"]), 0) + int(r["count"])
+    events = sorted(n_e)
+    T1 = len(est)
+    delta = {}
+    for e in events:
+        gam = np.zeros(T1)
+        for r in c1_rows:
+            if int(r["e"]) == e and int(r["period"]) in idx:
+                gam[idx[int(r["period"])]] += float(r["count"])
+        for r in c2_rows:
+            if int(r["e"]) == e and int(r["t"]) in idx:
+                gam[idx[int(r["t"])]] -= float(r["w"])
+        delta[e] = (Minv @ (gam / n_e[e])) if T1 else np.zeros(0)
+
+    # broadcast-tiny (e, s, dlt) table for the untreated-residual legs
+    delta_rows = [
+        (e, t, float(delta[e][k])) for e in events for t, k in idx.items()
+    ]
+    if not delta_rows:
+        delta_rows = []
+    dtab = spark.createDataFrame(
+        delta_rows or [(events[0], base, 0.0)], "e int, s int, dlt double"
+    )
+    if not delta_rows:
+        dtab = dtab.filter(F.lit(False))
+
+    # -- untreated residuals (one frame, reused by all three legs) -----
+    ur = (
+        untreated.join(c["alpha"], "id")
+        .withColumn("lam_m", c["lam_map"])
+        .select(
+            "id",
+            F.col("period").alias("s"),
+            (F.col("y") - F.col("alpha") - F.expr("lam_m[period]")).alias("eps"),
+        )
+    )
+    # per-unit residual sum E_i and 1/n_i (for the a/d legs)
+    ui = ur.groupBy("id").agg(F.sum("eps").alias("eps_sum")).join(
+        um.select("id", "n_i"), "id"
+    )
+
+    # leg 1: -sum_s delta_e[s] * eps_is  -> per (id, e)
+    leg_delta = (
+        ur.join(F.broadcast(dtab), ur["s"] == dtab["s"])
+        .select("id", "e", (-F.col("dlt") * F.col("eps")).alias("part"))
+        .groupBy("id", "e")
+        .agg(F.sum("part").alias("score"))
+    )
+    # leg 2: (d_i(e)/n_i) * E_i with d_i(e) = sum_{t in U_i} delta_e[t]
+    d_ie = (
+        um.select("id", "n_i", F.explode("uperiods").alias("t"))
+        .join(F.broadcast(dtab), F.col("t") == dtab["s"])
+        .groupBy("id", "e")
+        .agg(F.sum("dlt").alias("d_ie"))
+    )
+    leg_d = (
+        d_ie.join(ui.select("id", "eps_sum", F.col("n_i").alias("ni2")), "id")
+        .select(
+            "id", "e",
+            (F.col("d_ie") / F.col("ni2") * F.col("eps_sum")).alias("score"),
+        )
+    )
+    # leg 3 (treated units only): -a_i(e)/(n_e n_i) * E_i  +  the
+    # treated-residual term (1/n_e)(tau_hat - attbar_{g,t})
+    ne_map = F.create_map(*[F.lit(x) for e in events for x in (e, float(n_e[e]))])
+    cell_means = te.join(c["alpha"], "id").withColumn("lam_m", c["lam_map"]).select(
+        "g", "period", "e",
+        (F.col("y") - F.col("alpha") - F.expr("lam_m[period]")).alias("tau"),
+    )
+    attbar = cell_means.groupBy("g", "period").agg(F.avg("tau").alias("attbar"))
+    leg_tr = (
+        te.join(c["alpha"], "id")
+        .withColumn("lam_m", c["lam_map"])
+        .join(F.broadcast(attbar), ["g", "period"])
+        .join(ui, "id")
+        .withColumn("ne_m", ne_map)
+        .select(
+            "id",
+            "e",
+            (
+                (
+                    F.col("y") - F.col("alpha") - F.expr("lam_m[period]")
+                    - F.col("attbar")
+                )
+                / F.expr("ne_m[e]")
+                - F.col("eps_sum") / (F.expr("ne_m[e]") * F.col("n_i"))
+            ).alias("score"),
+        )
+    )
+    scores = (
+        leg_delta.unionByName(leg_d).unionByName(leg_tr)
+        .groupBy("id", "e")
+        .agg(F.sum("score").alias("s"))
+    )
+    var = scores.groupBy("e").agg(F.sum(F.col("s") * F.col("s")).alias("v"))
+
+    att = (
+        cell_means.groupBy("e")
+        .agg(F.avg("tau").alias("att"), F.count("*").cast("bigint").alias("n_obs"))
+    )
+    result = (
+        att.join(var, "e")
+        .select(
+            "e",
+            F.round("att", 6).alias("att"),
+            F.round(F.sqrt("v"), 6).alias("se"),
+            "n_obs",
+        )
+        .orderBy("e")
+    )
+    result._two_phase_cache = [c["um"]]  # type: ignore[attr-defined]
     return result

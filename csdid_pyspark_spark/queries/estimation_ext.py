@@ -2371,12 +2371,36 @@ def did_bjs_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative-demeaning shuffle-per-iteration loop is replaced by
     absorbing unit effects analytically and solving the T x T lambda
     system driver-side from O(T^2) aggregated floats (docstring of
-    did/imputation.py). Oracle: pinned golden — the closed form needs
-    a matrix solve SQL cannot express; parity vs a full-dummy lstsq
-    brute force is pinned by tests/test_did_api.py."""
-    from csdid_pyspark_spark.did.imputation import bjs_imputation_frame
+    did/imputation.py). SEs are BJS's conservative clustered variance
+    from the estimator's EXACT per-observation weights — computable in
+    closed form from the same aggregated system because the estimator
+    is linear in y (no resampling). Oracle: pinned golden — the closed
+    form needs a matrix solve SQL cannot express; parity vs a
+    full-dummy lstsq brute force AND a numerical weight-extraction
+    variance rebuild is pinned by tests/test_did_api.py."""
+    from csdid_pyspark_spark.did.imputation import bjs_imputation_se_frame
 
-    return bjs_imputation_frame(panel_from_events(spark, sf_dir))
+    return bjs_imputation_se_frame(panel_from_events(spark, sf_dir))
 
 
 QUERIES["did_bjs_imputation"] = did_bjs_imputation
+
+
+def did_etwfe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wooldridge extended TWFE (did/etwfe.py::etwfe_frame — Wooldridge
+    2021/2023): ONE saturated pooled-OLS regression with cohort +
+    period effects and a separate tau_gt coefficient per treated cell,
+    fitted as a single Gram aggregation (p ~ two dozen indicator
+    expressions, O(p^2) scalars to the driver) + an O(p^3) driver
+    solve. The fourth member of the staggered family next to CS, SA
+    and BJS: pooled-regression machinery rather than cell means
+    (CS/SA) or imputation (BJS) — saturation is what removes the
+    classic TWFE negative-weighting pathology. Oracle: pinned golden
+    (matrix solve not expressible in SQL); exact lstsq parity is
+    pinned by tests/test_did_api.py."""
+    from csdid_pyspark_spark.did.etwfe import etwfe_frame
+
+    return etwfe_frame(panel_from_events(spark, sf_dir))
+
+
+QUERIES["did_etwfe"] = did_etwfe

@@ -682,8 +682,13 @@ def test_robust_cells_raise_on_missing_required_cells(spark):
     failure mode the round-7 advice flagged (plausible-but-wrong
     estimates on unbalanced input)."""
     import pytest
-    from pyspark.errors import SparkRuntimeException
 
+    # NOT pyspark.errors.SparkRuntimeException: when AQE materializes
+    # two stages concurrently, BOTH guards fire and Spark wraps them in
+    # a SparkException [STAGE_MATERIALIZATION_MULTIPLE_FAILURES] whose
+    # type differs while the message survives — under host load the
+    # type-strict assertion flaked. The guard's contract is the
+    # MESSAGE, so that is what these match on.
     from csdid_pyspark_spark.did.robust_cells import (
         dcdh_frame,
         sunab_event_frame,
@@ -700,16 +705,16 @@ def test_robust_cells_raise_on_missing_required_cells(spark):
 
     # 1. no never-treated cohort at all -> control cells absent
     no_ctrl = ok.filter(F.col("g") != 0)
-    with pytest.raises(SparkRuntimeException, match="never-treated"):
+    with pytest.raises(Exception, match="never-treated"):
         sunab_event_frame(no_ctrl).collect()
-    with pytest.raises(SparkRuntimeException, match="never-treated"):
+    with pytest.raises(Exception, match="never-treated"):
         sunab_event_se_frame(no_ctrl).collect()
 
     # 2. a cohort missing its base period (g-1) cell
     no_base = ok.filter(~((F.col("g") == 4) & (F.col("period") == 3)))
-    with pytest.raises(SparkRuntimeException, match="base-period"):
+    with pytest.raises(Exception, match="base-period"):
         sunab_event_frame(no_base).collect()
-    with pytest.raises(SparkRuntimeException, match="pre-switch"):
+    with pytest.raises(Exception, match="pre-switch"):
         dcdh_frame(no_base).collect()
 
     # 3. dCDH: control pool exhausted at a switch period (drop every
@@ -717,14 +722,14 @@ def test_robust_cells_raise_on_missing_required_cells(spark):
     no_pair = ok.filter(
         ~((F.col("g").isin(0, 5)) & (F.col("period").isin(3, 4)))
     )
-    with pytest.raises(SparkRuntimeException, match="control"):
+    with pytest.raises(Exception, match="control"):
         dcdh_frame(no_pair).collect()
 
     # 4. SE path: one unit missing its base-period row
     drop_unit_row = ok.filter(
         ~((F.col("id") == 6) & (F.col("period") == 2) & (F.col("g") == 3))
     )
-    with pytest.raises(SparkRuntimeException, match="missing its base-period"):
+    with pytest.raises(Exception, match="missing its base-period"):
         sunab_event_se_frame(drop_unit_row).collect()
 
 
@@ -1044,17 +1049,21 @@ def test_bjs_imputation_singular_design_raises(spark):
 
 
 def test_estimator_triad_agrees_on_planted_dgp(spark):
-    """Triangulation across the three modern staggered-DiD estimators
-    on ONE planted DGP (parallel trends hold, dynamic effect
+    """Triangulation across the four staggered-DiD estimators on ONE
+    planted DGP (parallel trends hold, dynamic effect
     tau_e = 0.4*(e+1), homogeneous across cohorts): Callaway-
-    Sant'Anna dynamic aggregation, Sun-Abraham IW, and BJS imputation
-    must each recover the truth AND sit within noise of each other.
-    They weight cohorts differently, so exact equality is not expected
-    — but on a homogeneous-effect DGP disagreement beyond sampling
-    noise means one implementation is wrong."""
+    Sant'Anna dynamic aggregation, Sun-Abraham IW, BJS imputation, and
+    Wooldridge ETWFE (cells aggregated to event time with cell-size
+    weights) must each recover the truth AND sit within noise of each
+    other. They weight cohorts differently, so exact equality is not
+    expected — but on a homogeneous-effect DGP disagreement beyond
+    sampling noise means one implementation is wrong."""
+    import collections
+
     import numpy as np
 
     from csdid_pyspark_spark.did.attgt import ATTgt, aggte
+    from csdid_pyspark_spark.did.etwfe import etwfe_frame
     from csdid_pyspark_spark.did.imputation import bjs_imputation_frame
     from csdid_pyspark_spark.did.robust_cells import sunab_event_frame
 
@@ -1085,11 +1094,173 @@ def test_estimator_triad_agrees_on_planted_dgp(spark):
     }
     bjs = {int(r["e"]): float(r["att"]) for r in bjs_imputation_frame(ipanel).collect()}
 
+    acc = collections.defaultdict(lambda: [0.0, 0])
+    for r in etwfe_frame(ipanel).collect():
+        acc[int(r["e"])][0] += float(r["att"]) * int(r["n_cell"])
+        acc[int(r["e"])][1] += int(r["n_cell"])
+    etw = {e: s / n for e, (s, n) in acc.items()}
+
     es = sorted(cs)
-    assert es == sorted(sa) == sorted(bjs) == [0, 1, 2, 3]
+    assert es == sorted(sa) == sorted(bjs) == sorted(etw) == [0, 1, 2, 3]
     for e in es:
         truth = 0.4 * (e + 1)
-        for name, got in (("cs", cs), ("sa", sa), ("bjs", bjs)):
+        for name, got in (("cs", cs), ("sa", sa), ("bjs", bjs), ("etwfe", etw)):
             assert abs(got[e] - truth) < 0.05, (name, e, got[e], truth)
         assert abs(cs[e] - sa[e]) < 0.05, (e, cs[e], sa[e])
         assert abs(cs[e] - bjs[e]) < 0.05, (e, cs[e], bjs[e])
+        assert abs(cs[e] - etw[e]) < 0.05, (e, cs[e], etw[e])
+
+
+def test_etwfe_matches_saturated_lstsq(spark):
+    """etwfe_frame (one Gram aggregation + driver solve) must equal a
+    numpy lstsq on the explicitly materialized saturated design to
+    1e-6 per cell, and recover planted HETEROGENEOUS cell effects
+    (tau varies by both cohort and event time — the case single-dummy
+    TWFE garbles). Degenerate designs raise: all-treated panels have
+    no untreated information."""
+    import numpy as np
+    import pytest
+
+    from csdid_pyspark_spark.did.etwfe import etwfe_frame
+
+    rng = np.random.default_rng(5)
+    rows = []
+    true = {}
+    for i in range(200):
+        g = [0, 3, 4, 5][i % 4]
+        fe = rng.normal(0, 1)
+        for t in range(1, 7):
+            v = fe + 0.2 * t + 0.15 * (t % 2) + rng.normal(0, 0.1)
+            if g > 0 and t >= g:
+                tau = 0.3 * (t - g + 1) + 0.1 * g
+                true[(g, t)] = tau
+                v += tau
+            rows.append((i, t, g, v))
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    got = {(r["g"], r["t"]): r["att"] for r in etwfe_frame(panel).collect()}
+    assert set(got) == set(true)
+
+    cohorts = [0, 3, 4, 5]
+    periods = [1, 2, 3, 4, 5, 6]
+    cells = sorted(true)
+
+    def feat(g, t):
+        x = [1.0 if g == c else 0.0 for c in cohorts]
+        x += [1.0 if t == tt else 0.0 for tt in periods[1:]]
+        x += [1.0 if (g, t) == c else 0.0 for c in cells]
+        return x
+
+    X = np.array([feat(g, t) for (i, t, g, y) in rows])
+    Y = np.array([y for (i, t, g, y) in rows])
+    coef, *_ = np.linalg.lstsq(X, Y, rcond=None)
+    off = len(cohorts) + len(periods) - 1
+    for k, (g, t) in enumerate(cells):
+        assert abs(round(float(coef[off + k]), 6) - got[(g, t)]) < 2e-6, (g, t)
+        assert abs(got[(g, t)] - true[(g, t)]) < 0.06, (g, t)
+
+    all_treated = spark.createDataFrame(
+        [(1, t, 1, 1.0) for t in range(1, 4)] + [(2, t, 1, 1.0) for t in range(1, 4)],
+        "id bigint, period int, g int, y double",
+    )
+    with pytest.raises(ValueError, match="untreated"):
+        etwfe_frame(all_treated).collect()
+
+
+def test_bjs_se_matches_weight_bruteforce(spark):
+    """bjs_imputation_se_frame's closed-form per-observation weights
+    are verified by brute force: the estimator is LINEAR in y, so
+    perturbing one observation at a time through the full-dummy lstsq
+    reference implementation extracts every att_e weight numerically
+    (att(y + e_k) - att(y) = c_k, exact for a linear map). The BJS
+    conservative clustered variance rebuilt from those numerical
+    weights and the same residual definitions must equal the Spark
+    SEs to 6dp. Point estimates must equal bjs_imputation_frame's."""
+    import collections
+
+    import numpy as np
+
+    from csdid_pyspark_spark.did.imputation import (
+        bjs_imputation_frame,
+        bjs_imputation_se_frame,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(80):
+        g = [0, 3, 4, 5][i % 4]
+        fe = rng.normal(0, 1)
+        for t in range(1, 7):
+            v = fe + 0.2 * t + rng.normal(0, 0.3)
+            if g > 0 and t >= g:
+                v += 0.5 * (t - g + 1)
+            rows.append((i, t, g, v))
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    got = {
+        int(r["e"]): (float(r["att"]), float(r["se"]))
+        for r in bjs_imputation_se_frame(panel).collect()
+    }
+    pt = {int(r["e"]): float(r["att"]) for r in bjs_imputation_frame(panel).collect()}
+    assert set(got) == set(pt)
+    for e in pt:
+        assert abs(got[e][0] - pt[e]) < 2e-6, e
+
+    # ---- numpy reference: estimator as an explicit linear map -------
+    unt_idx = [k for k, (i, t, g, y) in enumerate(rows) if g == 0 or t < g]
+    ids = sorted({i for i, _, _, _ in rows})
+    ts = sorted({t for _, t, _, _ in rows})
+    im = {v: k for k, v in enumerate(ids)}
+    tm = {v: k for k, v in enumerate(ts)}
+
+    def att_of(yvec):
+        X = np.zeros((len(unt_idx), len(ids) + len(ts) - 1))
+        Y = np.zeros(len(unt_idx))
+        for r, k in enumerate(unt_idx):
+            i, t, g, _ = rows[k]
+            X[r, im[i]] = 1
+            if tm[t] > 0:
+                X[r, len(ids) + tm[t] - 1] = 1
+            Y[r] = yvec[k]
+        coef, *_ = np.linalg.lstsq(X, Y, rcond=None)
+        al = {i: coef[im[i]] for i in ids}
+        lm = {ts[0]: 0.0}
+        lm.update({t: coef[len(ids) + tm[t] - 1] for t in ts if tm[t] > 0})
+        acc = collections.defaultdict(list)
+        for k, (i, t, g, _) in enumerate(rows):
+            if g > 0 and t >= g:
+                acc[t - g].append(yvec[k] - al[i] - lm[t])
+        return {e: float(np.mean(v)) for e, v in acc.items()}, al, lm
+
+    y0 = np.array([y for (_, _, _, y) in rows])
+    base_att, al0, lm0 = att_of(y0)
+    events = sorted(base_att)
+    n = len(rows)
+    C = {e: np.zeros(n) for e in events}
+    for k in range(n):
+        yp = y0.copy()
+        yp[k] += 1.0
+        pert, _, _ = att_of(yp)
+        for e in events:
+            C[e][k] = pert[e] - base_att[e]
+
+    # residuals, same definitions as the operator
+    cellsum = collections.defaultdict(list)
+    for k, (i, t, g, y) in enumerate(rows):
+        if g > 0 and t >= g:
+            cellsum[(g, t)].append(y - al0[i] - lm0[t])
+    cellbar = {c: float(np.mean(v)) for c, v in cellsum.items()}
+    eps = np.zeros(n)
+    for k, (i, t, g, y) in enumerate(rows):
+        if g == 0 or t < g:
+            eps[k] = y - al0[i] - lm0[t]
+        else:
+            eps[k] = (y - al0[i] - lm0[t]) - cellbar[(g, t)]
+
+    for e in events:
+        unit_score = collections.defaultdict(float)
+        for k, (i, t, g, y) in enumerate(rows):
+            unit_score[i] += C[e][k] * eps[k]
+        v_np = sum(s * s for s in unit_score.values())
+        se_np = round(float(np.sqrt(v_np)), 6)
+        assert abs(base_att[e] - got[e][0]) < 2e-6, e
+        assert abs(se_np - got[e][1]) < 2e-5, (e, se_np, got[e][1])
+        assert got[e][1] > 0

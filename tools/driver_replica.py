@@ -40,6 +40,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     import __spark_entry__ as E
+    from csdid_pyspark_spark.cache import release_cache
 
     queries, oracles = E.queries(), E.oracle_sql()
     bad = []
@@ -47,6 +48,13 @@ def main() -> int:
         try:
             sdf = queries[name](spark, SF)
             ns = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+            # release operator-attached persists, as the oracle pytest
+            # does: this tool runs the FULL registry (~6x the external
+            # gate's 50-query window), and un-released per-query caches
+            # eventually exhaust the vanilla session's storage memory —
+            # observed as a flaky "Not enough memory to build and
+            # broadcast" on whichever query runs near the ceiling
+            release_cache(sdf)
             if name not in oracles:
                 continue
             res = con.execute(oracles[name])

@@ -56,6 +56,7 @@ GOLDEN_NAMES = (
     "did_synth_control",
     "did_synth_placebo",
     "did_bjs_imputation",
+    "did_etwfe",
     "sketch_hll_partitioned_union",
     "sim_mmr_diversify",
     # exact Mann-Whitney AUC of the IRLS fit: deterministic, fit not
