@@ -23,15 +23,21 @@ covariates — are numerically close kin of the imputation estimator
 Reference scope: the reference package (d2cml-ai/csdid-pyspark) has no
 pooled-regression path; built from the published method.
 
-Scale design: the regression is p x p with
-p = n_cohorts + (T - 1) + n_treated_cells (a few dozen), so the whole
-fit is the engine's standard Gram contract (did/linalg.py): ONE
-map-side-combinable aggregation produces the p(p+1)/2 + p Gram sums —
-O(p^2) scalars to the driver regardless of panel rows — and the
-O(p^3) solve happens driver-side. Design-matrix columns are indicator
-EXPRESSIONS compiled into the aggregation; no design matrix is ever
-materialized. Two passes total: a tiny distinct-(g,t) discovery agg,
-then the Gram pass.
+Scale design: every design column is an INDICATOR that is constant
+within a (cohort, period) cell, so the p x p normal equations collapse
+to cell algebra —
+
+    X'X = sum_cells n_c  · d_c d_c' ,    X'y = sum_cells sumy_c · d_c
+
+with d_c the 0/1 incidence vector saying which design columns cover
+cell c. The ONLY data-scale work is therefore a single narrow
+groupBy(g, period) aggregation (count + sum(y) per cell); the Gram is
+assembled and solved DRIVER-side from |cells| x p incidence products.
+This matters: the naive formulation (p indicator columns fed to a
+gram_aggs-style wide aggregation) compiles ~p^2/2 sum expressions —
+measured 249 s at p ~ 108 on a 4M-row panel, vs ~2 s for the cell
+formulation on the same input, identical estimates. Saturated-dummy
+regressions should ALWAYS go through their cell structure at scale.
 """
 
 from __future__ import annotations
@@ -57,16 +63,16 @@ def etwfe_frame(
     (e.g. a cohort observed ONLY in treated periods)."""
     import numpy as np
 
-    from csdid_pyspark_spark.did.linalg import gram_aggs, unpack_gram
-
     p0 = panel.select(
         F.col(gname).cast("long").alias("g"),
         F.col(tname).cast("int").alias("period"),
         F.col(yname).cast("double").alias("y"),
     )
-    # discovery pass: cohorts, periods, treated cells + counts (tiny)
+    # the ONE data-scale pass: per-(g, period) counts and y sums
     cells = (
-        p0.groupBy("g", "period").count().collect()
+        p0.groupBy("g", "period")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("sy"))
+        .collect()
     )
     cohorts = sorted({int(r["g"]) for r in cells})
     periods = sorted({int(r["period"]) for r in cells})
@@ -75,43 +81,41 @@ def etwfe_frame(
         for r in cells
         if int(r["g"]) > 0 and int(r["period"]) >= int(r["g"])
     )
-    n_cell = {
-        (int(r["g"]), int(r["period"])): int(r["count"]) for r in cells
-    }
     if not any(
-        g == 0 or t < g for (g, t) in ((int(r["g"]), int(r["period"])) for r in cells)
+        g == 0 or t < g
+        for (g, t) in ((int(r["g"]), int(r["period"])) for r in cells)
     ):
         raise ValueError(
             "etwfe_frame: no untreated observations — cohort and period "
             "effects are unidentified."
         )
 
-    # design columns: cohort dummies (ALL cohorts — no intercept, so
-    # they jointly absorb it), period dummies (first period omitted),
-    # one interaction per treated cell
-    xcols: list = []
-    names: list[str] = []
-    for g in cohorts:
-        xcols.append(F.when(F.col("g") == g, 1.0).otherwise(0.0))
-        names.append(f"coh_{g}")
-    for t in periods[1:]:
-        xcols.append(F.when(F.col("period") == t, 1.0).otherwise(0.0))
-        names.append(f"per_{t}")
-    cell_start = len(xcols)
-    for g, t in treated_cells:
-        xcols.append(
-            F.when((F.col("g") == g) & (F.col("period") == t), 1.0).otherwise(0.0)
-        )
-        names.append(f"tau_{g}_{t}")
-    pdim = len(xcols)
+    # design-column index map: cohort dummies (ALL cohorts — no
+    # intercept, they jointly absorb it), period dummies (first period
+    # omitted), one interaction per treated cell
+    coh_ix = {g: k for k, g in enumerate(cohorts)}
+    per_ix = {t: len(cohorts) + k for k, t in enumerate(periods[1:])}
+    cell_start = len(cohorts) + len(periods) - 1
+    cell_ix = {c: cell_start + k for k, c in enumerate(treated_cells)}
+    pdim = cell_start + len(treated_cells)
 
-    X = p0.select(
-        "y", *[c.alias(f"x{i}") for i, c in enumerate(xcols)]
-    )
-    row = X.agg(
-        *gram_aggs("e", F.lit(1.0), [f"x{i}" for i in range(pdim)], F.col("y"))
-    ).collect()[0]
-    A, b = unpack_gram(row, "e", pdim)
+    # driver-side Gram assembly from the cell incidence structure
+    A = np.zeros((pdim, pdim))
+    b = np.zeros(pdim)
+    n_cell = {}
+    for r in cells:
+        g, t = int(r["g"]), int(r["period"])
+        n, sy = float(r["n"]), float(r["sy"])
+        n_cell[(g, t)] = int(r["n"])
+        d = [coh_ix[g]]
+        if t in per_ix:
+            d.append(per_ix[t])
+        if (g, t) in cell_ix:
+            d.append(cell_ix[(g, t)])
+        for i in d:
+            b[i] += sy
+            for j in d:
+                A[i, j] += n
     try:
         beta = np.linalg.solve(A, b)
     except np.linalg.LinAlgError as exc:
@@ -126,10 +130,10 @@ def etwfe_frame(
             int(g),
             int(t),
             int(t - g),
-            round(float(beta[cell_start + k]), 6),
+            round(float(beta[cell_ix[(g, t)]]), 6),
             n_cell[(g, t)],
         )
-        for k, (g, t) in enumerate(treated_cells)
+        for (g, t) in treated_cells
     ]
     return panel.sparkSession.createDataFrame(
         out, "g int, t int, e int, att double, n_cell bigint"

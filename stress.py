@@ -1519,6 +1519,36 @@ def run_dsir(spark, n_docs: int) -> dict:
     }
 
 
+def run_etwfe(spark, n_units: int, n_periods: int = 20) -> dict:
+    """ETWFE rehearsal on the staggered synthetic panel: the saturated
+    pooled OLS has p = n_cohorts + (T-1) + n_treated_cells indicator
+    columns — at 20 periods and 9 cohorts that is p ~ 100, i.e. a
+    SINGLE aggregation with ~p^2/2 ~ 5000 sum expressions. This is the
+    stress point: whole-stage codegen has per-method size limits, and
+    a wide Gram either compiles into split methods or falls back to
+    interpreted mode — either way it must complete and stay exact.
+    Evidence: p, wall, max |tau_gt - planted|, flat driver memory."""
+    from csdid_pyspark_spark.did.etwfe import etwfe_frame
+
+    panel = synth_panel(spark, n_units, n_periods)
+    t0_s = time.perf_counter()
+    rows = etwfe_frame(panel, yname="y", tname="t", gname="g", idname="id").collect()
+    fit_sec = round(time.perf_counter() - t0_s, 1)
+    max_err = max(
+        abs(float(r["att"]) - TAU * (int(r["t"]) - int(r["g"]) + 1)) for r in rows
+    )
+    return {
+        "metric": "stress_etwfe",
+        "n_units": n_units,
+        "n_periods": n_periods,
+        "rows": n_units * n_periods,
+        "n_cells": len(rows),
+        "max_att_err_vs_planted": round(max_err, 4),
+        "fit_sec": fit_sec,
+        **_driver_memory(),
+    }
+
+
 def run_lpa(spark, n_nodes: int) -> dict:
     """Label-propagation rehearsal on a planted-community graph:
     n_nodes/5 disjoint 5-cliques (10 internal edges each) with a
@@ -1674,7 +1704,7 @@ def run_ivfpq_index(spark, n_vecs: int, dim: int = 64, n_clusters: int = 50) -> 
     }
 
 
-def run_bjs(spark, n_units: int, n_periods: int = 20) -> dict:
+def run_bjs(spark, n_units: int, n_periods: int = 20, with_se: bool = False) -> dict:
     """BJS imputation rehearsal on the staggered synthetic panel
     (planted dynamic effect TAU*(e+1), unit FE + covariate trend +
     cohort-shifted adoption): runs bjs_imputation_frame on
@@ -1683,19 +1713,31 @@ def run_bjs(spark, n_units: int, n_periods: int = 20) -> dict:
     data-scale shuffles (groupBy id, treated-join id), driver memory
     flat (only the T x T lambda system and tiny aggregates come back,
     independent of n_units)."""
-    from csdid_pyspark_spark.did.imputation import bjs_imputation_frame
+    from csdid_pyspark_spark.did.imputation import (
+        bjs_imputation_frame,
+        bjs_imputation_se_frame,
+    )
 
     panel = synth_panel(spark, n_units, n_periods)
+    fn = bjs_imputation_se_frame if with_se else bjs_imputation_frame
     t0_s = time.perf_counter()
-    rows = bjs_imputation_frame(
-        panel, yname="y", tname="t", gname="g", idname="id"
-    ).collect()
+    rows = fn(panel, yname="y", tname="t", gname="g", idname="id").collect()
     fit_sec = round(time.perf_counter() - t0_s, 1)
     max_err = max(
         abs(float(r["att"]) - TAU * (int(r["e"]) + 1)) for r in rows
     )
+    extra = {}
+    if with_se:
+        ses = [float(r["se"]) for r in rows]
+        extra = {
+            "with_se": True,
+            "se_min": round(min(ses), 6),
+            "se_max": round(max(ses), 6),
+            "all_se_positive": all(s > 0 for s in ses),
+        }
     return {
         "metric": "stress_bjs",
+        **extra,
         "n_units": n_units,
         "n_periods": n_periods,
         "rows": n_units * n_periods,
@@ -1857,7 +1899,7 @@ def main() -> None:
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
-        "bjs", "dsir", "lpa",
+        "bjs", "dsir", "lpa", "etwfe", "bjsse",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -1907,6 +1949,12 @@ def main() -> None:
     elif mode == "lpa":
         n_nodes = int(args[0]) if args else 2_000_000
         out = run_lpa(spark, n_nodes)
+    elif mode == "etwfe":
+        n_units = int(args[0]) if args else 200_000
+        out = run_etwfe(spark, n_units)
+    elif mode == "bjsse":
+        n_units = int(args[0]) if args else 200_000
+        out = run_bjs(spark, n_units, with_se=True)
     elif mode == "cdc":
         n_ops = int(args[0]) if args else 50_000_000
         out = run_cdc(spark, n_ops)
