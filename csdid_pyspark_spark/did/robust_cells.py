@@ -588,3 +588,139 @@ def sunab_event_band_frame(
         "e int, att_iw double, se_boot double, crit_val double, "
         "band_lo double, band_hi double, n_treated bigint",
     ).orderBy("e")
+
+
+def twfe_weights_frame(
+    panel: DataFrame,
+    iname: str = "id",
+    tname: str = "period",
+    gname: str = "g",
+) -> DataFrame:
+    """de Chaisemartin-D'Haultfoeuille (2020, AER 110(9) Thm 1) TWFE
+    weight decomposition: the weights w(g,t) that the two-way
+    fixed-effects regression coefficient attaches to each treated
+    (cohort, period) cell's ATT,
+
+        beta_fe = sum_{(g,t): D=1} w(g,t) * ATT(g,t),
+        w(g,t)  = n_g * eps(g,t) / sum_{D=1} n_g' * eps(g',t'),
+        eps(g,t)= D(g,t) - Dbar_g. - Dbar_.t + Dbar,
+
+    where eps is the two-way-demeaned treatment indicator (the
+    residual of D on unit and period fixed effects, which on a
+    balanced panel depends only on the (cohort, period) cell). Cells
+    with eps < 0 receive NEGATIVE weight — the contamination that
+    motivates the whole robust-estimator suite (Sun-Abraham, dCDH,
+    BJS, ETWFE); this query quantifies it for the panel at hand, like
+    the Stata ``twowayfeweights`` package. The weights sum to 1 by
+    construction.
+
+    Balance is ENFORCED, not assumed: the same single data-scale pass
+    that counts cohort sizes checks that every cohort has a constant
+    per-period unit count across all observed periods (the condition
+    under which the residual collapses to the cell formula), raising
+    loudly otherwise — same convention as bacon.py's balance guard.
+
+    Scale shape: ONE data-scale aggregation (the (g, period) cell
+    counts — map-side combinable); the |G| x |T| grid and every
+    moment of D after that is broadcast-tiny algebra. Zero windows,
+    zero data-scale joins. The reference repo has no counterpart —
+    this diagnostic is part of the robustness suite beyond it."""
+    cells = (
+        panel.select(
+            F.col(gname).alias("g"),
+            F.col(tname).alias("period"),
+            F.col(iname).alias("id"),
+        )
+        .groupBy("g", "period")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    nt = cells.select(F.countDistinct("period").alias("nt"))
+    chk = (
+        cells.groupBy("g")
+        .agg(
+            F.min("n_rows").alias("n_min"),
+            F.max("n_rows").alias("n_max"),
+            F.count("*").alias("npg"),
+        )
+        .crossJoin(F.broadcast(nt))
+    )
+    bad = (F.col("n_min") != F.col("n_max")) | (F.col("npg") != F.col("nt"))
+    ng = chk.select(
+        "g",
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("twfe_weights_frame: cohort g="),
+                    F.col("g").cast("string"),
+                    F.lit(" is unbalanced (per-period unit counts "),
+                    F.col("n_min").cast("string"),
+                    F.lit(".."),
+                    F.col("n_max").cast("string"),
+                    F.lit(" over "),
+                    F.col("npg").cast("string"),
+                    F.lit("/"),
+                    F.col("nt").cast("string"),
+                    F.lit(
+                        " periods) — the cell weight formula requires a"
+                        " balanced panel"
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.col("n_min"))
+        .alias("n"),
+    )
+    per = cells.select("period").distinct()
+    grid = ng.crossJoin(F.broadcast(per)).select(
+        "g",
+        "period",
+        "n",
+        F.when(
+            (F.col("g") > 0) & (F.col("period") >= F.col("g")), 1.0
+        )
+        .otherwise(0.0)
+        .alias("d"),
+    )
+    gbar = grid.groupBy(F.col("g").alias("g_b")).agg(
+        F.avg("d").alias("dbar_g")
+    )
+    tbar = grid.groupBy(F.col("period").alias("t_b")).agg(
+        (F.sum(F.col("n") * F.col("d")) / F.sum("n")).alias("dbar_t")
+    )
+    # over the grid each cohort appears once per period, so
+    # sum(n) = N_units * T and sum(n*d)/sum(n) IS the grand mean of D
+    gd = grid.agg(
+        (F.sum(F.col("n") * F.col("d")) / F.sum("n")).alias("dbar")
+    )
+    eps = (
+        grid.join(F.broadcast(gbar), F.col("g_b") == F.col("g"))
+        .join(F.broadcast(tbar), F.col("t_b") == F.col("period"))
+        .crossJoin(F.broadcast(gd))
+        .select(
+            "g",
+            "period",
+            "n",
+            "d",
+            (
+                F.col("d") - F.col("dbar_g") - F.col("dbar_t") + F.col("dbar")
+            ).alias("eps"),
+        )
+    )
+    tw = eps.filter(F.col("d") == 1.0).agg(
+        F.sum(F.col("n") * F.col("eps")).alias("s")
+    )
+    return (
+        eps.filter(F.col("d") == 1.0)
+        .crossJoin(F.broadcast(tw))
+        .select(
+            F.col("g").cast("int").alias("g"),
+            F.col("period").cast("int").alias("period"),
+            F.round("eps", 6).alias("eps"),
+            F.round(F.col("n") * F.col("eps") / F.col("s"), 6).alias(
+                "weight"
+            ),
+            (F.col("eps") < 0).alias("is_negative"),
+        )
+        .orderBy("g", "period")
+    )

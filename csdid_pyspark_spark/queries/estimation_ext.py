@@ -2404,3 +2404,88 @@ def did_etwfe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["did_etwfe"] = did_etwfe
+
+
+# ---------------------------------------------------------------------------
+# dCDH TWFE weight decomposition (the diagnostic that motivates the suite)
+# ---------------------------------------------------------------------------
+
+
+def did_twfe_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWFE weight decomposition (de Chaisemartin & D'Haultfoeuille
+    2020, AER 110(9), Thm 1; the Stata ``twowayfeweights`` diagnostic):
+    the weight the two-way FE regression coefficient puts on each
+    treated (cohort, period) cell's ATT. eps is the two-way-demeaned
+    treatment indicator; on the balanced derived panel it depends only
+    on the cell, so the whole decomposition is ONE data-scale
+    aggregation (cell counts, map-side combinable) + broadcast-tiny
+    grid algebra (did/robust_cells.py::twfe_weights_frame, where the
+    balance precondition is enforced with a loud raise). Cells flagged
+    ``is_negative`` are the negative-weight contamination the robust
+    estimators (did_sunab_event, did_dcdh_effect, did_bjs_imputation,
+    did_etwfe) exist to avoid; weights sum to 1 by construction
+    (pinned by the numpy-regression property test,
+    tests/test_property.py)."""
+    from csdid_pyspark_spark.did.robust_cells import twfe_weights_frame
+
+    return twfe_weights_frame(panel_from_events(spark, sf_dir))
+
+
+DID_TWFE_WEIGHTS_SQL = f"""
+WITH {PANEL_CTE},
+cells AS (
+  SELECT g, period, COUNT(*) AS n_rows FROM panel GROUP BY 1, 2
+),
+ng AS (SELECT g, MIN(n_rows) AS n FROM cells GROUP BY g),
+per AS (SELECT DISTINCT period FROM cells),
+grid AS (
+  SELECT ng.g, per.period, ng.n,
+         CASE WHEN ng.g > 0 AND per.period >= ng.g THEN 1.0 ELSE 0.0 END AS d
+  FROM ng CROSS JOIN per
+),
+gbar AS (SELECT g AS g_b, AVG(d) AS dbar_g FROM grid GROUP BY g),
+tbar AS (SELECT period AS t_b, SUM(n * d) / SUM(n) AS dbar_t FROM grid GROUP BY period),
+gd AS (SELECT SUM(n * d) / SUM(n) AS dbar FROM grid),
+eps AS (
+  SELECT gr.g, gr.period, gr.n, gr.d,
+         gr.d - gb.dbar_g - tb.dbar_t + (SELECT dbar FROM gd) AS eps
+  FROM grid gr
+  JOIN gbar gb ON gb.g_b = gr.g
+  JOIN tbar tb ON tb.t_b = gr.period
+),
+tw AS (SELECT SUM(n * eps) AS s FROM eps WHERE d = 1.0)
+SELECT CAST(g AS INT) AS g, CAST(period AS INT) AS period,
+       ROUND(eps, 6) AS eps,
+       ROUND(n * eps / (SELECT s FROM tw), 6) AS weight,
+       (eps < 0) AS is_negative
+FROM eps WHERE d = 1.0 ORDER BY g, period
+"""
+
+QUERIES["did_twfe_weights"] = did_twfe_weights
+ORACLES["did_twfe_weights"] = DID_TWFE_WEIGHTS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Interactive fixed effects / generalized synthetic control (Xu 2017)
+# ---------------------------------------------------------------------------
+
+
+def did_ife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-synthetic-control ATT by event time (Xu 2017 /
+    Bai 2009 interactive fixed effects; did/ife.py::ife_att): common
+    time factors learned from the never-treated units' period x period
+    covariance (ONE decimal-exact aggregation + a driver eigh on the
+    T x T matrix), per-treated-unit (intercept, loading) fit on the
+    unit's own pre-window (one groupBy(id) pass against the broadcast
+    T-row factor table), counterfactual y - (a_i + lam_i f_t) averaged
+    per event time. Robust to loading-driven differential trends that
+    break the parallel-trends cell estimators. Oracle: pinned golden
+    (driver eigendecomposition not expressible in SQL); the planted
+    factor-DGP recovery and the numpy brute-force parity live in
+    tests/test_property.py."""
+    from csdid_pyspark_spark.did.ife import ife_att
+
+    return ife_att(panel_from_events(spark, sf_dir))
+
+
+QUERIES["did_ife"] = did_ife

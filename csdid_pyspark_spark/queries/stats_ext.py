@@ -952,3 +952,120 @@ ORDER BY d.day
 
 QUERIES["events_msprt_monitor"] = events_msprt_monitor
 ORACLES["events_msprt_monitor"] = MSPRT_SQL
+
+# ---------------------------------------------------------------------------
+# O'Brien-Fleming group-sequential monitor (fixed-schedule complement to mSPRT)
+# ---------------------------------------------------------------------------
+
+OBF_C = 2.2414  # P(sup_{t<=1} |B(t)| >= C) = 0.05: 4*(1-Phi(C)) ~ 0.05
+
+
+def events_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitor with the O'Brien-Fleming boundary
+    (O'Brien & Fleming 1979; Lan & DeMets 1983 spending shape): the
+    scheduled-looks counterpart to the always-valid mSPRT above. After
+    look k of K (one look per experiment day), the cumulative
+    two-sample z is compared against the OBF-shape boundary
+
+        u_k = C / sqrt(t_k),   t_k = k / K,   C = 2.2414
+
+    — in Brownian-motion scale the test statistic B(t_k) = z_k*sqrt(t_k)
+    crosses a FLAT boundary C, and P(sup_{t<=1}|B(t)| >= 2.2414) ~ 0.05
+    by the reflection principle (4*(1-Phi(2.2414)) = 0.0500), so early
+    looks need overwhelming evidence and the final look spends almost
+    the full alpha (u_K = C ~ the fixed-horizon 1.96 + scheduling
+    premium). Emits per look: cumulative n, z, boundary, crossed flag.
+
+    Scale shape: identical to events_msprt_monitor — ONE data-scale
+    aggregation (per-day decimal-exact moments per hash arm, map-side
+    combinable), then cumulative sums and the look index as triangle
+    joins over the ~31-row day table. Decimal accumulation keeps every
+    cumulative moment bit-identical across engines; the z/sqrt algebra
+    on top is mirrored operation-for-operation by the oracle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = F.col("value").cast("decimal(18,6)")
+    arm = _arm()
+    daily = (
+        e.select(F.to_date("ts").alias("day"), arm.alias("arm"), d.alias("d"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("dn_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("dn_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("d"))).alias("ds1_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("d"))).alias("ds1_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("d") * F.col("d"))).alias("ds2_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("d") * F.col("d"))).alias("ds2_b"),
+        )
+    )
+    k = daily.select(
+        F.col("day").alias("kday"), "dn_a", "dn_b", "ds1_a", "ds1_b",
+        "ds2_a", "ds2_b",
+    )
+    nlooks = daily.agg(F.count("*").cast("double").alias("bign"))
+    cum = (
+        daily.select("day")
+        .join(F.broadcast(k), F.col("kday") <= F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("double").alias("look"),
+            F.sum("dn_a").cast("double").alias("n_a"),
+            F.sum("dn_b").cast("double").alias("n_b"),
+            F.sum("ds1_a").cast("double").alias("s1_a"),
+            F.sum("ds1_b").cast("double").alias("s1_b"),
+            F.sum("ds2_a").cast("double").alias("s2_a"),
+            F.sum("ds2_b").cast("double").alias("s2_b"),
+        )
+        .crossJoin(F.broadcast(nlooks))
+    )
+    delta = F.col("s1_a") / F.col("n_a") - F.col("s1_b") / F.col("n_b")
+    var_p = (
+        (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a"))
+        + (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b"))
+    ) / (F.col("n_a") + F.col("n_b") - 2.0)
+    z = delta / F.sqrt(var_p * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    bound = F.lit(float(OBF_C)) / F.sqrt(F.col("look") / F.col("bign"))
+    return cum.select(
+        "day",
+        F.col("look").cast("bigint").alias("look"),
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n"),
+        F.round(z, 6).alias("z"),
+        F.round(bound, 6).alias("boundary"),
+        (F.abs(z) > bound).alias("crossed"),
+    ).orderBy("day")
+
+
+GROUP_SEQ_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN {_ARM_SQL} = 0 THEN 1 ELSE 0 END) AS dn_a,
+         SUM(CASE WHEN {_ARM_SQL} = 1 THEN 1 ELSE 0 END) AS dn_b,
+         SUM(CASE WHEN {_ARM_SQL} = 0 THEN CAST(value AS DECIMAL(18,6)) END) AS ds1_a,
+         SUM(CASE WHEN {_ARM_SQL} = 1 THEN CAST(value AS DECIMAL(18,6)) END) AS ds1_b,
+         SUM(CASE WHEN {_ARM_SQL} = 0 THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS ds2_a,
+         SUM(CASE WHEN {_ARM_SQL} = 1 THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS ds2_b
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT d.day, CAST(COUNT(*) AS DOUBLE) AS look,
+         CAST(SUM(k.dn_a) AS DOUBLE) AS n_a, CAST(SUM(k.dn_b) AS DOUBLE) AS n_b,
+         CAST(SUM(k.ds1_a) AS DOUBLE) AS s1_a, CAST(SUM(k.ds1_b) AS DOUBLE) AS s1_b,
+         CAST(SUM(k.ds2_a) AS DOUBLE) AS s2_a, CAST(SUM(k.ds2_b) AS DOUBLE) AS s2_b,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM daily) AS bign
+  FROM (SELECT day FROM daily) d
+  JOIN daily k ON k.day <= d.day
+  GROUP BY d.day
+)
+SELECT day, CAST(look AS BIGINT) AS look, CAST(n_a + n_b AS BIGINT) AS n,
+       ROUND((s1_a / n_a - s1_b / n_b)
+             / SQRT(((s2_a - s1_a * s1_a / n_a) + (s2_b - s1_b * s1_b / n_b))
+                    / (n_a + n_b - 2.0) * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+       ROUND({OBF_C} / SQRT(look / bign), 6) AS boundary,
+       (ABS((s1_a / n_a - s1_b / n_b)
+            / SQRT(((s2_a - s1_a * s1_a / n_a) + (s2_b - s1_b * s1_b / n_b))
+                   / (n_a + n_b - 2.0) * (1.0 / n_a + 1.0 / n_b)))
+        > {OBF_C} / SQRT(look / bign)) AS crossed
+FROM cum ORDER BY day
+"""
+
+QUERIES["events_group_sequential"] = events_group_sequential
+ORACLES["events_group_sequential"] = GROUP_SEQ_SQL

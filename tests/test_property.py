@@ -438,3 +438,114 @@ def test_sunab_dcdh_match_numpy_bruteforce(spark, units):
         n_g[g] for g in expected_pl
     )
     assert abs(got_pl[-1][0] - round(did_pl, 6)) < 2e-6
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([0, 0, 3, 4, 5]),   # cohort (never-treated twice as likely)
+            st.integers(0, 99),                 # unit-level base
+        ),
+        min_size=8,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_twfe_weights_match_regression_residuals(spark, units):
+    """twfe_weights_frame's cell formula vs the DEFINITION: the
+    residual of D on unit + period fixed effects, extracted by an
+    explicit numpy lstsq on the dummy design. Also pins sum(w) = 1."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.robust_cells import twfe_weights_frame
+
+    cohorts = {g for g, _ in units}
+    if not (cohorts - {0}):
+        return
+    periods = list(range(1, 7))
+    n_u, n_t = len(units), len(periods)
+    rows = []
+    for i, (g, b) in enumerate(units):
+        for t in periods:
+            rows.append((i, t, g, b / 10.0 + 0.3 * t))
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    got = {
+        (r["g"], r["period"]): (r["eps"], r["weight"], r["is_negative"])
+        for r in twfe_weights_frame(panel).collect()
+    }
+
+    # definition: residualize D on [unit dummies | period dummies]
+    D = np.zeros((n_u, n_t))
+    for i, (g, _) in enumerate(units):
+        for j, t in enumerate(periods):
+            D[i, j] = 1.0 if (g > 0 and t >= g) else 0.0
+    X = np.zeros((n_u * n_t, n_u + n_t))
+    dvec = D.reshape(-1)
+    for i in range(n_u):
+        for j in range(n_t):
+            X[i * n_t + j, i] = 1.0
+            X[i * n_t + j, n_u + j] = 1.0
+    resid = dvec - X @ np.linalg.lstsq(X, dvec, rcond=None)[0]
+    eps = resid.reshape(n_u, n_t)
+
+    treated = [
+        (i, j)
+        for i, (g, _) in enumerate(units)
+        for j, t in enumerate(periods)
+        if g > 0 and t >= g
+    ]
+    denom = sum(eps[i, j] for i, j in treated)
+    expected = {}
+    for i, (g, _) in enumerate(units):
+        for j, t in enumerate(periods):
+            if g > 0 and t >= g:
+                key = (g, t)
+                if key not in expected:
+                    n_g = sum(1 for gg, _ in units if gg == g)
+                    expected[key] = (eps[i, j], n_g * eps[i, j] / denom)
+    assert set(got) == set(expected)
+    for key, (e_eps, e_w) in expected.items():
+        assert abs(got[key][0] - e_eps) < 2e-6, (key, got[key], e_eps)
+        assert abs(got[key][1] - e_w) < 2e-6
+        assert got[key][2] == bool(e_eps < -1e-12) or abs(e_eps) < 2e-6
+    assert abs(sum(w for _, w, _ in got.values()) - 1.0) < 1e-4
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([0, 0, 3, 4, 5]),   # cohort
+            st.integers(-20, 20),               # unit intercept a_i (x0.1)
+            st.integers(1, 30),                 # unit loading lam_i (x0.1)
+        ),
+        min_size=10,
+        max_size=24,
+    ),
+    st.integers(-10, 10),                       # planted tau (x0.3)
+)
+@settings(max_examples=8, deadline=None)
+def test_ife_recovers_planted_factor_model(spark, units, tau10):
+    """ife_att on a NOISELESS rank-1 factor DGP y = a_i + lam_i f_t
+    + tau 1{t>=g}: the intercept+loading fit reproduces a + lam*f
+    exactly for ANY learned factor in span{1, f} (the control
+    covariance's range), so ATT(e) must equal the planted tau to
+    rounding. Skips draws without >= 2 controls with distinct
+    loadings (factor extraction degenerate) or any treated unit."""
+    from csdid_pyspark_spark.did.ife import ife_att
+
+    tau = 0.3 * tau10
+    f = [1.0, 0.5, -0.3, 0.8, -0.6, 0.2]
+    periods = list(range(1, 7))
+    ctrl_lams = {lam for g, _, lam in units if g == 0}
+    if len(ctrl_lams) < 2 or not any(g > 0 for g, _, _ in units):
+        return
+    rows = []
+    for i, (g, a10, lam10) in enumerate(units):
+        for j, t in enumerate(periods):
+            y = 0.1 * a10 + 0.1 * lam10 * f[j] + (tau if 0 < g <= t else 0.0)
+            rows.append((i, t, g, y))
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    out = ife_att(panel).collect()
+    assert len(out) > 0
+    for r in out:
+        assert abs(r["att_ife"] - tau) < 1e-4, (r["e"], r["att_ife"], tau)

