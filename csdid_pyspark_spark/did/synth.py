@@ -286,3 +286,90 @@ def placebo_test(
             d: float(w[j]) for j, d in enumerate(donor_list) if w[j] > 1e-6
         },
     }
+
+
+def augmented_synthetic_control(
+    panel: DataFrame,
+    treated_id,
+    t0,
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    donor_ids: DataFrame | None = None,
+    donor_k: int = 50,
+    fw_iters: int = 800,
+    lam: float = 1.0,
+) -> dict:
+    """Ridge-augmented synthetic control (Ben-Michael, Feller &
+    Rothstein 2021, JASA, "The Augmented Synthetic Control Method").
+
+    Classical SC (``synthetic_control`` above) restricts weights to
+    the simplex, so when the treated unit sits OUTSIDE the donors'
+    convex hull the fit carries irreducible pre-period imbalance that
+    propagates into the post-period gap as bias. ASCM corrects the
+    estimate with an outcome model: with donor pre-period matrix
+    ``X`` (K x T0, columns centered across donors) and treated
+    pre-vector ``x``,
+
+        w_aug = w_scm + X_c (X_c' X_c + lam I)^{-1} (x_c - X_c' w_scm)
+
+    i.e. the SCM weights plus a ridge-regression extrapolation that
+    closes the residual imbalance ``x - X' w_scm``. Column centering
+    makes each correction column sum to zero, so ``sum(w_aug) = 1``
+    still — but individual weights may now be negative (the
+    documented, intentional extrapolation of the method; lam -> inf
+    recovers plain SCM).
+
+    Scale shape: identical to ``synthetic_control`` — the ONLY
+    distributed work is the shared donor pre-screen + bounded K-series
+    collect (one aggregation over the pool, O(K*T) floats to the
+    driver); the ridge solve is a T0 x T0 driver inversion. The
+    placebo machinery applies unchanged.
+
+    Returns the ``synthetic_control`` dict plus ``series_scm`` (the
+    un-augmented series for comparison), ``imbalance_pre`` (L2 norm of
+    the SCM pre-fit residual the ridge term corrects), and
+    ``att_post_scm``. No counterpart in the reference package
+    (d2cml-ai/csdid-pyspark) — beyond-reference robustness surface.
+    """
+    import numpy as np
+
+    periods, y_tr, series, donor_list, pre, post = _screen_and_collect(
+        panel, treated_id, t0, yname, tname, idname, donor_ids, donor_k
+    )
+    w_scm, scm_series, scm_gaps, pre_rmspe, post_rmspe = _fit_one(
+        y_tr, series, donor_list, periods, pre, post, fw_iters
+    )
+    # donors x pre matrix, centered across donors per pre-period
+    X = np.array([[series[d][t] for t in pre] for d in donor_list])
+    x_tr = np.array([y_tr[t] for t in pre])
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    xc = x_tr - mu
+    resid = xc - Xc.T @ w_scm
+    T0 = len(pre)
+    gamma = np.linalg.solve(Xc.T @ Xc + lam * np.eye(T0), resid)
+    w_aug = w_scm + Xc @ gamma
+    out_series = []
+    for t in periods:
+        synth = float(
+            sum(w_aug[j] * series[d][t] for j, d in enumerate(donor_list))
+        )
+        out_series.append((t, y_tr[t], synth, y_tr[t] - synth))
+    gaps = {t: g for t, _, _, g in out_series}
+    return {
+        "weights": {d: float(w_aug[j]) for j, d in enumerate(donor_list)},
+        "series": out_series,
+        "series_scm": scm_series,
+        "att_post": float(np.mean([gaps[t] for t in post])) if post else 0.0,
+        "att_post_scm": (
+            float(np.mean([scm_gaps[t] for t in post])) if post else 0.0
+        ),
+        "imbalance_pre": float(np.sqrt(np.sum(resid**2))),
+        "pre_rmspe": float(np.sqrt(np.mean([gaps[t] ** 2 for t in pre]))),
+        "post_rmspe": (
+            float(np.sqrt(np.mean([gaps[t] ** 2 for t in post])))
+            if post
+            else 0.0
+        ),
+    }

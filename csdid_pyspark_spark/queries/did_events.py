@@ -1381,3 +1381,106 @@ FROM allrows ORDER BY comp_type, g_treat, g_ctrl
 
 QUERIES["did_bacon_decomposition"] = did_bacon_decomposition
 ORACLES["did_bacon_decomposition"] = DID_BACON_SQL
+
+
+# ---------------------------------------------------------------------------
+# Continuous/multi-valued-dose DiD: ATT(d) dose-response + ACRT slopes
+# (Callaway, Goodman-Bacon & Sant'Anna 2024, "Difference-in-Differences
+# with a Continuous Treatment" — no counterpart in the reference package,
+# which is binary-treatment only: ATTgt.py treats D as 0/1 throughout)
+# ---------------------------------------------------------------------------
+
+def did_dose_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dose-response DiD for the single-adoption cohort g=4 with a
+    deterministic multi-valued dose d = 1 + (id % 3) in {1,2,3};
+    controls are the never-treated units. For each post period t and
+    dose d, under dose-parallel trends,
+
+        ATT(d|d, t) = E[y_t - y_{g-1} | D = d] - E[y_t - y_{g-1} | D = 0]
+
+    and the Average Causal Response on the Treated slope is read off
+    adjacent doses:  ACRT(d, t) = ATT(d, t) - ATT(d-1, t)  with
+    ATT(0, t) = 0 (CGBS eq. 3.6 discretization). CGBS's central warning
+    — the TWFE-on-dose coefficient mixes ATT levels and ACRT slopes
+    with non-convex weights — is exactly why the output keeps levels
+    AND slopes as separate columns instead of one regression number.
+
+    Scale shape: one base-period self-join on the panel's natural id
+    key + one map-side-combinable groupBy(t, dose) mean over bounded
+    keys; the dose-level pivot/window runs on the |doses| x |periods|
+    result frame."""
+    p = panel_from_events(spark, sf_dir)
+    sub = p.filter((F.col("g") == 0) | (F.col("g") == 4)).withColumn(
+        "dose",
+        F.when(F.col("g") == 0, F.lit(0)).otherwise(
+            (F.col("id") % 3 + 1).cast("int")
+        ),
+    )
+    base = sub.filter(F.col("period") == 3).select("id", F.col("y").alias("y0"))
+    post = sub.filter(F.col("period") > 3)
+    dy = post.join(base, "id").select(
+        "period", "dose", (F.col("y") - F.col("y0")).alias("dy")
+    )
+    cell = dy.groupBy("period", "dose").agg(
+        F.avg("dy").alias("mdy"), F.count("*").alias("n")
+    )
+    ctrl = cell.filter(F.col("dose") == 0).select(
+        "period", F.col("mdy").alias("mdy0")
+    )
+    from pyspark.sql import Window
+
+    att = (
+        cell.filter(F.col("dose") > 0)
+        .join(F.broadcast(ctrl), "period")
+        .select(
+            "period",
+            "dose",
+            (F.col("mdy") - F.col("mdy0")).alias("att_dose"),
+            "n",
+        )
+    )
+    w = Window.partitionBy("period").orderBy("dose")
+    return att.select(
+        "period",
+        "dose",
+        F.round("att_dose", 6).alias("att_dose"),
+        F.round(
+            F.col("att_dose")
+            - F.coalesce(F.lag("att_dose").over(w), F.lit(0.0)),
+            6,
+        ).alias("acrt"),
+        "n",
+    ).orderBy("period", "dose")
+
+
+DID_DOSE_SQL = f"""
+WITH {PANEL_CTE},
+sub AS (
+  SELECT id, period, y,
+         CASE WHEN g = 0 THEN 0 ELSE CAST(id % 3 AS INT) + 1 END AS dose
+  FROM panel0 WHERE g = 0 OR g = 4
+),
+dy AS (
+  SELECT p.period, p.dose, p.y - b.y AS dy
+  FROM sub p JOIN (SELECT id, y FROM sub WHERE period = 3) b USING (id)
+  WHERE p.period > 3
+),
+cell AS (
+  SELECT period, dose, AVG(dy) AS mdy, COUNT(*) AS n
+  FROM dy GROUP BY period, dose
+),
+att AS (
+  SELECT c.period, c.dose, c.mdy - k.mdy AS att_dose, c.n
+  FROM cell c JOIN (SELECT period, mdy FROM cell WHERE dose = 0) k
+  USING (period)
+  WHERE c.dose > 0
+)
+SELECT period, dose, ROUND(att_dose, 6) AS att_dose,
+       ROUND(att_dose - COALESCE(LAG(att_dose) OVER (
+         PARTITION BY period ORDER BY dose), 0.0), 6) AS acrt,
+       n
+FROM att ORDER BY period, dose
+"""
+
+QUERIES["did_dose_response"] = did_dose_response
+ORACLES["did_dose_response"] = DID_DOSE_SQL

@@ -2110,6 +2110,76 @@ def did_synth_placebo(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["did_synth_control"] = did_synth_control
 QUERIES["did_synth_placebo"] = did_synth_placebo
 
+
+def did_synth_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge-augmented synthetic control (Ben-Michael, Feller &
+    Rothstein 2021; did/synth.py::augmented_synthetic_control — no
+    counterpart in the reference package): same distributed donor
+    pre-screen and O(K·T) collect as ``did_synth_control``, then the
+    SCM simplex weights are corrected by a ridge-regression term that
+    closes the residual pre-period imbalance (weights may extrapolate
+    outside the convex hull). Output: the period series with BOTH
+    counterfactuals side by side — (actual, synthetic_aug, gap_aug,
+    synthetic_scm, gap_scm) — post-period gap_aug is the ASCM
+    estimate. Deterministic end to end → pinned VALUES golden."""
+    from csdid_pyspark_spark.did.synth import augmented_synthetic_control
+
+    panel, treated_id, donors = _synth_setup(spark, sf_dir)
+    res = augmented_synthetic_control(
+        panel,
+        treated_id=treated_id,
+        t0=_SYNTH_T0,
+        donor_ids=donors,
+        donor_k=25,
+        lam=1.0,
+    )
+    scm = {t: (s, g) for t, _, s, g in res["series_scm"]}
+    rows = [
+        (
+            int(t),
+            round(a, 6),
+            round(s, 6),
+            round(g, 6),
+            round(scm[t][0], 6),
+            round(scm[t][1], 6),
+        )
+        for t, a, s, g in res["series"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "period int, actual double, synthetic_aug double, gap_aug double,"
+        " synthetic_scm double, gap_scm double",
+    ).orderBy("period")
+
+
+QUERIES["did_synth_augmented"] = did_synth_augmented
+
+
+def did_mc_nnm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-completion counterfactual (Athey, Bayati, Doudchenko,
+    Imbens & Khosravi 2021; did/mcnnm.py::mc_nnm — no factor/completion
+    estimator anywhere in the reference package): treated cells are
+    MISSING entries of the outcome matrix, completed under two-way FE +
+    nuclear-norm-regularized low-rank structure via distributed
+    SOFT-IMPUTE — each iteration is ONE decimal-exact T x T Gram
+    aggregation plus a narrow executor-side factor refresh (no
+    per-unit state ever reaches the driver). Output: the event-time
+    effect path att(e) = mean(y - y_hat) over treated cells. Fixed
+    iteration count + sign-fixed eigenvectors + decimal sums →
+    deterministic across session shapes → pinned VALUES golden."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    panel = panel_from_events(spark, sf_dir)
+    res = mc_nnm(panel, shrink_frac=0.5, iters=12)
+    rows = [(int(e), round(a, 6), int(n)) for e, a, n in res["att"]]
+    rows.append((None, round(res["att_overall"], 6), sum(n for *_, n in res["att"])))
+    return spark.createDataFrame(
+        rows, "e int, att double, n bigint"
+    ).orderBy(F.col("e").asc_nulls_last())
+
+
+QUERIES["did_mc_nnm"] = did_mc_nnm
+
 # ---------------------------------------------------------------------------
 # Sun-Abraham event study with influence-function standard errors
 # ---------------------------------------------------------------------------

@@ -1264,3 +1264,53 @@ def test_bjs_se_matches_weight_bruteforce(spark):
         assert abs(base_att[e] - got[e][0]) < 2e-6, e
         assert abs(se_np - got[e][1]) < 2e-5, (e, se_np, got[e][1])
         assert got[e][1] > 0
+
+
+def test_augmented_synthetic_control_extrapolates_outside_hull(spark):
+    """ASCM (Ben-Michael et al. 2021): a treated unit built as
+    2*donor1 - 1*donor2 + effect sits OUTSIDE the donors' convex hull,
+    so simplex SCM cannot close the pre-period imbalance — the ridge
+    augmentation must (negative weights allowed), and the augmented
+    post-period gap must recover the planted effect where SCM's is
+    biased. Weights still sum to 1 (centered correction columns)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    T, t0 = 14, 10
+    rows, base = [], {}
+    for d in range(1, 9):
+        lvl, slope = rng.normal(10, 3), rng.normal(0.2, 0.1)
+        base[d] = [lvl + slope * t + rng.normal(0, 0.05) for t in range(T)]
+        rows += [(d, t, base[d][t]) for t in range(T)]
+    treated = [
+        2.0 * base[1][t] - 1.0 * base[2][t] + (3.0 if t >= t0 else 0.0)
+        for t in range(T)
+    ]
+    rows += [(0, t, treated[t]) for t in range(T)]
+    panel = spark.createDataFrame(rows, "id bigint, period int, y double")
+
+    from csdid_pyspark_spark.did.synth import (
+        augmented_synthetic_control,
+        synthetic_control,
+    )
+
+    scm = synthetic_control(panel, treated_id=0, t0=t0, donor_k=8)
+    res = augmented_synthetic_control(
+        panel, treated_id=0, t0=t0, donor_k=8, lam=0.1
+    )
+    # ridge correction closes the pre-window imbalance SCM cannot
+    assert res["pre_rmspe"] < 0.2 * scm["pre_rmspe"], (
+        res["pre_rmspe"], scm["pre_rmspe"],
+    )
+    assert abs(res["att_post"] - 3.0) < 0.25, res["att_post"]
+    # SCM alone is materially biased on this DGP (that's the point)
+    assert abs(res["att_post"] - 3.0) < abs(res["att_post_scm"] - 3.0)
+    w = res["weights"]
+    assert abs(sum(w.values()) - 1.0) < 1e-8
+    assert min(w.values()) < -0.05  # genuinely extrapolating
+
+    # determinism across partitionings
+    res2 = augmented_synthetic_control(
+        panel.repartition(13), treated_id=0, t0=t0, donor_k=8, lam=0.1
+    )
+    assert res2["weights"] == w

@@ -1,0 +1,161 @@
+"""MC-NNM (did/mcnnm.py) — numpy-replica equality, planted-effect
+recovery, partitioning invariance, and the zero-observed-cell guard."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _toy_panel(spark, n_per=12, T=6, cohorts=(0, 3, 4, 5), tau=2.0):
+    """Deterministic small panel with two-way FE + a rank-1 factor +
+    a constant treatment effect tau on treated cells."""
+    rows = []
+    f = [0.5 * t - 1.0 for t in range(1, T + 1)]
+    uid = 0
+    for g in cohorts:
+        for k in range(n_per):
+            lam_i = ((uid * 13) % 7 - 3) / 4.0
+            a_i = ((uid * 5) % 9) / 2.0
+            for t in range(1, T + 1):
+                y = (
+                    a_i
+                    + 0.7 * t
+                    + lam_i * f[t - 1]
+                    + (tau if 0 < g <= t else 0.0)
+                    + ((uid * 31 + t * 17) % 13) / 50.0
+                )
+                rows.append((uid, t, g, float(y)))
+            uid += 1
+    return spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+
+
+def _numpy_mcnnm(panel_rows, shrink_frac, iters):
+    """Literal numpy transcription of mc_nnm's block scheme (same
+    update order, same lam rule, same sign-fix, same readout)."""
+    ids = sorted({r[0] for r in panel_rows})
+    periods = sorted({r[1] for r in panel_rows})
+    T = len(periods)
+    idx = {t: i for i, t in enumerate(periods)}
+    N = len(ids)
+    iid = {u: i for i, u in enumerate(ids)}
+    Y = np.full((N, T), np.nan)
+    G = np.zeros(N)
+    for u, t, g, y in panel_rows:
+        Y[iid[u], idx[t]] = y
+        G[iid[u]] = g
+    tgrid = np.array(periods)
+    O = (
+        ((G[:, None] == 0) | (tgrid[None, :] < G[:, None]))
+        & ~np.isnan(Y)
+    )
+    Yf = np.where(np.isnan(Y), 0.0, Y)
+    nobs = O.sum(axis=1)
+    assert (nobs > 0).all()
+
+    beta = np.zeros(T)
+    A = np.zeros((N, T))
+    V = np.zeros((T, T))
+    lam = None
+    bl_read = al_read = L_read = None
+    for it in range(iters + 1):
+        bl = beta.copy()
+        L = A @ V.T if it > 0 else np.zeros((N, T))
+        alpha = np.where(O, Yf - bl[None, :] - L, 0.0).sum(axis=1) / nobs
+        M = np.where(O, Yf - alpha[:, None] - bl[None, :], L)
+        bs = np.where(O, Yf - alpha[:, None] - L, 0.0).sum(axis=0)
+        bn = O.sum(axis=0)
+        gram = M.T @ M
+        beta = np.where(bn > 0, bs / np.maximum(bn, 1), 0.0)
+        if lam is None:
+            lam = shrink_frac * float(
+                np.sqrt(max(float(np.linalg.eigvalsh(gram)[-1]), 0.0))
+            )
+        if it == iters:
+            bl_read, al_read, L_read = bl, alpha, L
+            break
+        vals, vecs = np.linalg.eigh(gram)
+        order = np.argsort(vals)[::-1]
+        vals, vecs = vals[order], vecs[:, order]
+        sig = np.sqrt(np.clip(vals, 0.0, None))
+        for j in range(T):
+            k = int(np.argmax(np.abs(vecs[:, j])))
+            if vecs[k, j] < 0:
+                vecs[:, j] = -vecs[:, j]
+        s = np.where(sig > 0, np.maximum(sig - lam, 0.0) / np.where(sig > 0, sig, 1.0), 0.0)
+        V = vecs
+        A = M @ V @ np.diag(s)
+
+    treated = (G[:, None] > 0) & (tgrid[None, :] >= G[:, None]) & ~np.isnan(Y)
+    gap = Yf - al_read[:, None] - bl_read[None, :] - L_read
+    out = {}
+    for i in range(len(ids)):
+        for j in range(T):
+            if treated[i, j]:
+                e = int(periods[j] - G[i])
+                s0, n0 = out.get(e, (0.0, 0))
+                out[e] = (s0 + gap[i, j], n0 + 1)
+    return {e: (s / n, n) for e, (s, n) in out.items()}
+
+
+def test_mcnnm_matches_numpy_replica(spark):
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    panel = _toy_panel(spark)
+    rows = [
+        (r["id"], r["period"], r["g"], r["y"])
+        for r in panel.collect()
+    ]
+    got = mc_nnm(panel, shrink_frac=0.5, iters=8)
+    want = _numpy_mcnnm(rows, shrink_frac=0.5, iters=8)
+    assert {e for e, *_ in got["att"]} == set(want)
+    for e, att, n in got["att"]:
+        w_att, w_n = want[e]
+        assert n == w_n
+        assert abs(att - w_att) < 1e-7, (e, att, w_att)
+
+
+def test_mcnnm_recovers_planted_effect(spark):
+    """With a rank-1 factor + two-way FE + constant tau on treated
+    cells, the completed counterfactual recovers tau despite the
+    factor loadings differing across units (where plain TWFE
+    imputation would be biased by the factor)."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    panel = _toy_panel(spark, n_per=25, T=8, cohorts=(0, 0, 6, 7), tau=3.0)
+    res = mc_nnm(panel, shrink_frac=0.3, iters=25)
+    assert abs(res["att_overall"] - 3.0) < 0.35, res["att"]
+    for e, att, _ in res["att"]:
+        assert abs(att - 3.0) < 0.5, (e, att)
+
+
+def test_mcnnm_partitioning_invariance(spark):
+    """Decimal-exact aggregation ⇒ bit-identical output across
+    partition layouts (the golden-oracle determinism contract)."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    panel = _toy_panel(spark)
+    a = mc_nnm(panel.repartition(13), shrink_frac=0.5, iters=6)
+    b = mc_nnm(panel.repartition(2), shrink_frac=0.5, iters=6)
+    assert a["att"] == b["att"]
+    assert a["lam"] == b["lam"]
+    assert a["sigma"] == b["sigma"]
+
+
+def test_mcnnm_zero_observed_cells_raises(spark):
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    rows = [(1, t, 1, float(t)) for t in range(1, 5)]  # g=1: never observed untreated
+    rows += [(2, t, 0, float(t)) for t in range(1, 5)]
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    with pytest.raises(ValueError, match="zero observed"):
+        mc_nnm(panel)
+
+
+def test_mcnnm_needs_two_periods(spark):
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    panel = spark.createDataFrame(
+        [(1, 1, 0, 1.0), (2, 1, 0, 2.0)], "id bigint, period int, g int, y double"
+    )
+    with pytest.raises(ValueError, match="period"):
+        mc_nnm(panel)
