@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_fuzzy_pairs"]
+__all__ = ["blocked_fuzzy_pairs", "agreement_patterns", "fellegi_sunter_em"]
 
 
 def blocked_fuzzy_pairs(
@@ -77,3 +77,144 @@ def blocked_fuzzy_pairs(
             F.round(1 - F.col("dist") / F.col("_lmax").cast("double"), 6).alias("sim"),
         )
     )
+
+
+def agreement_patterns(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    compare_cols: list[str],
+    max_block: int | None = None,
+) -> DataFrame:
+    """Fellegi-Sunter step 1, the only data-scale part: candidate
+    pairs from equi-join blocks (never an all-pairs cross join), each
+    reduced to its binary agreement pattern over ``compare_cols``, and
+    aggregated to AT MOST 2^k pattern-count rows — the sufficient
+    statistic the EM mixture fit needs. Output: one row per observed
+    pattern with ``pattern`` (bitmask, bit j = agreement on
+    compare_cols[j]), per-field ``a{j}`` 0/1 columns, and ``n_pairs``.
+
+    The groupBy key space is 2^k (k = len(compare_cols), single
+    digits), so the aggregation is map-side-combinable down to a
+    handful of rows no matter how many candidate pairs the blocks
+    produce."""
+    if not compare_cols or len(compare_cols) > 16:
+        raise ValueError(
+            f"fellegi_sunter: need 1..16 compare columns, got "
+            f"{len(compare_cols)}"
+        )
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"_c{j}") for j, c in enumerate(compare_cols)],
+    )
+    if max_block is not None:
+        big = (
+            base.groupBy(*block_cols)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select(*block_cols)
+        )
+        base = base.join(F.broadcast(big), block_cols, "left_anti")
+    a = base.alias("a")
+    b = base.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    on.append(F.col("a._id") < F.col("b._id"))
+    k = len(compare_cols)
+    agree = [
+        F.col(f"a._c{j}").eqNullSafe(F.col(f"b._c{j}")).cast("int").alias(f"a{j}")
+        for j in range(k)
+    ]
+    pat = sum(F.col(f"a{j}") * (1 << j) for j in range(k))
+    return (
+        a.join(b, on)
+        .select(*agree)
+        .groupBy(*[f"a{j}" for j in range(k)])
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            pat.cast("int").alias("pattern"),
+            *[f"a{j}" for j in range(k)],
+            "n_pairs",
+        )
+    )
+
+
+def fellegi_sunter_em(
+    patterns: list[tuple[tuple[int, ...], int]],
+    m0: float = 0.9,
+    u0: float = 0.1,
+    pi0: float = 0.1,
+    iters: int = 100,
+) -> dict:
+    """Fellegi-Sunter (1969) latent two-class mixture fitted with EM
+    (Winkler 1988) on agreement-pattern COUNTS — pure driver algebra
+    over <= 2^k rows, zero Spark jobs, deterministic (fixed init,
+    fixed iteration count).
+
+    ``patterns``: [(agreement tuple, count), ...].
+    Returns {"m": [..], "u": [..], "pi": p,
+             "posterior": {pattern tuple: P(match | pattern)},
+             "weight": {pattern tuple: log2 likelihood-ratio weight}}.
+    """
+    import math
+
+    if not patterns:
+        raise ValueError("fellegi_sunter: no candidate pairs")
+    if len(patterns) < 2:
+        raise ValueError(
+            "fellegi_sunter: EM collapsed — a single observed agreement "
+            "pattern carries no two-class structure to fit"
+        )
+    k = len(patterns[0][0])
+    m = [m0] * k
+    u = [u0] * k
+    pi = pi0
+    for _ in range(iters):
+        # E-step: responsibility per pattern
+        resp = {}
+        for gam, n in patterns:
+            pm = pi
+            pu = 1.0 - pi
+            for j in range(k):
+                pm *= m[j] if gam[j] else 1.0 - m[j]
+                pu *= u[j] if gam[j] else 1.0 - u[j]
+            resp[gam] = pm / (pm + pu) if pm + pu > 0 else 0.0
+        # M-step
+        tot = sum(n for _, n in patterns)
+        wm = sum(resp[gam] * n for gam, n in patterns)
+        wu = tot - wm
+        if wm <= 0.0 or wu <= 0.0:
+            raise ValueError(
+                "fellegi_sunter: EM collapsed to a single class — the "
+                "pattern counts carry no two-class structure"
+            )
+        m = [
+            sum(resp[gam] * n * gam[j] for gam, n in patterns) / wm
+            for j in range(k)
+        ]
+        u = [
+            sum((1.0 - resp[gam]) * n * gam[j] for gam, n in patterns) / wu
+            for j in range(k)
+        ]
+        # clamp away from 0/1 so weights stay finite (standard guard)
+        m = [min(max(x, 1e-9), 1.0 - 1e-9) for x in m]
+        u = [min(max(x, 1e-9), 1.0 - 1e-9) for x in u]
+        pi = wm / tot
+    weight = {}
+    posterior = {}
+    for gam, _ in patterns:
+        w = 0.0
+        pm = pi
+        pu = 1.0 - pi
+        for j in range(k):
+            if gam[j]:
+                w += math.log2(m[j] / u[j])
+                pm *= m[j]
+                pu *= u[j]
+            else:
+                w += math.log2((1.0 - m[j]) / (1.0 - u[j]))
+                pm *= 1.0 - m[j]
+                pu *= 1.0 - u[j]
+        weight[gam] = w
+        posterior[gam] = pm / (pm + pu)
+    return {"m": m, "u": u, "pi": pi, "posterior": posterior, "weight": weight}

@@ -1518,3 +1518,60 @@ FROM scored ORDER BY _score DESC, value LIMIT 1
 
 QUERIES["dp_noisy_median"] = dp_noisy_median
 ORACLES["dp_noisy_median"] = DP_MEDIAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (EM-fitted m/u weights)
+# ---------------------------------------------------------------------------
+
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, the step after ``er_fuzzy_parts``'s
+    deterministic distance gate: Fellegi-Sunter (1969) match weights
+    with m/u probabilities fitted by EM (Winkler 1988) on agreement
+    patterns. Candidate pairs come from p_brand blocks; the comparison
+    vector is (p_type equal, p_size equal, first name-token equal).
+
+    Scale split (operators/linkage.py): the DISTRIBUTED part reduces
+    all candidate pairs to <= 2^3 pattern-count rows in one map-side-
+    combinable aggregation — the mixture model's complete sufficient
+    statistic; the EM fit is driver algebra over those 8 rows, zero
+    Spark jobs, so inference costs the same at 100 TB as at 100 MB.
+    Deterministic (integer counts, fixed init/iterations) → pinned
+    VALUES golden. Output: one row per pattern with its pair count,
+    log2 match weight, and posterior match probability."""
+    from csdid_pyspark_spark.operators.linkage import (
+        agreement_patterns,
+        fellegi_sunter_em,
+    )
+
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "tok1", F.expr("split_part(p_name, ' ', 1)")
+    )
+    pats = agreement_patterns(
+        p, ["p_brand"], "p_partkey", ["p_type", "p_size", "tok1"]
+    )
+    rows = pats.collect()  # <= 8 rows: result-sized by construction
+    counts = [
+        ((r["a0"], r["a1"], r["a2"]), int(r["n_pairs"])) for r in rows
+    ]
+    fit = fellegi_sunter_em(counts)
+    out = [
+        (
+            int(r["pattern"]),
+            int(r["a0"]),
+            int(r["a1"]),
+            int(r["a2"]),
+            int(r["n_pairs"]),
+            round(fit["weight"][(r["a0"], r["a1"], r["a2"])], 6),
+            round(fit["posterior"][(r["a0"], r["a1"], r["a2"])], 6),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "pattern int, agree_type int, agree_size int, agree_tok int,"
+        " n_pairs bigint, weight double, posterior double",
+    ).orderBy("pattern")
+
+
+QUERIES["er_fellegi_sunter"] = er_fellegi_sunter

@@ -1069,3 +1069,165 @@ FROM cum ORDER BY day
 
 QUERIES["events_group_sequential"] = events_group_sequential
 ORACLES["events_group_sequential"] = GROUP_SEQ_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bayesian A/B readout: exact probability of superiority (Beta-Binomial)
+# ---------------------------------------------------------------------------
+
+_BAYES_CONV_THRESHOLD = 230.0
+
+
+def events_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian two-arm readout for the hash-split experiment: per-user
+    conversion = max event value > threshold, Beta(1,1) priors, and the
+    EXACT probability of superiority
+
+        P(p_B > p_A) = sum_{i=0}^{aB-1} B(aA+i, bA+bB)
+                       / ((bB+i) * B(1+i, bB) * B(aA, bA))
+
+    (Cook's closed form for two Beta posteriors — no Monte Carlo, no
+    normal approximation, so the result is deterministic and
+    oracle-checkable). The frequentist siblings are
+    ``events_welch_ttest`` / ``events_group_sequential``; this is the
+    posterior readout a decision layer consumes directly.
+
+    Scale shape: the ONLY data-scale work is one groupBy(user_id)
+    conversion aggregate + one 2-row arm rollup. The posterior algebra
+    runs on result-sized frames: log-gamma values come from a
+    decimal-exact ``sum(ln j)`` join-aggregate over an
+    n_users-bounded integer grid (no data-scale window, no single-
+    reducer scan), and the ~c_B-term series is summed driver-side in
+    fixed index order. Cross-engine note: ln/exp differ from DuckDB's
+    libm in the last ulp (~1% of arguments on this host, measured);
+    the 6-dp rounding of the output absorbs that — the same contract
+    as the TF-IDF/BM25 oracles."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        (F.max("value") > F.lit(_BAYES_CONV_THRESHOLD)).cast("int").alias("conv")
+    )
+    arms = users.select(_arm().alias("arm"), "conv")
+    row = (
+        arms.groupBy()
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+        )
+        .collect()[0]
+    )
+    n_a, c_a, n_b, c_b = (
+        int(row["n_a"]), int(row["c_a"]), int(row["n_b"]), int(row["c_b"]),
+    )
+    if min(n_a, n_b) == 0:
+        raise ValueError("events_bayes_ab: an arm has zero users")
+    a_a, b_a = c_a + 1, n_a - c_a + 1
+    a_b, b_b = c_b + 1, n_b - c_b + 1
+
+    # log-gamma over the needed integer arguments: lnGamma(n) =
+    # sum_{j=2..n-1} ln j, computed as ONE decimal-exact join-aggregate
+    # (arg x {j <= arg-1}) — order-independent, windowless
+    need = {a_a, b_a, a_a + b_a, b_b, b_a + b_b}
+    for i in range(a_b):
+        need.update((a_a + i, 1 + i, 1 + i + b_b, a_a + b_a + b_b + i))
+    nmax = max(need)
+    args_df = spark.createDataFrame([(a,) for a in sorted(need)], "arg int")
+    jr = spark.range(2, max(nmax, 2)).select(
+        F.col("id").alias("j"),
+        F.log(F.col("id").cast("double")).cast("decimal(38,18)").alias("lj"),
+    )
+    lg_rows = (
+        args_df.join(F.broadcast(jr), F.col("j") <= F.col("arg") - 1, "left")
+        .groupBy("arg")
+        .agg(F.sum("lj").alias("c"))
+        .collect()
+    )
+    lgam = {
+        r["arg"]: (float(r["c"]) if r["c"] is not None else 0.0)
+        for r in lg_rows
+    }
+
+    def lnB(x, y):
+        return lgam[x] + lgam[y] - lgam.get(x + y, 0.0)
+
+    # fixed-order driver sum over the c_B+1 exact series terms
+    ln_b_aa = lnB(a_a, b_a)
+    p = 0.0
+    for i in range(a_b):
+        lnt = (
+            lnB(a_a + i, b_a + b_b)
+            - math.log(b_b + i)
+            - lnB(1 + i, b_b)
+            - ln_b_aa
+        )
+        p += math.exp(lnt)
+    post_a = a_a / (a_a + b_a)
+    post_b = a_b / (a_b + b_b)
+    return spark.createDataFrame(
+        [(n_a, c_a, n_b, c_b, round(post_a, 6), round(post_b, 6), round(p, 6))],
+        "n_a bigint, c_a bigint, n_b bigint, c_b bigint,"
+        " post_mean_a double, post_mean_b double, prob_b_beats_a double",
+    )
+
+
+BAYES_AB_SQL = f"""
+WITH users AS (
+  SELECT user_id, CAST(MAX(value) > {_BAYES_CONV_THRESHOLD} AS INT) AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (SELECT {_ARM_SQL} AS arm, conv FROM users),
+par0 AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS c_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c_b
+  FROM arms
+),
+par AS (
+  SELECT n_a, c_a, n_b, c_b,
+         c_a + 1 AS aa, n_a - c_a + 1 AS ba,
+         c_b + 1 AS ab, n_b - c_b + 1 AS bb
+  FROM par0
+),
+js AS (
+  -- constant-bound series (DuckDB's generate_series takes no
+  -- subquery), filtered to the data-derived argument ceiling
+  SELECT j, CAST(ln(CAST(j AS DOUBLE)) AS DECIMAL(38,18)) AS lj
+  FROM generate_series(1, 4000000) t(j)
+  WHERE j <= (SELECT CAST(aa + ba + bb + ab AS BIGINT) FROM par)
+),
+lg0 AS (
+  SELECT j + 1 AS n,
+         CAST(SUM(lj) OVER (ORDER BY j
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS c
+  FROM js
+),
+lg AS (SELECT 1 AS n, 0.0 AS c UNION ALL SELECT n, c FROM lg0),
+terms AS (
+  SELECT i,
+    exp(
+      ((SELECT c FROM lg WHERE n = p.aa + i)
+        + (SELECT c FROM lg WHERE n = p.ba + p.bb)
+        - (SELECT c FROM lg WHERE n = p.aa + p.ba + p.bb + i))
+      - ln(CAST(p.bb + i AS DOUBLE))
+      - ((SELECT c FROM lg WHERE n = 1 + i)
+        + (SELECT c FROM lg WHERE n = p.bb)
+        - (SELECT c FROM lg WHERE n = 1 + i + p.bb))
+      - ((SELECT c FROM lg WHERE n = p.aa)
+        + (SELECT c FROM lg WHERE n = p.ba)
+        - (SELECT c FROM lg WHERE n = p.aa + p.ba))
+    ) AS t
+  FROM par p, generate_series(0, 4000000) s(i)
+  WHERE i <= p.ab - 1
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+       ROUND(CAST(aa AS DOUBLE) / (aa + ba), 6) AS post_mean_a,
+       ROUND(CAST(ab AS DOUBLE) / (ab + bb), 6) AS post_mean_b,
+       ROUND((SELECT SUM(t) FROM terms), 6) AS prob_b_beats_a
+FROM par
+"""
+
+QUERIES["events_bayes_ab"] = events_bayes_ab
+ORACLES["events_bayes_ab"] = BAYES_AB_SQL

@@ -1892,6 +1892,114 @@ def run_stats(spark, n_events: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_mcnnm(spark, n_units: int, n_periods: int = 10) -> dict:
+    """MC-NNM rehearsal: a staggered panel with a PLANTED rank-1
+    factor whose loadings differ by cohort — the DGP where plain TWFE
+    imputation is biased and the completion estimator must not be.
+    The unit dimension is the data-scale axis (executor-side
+    synthesis); every iteration is one T x T Gram aggregation + a
+    narrow factor refresh, so iteration wall should be flat in
+    n_units up to scan cost and driver memory flat. Evidence:
+    att_overall ~ tau (=2.0), per-iteration seconds, flat RSS."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    T = n_periods
+    t = spark.range(1, T + 1).select(F.col("id").alias("period"))
+    units = (
+        spark.range(1, n_units + 1)
+        .select("id", F.pmod(F.xxhash64("id", F.lit("g")), 4).alias("gsel"))
+        .select(
+            "id",
+            F.when(F.col("gsel") < 2, 0)
+            .otherwise((T - 3 + F.col("gsel") - 2).cast("int"))
+            .alias("g"),
+            (F.pmod(F.xxhash64("id", F.lit("a")), 1000) / 100.0).alias("fe"),
+            ((F.pmod(F.xxhash64("id", F.lit("l")), 200) - 100) / 50.0).alias("lam"),
+        )
+    )
+    panel = units.crossJoin(t).select(
+        "id",
+        F.col("period").cast("int").alias("period"),
+        "g",
+        (
+            F.col("fe")
+            + 0.3 * F.col("period")
+            + F.col("lam") * F.sin(F.col("period").cast("double"))
+            + F.when(
+                (F.col("g") > 0) & (F.col("period") >= F.col("g")), 2.0
+            ).otherwise(0.0)
+            + F.pmod(F.xxhash64("id", "period"), 100) / 1000.0
+        ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    res = mc_nnm(panel, shrink_frac=0.5, iters=12)
+    wall = round(time.perf_counter() - t0, 1)
+    return {
+        "metric": "stress_mcnnm",
+        "units": n_units,
+        "panel_rows": n_units * T,
+        "periods": T,
+        "iters": 12,
+        "fit_sec": wall,
+        "sec_per_iter": round(wall / 13.0, 2),
+        "att_overall": round(res["att_overall"], 4),
+        "att_abs_error": round(abs(res["att_overall"] - 2.0), 4),
+        "rank": res["rank"],
+        **_driver_memory(),
+    }
+
+
+def run_fs(spark, n_rows: int, n_blocks: int | None = None) -> dict:
+    """Fellegi-Sunter rehearsal: n_rows catalog records in bounded
+    blocks with planted duplicate pairs (same type/size/token as the
+    original ~10%% of the time per field for non-dupes, always for
+    dupes). The distributed reduction must shrink all candidate pairs
+    to <= 8 pattern counts in one agg; EM is driver-side. Evidence:
+    pattern-agg wall, EM wall ~0, posterior(111) >> posterior(000),
+    flat driver memory."""
+    from csdid_pyspark_spark.operators.linkage import (
+        agreement_patterns,
+        fellegi_sunter_em,
+    )
+
+    n_blocks = n_blocks or max(n_rows // 40, 1)
+    rec = spark.range(n_rows).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id", F.lit("b")), n_blocks).alias("blk"),
+        # ~5%% of rows are near-duplicates of a base record: they copy
+        # its fields; the rest draw fields independently
+        (F.pmod(F.xxhash64("id", F.lit("d")), 20) == 0).alias("dup"),
+    ).select(
+        "id",
+        "blk",
+        F.when(F.col("dup"), F.lit(0)).otherwise(F.pmod(F.xxhash64("id", F.lit("t")), 8)).alias("f_type"),
+        F.when(F.col("dup"), F.lit(0)).otherwise(F.pmod(F.xxhash64("id", F.lit("s")), 30)).alias("f_size"),
+        F.when(F.col("dup"), F.lit(0)).otherwise(F.pmod(F.xxhash64("id", F.lit("k")), 50)).alias("f_tok"),
+    )
+    t0 = time.perf_counter()
+    pats = agreement_patterns(
+        rec, ["blk"], "id", ["f_type", "f_size", "f_tok"], max_block=200
+    ).collect()
+    agg_sec = round(time.perf_counter() - t0, 1)
+    counts = [((r["a0"], r["a1"], r["a2"]), int(r["n_pairs"])) for r in pats]
+    t1 = time.perf_counter()
+    fit = fellegi_sunter_em(counts)
+    em_sec = round(time.perf_counter() - t1, 3)
+    return {
+        "metric": "stress_fs",
+        "rows": n_rows,
+        "blocks": n_blocks,
+        "candidate_pairs": int(sum(n for _, n in counts)),
+        "patterns": len(counts),
+        "agg_sec": agg_sec,
+        "em_sec": em_sec,
+        "posterior_111": round(fit["posterior"].get((1, 1, 1), 0.0), 4),
+        "posterior_000": round(fit["posterior"].get((0, 0, 0), 0.0), 4),
+        "pi": round(fit["pi"], 4),
+        **_driver_memory(),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "panel"
@@ -1899,7 +2007,7 @@ def main() -> None:
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
-        "bjs", "dsir", "lpa", "etwfe", "bjsse",
+        "bjs", "dsir", "lpa", "etwfe", "bjsse", "mcnnm", "fs",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -1955,6 +2063,12 @@ def main() -> None:
     elif mode == "bjsse":
         n_units = int(args[0]) if args else 200_000
         out = run_bjs(spark, n_units, with_se=True)
+    elif mode == "mcnnm":
+        n_units = int(args[0]) if args else 1_000_000
+        out = run_mcnnm(spark, n_units)
+    elif mode == "fs":
+        n_rows = int(args[0]) if args else 2_000_000
+        out = run_fs(spark, n_rows)
     elif mode == "cdc":
         n_ops = int(args[0]) if args else 50_000_000
         out = run_cdc(spark, n_ops)

@@ -227,3 +227,38 @@ def test_group_sequential_obf_boundary_shape(spark, sf_dir):
     for r in rows:
         assert r["crossed"] == (abs(r["z"]) > r["boundary"]), r
         assert r["look"] <= last["look"]
+
+
+def test_bayes_ab_matches_numeric_integration(spark, sf_dir):
+    """The Cook closed-form series must agree with a brute-force
+    numeric integration of P(p_B > p_A) = ∫ pdf_B(x)·CDF_A(x) dx from
+    the SAME posterior parameters — an independent recompute sharing
+    no code with the query (trapezoid on a 2e6-point grid is accurate
+    far past the 6-dp output rounding). Also pins the invariants:
+    posterior means match the counts, both engines' monotone bound
+    P in [0, 1]."""
+    import numpy as np
+    from math import lgamma
+
+    row = stats_ext.events_bayes_ab(spark, sf_dir).collect()[0]
+    n_a, c_a, n_b, c_b = row["n_a"], row["c_a"], row["n_b"], row["c_b"]
+    assert 0 < n_a and 0 < n_b
+    aa, ba = c_a + 1, n_a - c_a + 1
+    ab, bb = c_b + 1, n_b - c_b + 1
+    assert row["post_mean_a"] == round(aa / (aa + ba), 6)
+    assert row["post_mean_b"] == round(ab / (ab + bb), 6)
+
+    x = np.linspace(1e-9, 1 - 1e-9, 2_000_001)
+
+    def logpdf(a, b):
+        return (
+            (a - 1) * np.log(x)
+            + (b - 1) * np.log(1 - x)
+            - (lgamma(a) + lgamma(b) - lgamma(a + b))
+        )
+
+    pdf_b = np.exp(logpdf(ab, bb))
+    cdf_a = np.cumsum(np.exp(logpdf(aa, ba))) * (x[1] - x[0])
+    want = float(np.trapz(pdf_b * cdf_a, x))
+    assert abs(row["prob_b_beats_a"] - want) < 5e-6, (row, want)
+    assert 0.0 <= row["prob_b_beats_a"] <= 1.0

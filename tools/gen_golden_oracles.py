@@ -71,6 +71,13 @@ GOLDEN_NAMES = (
     # learned-merge tokenizer application: deterministic via the
     # trainer's (count desc, pair asc) tiebreak, not SQL-expressible
     "bpe_encode_stats",
+    # Frank-Wolfe + driver ridge solve: deterministic, not SQL
+    "did_synth_augmented",
+    # fixed-iteration soft-impute with decimal-exact Grams and
+    # sign-fixed eigenvectors: deterministic, not SQL
+    "did_mc_nnm",
+    # EM mixture fit on integer pattern counts: deterministic, not SQL
+    "er_fellegi_sunter",
 )
 
 _DUCK_TYPES = {
@@ -107,7 +114,10 @@ def values_oracle(df) -> str:
     DuckDB's literal-type unification."""
     cols = df.columns
     dtypes = dict(df.dtypes)
-    rows = sorted(tuple(r) for r in df.collect())
+    rows = sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda row: tuple((x is None, str(type(x)), x) for x in row),
+    )
     if not rows:
         raise ValueError("refusing to pin an empty result")
     body = ",\n  ".join("(" + ", ".join(_lit(v) for v in row) + ")" for row in rows)
