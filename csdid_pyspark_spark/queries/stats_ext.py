@@ -1078,6 +1078,36 @@ ORACLES["events_group_sequential"] = GROUP_SEQ_SQL
 _BAYES_CONV_THRESHOLD = 230.0
 
 
+def beta_prob_superiority(a_a, b_a, a_b, b_b, lgam=None) -> float:
+    """P(p_B > p_A) for p_A ~ Beta(a_a, b_a), p_B ~ Beta(a_b, b_b) with
+    INTEGER parameters — Cook's exact finite series, summed in fixed
+    index order (deterministic). ``lgam`` maps integer n -> lnGamma(n);
+    when omitted, ``math.lgamma`` is used — the Spark query passes the
+    decimal-exact sum(ln j) table instead, and the hypothesis test pins
+    the two sources against each other."""
+    if lgam is None:
+        def lg(n):
+            return math.lgamma(n)
+    else:
+        def lg(n):
+            return lgam[n]
+
+    def lnB(x, y):
+        return lg(x) + lg(y) - lg(x + y)
+
+    ln_b_aa = lnB(a_a, b_a)
+    p = 0.0
+    for i in range(a_b):
+        lnt = (
+            lnB(a_a + i, b_a + b_b)
+            - math.log(b_b + i)
+            - lnB(1 + i, b_b)
+            - ln_b_aa
+        )
+        p += math.exp(lnt)
+    return p
+
+
 def events_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bayesian two-arm readout for the hash-split experiment: per-user
     conversion = max event value > threshold, Beta(1,1) priors, and the
@@ -1147,21 +1177,7 @@ def events_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["arg"]: (float(r["c"]) if r["c"] is not None else 0.0)
         for r in lg_rows
     }
-
-    def lnB(x, y):
-        return lgam[x] + lgam[y] - lgam.get(x + y, 0.0)
-
-    # fixed-order driver sum over the c_B+1 exact series terms
-    ln_b_aa = lnB(a_a, b_a)
-    p = 0.0
-    for i in range(a_b):
-        lnt = (
-            lnB(a_a + i, b_a + b_b)
-            - math.log(b_b + i)
-            - lnB(1 + i, b_b)
-            - ln_b_aa
-        )
-        p += math.exp(lnt)
+    p = beta_prob_superiority(a_a, b_a, a_b, b_b, lgam)
     post_a = a_a / (a_a + b_a)
     post_b = a_b / (a_b + b_b)
     return spark.createDataFrame(

@@ -262,3 +262,31 @@ def test_bayes_ab_matches_numeric_integration(spark, sf_dir):
     want = float(np.trapz(pdf_b * cdf_a, x))
     assert abs(row["prob_b_beats_a"] - want) < 5e-6, (row, want)
     assert 0.0 <= row["prob_b_beats_a"] <= 1.0
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_beta_prob_superiority_identities(seed):
+    """Series-form identities that would each break under an indexing
+    or Beta-argument mistake: complement symmetry P(B>A)+P(A>B)=1
+    (ties have measure zero), exact 0.5 on identical posteriors, and
+    monotonicity in B's conversion count."""
+    import random
+
+    from csdid_pyspark_spark.queries.stats_ext import beta_prob_superiority
+
+    rng = random.Random(seed)
+    for _ in range(25):
+        n_a, n_b = rng.randint(1, 120), rng.randint(1, 120)
+        c_a, c_b = rng.randint(0, n_a), rng.randint(0, n_b)
+        aa, ba = c_a + 1, n_a - c_a + 1
+        ab, bb = c_b + 1, n_b - c_b + 1
+        p = beta_prob_superiority(aa, ba, ab, bb)
+        q = beta_prob_superiority(ab, bb, aa, ba)
+        assert 0.0 <= p <= 1.0 + 1e-12
+        assert abs(p + q - 1.0) < 1e-9, (aa, ba, ab, bb, p, q)
+    assert abs(beta_prob_superiority(5, 9, 5, 9) - 0.5) < 1e-12
+    inc = [
+        beta_prob_superiority(3, 11, c + 1, 12 - c, None)
+        for c in range(0, 12)
+    ]
+    assert all(x < y for x, y in zip(inc, inc[1:]))
