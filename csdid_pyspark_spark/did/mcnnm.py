@@ -110,11 +110,41 @@ def mc_nnm(
     T = len(periods)
     if T < 2:
         raise ValueError(f"mc_nnm: {T} period(s) observed; need >= 2")
+    # integrity guard, ONE panel pass: duplicate (id, t) observations
+    # would make the pivot cell partition-order-dependent (breaking the
+    # bit-determinism contract), and a unit with two g values would
+    # silently split into two rows — both raise instead
+    chk = (
+        p.groupBy("id")
+        .agg(
+            F.count("*").alias("nr"),
+            F.count_distinct("t").alias("nt"),
+            F.count_distinct("g").alias("ng"),
+        )
+        .filter((F.col("nr") > F.col("nt")) | (F.col("ng") > 1))
+        .limit(1)
+        .collect()
+    )
+    if chk:
+        r = chk[0]
+        raise ValueError(
+            f"mc_nnm: unit {r['id']!r} has "
+            + (
+                "multiple g values"
+                if r["ng"] > 1
+                else "duplicate (id, period) observations"
+            )
+            + " — aggregate the panel to one row per (unit, period, "
+            "cohort) upstream"
+        )
     ycols = [f"y{i}" for i in range(T)]
     wide = (
         p.groupBy("id", "g")
         .pivot("t", periods)
-        .agg(F.first("y"))
+        # max = the single value after the duplicate guard above; a
+        # deterministic reducer keeps the golden contract honest even
+        # if the guard is ever bypassed
+        .agg(F.max("y"))
         .select(
             "id",
             "g",
@@ -131,30 +161,40 @@ def mc_nnm(
         )
 
     n_obs = sum(obs(i).cast("int") for i in range(T))
-    wide = wide.withColumn("_nobs", n_obs)
-    bad = wide.filter(F.col("_nobs") == 0).limit(1).collect()
-    if bad:
+    wide = wide.withColumn("_nobs", n_obs).withColumn(
+        "a", F.array(*[F.lit(0.0) for _ in range(T)])
+    )
+    # ONE pivot computation before the iterations: persist, then a
+    # single agg both materializes the cache and returns (unit count,
+    # zero-observed-cell count) — the guard and the row count no longer
+    # each pay their own pivot pass
+    wide = wide.persist()
+    row0 = wide.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("_nobs") == 0).cast("long")).alias("nbad"),
+    ).collect()[0]
+    n_units = int(row0["n"])
+    if row0["nbad"]:
+        bad = wide.filter(F.col("_nobs") == 0).limit(1).collect()
         raise ValueError(
             f"mc_nnm: unit {bad[0]['id']!r} has zero observed (untreated, "
             "non-null) cells — its fixed effect is unidentified; drop such "
             "units upstream"
         )
-    from csdid_pyspark_spark.cache import persist_rightsized
-
-    # the zero-obs guard above already ran one pass; count the units so
-    # the iteration frame is right-sized. Unlike a scan-once cache this
-    # frame is re-aggregated iters+1 times with decimal-heavy CPU work,
-    # so partitions target CORES (2 waves over default parallelism, 20k
-    # rows minimum) rather than the scan-oriented rows-per-partition
-    # default — at small SF that still collapses the per-iteration jobs
-    # to single-task jobs, at rehearsal scale it keeps every core busy.
-    n_units = wide.count()
+    # iteration frame partitioning targets CORES (2 waves over default
+    # parallelism, 20k rows minimum) rather than the scan-oriented
+    # rows-per-partition default: this frame is re-aggregated iters+1
+    # times with decimal-heavy CPU work. The coalesce reads the cache
+    # just materialized (no recompute, no shuffle); the oversized raw
+    # cache is dropped once the compact copy materializes (dropq).
     par = wide.sparkSession.sparkContext.defaultParallelism
-    wide, _ = persist_rightsized(
-        wide.withColumn("a", F.array(*[F.lit(0.0) for _ in range(T)])),
-        target_rows=max(20_000, n_units // max(2 * par, 1)),
-        known_rows=n_units,
-    )
+    target = max(20_000, n_units // max(2 * par, 1))
+    raw = None
+    npart = max(1, -(-n_units // target))
+    if npart < wide.rdd.getNumPartitions():
+        raw = wide
+        wide = wide.coalesce(npart)
+        wide.persist()
 
     beta = [0.0] * T
     V = np.zeros((T, T))
@@ -210,10 +250,27 @@ def mc_nnm(
         )
 
     cur = wide
+    dropq = raw  # oversized raw cache, dropped after the first agg
     proj = None
     for it in range(iters + 1):
         bl = [float(b) for b in beta]
-        proj = project(cur, bl, V, first=(it == 0))
+        # checkpoint the PROJECTION (lazy; materialized by the agg
+        # below): both this pass's Gram agg and the next pass's factor
+        # refresh + projection then read the STORED _al/_l/_m blocks,
+        # so the heavy expression trees evaluate exactly ONCE per
+        # iteration (checkpointing the narrow factor frame instead
+        # made every projection run twice — once for the agg, again
+        # when the next iteration materialized the refresh).
+        # localCheckpoint is the ONLY correct lineage cut here: a plain
+        # persist leaves the LOGICAL plan intact, and CollapseProject
+        # then inlines every iteration's projection into an
+        # exponentially growing expression tree — measured as a JVM
+        # heap OOM just RENDERING the cache name by iteration ~20. The
+        # checkpoint's LogicalRDD truncates the plan for real; its
+        # blocks are reclaimed by the ContextCleaner on GC.
+        proj = project(cur, bl, V, first=(it == 0)).localCheckpoint(
+            eager=False
+        )
         aggs = []
         for i in range(T):
             aggs.append(
@@ -233,6 +290,11 @@ def mc_nnm(
                     )
                 )
         row = proj.agg(*aggs).collect()[0]
+        if dropq is not None:
+            # the agg materialized this pass's checkpoint; the
+            # oversized pre-coalesce cache is no longer reachable
+            dropq.unpersist(blocking=False)
+            dropq = None
         gram = np.empty((T, T))
         for i in range(T):
             for j in range(i, T):
@@ -260,17 +322,10 @@ def mc_nnm(
             )
             + ") AS a"
         )
-        # localCheckpoint (lazy; materialized by the next pass's agg)
-        # is the ONLY correct lineage cut here: a plain persist leaves
-        # the LOGICAL plan intact, and CollapseProject then inlines
-        # every iteration's projection into an exponentially growing
-        # expression tree — measured as a JVM heap OOM just RENDERING
-        # the cache name by iteration ~20. The checkpoint's LogicalRDD
-        # truncates the plan for real; its blocks are reclaimed by the
-        # ContextCleaner on GC.
-        cur = proj.selectExpr(
-            "id", "g", *ycols, "_nobs", newa
-        ).localCheckpoint(eager=False)
+        # narrow select over the stored projection — no checkpoint
+        # needed: the next pass's projection sits a bounded 3 plan
+        # layers above proj's LogicalRDD
+        cur = proj.selectExpr("id", "g", *ycols, "_nobs", newa)
 
     # final readout: event-time means of y - (alpha + beta + L) on
     # treated, non-null cells, from the LAST projection (its _al/_l

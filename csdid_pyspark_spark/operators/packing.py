@@ -273,6 +273,7 @@ def global_rank_cumsum(
     rank_col: str = "rn",
     cum_col: str = "cum",
     num_partitions: int | None = None,
+    val_type: str = "decimal(30,6)",
 ) -> RankCumsum:
     """Global rank AND inclusive running total of ``val_col`` in
     ``order_cols`` order — the Pareto/Lorenz-curve primitive ("how many
@@ -287,8 +288,12 @@ def global_rank_cumsum(
     output; descending orders: pre-negate into a column. Returns a
     :class:`RankCumsum` — the ranked DataFrame plus (row count, exact
     decimal grand total) from the same light pass, so Pareto-style
-    consumers never re-scan the input lineage for totals."""
-    o = df.withColumn("_v", F.col(val_col).cast("decimal(30,6)"))
+    consumers never re-scan the input lineage for totals.
+
+    ``val_type`` sets the accumulation decimal (default
+    ``decimal(30,6)`` — counts/amounts); log-space accumulators pass
+    ``decimal(38,18)`` so prefix sums keep full double precision."""
+    o = df.withColumn("_v", F.col(val_col).cast(val_type))
     n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
     part = (
         o.repartitionByRange(n, *order_cols)
@@ -309,7 +314,7 @@ def global_rank_cumsum(
         s_acc += stats[pid][1] or Decimal(0)
     spark = df.sparkSession
     base_df = F.broadcast(
-        spark.createDataFrame(bases, "_pid int, _cbase bigint, _sbase decimal(30,6)")
+        spark.createDataFrame(bases, f"_pid int, _cbase bigint, _sbase {val_type}")
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -318,7 +323,7 @@ def global_rank_cumsum(
         .withColumn(rank_col, (F.row_number().over(w) + F.col("_cbase")).cast("bigint"))
         .withColumn(
             cum_col,
-            (F.sum("_v").over(wsum) + F.col("_sbase")).cast("decimal(30,6)"),
+            (F.sum("_v").over(wsum) + F.col("_sbase")).cast(val_type),
         )
         .drop("_pid", "_cbase", "_sbase", "_v"),
         part,

@@ -1524,12 +1524,19 @@ ORACLES["dp_noisy_median"] = DP_MEDIAN_SQL
 # Fellegi-Sunter probabilistic record linkage (EM-fitted m/u weights)
 # ---------------------------------------------------------------------------
 
+ER_FS_MAX_BLOCK = 1000
+
+
 def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic record linkage, the step after ``er_fuzzy_parts``'s
     deterministic distance gate: Fellegi-Sunter (1969) match weights
     with m/u probabilities fitted by EM (Winkler 1988) on agreement
-    patterns. Candidate pairs come from p_brand blocks; the comparison
-    vector is (p_type equal, p_size equal, first name-token equal).
+    patterns. Candidate pairs come from (p_brand, first name-token)
+    blocks — the SAME compound key ``er_fuzzy_parts`` uses so blocks
+    stay bounded, with the ``max_block`` skew guard dropping any
+    degenerate block outright rather than letting one key go quadratic
+    (non-binding at the oracle scale). The comparison vector is
+    (p_type equal, p_size equal, retail-price band equal).
 
     Scale split (operators/linkage.py): the DISTRIBUTED part reduces
     all candidate pairs to <= 2^3 pattern-count rows in one map-side-
@@ -1544,11 +1551,17 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         fellegi_sunter_em,
     )
 
-    p = load_table(spark, sf_dir, "part").withColumn(
-        "tok1", F.expr("split_part(p_name, ' ', 1)")
+    p = load_table(spark, sf_dir, "part").select(
+        "*",
+        F.expr("split_part(p_name, ' ', 1)").alias("tok1"),
+        F.expr("CAST(p_retailprice / 25 AS INT)").alias("price_band"),
     )
     pats = agreement_patterns(
-        p, ["p_brand"], "p_partkey", ["p_type", "p_size", "tok1"]
+        p,
+        ["p_brand", "tok1"],
+        "p_partkey",
+        ["p_type", "p_size", "price_band"],
+        max_block=ER_FS_MAX_BLOCK,
     )
     rows = pats.collect()  # <= 8 rows: result-sized by construction
     counts = [
@@ -1569,7 +1582,7 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         out,
-        "pattern int, agree_type int, agree_size int, agree_tok int,"
+        "pattern int, agree_type int, agree_size int, agree_band int,"
         " n_pairs bigint, weight double, posterior double",
     ).orderBy("pattern")
 

@@ -1122,16 +1122,16 @@ def events_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events_welch_ttest`` / ``events_group_sequential``; this is the
     posterior readout a decision layer consumes directly.
 
-    Scale shape: the ONLY data-scale work is one groupBy(user_id)
-    conversion aggregate + one 2-row arm rollup. The posterior algebra
-    runs on result-sized frames: log-gamma values come from a
-    decimal-exact ``sum(ln j)`` join-aggregate over an
-    n_users-bounded integer grid (no data-scale window, no single-
-    reducer scan), and the ~c_B-term series is summed driver-side in
-    fixed index order. Cross-engine note: ln/exp differ from DuckDB's
-    libm in the last ulp (~1% of arguments on this host, measured);
-    the 6-dp rounding of the output absorbs that — the same contract
-    as the TF-IDF/BM25 oracles."""
+    Scale shape: one groupBy(user_id) conversion aggregate + one 2-row
+    arm rollup are the data-scale passes; the series itself is LINEAR
+    in the arm sizes via the term recurrence t_{i+1}/t_i (a ratio of
+    six integers) — ln t_0 is one decimal-exact aggregation over an
+    integer range and the log-term prefix runs through the two-phase
+    distributed scan (no data-scale window, no single-reducer scan, no
+    O(terms x n) log-gamma lookup join). Cross-engine note: ln/exp
+    differ from DuckDB's libm in the last ulp (~1% of arguments on
+    this host, measured); the 6-dp rounding of the output absorbs
+    that — the same contract as the TF-IDF/BM25 oracles."""
     e = load_table(spark, sf_dir, "events")
     users = e.groupBy("user_id").agg(
         (F.max("value") > F.lit(_BAYES_CONV_THRESHOLD)).cast("int").alias("conv")
@@ -1155,29 +1155,66 @@ def events_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_a, b_a = c_a + 1, n_a - c_a + 1
     a_b, b_b = c_b + 1, n_b - c_b + 1
 
-    # log-gamma over the needed integer arguments: lnGamma(n) =
-    # sum_{j=2..n-1} ln j, computed as ONE decimal-exact join-aggregate
-    # (arg x {j <= arg-1}) — order-independent, windowless
-    need = {a_a, b_a, a_a + b_a, b_b, b_a + b_b}
-    for i in range(a_b):
-        need.update((a_a + i, 1 + i, 1 + i + b_b, a_a + b_a + b_b + i))
-    nmax = max(need)
-    args_df = spark.createDataFrame([(a,) for a in sorted(need)], "arg int")
-    jr = spark.range(2, max(nmax, 2)).select(
-        F.col("id").alias("j"),
-        F.log(F.col("id").cast("double")).cast("decimal(38,18)").alias("lj"),
+    # Series in RECURRENCE form — everything LINEAR in the arm sizes
+    # (the direct per-term log-gamma lookup needed a j<=arg-1 range
+    # join: O(c_B * n_users) predicate pairs, quadratic at scale):
+    #
+    #   ln t_0 = sum_{j=b_a}^{b_a+b_b-1} ln j
+    #          - sum_{j=a_a+b_a}^{a_a+b_a+b_b-1} ln j
+    #   D_i    = ln t_{i+1} - ln t_i
+    #          = ln(a_a+i) - ln(a_a+b_a+b_b+i)
+    #          + ln(b_b+i) - ln(b_b+i+1) - ln(1+i) + ln(1+i+b_b)
+    #   P      = sum_i exp(ln t_0 + prefix(D))
+    #
+    # ln t_0 is ONE decimal-exact aggregation over an integer range;
+    # the D prefix runs through the two-phase distributed scan
+    # (operators/packing.py::global_rank_cumsum at decimal(38,18) —
+    # no single-reducer window), so both stay windowless and
+    # map-side-combinable no matter how many conversions arm B has.
+    lnt0_df = spark.range(min(b_a, a_a + b_a), a_a + b_a + b_b).select(
+        (
+            F.when(
+                (F.col("id") >= b_a) & (F.col("id") < b_a + b_b), 1
+            ).otherwise(0)
+            - F.when(F.col("id") >= a_a + b_a, 1).otherwise(0)
+        ).cast("double").alias("sgn"),
+        F.log(F.col("id").cast("double")).alias("lj"),
     )
-    lg_rows = (
-        args_df.join(F.broadcast(jr), F.col("j") <= F.col("arg") - 1, "left")
-        .groupBy("arg")
-        .agg(F.sum("lj").alias("c"))
-        .collect()
+    lnt0 = float(
+        lnt0_df.agg(
+            F.sum((F.col("sgn") * F.col("lj")).cast("decimal(38,18)")).alias("v")
+        ).collect()[0]["v"]
     )
-    lgam = {
-        r["arg"]: (float(r["c"]) if r["c"] is not None else 0.0)
-        for r in lg_rows
-    }
-    p = beta_prob_superiority(a_a, b_a, a_b, b_b, lgam)
+    p = math.exp(lnt0)
+    if a_b > 1:
+        from csdid_pyspark_spark.cache import release_cache
+        from csdid_pyspark_spark.operators.packing import global_rank_cumsum
+
+        deltas = spark.range(0, a_b - 1).select(
+            F.col("id").alias("i"),
+            (
+                F.log((F.col("id") + a_a).cast("double"))
+                - F.log((F.col("id") + a_a + b_a + b_b).cast("double"))
+                + F.log((F.col("id") + b_b).cast("double"))
+                - F.log((F.col("id") + b_b + 1).cast("double"))
+                - F.log((F.col("id") + 1).cast("double"))
+                + F.log((F.col("id") + 1 + b_b).cast("double"))
+            ).alias("d"),
+        )
+        ranked = global_rank_cumsum(
+            deltas, ["i"], "d", val_type="decimal(38,18)"
+        )
+        rest = (
+            ranked.df.agg(
+                F.sum(
+                    F.exp(F.lit(lnt0) + F.col("cum").cast("double")).cast(
+                        "decimal(38,18)"
+                    )
+                ).alias("v")
+            ).collect()[0]["v"]
+        )
+        release_cache(ranked.df)
+        p += float(rest)
     post_a = a_a / (a_a + b_a)
     post_b = a_b / (a_b + b_b)
     return spark.createDataFrame(
@@ -1203,45 +1240,47 @@ par0 AS (
 par AS (
   SELECT n_a, c_a, n_b, c_b,
          c_a + 1 AS aa, n_a - c_a + 1 AS ba,
-         c_b + 1 AS ab, n_b - c_b + 1 AS bb
+         c_b + 1 AS ab, n_b - c_b + 1 AS bb,
+         -- the constant generate_series bounds below silently truncate
+         -- past this size: fail LOUDLY instead of understating P
+         CASE WHEN n_a + n_b + 4 > 4000000
+              THEN error('bayes_ab oracle: series bound 4e6 exceeded')
+              ELSE 0 END AS _guard
   FROM par0
 ),
-js AS (
-  -- constant-bound series (DuckDB's generate_series takes no
-  -- subquery), filtered to the data-derived argument ceiling
-  SELECT j, CAST(ln(CAST(j AS DOUBLE)) AS DECIMAL(38,18)) AS lj
-  FROM generate_series(1, 4000000) t(j)
-  WHERE j <= (SELECT CAST(aa + ba + bb + ab AS BIGINT) FROM par)
+lnt0 AS (
+  SELECT CAST(SUM(CAST(
+           (CASE WHEN j >= p.ba AND j < p.ba + p.bb THEN 1 ELSE 0 END
+            - CASE WHEN j >= p.aa + p.ba THEN 1 ELSE 0 END)
+           * ln(CAST(j AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS v
+  FROM par p, generate_series(1, 4000000) t(j)
+  WHERE j >= LEAST(p.ba, p.aa + p.ba) AND j < p.aa + p.ba + p.bb
 ),
-lg0 AS (
-  SELECT j + 1 AS n,
-         CAST(SUM(lj) OVER (ORDER BY j
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS c
-  FROM js
-),
-lg AS (SELECT 1 AS n, 0.0 AS c UNION ALL SELECT n, c FROM lg0),
-terms AS (
+deltas AS (
   SELECT i,
-    exp(
-      ((SELECT c FROM lg WHERE n = p.aa + i)
-        + (SELECT c FROM lg WHERE n = p.ba + p.bb)
-        - (SELECT c FROM lg WHERE n = p.aa + p.ba + p.bb + i))
-      - ln(CAST(p.bb + i AS DOUBLE))
-      - ((SELECT c FROM lg WHERE n = 1 + i)
-        + (SELECT c FROM lg WHERE n = p.bb)
-        - (SELECT c FROM lg WHERE n = 1 + i + p.bb))
-      - ((SELECT c FROM lg WHERE n = p.aa)
-        + (SELECT c FROM lg WHERE n = p.ba)
-        - (SELECT c FROM lg WHERE n = p.aa + p.ba))
-    ) AS t
+         ln(CAST(p.aa + i AS DOUBLE)) - ln(CAST(p.aa + p.ba + p.bb + i AS DOUBLE))
+         + ln(CAST(p.bb + i AS DOUBLE)) - ln(CAST(p.bb + i + 1 AS DOUBLE))
+         - ln(CAST(1 + i AS DOUBLE)) + ln(CAST(1 + i + p.bb AS DOUBLE)) AS d
   FROM par p, generate_series(0, 4000000) s(i)
-  WHERE i <= p.ab - 1
+  WHERE i <= p.ab - 2
+),
+cums AS (
+  SELECT i, CAST(SUM(CAST(d AS DECIMAL(38,18))) OVER (
+    ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS cum
+  FROM deltas
+),
+prob AS (
+  SELECT exp((SELECT v FROM lnt0))
+         + COALESCE((SELECT CAST(SUM(CAST(
+               exp((SELECT v FROM lnt0) + cum) AS DECIMAL(38,18))) AS DOUBLE)
+             FROM cums), 0.0) AS p
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
        ROUND(CAST(aa AS DOUBLE) / (aa + ba), 6) AS post_mean_a,
        ROUND(CAST(ab AS DOUBLE) / (ab + bb), 6) AS post_mean_b,
-       ROUND((SELECT SUM(t) FROM terms), 6) AS prob_b_beats_a
+       ROUND((SELECT p FROM prob), 6) + 0 * _guard AS prob_b_beats_a
 FROM par
 """
 

@@ -1951,12 +1951,14 @@ def run_mcnnm(spark, n_units: int, n_periods: int = 10) -> dict:
 
 def run_fs(spark, n_rows: int, n_blocks: int | None = None) -> dict:
     """Fellegi-Sunter rehearsal: n_rows catalog records in bounded
-    blocks with planted duplicate pairs (same type/size/token as the
-    original ~10%% of the time per field for non-dupes, always for
-    dupes). The distributed reduction must shrink all candidate pairs
-    to <= 8 pattern counts in one agg; EM is driver-side. Evidence:
-    pattern-agg wall, EM wall ~0, posterior(111) >> posterior(000),
-    flat driver memory."""
+    blocks (~40 rows each). ~5% of rows are planted duplicates that all
+    share the constant field triple (0, 0, 0), so duplicate pairs agree
+    on every field; independent rows agree per field with probability
+    1/8, 1/30, 1/50 (type/size/token cardinalities) plus the mass the
+    constant-dupe values add. The distributed reduction must shrink all
+    candidate pairs to <= 8 pattern counts in one agg; EM is driver-
+    side. Evidence: pattern-agg wall, EM wall ~0, posterior(111) >>
+    posterior(000), flat driver memory."""
     from csdid_pyspark_spark.operators.linkage import (
         agreement_patterns,
         fellegi_sunter_em,
