@@ -72,10 +72,14 @@ def _control_factor(panel: DataFrame) -> tuple[list[int], list[float]]:
             f"ife: control group observed in {t} period(s); factor "
             "extraction needs >= 2"
         )
-    wide = ctrl.groupBy("id").pivot("period", periods).agg(F.first("y"))
+    # max = the single value on a valid panel; a deterministic reducer
+    # (F.first is partition-order-dependent under duplicates)
+    wide = ctrl.groupBy("id").pivot("period", periods).agg(F.max("y"))
     cols = [F.count("*").alias("n0")]
     for i, p in enumerate(periods):
         cols.append(F.sum(F.col(str(p)).cast(DEC)).alias(f"s{i}"))
+        # per-period non-null unit count for the balance guard below
+        cols.append(F.count(F.col(str(p))).alias(f"c{i}"))
     for i in range(t):
         for j in range(i, t):
             cols.append(
@@ -90,6 +94,19 @@ def _control_factor(panel: DataFrame) -> tuple[list[int], list[float]]:
     if n0 < 2:
         raise ValueError(
             f"ife: {int(n0)} control unit(s); factor extraction needs >= 2"
+        )
+    # balance guard: the pivot sums SKIP nulls while every moment below
+    # divides by the full unit count n0, so a control unit missing a
+    # period would silently bias the covariance (and the factor, and
+    # every ATT) — raise instead, matching the treated-side n_pre check
+    short = [
+        periods[i] for i in range(t) if int(row[f"c{i}"]) != int(n0)
+    ]
+    if short:
+        raise ValueError(
+            f"ife: control units are missing outcomes in period(s) "
+            f"{short} — factor extraction needs a BALANCED control "
+            "panel (every control unit observed in every period)"
         )
     m = np.array([float(row[f"s{i}"]) for i in range(t)]) / n0
     cov = np.empty((t, t))
@@ -196,13 +213,30 @@ def ife_att(panel: DataFrame) -> DataFrame:
     )
     return (
         tr.filter(F.col("period") >= F.col("g"))
-        .join(lam, "id")
+        # LEFT join + loud raise: an inner join would silently drop a
+        # treated unit with ZERO pre-period rows (it never reaches the
+        # loading fit, so the n_pre guard can't see it) from every ATT
+        .join(lam, "id", "left")
         .join(fdf, F.col("f_period") == F.col("period"))
         .select(
             (F.col("period") - F.col("g")).cast("int").alias("e"),
-            (
+            F.when(
+                F.col("a").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("ife: treated unit "),
+                        F.col("id").cast("string"),
+                        F.lit(
+                            " has no pre-treatment rows — its loading is"
+                            " unidentified; drop such units upstream"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(
                 F.col("y") - (F.col("a") + F.col("lam") * F.col("fval"))
-            ).alias("gap"),
+            )
+            .alias("gap"),
         )
         .groupBy("e")
         .agg(

@@ -162,7 +162,7 @@ def _bjs_core(
         if int(r["n_treated"]) > 0 and int(r["n_t"]) == 0
     ]
     if missing_t:
-        release_cache(um)
+        um.unpersist()
         raise ValueError(
             f"bjs_imputation_frame: treated periods {sorted(missing_t)} "
             "have no untreated observations — lambda_t is unidentified "
@@ -176,12 +176,26 @@ def _bjs_core(
             .distinct()
             .count()
         )
-        release_cache(um)
+        um.unpersist()
         raise ValueError(
             f"bjs_imputation_frame: {n_unanchored} treated unit(s) have "
             "no untreated (pre-treatment) periods — alpha_i is "
             "unidentified for them; BJS requires every treated unit to "
             "be observed untreated at least once."
+        )
+
+    # duplicate-(id, period) guard: uperiods is a SET while n_i counts
+    # rows, so a duplicated untreated observation would silently break
+    # the W_st / alpha_i algebra (deduped pair weights over a row
+    # count) — raise loudly, same convention as mc_nnm's panel guard.
+    # um is already materialized by the stats pass, so this reads cache.
+    dup = um.filter(F.size("uperiods") != F.col("n_i")).limit(1).collect()
+    if dup:
+        um.unpersist()
+        raise ValueError(
+            f"bjs_imputation_frame: unit {dup[0]['id']!r} has duplicate "
+            "(id, period) untreated observations — aggregate the panel "
+            "to one row per (unit, period) upstream"
         )
 
     # -- driver-side (T-1) x (T-1) solve, baseline = earliest period ---
@@ -207,6 +221,7 @@ def _bjs_core(
         try:
             Minv = np.linalg.inv(A)
         except np.linalg.LinAlgError as exc:
+            um.unpersist()
             raise ValueError(
                 "bjs_imputation_frame: the lambda normal equations are "
                 "singular — the untreated observations do not connect "
@@ -334,6 +349,12 @@ def bjs_imputation_se_frame(
     for r in c1_rows:
         n_e[int(r["e"])] = n_e.get(int(r["e"]), 0) + int(r["count"])
     events = sorted(n_e)
+    if not events:
+        um.unpersist()
+        raise ValueError(
+            "bjs_imputation_se_frame: the panel has no treated "
+            "observations — nothing to estimate"
+        )
     T1 = len(est)
     delta = {}
     for e in events:
@@ -350,8 +371,9 @@ def bjs_imputation_se_frame(
     delta_rows = [
         (e, t, float(delta[e][k])) for e in events for t, k in idx.items()
     ]
-    if not delta_rows:
-        delta_rows = []
+    # delta_rows is empty iff T1 == 0 (single-period lambda system);
+    # events is non-empty past the guard above, so the typed filler row
+    # is well-defined and immediately filtered back out
     dtab = spark.createDataFrame(
         delta_rows or [(events[0], base, 0.0)], "e int, s int, dlt double"
     )

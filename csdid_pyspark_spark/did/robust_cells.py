@@ -632,7 +632,10 @@ def twfe_weights_frame(
             F.col(iname).alias("id"),
         )
         .groupBy("g", "period")
-        .agg(F.count("*").alias("n_rows"))
+        # distinct UNITS, as the docstring and the balance-guard
+        # message promise — count(*) would silently weight cells by
+        # row multiplicity on a panel with duplicate (id, period) rows
+        .agg(F.count_distinct("id").alias("n_rows"))
     )
     nt = cells.select(F.countDistinct("period").alias("nt"))
     chk = (

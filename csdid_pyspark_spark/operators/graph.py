@@ -84,9 +84,10 @@ def label_propagation(
     its neighbors' labels, ties broken toward the SMALLEST label. The
     tie-break makes the classic randomized update rule deterministic
     and partition-independent: the vote winner is selected by
-    max_by(label, c * 1e9 - label) — injective while neighbor counts
-    and labels stay below 1e9, so no two (count, label) pairs share a
-    score. Fixed iteration count (synchronous LPA can oscillate on
+    max_by(label, c * 2^62 - label) in EXACT integer arithmetic
+    (decimal(38,0) here, HUGEINT in the oracle) — injective for any
+    count and any label id below 2^62, i.e. every realistic 64-bit
+    document/node id, with no overflow. Fixed iteration count (synchronous LPA can oscillate on
     bipartite structure; a fixed unrolling is reproducible and lets an
     unrolled SQL oracle mirror it exactly).
 
@@ -113,7 +114,9 @@ def label_propagation(
             votes.groupBy("node")
             .agg(
                 F.max_by(
-                    "label", F.col("c") * F.lit(1000000000) - F.col("label")
+                    "label",
+                    F.col("c").cast("decimal(38,0)") * F.lit(2**62)
+                    - F.col("label"),
                 ).alias("label")
             )
             .persist()

@@ -2504,7 +2504,7 @@ def did_twfe_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 DID_TWFE_WEIGHTS_SQL = f"""
 WITH {PANEL_CTE},
 cells AS (
-  SELECT g, period, COUNT(*) AS n_rows FROM panel GROUP BY 1, 2
+  SELECT g, period, COUNT(DISTINCT id) AS n_rows FROM panel GROUP BY 1, 2
 ),
 ng AS (SELECT g, MIN(n_rows) AS n FROM cells GROUP BY g),
 per AS (SELECT DISTINCT period FROM cells),

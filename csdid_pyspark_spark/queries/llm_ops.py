@@ -6007,7 +6007,7 @@ v{k} AS (
   GROUP BY 1, 2
 ),
 l{k} AS (
-  SELECT node, arg_max(label, c * 1000000000 - label) AS label FROM v{k}
+  SELECT node, arg_max(label, CAST(c AS HUGEINT) * 4611686018427387904 - label) AS label FROM v{k}
   GROUP BY node
 )"""
         prev = f"l{k}"

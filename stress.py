@@ -1594,7 +1594,9 @@ def run_lpa(spark, n_nodes: int) -> dict:
     return {
         "metric": "stress_lpa",
         "n_nodes": n_nodes,
-        "n_edges": n_cliques * 10 + max(0, (n_cliques - 1) // 100 + 1) - 1,
+        # bridges: multiples of 100 strictly below n_cliques - 1
+        "n_edges": n_cliques * 10
+        + ((n_cliques - 2) // 100 + 1 if n_cliques >= 2 else 0),
         "community_size_histogram": hist,
         "all_cliques_exact": hist == {5: n_cliques},
         "lpa_sec": lpa_sec,
