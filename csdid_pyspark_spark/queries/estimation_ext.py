@@ -2155,6 +2155,44 @@ def did_synth_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["did_synth_augmented"] = did_synth_augmented
 
 
+def did_synth_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic difference-in-differences (Arkhangelsky, Athey,
+    Hirshberg, Imbens & Wager 2021 AER; did/synth.py::synthetic_did —
+    no counterpart in the reference package): unit weights parallel
+    the donor pool to the treated pre-trend (intercept profiled out,
+    zeta-ridge per the paper), time weights re-weight pre-periods to
+    predict the post window, and the effect is the doubly-weighted
+    2x2 DiD — robust to the level shifts that bias plain SC and the
+    non-parallel pools that bias plain DiD. Same one-aggregation donor
+    pre-screen and O(K·T) driver collect as the SC/ASCM queries.
+    Output: the time-weight profile plus summary rows (att, zeta,
+    pre_rmse). Deterministic Frank-Wolfe → pinned VALUES golden."""
+    from csdid_pyspark_spark.did.synth import synthetic_did
+
+    panel, treated_id, donors = _synth_setup(spark, sf_dir)
+    res = synthetic_did(
+        panel,
+        treated_id=treated_id,
+        t0=_SYNTH_T0,
+        donor_ids=donors,
+        donor_k=25,
+    )
+    rows = [
+        ("lambda", int(t), round(v, 6)) for t, v in sorted(res["lam"].items())
+    ]
+    rows += [
+        ("att", None, round(res["att"], 6)),
+        ("zeta", None, round(res["zeta"], 6)),
+        ("pre_rmse", None, round(res["pre_rmse"], 6)),
+    ]
+    return spark.createDataFrame(
+        rows, "component string, period int, value double"
+    ).orderBy("component", F.col("period").asc_nulls_last())
+
+
+QUERIES["did_synth_did"] = did_synth_did
+
+
 def did_mc_nnm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matrix-completion counterfactual (Athey, Bayati, Doudchenko,
     Imbens & Khosravi 2021; did/mcnnm.py::mc_nnm — no factor/completion

@@ -1314,3 +1314,53 @@ def test_augmented_synthetic_control_extrapolates_outside_hull(spark):
         panel.repartition(13), treated_id=0, t0=t0, donor_k=8, lam=0.1
     )
     assert res2["weights"] == w
+
+
+def test_synthetic_did_immune_to_level_shifts(spark):
+    """SDID signature property (Arkhangelsky et al. 2021): a DGP with
+    two-way structure y = alpha_i + beta_t + tau*D, where the treated
+    unit's LEVEL sits far outside the donor hull. Plain SC cannot match
+    the level (biased); SDID differences it out and recovers tau. Also
+    pins: omega/lambda on the simplex, determinism across partitions."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.synth import synthetic_control, synthetic_did
+
+    rng = np.random.default_rng(5)
+    T, t0, tau = 14, 10, 4.0
+    beta = rng.normal(0, 2, T)
+    rows = []
+    for d in range(1, 13):
+        a = rng.normal(10, 3)
+        for t in range(T):
+            rows.append((d, t, float(a + beta[t] + rng.normal(0, 0.05))))
+    # treated: level FAR above every donor + the same time effects
+    for t in range(T):
+        rows.append((0, t, float(100.0 + beta[t] + (tau if t >= t0 else 0.0)
+                     + rng.normal(0, 0.05))))
+    panel = spark.createDataFrame(rows, "id bigint, period int, y double")
+
+    res = synthetic_did(panel, treated_id=0, t0=t0, donor_k=12)
+    assert abs(res["att"] - tau) < 0.15, res["att"]
+    assert abs(sum(res["omega"].values()) - 1.0) < 1e-9
+    assert abs(sum(res["lam"].values()) - 1.0) < 1e-9
+    assert all(w >= -1e-12 for w in res["omega"].values())
+    assert all(w >= -1e-12 for w in res["lam"].values())
+    # plain SC is materially biased on this DGP (the point of SDID)
+    scm = synthetic_control(panel, treated_id=0, t0=t0, donor_k=12)
+    assert abs(scm["att_post"] - tau) > 10 * abs(res["att"] - tau)
+
+    res2 = synthetic_did(panel.repartition(13), treated_id=0, t0=t0, donor_k=12)
+    assert res2["att"] == res["att"]
+    assert res2["omega"] == res["omega"]
+
+
+def test_synthetic_did_requires_post_periods(spark):
+    import pytest as _pytest
+
+    from csdid_pyspark_spark.did.synth import synthetic_did
+
+    rows = [(d, t, float(d + t)) for d in range(3) for t in range(4)]
+    panel = spark.createDataFrame(rows, "id bigint, period int, y double")
+    with _pytest.raises(ValueError, match="no post-treatment"):
+        synthetic_did(panel, treated_id=0, t0=99)

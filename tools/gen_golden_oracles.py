@@ -78,6 +78,8 @@ GOLDEN_NAMES = (
     "did_mc_nnm",
     # EM mixture fit on integer pattern counts: deterministic, not SQL
     "er_fellegi_sunter",
+    # two Frank-Wolfe weight fits + driver DiD algebra: deterministic
+    "did_synth_did",
 )
 
 _DUCK_TYPES = {
