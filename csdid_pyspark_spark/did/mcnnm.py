@@ -176,6 +176,7 @@ def mc_nnm(
     n_units = int(row0["n"])
     if row0["nbad"]:
         bad = wide.filter(F.col("_nobs") == 0).limit(1).collect()
+        wide.unpersist(blocking=False)
         raise ValueError(
             f"mc_nnm: unit {bad[0]['id']!r} has zero observed (untreated, "
             "non-null) cells — its fixed effect is unidentified; drop such "
@@ -299,10 +300,24 @@ def mc_nnm(
         for i in range(T):
             for j in range(i, T):
                 gram[i, j] = gram[j, i] = float(row[f"g{i}_{j}"])
-        beta = [
-            float(row[f"bs{i}"]) / row[f"bn{i}"] if row[f"bn{i}"] else 0.0
-            for i in range(T)
-        ]
+        # a period with ZERO untreated observations leaves its time FE
+        # unidentified — defaulting beta_t to 0 would leak the unmodeled
+        # time effect into y - y_hat and bias att(e) for that period;
+        # raise loudly instead (the same condition imputation.py's
+        # _bjs_core rejects as "treated periods have no untreated
+        # observations")
+        dead = [periods[i] for i in range(T) if not row[f"bn{i}"]]
+        if dead:
+            wide.unpersist(blocking=False)
+            if dropq is not None:
+                dropq.unpersist(blocking=False)
+            raise ValueError(
+                f"mc_nnm: period(s) {dead} have zero untreated "
+                "observations — their time fixed effects are "
+                "unidentified; add a never-treated cohort or drop those "
+                "periods upstream"
+            )
+        beta = [float(row[f"bs{i}"]) / row[f"bn{i}"] for i in range(T)]
         if lam is None:
             vals = np.linalg.eigvalsh(gram)
             lam = shrink_frac * float(np.sqrt(max(float(vals[-1]), 0.0)))

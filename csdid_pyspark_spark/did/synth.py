@@ -460,12 +460,9 @@ def synthetic_did(
     sigma = float(np.std(diffs, ddof=0)) if diffs.size else 0.0
     zeta = (1.0 * Tpost) ** 0.25 * sigma
 
-    # omega: treated pre on donor pre columns, intercept profiled out
-    # by centering each TIME row across... columns are donors: center
-    # each time period's donor values and the treated value by the
-    # same per-fit means? The intercept enters as + omega0 per period
-    # equation, constant across periods — profile it by centering the
-    # PERIOD dimension (subtract each series' own pre mean).
+    # omega: treated pre on donor pre columns. The intercept omega0 is
+    # constant across periods, so it is profiled out by centering each
+    # series (every donor and the treated) by its own pre-period mean.
     Xo = (Ypre - Ypre.mean(axis=1, keepdims=True)).T  # (Tpre x K)
     yo = ytr_pre - ytr_pre.mean()
     omega = _fw_simplex_reg(Xo, yo, reg=(zeta**2) * Tpre, iters=fw_iters)

@@ -97,7 +97,19 @@ def agreement_patterns(
     The groupBy key space is 2^k (k = len(compare_cols), single
     digits), so the aggregation is map-side-combinable down to a
     handful of rows no matter how many candidate pairs the blocks
-    produce."""
+    produce.
+
+    NULL semantics (deliberate asymmetry): block keys use plain
+    null-REJECTING equality, so a record with a NULL in any
+    ``block_cols`` enters no block and contributes zero candidate
+    pairs — standard blocking behavior (a NULL key identifies no
+    block; pairing all NULL-keyed records against each other would be
+    an accidental cross join). ``compare_cols`` use ``eqNullSafe``
+    (NULL == NULL counts as agreement) because a comparison field
+    missing on BOTH records is evidence-neutral-to-weakly-positive
+    and must not poison the pattern. Callers needing coverage
+    accounting should count ``df.filter(any block col isNull)``
+    upstream; linkage coverage excludes those records."""
     if not compare_cols or len(compare_cols) > 16:
         raise ValueError(
             f"fellegi_sunter: need 1..16 compare columns, got "

@@ -1421,8 +1421,16 @@ def did_dose_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     dy = post.join(base, "id").select(
         "period", "dose", (F.col("y") - F.col("y0")).alias("dy")
     )
+    # decimal accumulation (the repo's determinism contract, same as
+    # did/ife.py): a plain double F.avg has partition-order-dependent
+    # partial sums, which could flip a pinned 6-dp golden for a value
+    # near a rounding boundary across session shapes
     cell = dy.groupBy("period", "dose").agg(
-        F.avg("dy").alias("mdy"), F.count("*").alias("n")
+        (
+            F.sum(F.col("dy").cast("decimal(38,12)")).cast("double")
+            / F.count("*")
+        ).alias("mdy"),
+        F.count("*").alias("n"),
     )
     ctrl = cell.filter(F.col("dose") == 0).select(
         "period", F.col("mdy").alias("mdy0")

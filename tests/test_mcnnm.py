@@ -159,3 +159,23 @@ def test_mcnnm_needs_two_periods(spark):
     )
     with pytest.raises(ValueError, match="period"):
         mc_nnm(panel)
+
+
+def test_mcnnm_unidentified_period_raises(spark):
+    """A calendar period with ZERO untreated observations (no
+    never-treated cohort, every cohort treated by t) has an
+    unidentified time FE; defaulting beta_t = 0 would bias att(e) for
+    that period, so mc_nnm raises instead (mirroring imputation.py's
+    'treated periods have no untreated observations' guard)."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    # cohorts g=2 and g=3 only: periods 3 and 4 have no untreated cell
+    rows = [
+        (u, t, g, float(u + t))
+        for g in (2, 3)
+        for u in range(g * 10, g * 10 + 4)
+        for t in range(1, 5)
+    ]
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    with pytest.raises(ValueError, match="zero untreated observations"):
+        mc_nnm(panel)
