@@ -393,6 +393,53 @@ def _fw_simplex_reg(X, y, reg, iters):
     return w
 
 
+def _sdid_core(y_map, series, donor_list, pre, post, fw_iters, n_tr=1):
+    """Driver-side SDID algebra for ONE (pseudo-)treated series against
+    an in-memory donor list: omega/lambda Frank-Wolfe fits + the
+    doubly-weighted 2x2 DiD. ``n_tr`` enters only through the paper's
+    zeta rule (eq. 5 uses (N_tr * T_post)^(1/4)). Zero Spark jobs."""
+    import numpy as np
+
+    Tpre, Tpost = len(pre), len(post)
+    Ypre = np.array([[series[d][t] for t in pre] for d in donor_list])
+    Ypost_mean = np.array(
+        [np.mean([series[d][t] for t in post]) for d in donor_list]
+    )
+    ytr_pre = np.array([y_map[t] for t in pre])
+    ytr_post = float(np.mean([y_map[t] for t in post]))
+
+    # zeta (eq. 5): sd of donor pre first differences
+    diffs = np.diff(Ypre, axis=1).ravel()
+    sigma = float(np.std(diffs, ddof=0)) if diffs.size else 0.0
+    zeta = (float(n_tr) * Tpost) ** 0.25 * sigma
+
+    # omega: treated pre on donor pre columns. The intercept omega0 is
+    # constant across periods, so it is profiled out by centering each
+    # series (every donor and the treated) by its own pre-period mean.
+    Xo = (Ypre - Ypre.mean(axis=1, keepdims=True)).T  # (Tpre x K)
+    yo = ytr_pre - ytr_pre.mean()
+    omega = _fw_simplex_reg(Xo, yo, reg=(zeta**2) * Tpre, iters=fw_iters)
+
+    # lambda: donor post-means on donor pre columns (Tpre regressors),
+    # intercept profiled by centering each donor's pre row and its
+    # post mean by the same cross-donor means
+    Xl = Ypre - Ypre.mean(axis=0, keepdims=True)  # (K x Tpre)
+    yl = Ypost_mean - Ypost_mean.mean()
+    lam = _fw_simplex_reg(Xl, yl, reg=0.0, iters=fw_iters)
+
+    tau = (ytr_post - float(lam @ ytr_pre)) - float(
+        omega @ (Ypost_mean - Ypre @ lam)
+    )
+    resid = yo - Xo @ omega
+    return {
+        "att": float(tau),
+        "omega": omega,
+        "lam": lam,
+        "zeta": float(zeta),
+        "pre_rmse": float(np.sqrt(np.mean(resid**2))),
+    }
+
+
 def synthetic_did(
     panel: DataFrame,
     treated_id,
@@ -403,6 +450,7 @@ def synthetic_did(
     donor_ids: DataFrame | None = None,
     donor_k: int = 50,
     fw_iters: int = 800,
+    placebo_se: bool = False,
 ) -> dict:
     """Synthetic difference-in-differences (Arkhangelsky, Athey,
     Hirshberg, Imbens & Wager 2021, AER): the estimator that nests both
@@ -437,51 +485,222 @@ def synthetic_did(
 
     Returns ``{"att": tau, "omega": {donor: w}, "lam": {period: w},
     "zeta": zeta, "pre_rmse": weighted pre-fit rmse}``.
-    """
-    import numpy as np
 
-    periods, y_tr, series, donor_list, pre, post = _screen_and_collect(
-        panel, treated_id, t0, yname, tname, idname, donor_ids, donor_k
+    ``placebo_se=True`` adds the paper's placebo variance (§4,
+    Algorithm 4 with N_tr = 1): re-run the whole estimator pretending
+    each screened donor were the treated unit (its own re-screened
+    ``donor_k``-nearest pool, same as ``placebo_test``'s discipline —
+    a placebo is never forced through donors chosen for someone
+    else), and estimate  Var(tau) = mean_b (tau_b - taubar)^2  over
+    the placebo taus. Adds ``se``, ``p_value`` (two-sided normal),
+    ``placebo_taus`` and ``n_placebo`` to the returned dict. The
+    distributed screen simply oversamples to 3x ``donor_k`` (same
+    single aggregation); every placebo refit is driver-side algebra
+    over the already-collected series — inference adds ZERO Spark
+    jobs, so at 100 TB it costs the same as at 100 MB. The REAL fit
+    is unchanged: its donor set is the ``donor_k`` nearest, i.e.
+    exactly the set the un-oversampled screen would have kept.
+    """
+    import math
+
+    periods, y_tr, series, pool, pre, post = _screen_and_collect(
+        panel, treated_id, t0, yname, tname, idname, donor_ids, donor_k,
+        screen_k=(3 * donor_k) if placebo_se else donor_k,
     )
     if not post:
         raise ValueError("synthetic_did: no post-treatment periods")
-    K = len(donor_list)
-    Tpre, Tpost = len(pre), len(post)
-    # donor matrices: rows = donors
-    Ypre = np.array([[series[d][t] for t in pre] for d in donor_list])
-    Ypost_mean = np.array(
-        [np.mean([series[d][t] for t in post]) for d in donor_list]
+    donor_list = (
+        _nearest(y_tr, series, pool, pre, donor_k) if placebo_se else pool
     )
-    ytr_pre = np.array([y_tr[t] for t in pre])
-    ytr_post = float(np.mean([y_tr[t] for t in post]))
-
-    # zeta (eq. 5): sd of donor pre first differences, N_tr = 1
-    diffs = np.diff(Ypre, axis=1).ravel()
-    sigma = float(np.std(diffs, ddof=0)) if diffs.size else 0.0
-    zeta = (1.0 * Tpost) ** 0.25 * sigma
-
-    # omega: treated pre on donor pre columns. The intercept omega0 is
-    # constant across periods, so it is profiled out by centering each
-    # series (every donor and the treated) by its own pre-period mean.
-    Xo = (Ypre - Ypre.mean(axis=1, keepdims=True)).T  # (Tpre x K)
-    yo = ytr_pre - ytr_pre.mean()
-    omega = _fw_simplex_reg(Xo, yo, reg=(zeta**2) * Tpre, iters=fw_iters)
-
-    # lambda: donor post-means on donor pre columns (Tpre regressors),
-    # intercept profiled by centering each donor's pre row and its
-    # post mean by the same cross-donor means
-    Xl = Ypre - Ypre.mean(axis=0, keepdims=True)  # (K x Tpre)
-    yl = Ypost_mean - Ypost_mean.mean()
-    lam = _fw_simplex_reg(Xl, yl, reg=0.0, iters=fw_iters)
-
-    tau = (ytr_post - float(lam @ ytr_pre)) - float(
-        omega @ (Ypost_mean - Ypre @ lam)
-    )
-    resid = yo - Xo @ omega
-    return {
-        "att": float(tau),
-        "omega": {d: float(omega[j]) for j, d in enumerate(donor_list)},
-        "lam": {int(t): float(lam[k]) for k, t in enumerate(pre)},
-        "zeta": float(zeta),
-        "pre_rmse": float(np.sqrt(np.mean(resid**2))),
+    core = _sdid_core(y_tr, series, donor_list, pre, post, fw_iters)
+    out = {
+        "att": core["att"],
+        "omega": {
+            d: float(core["omega"][j]) for j, d in enumerate(donor_list)
+        },
+        "lam": {int(t): float(core["lam"][k]) for k, t in enumerate(pre)},
+        "zeta": core["zeta"],
+        "pre_rmse": core["pre_rmse"],
     }
+    if placebo_se:
+        taus = {}
+        for d in donor_list:
+            rest = _nearest(
+                series[d], series, [x for x in pool if x != d], pre, donor_k
+            )
+            if not rest:
+                continue
+            taus[d] = _sdid_core(
+                series[d], series, rest, pre, post, fw_iters
+            )["att"]
+        if len(taus) < 2:
+            raise ValueError(
+                "synthetic_did: placebo_se needs >=2 placebo-fittable "
+                "donors"
+            )
+        vals = list(taus.values())
+        tbar = sum(vals) / len(vals)
+        se = math.sqrt(sum((v - tbar) ** 2 for v in vals) / len(vals))
+        z = abs(core["att"]) / se if se > 0 else float("inf")
+        out.update(
+            se=float(se),
+            p_value=float(2.0 * (1.0 - _phi(z))),
+            placebo_taus={d: float(v) for d, v in taus.items()},
+            n_placebo=len(taus),
+        )
+    return out
+
+
+def _phi(z: float) -> float:
+    """Standard normal CDF via erf — driver-side scalar."""
+    import math
+
+    return 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+
+
+def synthetic_did_staggered(
+    panel: DataFrame,
+    gname: str = "g",
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    donor_k: int = 50,
+    fw_iters: int = 800,
+) -> dict:
+    """Staggered-adoption SDID (Arkhangelsky et al. 2021, Appendix A):
+    run the estimator ONCE PER ADOPTION COHORT — cohort g's treated
+    series is the cross-unit mean of its members, the donor pool is
+    the never-treated units (g = 0), the pre window is t < g — and
+    average the cohort taus with weights proportional to the number
+    of treated unit-periods  N_g * T_post,g  (the paper's
+    recommendation for staggered designs).
+
+    Multi-unit form: with N_g treated units, the paper's uniform
+    1/N_g treated weights make the treated side exactly the cohort
+    MEAN series, and zeta scales as (N_g * T_post)^(1/4) — both
+    handled by ``_sdid_core(n_tr=N_g)``.
+
+    Distributed shape (the cohort count |G| is tiny, the pool is
+    not): ONE aggregation collects every cohort's mean series
+    (|G| x T decimal-exact rows); ONE groupBy(id) aggregation scores
+    every donor's squared pre-distance against ALL cohorts
+    simultaneously (|G| distance columns); per-cohort top-k is a
+    TakeOrdered over that id-level score frame (no full sort); the
+    union of survivors is collected once (<= |G| * donor_k series).
+    Every fit is then driver-side Frank-Wolfe.
+
+    Returns ``{"att": weighted tau, "cohorts": {g: {"att", "zeta",
+    "pre_rmse", "n_units", "n_post", "weight"}}}``.
+    """
+    p = panel.select(
+        F.col(idname).alias("id"),
+        F.col(gname).alias("g"),
+        F.col(tname).alias("t"),
+        F.col(yname).alias("y"),
+    )
+    periods = sorted(r["t"] for r in p.select("t").distinct().collect())
+    # cohort mean series: one decimal-exact agg, |G| x T rows
+    DEC = "decimal(38,12)"
+    mrows = (
+        p.filter(F.col("g") > 0)
+        .groupBy("g", "t")
+        .agg(
+            (F.sum(F.col("y").cast(DEC)).cast("double") / F.count("*")).alias(
+                "m"
+            ),
+            F.count_distinct("id").alias("n"),
+        )
+        .collect()
+    )
+    cmean: dict = {}
+    csize: dict = {}
+    for r in mrows:
+        cmean.setdefault(r["g"], {})[r["t"]] = float(r["m"])
+        csize[r["g"]] = max(csize.get(r["g"], 0), int(r["n"]))
+    cohorts = sorted(
+        g
+        for g in cmean
+        if len([t for t in periods if t < g]) >= 2
+        and any(t >= g for t in periods)
+        and all(t in cmean[g] for t in periods)
+    )
+    if not cohorts:
+        raise ValueError(
+            "synthetic_did_staggered: no cohort has >=2 pre periods, a "
+            "post window, and full period coverage"
+        )
+    donors = p.filter(F.col("g") == 0)
+    # one groupBy(id) pass scoring every donor against every cohort's
+    # pre window; coverage over the FULL window required (same rule as
+    # _screen_and_collect, applied once for all cohorts)
+    aggs = [F.count("*").alias("n_all")]
+    for g in cohorts:
+        pre_g = [t for t in periods if t < g]
+        m = cmean[g]
+        dist = F.sum(
+            F.when(
+                F.col("t") < g,
+                (
+                    F.col("y")
+                    - F.coalesce(
+                        F.create_map(
+                            *[
+                                x
+                                for t in pre_g
+                                for x in (F.lit(t), F.lit(m[t]))
+                            ]
+                        )[F.col("t")],
+                        F.lit(0.0),
+                    )
+                )
+                ** 2,
+            ).otherwise(F.lit(0.0))
+        )
+        aggs.append(dist.alias(f"d_{g}"))
+    scored = donors.groupBy("id").agg(*aggs).filter(
+        F.col("n_all") == len(periods)
+    )
+    scored = scored.persist()
+    keep: set = set()
+    per_cohort_ids: dict = {}
+    for g in cohorts:
+        ids = [
+            r["id"]
+            for r in scored.orderBy(f"d_{g}", "id").limit(donor_k).collect()
+        ]
+        per_cohort_ids[g] = sorted(ids)
+        keep.update(ids)
+    scored.unpersist(blocking=False)
+    keep_df = p.sparkSession.createDataFrame(
+        [(i,) for i in sorted(keep)], "id " + dict(p.dtypes)["id"]
+    )
+    kept = (
+        donors.join(F.broadcast(keep_df), "id", "left_semi")
+        .orderBy("id", "t")
+        .collect()
+    )
+    series: dict = {}
+    for r in kept:
+        series.setdefault(r["id"], {})[r["t"]] = float(r["y"])
+
+    cohort_out: dict = {}
+    wsum = tsum = 0.0
+    for g in cohorts:
+        pre = [t for t in periods if t < g]
+        post = [t for t in periods if t >= g]
+        core = _sdid_core(
+            cmean[g], series, per_cohort_ids[g], pre, post, fw_iters,
+            n_tr=csize[g],
+        )
+        w = float(csize[g] * len(post))
+        cohort_out[int(g)] = {
+            "att": core["att"],
+            "zeta": core["zeta"],
+            "pre_rmse": core["pre_rmse"],
+            "n_units": int(csize[g]),
+            "n_post": len(post),
+            "weight": w,
+        }
+        wsum += w
+        tsum += w * core["att"]
+    return {"att": tsum / wsum, "cohorts": cohort_out}

@@ -2166,7 +2166,12 @@ def did_synth_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-parallel pools that bias plain DiD. Same one-aggregation donor
     pre-screen and O(K·T) driver collect as the SC/ASCM queries.
     Output: the time-weight profile plus summary rows (att, zeta,
-    pre_rmse). Deterministic Frank-Wolfe → pinned VALUES golden."""
+    pre_rmse) and — round 9 — the paper's §4/Algorithm-4 placebo
+    inference (se, two-sided p, placebo count): the distributed screen
+    oversamples to 3x donor_k in the SAME single aggregation and every
+    placebo refit is driver-side Frank-Wolfe over the collected
+    series, so inference adds zero Spark jobs. Deterministic
+    Frank-Wolfe → pinned VALUES golden."""
     from csdid_pyspark_spark.did.synth import synthetic_did
 
     panel, treated_id, donors = _synth_setup(spark, sf_dir)
@@ -2176,6 +2181,7 @@ def did_synth_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         t0=_SYNTH_T0,
         donor_ids=donors,
         donor_k=25,
+        placebo_se=True,
     )
     rows = [
         ("lambda", int(t), round(v, 6)) for t, v in sorted(res["lam"].items())
@@ -2184,6 +2190,9 @@ def did_synth_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("att", None, round(res["att"], 6)),
         ("zeta", None, round(res["zeta"], 6)),
         ("pre_rmse", None, round(res["pre_rmse"], 6)),
+        ("se", None, round(res["se"], 6)),
+        ("p_value", None, round(res["p_value"], 6)),
+        ("n_placebo", None, float(res["n_placebo"])),
     ]
     return spark.createDataFrame(
         rows, "component string, period int, value double"
@@ -2191,6 +2200,44 @@ def did_synth_did(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["did_synth_did"] = did_synth_did
+
+
+def did_sdid_staggered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staggered-adoption synthetic DiD (Arkhangelsky et al. 2021,
+    Appendix A; did/synth.py::synthetic_did_staggered): one SDID fit
+    per adoption cohort — the cohort's treated series is its
+    cross-unit mean, donors are the never-treated units, and the
+    overall att averages cohort taus with N_g * T_post,g weights.
+    Distributed shape: ONE decimal-exact agg for all cohort mean
+    series, ONE groupBy(id) pass scoring every donor against ALL
+    cohorts at once, per-cohort TakeOrdered top-k (no full sort), one
+    bounded series collect. Output: per-cohort rows + the weighted
+    overall. Deterministic Frank-Wolfe + decimal sums → pinned VALUES
+    golden."""
+    from csdid_pyspark_spark.did.synth import synthetic_did_staggered
+
+    panel = panel_from_events(spark, sf_dir)
+    res = synthetic_did_staggered(panel, donor_k=25)
+    rows = [
+        (
+            int(g),
+            round(c["att"], 6),
+            round(c["zeta"], 6),
+            round(c["pre_rmse"], 6),
+            int(c["n_units"]),
+            int(c["n_post"]),
+        )
+        for g, c in sorted(res["cohorts"].items())
+    ]
+    rows.append((None, round(res["att"], 6), None, None, None, None))
+    return spark.createDataFrame(
+        rows,
+        "g int, att double, zeta double, pre_rmse double,"
+        " n_units int, n_post int",
+    ).orderBy(F.col("g").asc_nulls_last())
+
+
+QUERIES["did_sdid_staggered"] = did_sdid_staggered
 
 
 def did_mc_nnm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1364,3 +1364,115 @@ def test_synthetic_did_requires_post_periods(spark):
     panel = spark.createDataFrame(rows, "id bigint, period int, y double")
     with _pytest.raises(ValueError, match="no post-treatment"):
         synthetic_did(panel, treated_id=0, t0=99)
+
+
+def test_synthetic_did_placebo_se(spark):
+    """SDID placebo variance (Arkhangelsky et al. 2021 §4, Algorithm 4,
+    N_tr = 1): with a planted effect well above the donor noise the
+    two-sided p must be small and the planted tau must sit inside
+    att +/- 3*se; with NO effect the p must not be small. Also pins:
+    the point estimate is UNCHANGED by turning inference on (the
+    oversampled screen does not move the real fit's donor set), and
+    the whole thing is partition-invariant."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.synth import synthetic_did
+
+    rng = np.random.default_rng(23)
+    T, t0 = 14, 10
+    beta = rng.normal(0, 2, T)
+    rows = []
+    for d in range(1, 25):
+        a = rng.normal(10, 3)
+        for t in range(T):
+            rows.append((d, t, float(a + beta[t] + rng.normal(0, 0.3))))
+
+    tr_noise = rng.normal(0, 0.3, T)  # drawn ONCE: with_treated must be
+    # deterministic so repeated calls build the identical panel
+
+    def with_treated(tau):
+        out = list(rows)
+        for t in range(T):
+            out.append(
+                (0, t, float(50.0 + beta[t] + (tau if t >= t0 else 0.0)
+                             + tr_noise[t]))
+            )
+        return spark.createDataFrame(out, "id bigint, period int, y double")
+
+    hit = synthetic_did(
+        with_treated(6.0), treated_id=0, t0=t0, donor_k=12, placebo_se=True
+    )
+    assert hit["n_placebo"] >= 10
+    assert hit["se"] > 0
+    assert abs(hit["att"] - 6.0) < 3 * hit["se"] + 0.3
+    assert hit["p_value"] < 0.05, (hit["att"], hit["se"], hit["p_value"])
+    # point estimate identical to the no-inference fit
+    base = synthetic_did(with_treated(6.0), treated_id=0, t0=t0, donor_k=12)
+    assert hit["att"] == base["att"]
+    # determinism across partitionings
+    hit2 = synthetic_did(
+        with_treated(6.0).repartition(13),
+        treated_id=0, t0=t0, donor_k=12, placebo_se=True,
+    )
+    assert hit2["att"] == hit["att"] and hit2["se"] == hit["se"]
+
+    null = synthetic_did(
+        with_treated(0.0), treated_id=0, t0=t0, donor_k=12, placebo_se=True
+    )
+    assert null["p_value"] > 0.2, (null["att"], null["se"], null["p_value"])
+
+
+def test_synthetic_did_staggered_recovers_cohort_effects(spark):
+    """Staggered SDID: two adoption cohorts with DIFFERENT planted
+    effects on a two-way-FE DGP; each cohort's SDID must recover its
+    own tau and the overall att must be the N_g*T_post-weighted mean.
+    Deterministic across partitionings."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.synth import synthetic_did_staggered
+
+    rng = np.random.default_rng(31)
+    T = 16
+    beta = rng.normal(0, 2, T)
+    taus = {10: 3.0, 12: -2.0}
+    sizes = {10: 6, 12: 4}
+    rows = []
+    uid = 0
+    for g, n in [(0, 30), (10, sizes[10]), (12, sizes[12])]:
+        for _ in range(n):
+            a = rng.normal(10, 3)
+            for t in range(T):
+                y = a + beta[t] + (taus[g] if g and t >= g else 0.0)
+                rows.append((uid, int(g), t, float(y + rng.normal(0, 0.05))))
+            uid += 1
+    panel = spark.createDataFrame(rows, "id bigint, g int, period int, y double")
+
+    res = synthetic_did_staggered(panel, donor_k=20)
+    assert set(res["cohorts"]) == {10, 12}
+    for g, tau in taus.items():
+        c = res["cohorts"][g]
+        assert abs(c["att"] - tau) < 0.15, (g, c)
+        assert c["n_units"] == sizes[g]
+        assert c["n_post"] == T - g
+        assert c["weight"] == sizes[g] * (T - g)
+    w10, w12 = sizes[10] * (T - 10), sizes[12] * (T - 12)
+    expect = (
+        w10 * res["cohorts"][10]["att"] + w12 * res["cohorts"][12]["att"]
+    ) / (w10 + w12)
+    assert abs(res["att"] - expect) < 1e-12
+
+    res2 = synthetic_did_staggered(panel.repartition(13), donor_k=20)
+    assert res2["att"] == res["att"]
+
+
+def test_synthetic_did_staggered_guards(spark):
+    import pytest as _pytest
+
+    from csdid_pyspark_spark.did.synth import synthetic_did_staggered
+
+    # only cohort g=1 (one pre period) -> no usable cohort
+    rows = [(d, 0, t, float(d + t)) for d in range(5) for t in range(4)]
+    rows += [(9, 1, t, float(t)) for t in range(4)]
+    panel = spark.createDataFrame(rows, "id bigint, g int, period int, y double")
+    with _pytest.raises(ValueError, match="no cohort"):
+        synthetic_did_staggered(panel)

@@ -80,6 +80,8 @@ GOLDEN_NAMES = (
     "er_fellegi_sunter",
     # two Frank-Wolfe weight fits + driver DiD algebra: deterministic
     "did_synth_did",
+    # per-cohort Frank-Wolfe fits + decimal-exact cohort means
+    "did_sdid_staggered",
 )
 
 _DUCK_TYPES = {
