@@ -250,3 +250,189 @@ def ife_att(panel: DataFrame) -> DataFrame:
         )
         .orderBy("e")
     )
+
+
+def ife_att_bands(
+    panel: DataFrame, b_reps: int = 200, seed: int = 9
+) -> DataFrame:
+    """``ife_att`` plus in-space placebo bands (Xu 2017 §3.3 uses a
+    parametric bootstrap; this is the nonparametric placebo variant —
+    the same inference pattern as mc_nnm's ``placebo_b`` and SDID's
+    ``placebo_se``): B hash-deterministic replicates assign each
+    NEVER-TREATED unit a pseudo-adoption cohort in the real cohorts'
+    unit-count proportions, refit the unit's (intercept, loading) on
+    its pseudo-pre window against the SAME control factor, and read a
+    pseudo-ATT path off its pseudo-post gaps; se(e) = sd of the
+    replicate means.
+
+    Unlike mc_nnm's no-refit approximation, each placebo unit's
+    loading IS refit here (the fit is the closed-form 2x2 solve, a
+    row-local expression on the wide control frame) — so the bands
+    carry both the loading-estimation noise and the idiosyncratic
+    post-period noise. Approximation, documented: placebo units also
+    contributed to the factor extraction (in-sample; second-order for
+    n_ctrl >> 1), and with fewer controls than treated the pseudo
+    design is under-filled (conservative).
+
+    Distributed shape: ONE pivot of the controls (same wide frame
+    shape as ``_control_factor``) + ONE aggregation whose replicate
+    axis is a sequence-explode and whose (replicate, event) gap rows
+    are an inline-explode — map-side combinable to B x E decimal
+    sums. The driver sees B x E floats.
+
+    Returns (e, att_ife, se_placebo, lo95, hi95, n_units) — the
+    ``att_ife``/``n_units`` columns bit-identical to ``ife_att``."""
+    import math
+
+    spark = panel.sparkSession
+    real = ife_att(panel).collect()
+    periods, fvals = _control_factor(panel)
+    fmap = dict(zip(periods, fvals))
+    T = len(periods)
+
+    sizes = (
+        panel.filter(F.col("g") > 0)
+        .groupBy("g")
+        .agg(F.count_distinct("id").alias("n"))
+        .collect()
+    )
+    n_by_g = {int(r["g"]): int(r["n"]) for r in sizes}
+    gs = sorted(n_by_g)
+    ctrl = panel.filter(F.col("g") == 0).select("id", "period", "y")
+    n_ctrl = ctrl.select("id").distinct().count()
+    if n_ctrl < 2 or not gs:
+        raise ValueError(
+            "ife: placebo bands need >= 2 never-treated units and >= 1 "
+            "treated cohort"
+        )
+    # per-cohort 2x2 inverse Grams — same algebra/guards as ife_att
+    inv = {}
+    for g in gs:
+        pre = [p for p in periods if p < g]
+        t0 = len(pre)
+        if t0 < 2:
+            raise ValueError(
+                f"ife: cohort g={g} has {t0} pre-period(s); the "
+                "(intercept, loading) fit needs >= 2"
+            )
+        sf1 = sum(fmap[p] for p in pre)
+        sf2 = sum(fmap[p] ** 2 for p in pre)
+        det = t0 * sf2 - sf1 * sf1
+        if abs(det) < 1e-12:
+            raise ValueError(
+                f"ife: pre-window factor Gram is singular for cohort "
+                f"g={g} (det={det:.3e})"
+            )
+        inv[g] = (sf2 / det, -sf1 / det, float(t0) / det)
+
+    tot_tr = sum(n_by_g.values())
+    scale = min(1.0, n_ctrl / tot_tr)
+    cuts, acc = [], 0.0
+    for g in gs:
+        acc += (n_by_g[g] / n_ctrl) * scale
+        cuts.append((g, acc))
+
+    def _f(x):
+        return f"{float(x):.17e}"
+
+    ycols = [f"y{i}" for i in range(T)]
+    wide = (
+        ctrl.groupBy("id")
+        .pivot("period", periods)
+        .agg(F.max("y"))
+        .select(
+            "id",
+            *[F.col(str(p)).alias(c) for p, c in zip(periods, ycols)],
+        )
+    )
+    u = f"(pmod(xxhash64(id, b, {int(seed)}), 1000000) / 1e6)"
+    pg = (
+        "CASE "
+        + " ".join(f"WHEN {u} < {_f(c)} THEN {g}" for g, c in cuts)
+        + " ELSE 0 END"
+    )
+
+    def branch(parts):
+        return (
+            "CASE _pg "
+            + " ".join(f"WHEN {g} THEN ({parts[g]})" for g in gs)
+            + " ELSE NULL END"
+        )
+
+    b0 = branch(
+        {
+            g: " + ".join(
+                ycols[i] for i in range(T) if periods[i] < g
+            )
+            for g in gs
+        }
+    )
+    b1 = branch(
+        {
+            g: " + ".join(
+                f"{ycols[i]} * {_f(fmap[periods[i]])}"
+                for i in range(T)
+                if periods[i] < g
+            )
+            for g in gs
+        }
+    )
+    a_e = branch(
+        {g: f"{_f(inv[g][0])} * _b0 + {_f(inv[g][1])} * _b1" for g in gs}
+    )
+    l_e = branch(
+        {g: f"{_f(inv[g][1])} * _b0 + {_f(inv[g][2])} * _b1" for g in gs}
+    )
+    gaps = ", ".join(
+        f"named_struct('e', {periods[i]} - _pg, 'gap', "
+        f"CASE WHEN _pg > 0 AND {periods[i]} >= _pg THEN {ycols[i]} - _a - "
+        f"_lm * {_f(fmap[periods[i]])} END)"
+        for i in range(T)
+    )
+    rows = (
+        wide.selectExpr(
+            "id", *ycols, f"explode(sequence(0, {b_reps - 1})) AS b"
+        )
+        .selectExpr("b", f"{pg} AS _pg", *ycols)
+        .selectExpr("b", "_pg", f"({b0}) AS _b0", f"({b1}) AS _b1", *ycols)
+        .selectExpr("b", "_pg", f"({a_e}) AS _a", f"({l_e}) AS _lm", *ycols)
+        .selectExpr("b", f"array({gaps}) AS _g")
+        .selectExpr("b", "inline(filter(_g, x -> x.gap IS NOT NULL))")
+        .groupBy("b", "e")
+        .agg(
+            F.expr(f"sum(CAST(gap AS {DEC})) AS s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    taus: dict = {}
+    # sort by (e, b): collect order is partition-dependent and the
+    # float accumulation below must be bit-deterministic
+    for r in sorted(rows, key=lambda r: (int(r["e"]), int(r["b"]))):
+        taus.setdefault(int(r["e"]), []).append(float(r["s"]) / int(r["n"]))
+    se = {}
+    for e, v in taus.items():
+        if len(v) >= 2:
+            m = sum(v) / len(v)
+            se[e] = math.sqrt(sum((x - m) ** 2 for x in v) / len(v))
+    Z = 1.959963984540054
+    out = [
+        (
+            int(r["e"]),
+            float(r["att_ife"]),
+            round(se.get(int(r["e"]), float("nan")), 6),
+            round(float(r["att_ife"]) - Z * se[int(r["e"])], 6)
+            if int(r["e"]) in se
+            else None,
+            round(float(r["att_ife"]) + Z * se[int(r["e"])], 6)
+            if int(r["e"]) in se
+            else None,
+            int(r["n_units"]),
+        )
+        for r in real
+    ]
+    return spark.createDataFrame(
+        out,
+        "e int, att_ife double, se_placebo double, lo95 double,"
+        " hi95 double, n_units bigint",
+    ).orderBy("e")

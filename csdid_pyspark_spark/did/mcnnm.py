@@ -85,6 +85,8 @@ def mc_nnm(
     gname: str = "g",
     shrink_frac: float = 0.1,
     iters: int = 25,
+    placebo_b: int = 0,
+    placebo_seed: int = 9,
 ) -> dict:
     """Fit MC-NNM on a staggered-adoption panel (``g`` = first treated
     period, 0 = never treated) and return the event-time effect path.
@@ -97,6 +99,24 @@ def mc_nnm(
     Returns ``{"att": [(e, att_e, n_e), ...] sorted by event time,
     "att_overall": float, "lam": float, "sigma": [final spectrum],
     "rank": effective rank}``.
+
+    ``placebo_b > 0`` adds in-space placebo bands (the gsynth-style
+    nonparametric placebo / Chernozhukov et al. 2021 cross-sectional
+    permutation idea, under the no-refit approximation): each of B
+    replicates deterministically hash-assigns NEVER-TREATED units
+    pseudo-adoption cohorts in the real cohorts' unit-count
+    proportions, reads their pseudo-effect paths off the SAME
+    converged fit (y - alpha - beta - L on pseudo-post cells), and the
+    per-event placebo sd over replicates is the band. Cost: ONE extra
+    aggregation over the final cached projection (the replicate
+    dimension is a generate + map-side-combinable grouped sum — B x E
+    result rows), zero refits. Approximation, documented: control
+    cells were IN the fit, so residuals are in-sample — bands tighten
+    slightly as the fit's effective dof grows; with fewer controls
+    than treated units the pseudo-cohort probabilities are scaled down
+    (each replicate under-fills the design, widening the bands —
+    conservative). Adds ``"bands": [(e, att_e, se_e, lo, hi)]`` and
+    ``"placebo_b"`` to the dict (normal 95% bands).
     """
     import numpy as np
 
@@ -364,6 +384,13 @@ def mc_nnm(
     grows = (
         proj.filter(F.col("g") > 0).groupBy("g").agg(*gaggs).collect()
     )
+
+    bands = None
+    if placebo_b > 0:
+        bands = _placebo_bands(
+            proj, periods, ycols, bl, placebo_b, placebo_seed
+        )
+
     # persist-balance hygiene (shared long-lived sessions): the one
     # Python-level persist this fit holds is internal — release it
     # (checkpoint blocks are GC-reclaimed by the ContextCleaner)
@@ -381,10 +408,98 @@ def mc_nnm(
     att = [(int(e), esum[e] / ecnt[e], ecnt[e]) for e in sorted(esum)]
     tot_n = sum(ecnt.values())
     overall = sum(esum.values()) / tot_n if tot_n else 0.0
-    return {
+    out = {
         "att": att,
         "att_overall": float(overall),
         "lam": float(lam),
         "sigma": [float(x) for x in sigma],
         "rank": int(np.sum(s > 0)),
     }
+    if bands is not None:
+        amap = {e: a for e, a, _ in att}
+        out["bands"] = [
+            (
+                e,
+                amap[e],
+                se,
+                amap[e] - 1.959963984540054 * se,
+                amap[e] + 1.959963984540054 * se,
+            )
+            for e, se in bands
+            if e in amap
+        ]
+        out["placebo_b"] = int(placebo_b)
+    return out
+
+
+def _placebo_bands(proj, periods, ycols, bl, B, seed):
+    """In-space placebo se(e) from the converged MC-NNM projection:
+    B hash-deterministic replicates assign control units (g = 0)
+    pseudo-cohorts in the real cohorts' unit-count proportions; each
+    replicate's pseudo att(e) is read off y - alpha - beta - L on the
+    pseudo-post cells; se(e) = sd over replicates. ONE grouped
+    aggregation: the replicate axis is a sequence-explode, the
+    (replicate, event) gap rows an inline-explode, both map-side
+    combinable down to B x E decimal sums."""
+    import math
+
+    T = len(periods)
+    # cohort unit counts + control count: one tiny agg over the cached
+    # projection (one row per unit)
+    crow = proj.groupBy("g").agg(F.count("*").alias("n")).collect()
+    n_by_g = {int(r["g"]): int(r["n"]) for r in crow}
+    n_ctrl = n_by_g.get(0, 0)
+    gs = sorted(g for g in n_by_g if g > 0)
+    if n_ctrl < 2 or not gs:
+        raise ValueError(
+            "mc_nnm: placebo bands need >= 2 never-treated units and "
+            ">= 1 treated cohort"
+        )
+    tot_tr = sum(n_by_g[g] for g in gs)
+    scale = min(1.0, n_ctrl / tot_tr)  # under-fill if controls scarce
+    cuts, acc = [], 0.0
+    for g in gs:
+        acc += (n_by_g[g] / n_ctrl) * scale
+        cuts.append((g, acc))
+    u = "(pmod(xxhash64(id, b, {s}), 1000000) / 1e6)".format(s=int(seed))
+    pg = "CASE " + " ".join(
+        f"WHEN {u} < {c:.17e} THEN {g}" for g, c in cuts
+    ) + " ELSE 0 END"
+    # per (unit, replicate) row: pseudo-cohort, then an array of
+    # (event, gap) structs for the pseudo-post observed cells
+    gaps = ", ".join(
+        f"named_struct('e', {periods[i]} - _pg, 'gap', "
+        f"CASE WHEN _pg > 0 AND {periods[i]} >= _pg AND {ycols[i]} IS NOT "
+        f"NULL THEN {ycols[i]} - _al - ({float(bl[i]):.17e}) - _l{i} END)"
+        for i in range(T)
+    )
+    rows = (
+        proj.filter(F.col("g") == 0)
+        .selectExpr(
+            "id", "_al", *[f"_l{i}" for i in range(T)], *ycols,
+            f"explode(sequence(0, {B - 1})) AS b",
+        )
+        .selectExpr("b", f"{pg} AS _pg", *ycols, "_al",
+                    *[f"_l{i}" for i in range(T)])
+        .selectExpr("b", f"array({gaps}) AS _g")
+        .selectExpr("b", "inline(filter(_g, x -> x.gap IS NOT NULL))")
+        .groupBy("b", "e")
+        .agg(
+            F.expr(f"sum(CAST(gap AS {DEC})) AS s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    taus: dict = {}
+    # sort by (e, b): collect order is partition-dependent and the
+    # float accumulation below must be bit-deterministic
+    for r in sorted(rows, key=lambda r: (int(r["e"]), int(r["b"]))):
+        taus.setdefault(int(r["e"]), []).append(float(r["s"]) / int(r["n"]))
+    out = []
+    for e in sorted(taus):
+        v = taus[e]
+        if len(v) < 2:
+            continue
+        m = sum(v) / len(v)
+        out.append((e, math.sqrt(sum((x - m) ** 2 for x in v) / len(v))))
+    return out

@@ -2249,17 +2249,32 @@ def did_mc_nnm(spark: SparkSession, sf_dir: str) -> DataFrame:
     SOFT-IMPUTE — each iteration is ONE decimal-exact T x T Gram
     aggregation plus a narrow executor-side factor refresh (no
     per-unit state ever reaches the driver). Output: the event-time
-    effect path att(e) = mean(y - y_hat) over treated cells. Fixed
-    iteration count + sign-fixed eigenvectors + decimal sums →
-    deterministic across session shapes → pinned VALUES golden."""
+    effect path att(e) = mean(y - y_hat) over treated cells, plus —
+    round 9 — in-space placebo bands (hash-deterministic pseudo-cohort
+    replicates over the never-treated units read off the SAME
+    converged fit: one extra aggregation, zero refits; see
+    mc_nnm(placebo_b=...)). Fixed iteration count + sign-fixed
+    eigenvectors + decimal sums → deterministic across session shapes
+    → pinned VALUES golden."""
     from csdid_pyspark_spark.did.mcnnm import mc_nnm
 
     panel = panel_from_events(spark, sf_dir)
-    res = mc_nnm(panel, shrink_frac=0.5, iters=12)
-    rows = [(int(e), round(a, 6), int(n)) for e, a, n in res["att"]]
-    rows.append((None, round(res["att_overall"], 6), sum(n for *_, n in res["att"])))
+    res = mc_nnm(panel, shrink_frac=0.5, iters=12, placebo_b=200)
+    se = {e: s for e, _, s, _, _ in res["bands"]}
+    rows = [
+        (int(e), round(a, 6), round(se[e], 6) if e in se else None, int(n))
+        for e, a, n in res["att"]
+    ]
+    rows.append(
+        (
+            None,
+            round(res["att_overall"], 6),
+            None,
+            sum(n for *_, n in res["att"]),
+        )
+    )
     return spark.createDataFrame(
-        rows, "e int, att double, n bigint"
+        rows, "e int, att double, se_placebo double, n bigint"
     ).orderBy(F.col("e").asc_nulls_last())
 
 
@@ -2634,13 +2649,17 @@ def did_ife(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit's own pre-window (one groupBy(id) pass against the broadcast
     T-row factor table), counterfactual y - (a_i + lam_i f_t) averaged
     per event time. Robust to loading-driven differential trends that
-    break the parallel-trends cell estimators. Oracle: pinned golden
-    (driver eigendecomposition not expressible in SQL); the planted
-    factor-DGP recovery and the numpy brute-force parity live in
-    tests/test_property.py."""
-    from csdid_pyspark_spark.did.ife import ife_att
+    break the parallel-trends cell estimators. Round 9 adds in-space
+    placebo bands: each replicate REFITS pseudo-treated control
+    loadings row-locally on the wide control frame — one extra
+    aggregation, B x E floats to the driver (ife.py::ife_att_bands).
+    Oracle: pinned golden (driver eigendecomposition not expressible
+    in SQL); the planted factor-DGP recovery and the numpy
+    brute-force parity live in tests/test_property.py; band coverage
+    in tests/test_did_api.py."""
+    from csdid_pyspark_spark.did.ife import ife_att_bands
 
-    return ife_att(panel_from_events(spark, sf_dir))
+    return ife_att_bands(panel_from_events(spark, sf_dir), b_reps=200)
 
 
 QUERIES["did_ife"] = did_ife

@@ -1476,3 +1476,58 @@ def test_synthetic_did_staggered_guards(spark):
     panel = spark.createDataFrame(rows, "id bigint, g int, period int, y double")
     with _pytest.raises(ValueError, match="no cohort"):
         synthetic_did_staggered(panel)
+
+
+def test_ife_att_bands_cover_planted_effect(spark):
+    """ife_att_bands on a noisy rank-1 factor DGP with a planted
+    constant tau: the att path must be bit-identical to ife_att, the
+    placebo se positive, every 95% band must cover the truth within a
+    3-se slack, and the replicate machinery must be deterministic
+    across partitionings."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.ife import ife_att, ife_att_bands
+
+    rng = np.random.default_rng(41)
+    f = [1.0, 0.5, -0.3, 0.8, -0.6, 0.2]
+    periods = list(range(1, 7))
+    tau = 2.5
+    rows = []
+    uid = 0
+    for g, n in [(0, 40), (3, 10), (4, 8), (5, 6)]:
+        for _ in range(n):
+            a = rng.normal(1.0, 2.0)
+            lam = rng.normal(1.5, 0.8)
+            for j, t in enumerate(periods):
+                y = a + lam * f[j] + (tau if 0 < g <= t else 0.0)
+                rows.append((uid, t, int(g), float(y + rng.normal(0, 0.2))))
+            uid += 1
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+
+    base = {r["e"]: (r["att_ife"], r["n_units"]) for r in ife_att(panel).collect()}
+    out = ife_att_bands(panel, b_reps=80).collect()
+    assert {r["e"] for r in out} == set(base)
+    for r in out:
+        att, n = base[r["e"]]
+        assert r["att_ife"] == att and r["n_units"] == n
+        assert r["se_placebo"] > 0
+        assert r["lo95"] < r["att_ife"] < r["hi95"]
+        assert r["lo95"] - 3 * r["se_placebo"] < tau < r["hi95"] + 3 * r["se_placebo"], (
+            r["e"], r["att_ife"], r["se_placebo"],
+        )
+
+    out2 = ife_att_bands(panel.repartition(13), b_reps=80).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_ife_att_bands_guard(spark):
+    import pytest as _pytest
+
+    from csdid_pyspark_spark.did.ife import ife_att_bands
+
+    # controls only — ife_att itself would return an empty path, and
+    # there is no cohort distribution to draw pseudo-adoptions from
+    rows = [(u, t, 0, float(u + t)) for u in range(4) for t in range(1, 5)]
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    with _pytest.raises(ValueError, match="placebo bands"):
+        ife_att_bands(panel, b_reps=10)

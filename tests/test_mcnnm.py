@@ -179,3 +179,38 @@ def test_mcnnm_unidentified_period_raises(spark):
     panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
     with pytest.raises(ValueError, match="zero untreated observations"):
         mc_nnm(panel)
+
+
+def test_mcnnm_placebo_bands_cover_planted_effect(spark):
+    """In-space placebo bands: on the toy DGP (constant planted
+    tau = 2.0) every event's 95% band must cover the truth within a
+    3-se slack, se must be positive, and the whole thing must be
+    deterministic across partitionings (hash-assigned replicates,
+    decimal sums)."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    panel = _toy_panel(spark, n_per=20, T=6, cohorts=(0, 0, 0, 3, 4, 5))
+    res = mc_nnm(panel, shrink_frac=0.5, iters=8, placebo_b=60)
+    assert res["placebo_b"] == 60
+    assert len(res["bands"]) == len(res["att"])
+    for e, att, se, lo, hi in res["bands"]:
+        assert se > 0
+        assert lo < att < hi
+        assert lo - 3 * se < 2.0 < hi + 3 * se, (e, att, se)
+
+    res2 = mc_nnm(
+        panel.repartition(13), shrink_frac=0.5, iters=8, placebo_b=60
+    )
+    assert res2["bands"] == res["bands"]
+
+
+def test_mcnnm_placebo_bands_guard(spark):
+    """Placebo bands refuse a panel with a single never-treated unit
+    (no cross-sectional placebo distribution to draw from)."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    rows = [(1, t, 0, float(t)) for t in range(1, 5)]
+    rows += [(2, t, 2, float(t + 1)) for t in range(1, 5)]
+    panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
+    with pytest.raises(ValueError, match="placebo bands"):
+        mc_nnm(panel, iters=2, placebo_b=10)
