@@ -235,3 +235,258 @@ def honest_smoothness_frame(
         )
         .orderBy("e", "mbar")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact fixed-length CI (FLCI) for the smoothness restriction
+# ---------------------------------------------------------------------------
+
+
+def _norm_cdf(x: float) -> float:
+    import math
+
+    return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+def _cv_folded(t: float, alpha: float) -> float:
+    """cv_alpha(t): the 1-alpha quantile of |N(t, 1)| — the folded-
+    normal critical value the FLCI pads with (Armstrong & Kolesar
+    2018 eq. 2.5; Rambachan & Roth 2023 §5.2). Monotone in c, solved
+    by bisection to 1e-10 (deterministic)."""
+    lo, hi = abs(t), abs(t) + 8.0
+    target = 1.0 - alpha
+    for _ in range(80):
+        c = 0.5 * (lo + hi)
+        if _norm_cdf(c - t) - _norm_cdf(-c - t) < target:
+            lo = c
+        else:
+            hi = c
+    return 0.5 * (lo + hi)
+
+
+def _flci_halflength(w, e, M, pre_es, cov, alpha):
+    """Half-length and components of the FLCI for the affine estimator
+    theta_hat = beta_e - (e+1) * sum_t w_t * slope_t over Delta^SD(M).
+
+    Worst-case bias (closed form): write the estimator's coefficient
+    a_j on each SLOPE sigma_j of the differential trend (a_j = 1 for
+    post slopes j in [0, e], a_j = -(e+1) w_j for the k pre slopes);
+    expressing every slope through the bounded second-difference
+    increments u_i (|u_i| <= M, the constant-slope direction is
+    annihilated because sum_j a_j = 0 when sum w = 1) gives
+
+        bias_max = M * sum_i | sum_{j > i} a_j |.
+
+    Variance: v' cov v with v the estimator's coefficients on the
+    OBSERVED coordinates (beta_{-1} == 0 is deterministic).
+    Returns (chi, bias_max, sd, v)."""
+    import numpy as np
+
+    k = len(w)
+    # slope coefficients, ordered [sigma_{-k}, ..., sigma_{-1},
+    # sigma_0, ..., sigma_e]; w is ordered [w_{-1}, w_{-2}, ...]
+    a = np.concatenate(
+        [-(e + 1) * np.asarray(w[::-1], dtype=float), np.ones(e + 1)]
+    )
+    tails = np.cumsum(a[::-1])[::-1]  # tails[i] = sum_{j >= i} a_j
+    bias = M * float(np.sum(np.abs(tails[1:])))
+    # coefficient vector on observed coords [beta_{-(k+1)}, ...,
+    # beta_{-2}, beta_e]: slope_{-1} = -beta_{-2}; slope_t =
+    # beta_t - beta_{t-1} for t <= -2
+    v = np.zeros(k + 1)
+    v[k] = 1.0
+    for j, t in enumerate(range(-1, -k - 1, -1)):  # w[j] weights slope_t
+        cw = -(e + 1) * w[j]
+        # slope_t = beta_t - beta_{t-1}; beta_{-1} deterministic 0
+        if t <= -2:
+            v[k - 1 - (-t - 2)] += cw
+        v[k - 1 - (-t - 1)] -= cw
+    sd = float(np.sqrt(max(v @ cov @ v, 0.0)))
+    if sd <= 0:
+        return bias, bias, 0.0, v
+    return sd * _cv_folded(bias / sd, alpha), bias, sd, v
+
+
+def _nelder_mead(f, x0, iters=400):
+    """Compact deterministic Nelder-Mead (fixed init simplex, standard
+    1/2/0.5/0.5 coefficients, no randomness) for the low-dimensional
+    FLCI weight search."""
+    import numpy as np
+
+    n = len(x0)
+    if n == 0:
+        return np.zeros(0), f(np.zeros(0))
+    sim = [np.array(x0, dtype=float)]
+    for i in range(n):
+        p = np.array(x0, dtype=float)
+        p[i] += 0.25 if p[i] == 0 else 0.25 * abs(p[i])
+        sim.append(p)
+    vals = [f(p) for p in sim]
+    for _ in range(iters):
+        order = sorted(range(n + 1), key=lambda i: (vals[i], i))
+        sim = [sim[i] for i in order]
+        vals = [vals[i] for i in order]
+        cen = np.mean(sim[:-1], axis=0)
+        xr = cen + (cen - sim[-1])
+        fr = f(xr)
+        if fr < vals[0]:
+            xe = cen + 2.0 * (cen - sim[-1])
+            fe = f(xe)
+            sim[-1], vals[-1] = (xe, fe) if fe < fr else (xr, fr)
+        elif fr < vals[-2]:
+            sim[-1], vals[-1] = xr, fr
+        else:
+            xc = cen + 0.5 * (sim[-1] - cen)
+            fc = f(xc)
+            if fc < vals[-1]:
+                sim[-1], vals[-1] = xc, fc
+            else:
+                for i in range(1, n + 1):
+                    sim[i] = sim[0] + 0.5 * (sim[i] - sim[0])
+                    vals[i] = f(sim[i])
+    order = sorted(range(n + 1), key=lambda i: (vals[i], i))
+    return sim[order[0]], vals[order[0]]
+
+
+def honest_flci_frame(
+    profile: DataFrame,
+    mbars: tuple[float, ...] = (0.0, 0.5, 1.0, 1.5, 2.0),
+    att_col: str = "att_iw",
+    se_col: str = "se",
+    cov=None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Rambachan-Roth EXACT fixed-length CI for the smoothness
+    restriction Δ^SD(M) (RR 2023 §5.2, the Armstrong-Kolesar 2018
+    affine-FLCI construction) — the completion of
+    :func:`honest_smoothness_frame`'s plug-in bounds that ACCOUNTS FOR
+    NOISE in the pre-period coefficients.
+
+    Construction (driver algebra over the result-sized profile): any
+    affine estimator of the event-e effect with finite worst-case bias
+    over Δ^SD(M) can be written  beta_e − (e+1)·Σ_t w_t·slope_t  with
+    Σ_t w_t = 1 over the k observed consecutive pre-period slopes
+    (weighting any OTHER post coordinate gives infinite bias because
+    tau_post is unrestricted; the slope parameterization spans the
+    remaining (k−1)-dim affine class exactly). Its worst-case bias has
+    the closed form  M·Σ_i |Σ_{j>i} a_j|  (see ``_flci_halflength``),
+    its sd is  sqrt(v' Σ v), and the CI  [θ̂_w − χ, θ̂_w + χ]  with
+    χ = sd·cv_α(bias/sd)  (folded-normal critical value) has exact
+    1−α coverage for every δ ∈ Δ^SD(M). The weights minimize χ —
+    a deterministic Nelder-Mead over k−1 dims (k is single digits).
+    FLCIs are valid for Δ^SD because it is convex and centrosymmetric
+    with bounded bias; for Δ^RM the worst-case bias of EVERY affine
+    estimator is infinite (the restriction is a cone), which is why
+    :func:`honest_bounds_frame` keeps the plug-in/identified-set form
+    there (RR recommend conditional-hybrid inference for Δ^RM).
+
+    ``M`` is self-calibrated per ``mbar`` as mbar × c_pre (the largest
+    observed pre-period second difference — same rule as
+    :func:`honest_smoothness_frame`, kept for API parity; the FLCI is
+    exact GIVEN M). ``cov``: optional k+1-square covariance of the
+    observed coordinates (pre coords ascending event time, then
+    beta_e) per post e — pass the bootstrap covariance for correlated
+    profiles; default diag(se²) (exact when cells are independent).
+    Note χ depends on beta_hat only through Σ — the LENGTH is fixed,
+    hence the name.
+
+    Output: (e, mbar, theta, flci_lo, flci_hi, halflength, bias_max,
+    sd) rounded 6dp, ordered (e, mbar). ``theta`` is the optimal-w
+    debiased point estimate (at M=0 it is the GLS linear
+    extrapolation, NOT the raw att — unlike Δ^RM's mbar=0 row).
+
+    Scale: the profile is |E| rows; everything here is driver numpy.
+    """
+    import numpy as np
+
+    rows = profile.select(
+        F.col("e").cast("int").alias("e"),
+        F.col(att_col).cast("double").alias("att"),
+        F.col(se_col).cast("double").alias("se"),
+    ).collect()
+    att = {int(r["e"]): float(r["att"]) for r in rows}
+    se = {int(r["e"]): float(r["se"]) for r in rows}
+    att[-1], se[-1] = 0.0, 0.0
+    # maximal CONSECUTIVE pre chain ending at -1: -2, -3, ..., -(k+1)
+    k = 0
+    while (-2 - k) in att:
+        k += 1
+    if k < 2:
+        raise ValueError(
+            "honest_flci_frame: need >= 2 consecutive pre-period "
+            "coefficients (e = -2 and e = -3 observed) — one slope to "
+            "extrapolate with and one more to calibrate c_pre from"
+        )
+    pre_es = list(range(-2, -2 - k, -1))  # [-2, ..., -(k+1)]
+    # c_pre: largest observed second difference over the pre path
+    # (beta_{-1} == 0 included) — same calibration as the plug-in frame
+    path = [att[t] for t in range(-1 - k, 0)]  # ascending e: -(k+1)..-1
+    c_pre = max(
+        abs(path[i + 1] - 2.0 * path[i] + path[i - 1])
+        for i in range(1, len(path) - 1)
+    ) if len(path) >= 3 else None
+    if c_pre is None:
+        raise ValueError(
+            "honest_flci_frame: no observed pre-period curvature to "
+            "calibrate M from"
+        )
+    posts = sorted(e for e in att if e >= 0)
+    out = []
+    for e in posts:
+        if cov is None:
+            sig = np.diag(
+                [se[t] ** 2 for t in sorted(pre_es)] + [se[e] ** 2]
+            )
+        else:
+            sig = np.asarray(cov[e] if isinstance(cov, dict) else cov,
+                             dtype=float)
+            if sig.shape != (k + 1, k + 1):
+                raise ValueError(
+                    f"honest_flci_frame: cov for e={e} must be "
+                    f"{(k + 1, k + 1)}, got {sig.shape}"
+                )
+        slopes = [
+            att[t] - att[t - 1] for t in range(-1, -k - 1, -1)
+        ]  # slope_{-1}, slope_{-2}, ...
+
+        for mbar in mbars:
+            M = float(mbar) * c_pre
+
+            def w_of(theta):
+                w = np.concatenate([theta, [1.0 - float(np.sum(theta))]])
+                return w
+
+            def obj(theta):
+                return _flci_halflength(
+                    w_of(theta), e, M, pre_es, sig, alpha
+                )[0]
+
+            # start at last-slope-only (the minimum-bias corner) —
+            # theta parameterizes w[0..k-2], w[k-1] = 1 - sum
+            x0 = np.zeros(k - 1)
+            x0[0] = 1.0
+            best_t, _ = _nelder_mead(obj, x0)
+            w = w_of(best_t)
+            chi, bias, sd, v = _flci_halflength(
+                w, e, M, pre_es, sig, alpha
+            )
+            theta_hat = att[e] - (e + 1) * float(
+                np.dot(w, np.asarray(slopes))
+            )
+            out.append(
+                (
+                    int(e),
+                    float(mbar),
+                    round(theta_hat, 6),
+                    round(theta_hat - chi, 6),
+                    round(theta_hat + chi, 6),
+                    round(chi, 6),
+                    round(bias, 6),
+                    round(sd, 6),
+                )
+            )
+    return profile.sparkSession.createDataFrame(
+        out,
+        "e int, mbar double, theta double, flci_lo double,"
+        " flci_hi double, halflength double, bias_max double, sd double",
+    ).orderBy("e", "mbar")

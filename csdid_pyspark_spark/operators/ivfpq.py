@@ -349,3 +349,111 @@ def probe_ivfpq_index(
     )
     cand = _adc_candidates(cell_codes, dtable, id_col, n_candidates)
     return _exact_rerank(vectors, cand, q, vec_col, id_col, k_out)
+
+
+def probe_ivfpq_index_batch(
+    spark,
+    path: str,
+    queries: list[tuple],
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 3,
+    n_candidates: int = 50,
+    k_out: int = 10,
+) -> DataFrame:
+    """Batched search of a PERSISTED IVF-PQ index — the production
+    retrieval pass, where thousands of queries amortize one scan.
+    ``queries``: list of (query_id, vector).
+
+    Per-query work that stays driver-side is unchanged (probe ranking,
+    ADC tables); what changes vs looping :func:`probe_ivfpq_index` is
+    the Spark-side shape: ALL per-query ADC tables union into ONE
+    broadcast (qid, cell, m, code, d2) frame (Q·n_probe·M·K rows —
+    keep it broadcast-sized; chunk the query list upstream if Q grows
+    past ~10^4), the code scan reads the UNION of probed cells ONCE
+    (still a partition-pruned scan on the ``cell`` partition column),
+    and the (cell, m, code) join fans each code row out to exactly the
+    queries probing its cell. Candidate selection and the exact
+    re-rank are per-query top-k via a qid-partitioned window (many
+    partitions — never the banned single-reducer sort) over bounded
+    rows (Q·n_candidates). So Q queries cost ONE bounded-fan-out scan
+    instead of Q scans — the per-query latency amortizes toward the
+    marginal join cost.
+
+    Per-query results are IDENTICAL to :func:`probe_ivfpq_index` with
+    the same parameters (pytest-asserted parity). Returns
+    (query_id, ``id_col``, d2) ordered (query_id, d2, id)."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("probe_ivfpq_index_batch: empty query list")
+    centroids = {
+        int(r["cell"]): [float(x) for x in r["cen"]]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    codebook: dict[int, dict[int, list[float]]] = {}
+    for r in spark.read.parquet(f"{path}/codebook").collect():
+        codebook.setdefault(int(r["m"]), {})[int(r["code"])] = [
+            float(x) for x in r["cen"]
+        ]
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
+    drows = []
+    qrows = []
+    all_cells: set = set()
+    for qid, qv in queries:
+        q = [float(x) for x in qv]
+        qrows.append((qid, q))
+        probes = _rank_probes(centroids, q, n_probe)
+        all_cells.update(probes)
+        for cell in probes:
+            qr = [a - b for a, b in zip(q, centroids[cell])]
+            for j in range(m):
+                qs = qr[j * d_sub : (j + 1) * d_sub]
+                for c, cen in codebook[j].items():
+                    d2 = sum((a - b) * (a - b) for a, b in zip(qs, cen))
+                    drows.append((qid, cell, j, c, float(d2)))
+    dtable = F.broadcast(
+        spark.createDataFrame(
+            drows, "qid bigint, cell int, m int, code int, d2 double"
+        )
+    )
+    cell_codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin([int(c) for c in sorted(all_cells)])
+    )
+    w_cand = Window.partitionBy("qid").orderBy("adc_d2", id_col)
+    cand = (
+        cell_codes.join(dtable, ["cell", "m", "code"])
+        .groupBy("qid", id_col)
+        .agg(
+            F.sum(F.col("d2").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("adc_d2")
+        )
+        .withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= n_candidates)
+        .select("qid", id_col)
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(qrows, "qid bigint, qvec array<double>")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("qvec"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_out = Window.partitionBy("qid").orderBy("d2", id_col)
+    return (
+        vectors.join(F.broadcast(cand), id_col)
+        .join(qdf, "qid")
+        .select("qid", id_col, F.round(d2, 6).alias("d2"))
+        .withColumn("rn", F.row_number().over(w_out))
+        .filter(F.col("rn") <= k_out)
+        .select(F.col("qid").alias("query_id"), id_col, "d2")
+        .orderBy("query_id", "d2", id_col)
+    )

@@ -2527,6 +2527,34 @@ QUERIES["did_honest_smoothness"] = did_honest_smoothness
 ORACLES["did_honest_smoothness"] = DID_HONEST_SD_SQL
 
 
+def did_honest_flci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rambachan-Roth EXACT fixed-length CI under Δ^SD
+    (did/honest.py::honest_flci_frame — RR 2023 §5.2 via the
+    Armstrong-Kolesar 2018 affine construction), completing
+    did_honest_smoothness' plug-in bounds: the plug-in CI ignores the
+    noise in the pre coefficients its extrapolation and calibration
+    are built from; the FLCI optimizes an affine estimator
+    β̂_e − (e+1)·Σw_t·slope_t over the FULL finite-bias affine class
+    (the slope parameterization spans it exactly), charges the
+    worst-case bias M·Σ|tail sums| in closed form, and pads with the
+    folded-normal critical value — exact 1−α coverage for every
+    trend in Δ^SD(M), noise in the pre profile priced through v'Σv.
+    Same result-sized scale shape as the other honest queries on top
+    of the SA influence-SE plan; the optimizer is deterministic
+    driver numpy (fixed-simplex Nelder-Mead + bisection) → pinned
+    VALUES golden. Coverage/containment/bias-bound brute-force
+    pytests: tests/test_honest_flci.py."""
+    from csdid_pyspark_spark.did.honest import honest_flci_frame
+    from csdid_pyspark_spark.did.robust_cells import sunab_event_se_frame
+
+    return honest_flci_frame(
+        sunab_event_se_frame(panel_from_events(spark, sf_dir))
+    )
+
+
+QUERIES["did_honest_flci"] = did_honest_flci
+
+
 def did_bjs_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borusyak-Jaravel-Spiess imputation event study
     (did/imputation.py::bjs_imputation_frame — BJS 2024, REStud

@@ -1706,6 +1706,98 @@ def run_ivfpq_index(spark, n_vecs: int, dim: int = 64, n_clusters: int = 50) -> 
     }
 
 
+def run_ivfpq_batch(spark, n_vecs: int, n_queries: int = 200,
+                    dim: int = 64, n_clusters: int = 50) -> dict:
+    """Batched-probe rehearsal (r9): the same persisted index as
+    run_ivfpq_index, probed by ONE probe_ivfpq_index_batch call with
+    n_queries query vectors vs the single-query loop. The claim under
+    test: per-query cost amortizes — Q queries cost one bounded
+    fan-out scan, so batch_sec / Q must land well under the
+    single-probe median. Also spot-checks per-query parity against
+    the single-query path."""
+    import shutil
+    import tempfile
+
+    from csdid_pyspark_spark.operators.ivfpq import (
+        probe_ivfpq_index,
+        probe_ivfpq_index_batch,
+        write_ivfpq_index,
+    )
+
+    def center_expr(cvar: str) -> str:
+        return (
+            f"transform(sequence(0, {dim - 1}), j -> "
+            f"cast(pmod(hash({cvar} * 1000 + j, 42), 1000) as double) / 100.0)"
+        )
+
+    emb = (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.pmod(F.xxhash64("id", F.lit("c")), n_clusters).alias("c"),
+            (F.pmod(F.xxhash64("id", F.lit("s")), 97) / 97.0 * 0.5).alias("scale"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"zip_with({center_expr('c')}, "
+                f"transform(sequence(0, {dim - 1}), j -> "
+                f"scale * cast(pmod(hash(vec_id * {dim} + j, 7), 1000) as double) / 1000.0), "
+                f"(a, b) -> a + b)"
+            ).alias("embedding"),
+        )
+    )
+    cores = spark.sparkContext.defaultParallelism
+    emb = emb.repartition(cores).persist()
+    emb.count()
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(n_queries).collect()
+    ]
+
+    idx = tempfile.mkdtemp(prefix="spark_graft_stress_ivfpqb_")
+    try:
+        t0 = time.perf_counter()
+        write_ivfpq_index(emb, idx, n_cells=16, m=16, k_codes=32, iters=3)
+        build_sec = round(time.perf_counter() - t0, 1)
+
+        n_cand = max(500, n_vecs // 40)
+        kw = dict(n_probe=3, n_candidates=n_cand, k_out=10)
+        single_secs = []
+        singles = {}
+        for qid, qv in queries[:3]:
+            t0 = time.perf_counter()
+            singles[qid] = [
+                (r["vec_id"], r["d2"])
+                for r in probe_ivfpq_index(spark, idx, qv, emb, **kw).collect()
+            ]
+            single_secs.append(round(time.perf_counter() - t0, 2))
+
+        t0 = time.perf_counter()
+        brows = probe_ivfpq_index_batch(spark, idx, queries, emb, **kw).collect()
+        batch_sec = round(time.perf_counter() - t0, 2)
+        got: dict = {}
+        for r in brows:
+            got.setdefault(r["query_id"], []).append((r["vec_id"], r["d2"]))
+        parity = all(got[qid] == singles[qid] for qid in singles)
+    finally:
+        emb.unpersist()
+        shutil.rmtree(idx, ignore_errors=True)
+    single_med = sorted(single_secs)[len(single_secs) // 2]
+    return {
+        "metric": "stress_ivfpq_batch",
+        "vectors": n_vecs,
+        "n_queries": n_queries,
+        "build_write_sec": build_sec,
+        "single_probe_median_sec": single_med,
+        "batch_sec": batch_sec,
+        "batch_per_query_sec": round(batch_sec / n_queries, 4),
+        "amortization_x": round(single_med * n_queries / batch_sec, 1),
+        "parity_spotcheck": parity,
+        **_driver_memory(),
+    }
+
+
 def run_bjs(spark, n_units: int, n_periods: int = 20, with_se: bool = False) -> dict:
     """BJS imputation rehearsal on the staggered synthetic panel
     (planted dynamic effect TAU*(e+1), unit FE + covariate trend +
@@ -2012,6 +2104,7 @@ def main() -> None:
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
         "bjs", "dsir", "lpa", "etwfe", "bjsse", "mcnnm", "fs",
+        "ivfpqbatch",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -2046,6 +2139,10 @@ def main() -> None:
     elif mode == "ivfpqidx":
         n_vecs = int(args[0]) if args else 100_000
         out = run_ivfpq_index(spark, n_vecs)
+    elif mode == "ivfpqbatch":
+        n_vecs = int(args[0]) if args else 100_000
+        n_q = int(args[1]) if len(args) > 1 else 200
+        out = run_ivfpq_batch(spark, n_vecs, n_q)
     elif mode == "lm":
         n_docs = int(args[0]) if args else 1_000_000
         out = run_lm(spark, n_docs)

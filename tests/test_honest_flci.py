@@ -1,0 +1,152 @@
+"""Exact FLCI for Δ^SD (did/honest.py::honest_flci_frame) — bias-bound
+brute-force verification, plug-in containment under pre-period noise,
+convergence to the plug-in identified set as se -> 0, and analytic
+coverage at the worst-case trend."""
+
+import numpy as np
+import pytest
+
+
+def _profile(spark, att, se):
+    rows = [(int(e), float(a), float(se[e])) for e, a in att.items()]
+    return spark.createDataFrame(rows, "e int, att_iw double, se double")
+
+
+def test_flci_bias_bound_is_tight_and_valid():
+    """The closed-form worst-case bias M * sum_i |tail_i| must (a)
+    dominate the realized bias of every randomly drawn trend in
+    Δ^SD(M) and (b) be ATTAINED by the sign-pattern maximizer —
+    verified by brute force against the slope-increment
+    parameterization the formula is derived from."""
+    from csdid_pyspark_spark.did.honest import _flci_halflength
+
+    rng = np.random.default_rng(3)
+    M = 0.7
+    for e, k in [(0, 2), (2, 3), (3, 4)]:
+        w = rng.normal(size=k)
+        w[-1] = 1.0 - w[:-1].sum()
+        cov = np.eye(k + 1)
+        _, bias_max, _, _ = _flci_halflength(w, e, M, None, cov, 0.05)
+        # slope coefficients a_j, ordered sigma_{-k}..sigma_{-1},
+        # sigma_0..sigma_e  (w is [w_{-1}, w_{-2}, ...])
+        a = np.concatenate([-(e + 1) * w[::-1], np.ones(e + 1)])
+        n_inc = len(a) - 1
+        worst = 0.0
+        for _ in range(4000):
+            u = rng.uniform(-M, M, n_inc)
+            sig = np.concatenate([[0.0], np.cumsum(u)])
+            bias = float(a @ sig)
+            assert abs(bias) <= bias_max + 1e-9
+            worst = max(worst, abs(bias))
+        # the attaining pattern: u_i = M * sign(tail_{i+1})
+        tails = np.cumsum(a[::-1])[::-1]
+        u_star = M * np.sign(tails[1:])
+        sig = np.concatenate([[0.0], np.cumsum(u_star)])
+        assert abs(abs(float(a @ sig)) - bias_max) < 1e-9
+        assert worst <= bias_max + 1e-9
+
+
+def test_flci_converges_to_plugin_set_as_se_vanishes(spark):
+    """With se -> 0 the optimal weights collapse to the minimum-bias
+    corner (last-slope-only linear extrapolation) and the FLCI
+    converges to the plug-in identified set of
+    honest_smoothness_frame: same center (att - (e+1)*s_last), and
+    halflength -> M*(e+1)*(e+2)/2."""
+    from csdid_pyspark_spark.did.honest import (
+        honest_flci_frame,
+        honest_smoothness_frame,
+    )
+
+    # pre path with curvature: beta_-4..-2 = -1.1, -0.8, -0.3
+    # (beta_-1 = 0); posts arbitrary
+    att = {-4: -1.1, -3: -0.8, -2: -0.3, 0: 2.0, 1: 2.5, 2: 1.8}
+    tiny = {e: 1e-7 for e in att}
+    prof = _profile(spark, att, tiny)
+    flci = {
+        (r["e"], r["mbar"]): r
+        for r in honest_flci_frame(prof, mbars=(0.0, 1.0)).collect()
+    }
+    plug = {
+        (r["e"], r["mbar"]): r
+        for r in honest_smoothness_frame(prof, mbars=(0.0, 1.0)).collect()
+    }
+    # c_pre = max observed |second difference| of the pre path
+    path = [att[-4], att[-3], att[-2], 0.0]
+    c_pre = max(
+        abs(path[i + 1] - 2 * path[i] + path[i - 1]) for i in (1, 2)
+    )
+    s_last = 0.0 - att[-2]
+    for e in (0, 1, 2):
+        r = flci[(e, 1.0)]
+        center_plugin = att[e] - (e + 1) * s_last
+        width_plugin = c_pre * (e + 1) * (e + 2) / 2.0
+        assert abs(r["theta"] - center_plugin) < 1e-3
+        assert abs(r["halflength"] - width_plugin) < 1e-3
+        p = plug[(e, 1.0)]
+        # plug-in set = [att - shift - width, att - shift + width]
+        assert abs(p["set_lo"] - (center_plugin - width_plugin)) < 1e-5
+        assert abs(r["flci_lo"] - p["set_lo"]) < 2e-3
+        assert abs(r["flci_hi"] - p["set_hi"]) < 2e-3
+        # mbar = 0: bias is zero for ANY weights (linear trends are
+        # differenced out exactly), so the optimizer picks the
+        # GLS-variance-minimizing extrapolation — theta need NOT equal
+        # the last-slope-only center; only the vanishing length is
+        # pinned here
+        r0 = flci[(e, 0.0)]
+        assert r0["halflength"] < 1e-5
+        assert r0["bias_max"] == 0.0
+
+
+def test_flci_pays_for_preperiod_noise(spark):
+    """The plug-in CI ignores the noise in the pre coefficients that
+    its extrapolation shift and calibrated M are built from; the FLCI
+    charges for it through v'Σv. With noisy pre coefficients and a
+    precise post coefficient the FLCI must be strictly wider than the
+    plug-in CI — the containment direction the sensitivity analysis
+    needs to be honest."""
+    from csdid_pyspark_spark.did.honest import (
+        honest_flci_frame,
+        honest_smoothness_frame,
+    )
+
+    att = {-4: -1.1, -3: -0.8, -2: -0.3, 0: 2.0, 1: 2.5}
+    se = {-4: 2.0, -3: 2.0, -2: 2.0, 0: 0.01, 1: 0.01}
+    prof = _profile(spark, att, se)
+    flci = {
+        (r["e"], r["mbar"]): r
+        for r in honest_flci_frame(prof, mbars=(1.0,)).collect()
+    }
+    plug = {
+        (r["e"], r["mbar"]): r
+        for r in honest_smoothness_frame(prof, mbars=(1.0,)).collect()
+    }
+    for e in (0, 1):
+        f, p = flci[(e, 1.0)], plug[(e, 1.0)]
+        plug_half = (p["ci_hi"] - p["ci_lo"]) / 2.0
+        assert f["halflength"] > plug_half, (e, f, p)
+        assert f["sd"] > se[e]
+
+
+def test_flci_coverage_at_worst_case_trend(spark):
+    """Analytic coverage check: for the reported (w, chi, bias_max,
+    sd), coverage at ANY trend with |realized bias| <= bias_max is
+    Phi((chi - b)/sd) - Phi((-chi - b)/sd) >= 1 - alpha at b =
+    +/- bias_max by the folded-normal construction. Verify the
+    reported chi satisfies the inequality to bisection tolerance."""
+    from csdid_pyspark_spark.did.honest import _norm_cdf, honest_flci_frame
+
+    att = {-3: -0.6, -2: -0.25, 0: 1.0, 1: 1.4}
+    se = {-3: 0.5, -2: 0.4, 0: 0.3, 1: 0.35}
+    prof = _profile(spark, att, se)
+    for r in honest_flci_frame(prof, mbars=(0.5, 1.5)).collect():
+        chi, b, sd = r["halflength"], r["bias_max"], r["sd"]
+        cover = _norm_cdf((chi - b) / sd) - _norm_cdf((-chi - b) / sd)
+        assert cover >= 0.95 - 1e-6, (r["e"], r["mbar"], cover)
+
+
+def test_flci_guards(spark):
+    from csdid_pyspark_spark.did.honest import honest_flci_frame
+
+    prof = _profile(spark, {-2: -0.3, 0: 1.0}, {-2: 0.1, 0: 0.1})
+    with pytest.raises(ValueError, match="consecutive pre-period"):
+        honest_flci_frame(prof).collect()

@@ -1523,3 +1523,52 @@ def test_label_propagation_splits_bridged_cliques(spark):
     assert lab_a != lab_b
     again = {r["node"]: r["label"] for r in label_propagation(pairs, iters=4).collect()}
     assert again == got
+
+
+def test_ivfpq_batch_probe_parity_and_pruning(spark, tmp_path):
+    """probe_ivfpq_index_batch (round-9 production retrieval pass):
+    per-query results must be IDENTICAL to looping
+    probe_ivfpq_index with the same parameters, the single codes scan
+    must still be partition-pruned to the union of probed cells, and
+    the output ordering must be deterministic."""
+    import re
+
+    from csdid_pyspark_spark.operators.ivfpq import (
+        probe_ivfpq_index,
+        probe_ivfpq_index_batch,
+        write_ivfpq_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    all_emb = load_table(spark, sf, "embeddings")
+    qrows = all_emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+    emb = all_emb.filter(F.col("vec_id") >= 3)
+    idx = str(tmp_path / "ivfpq_batch")
+    write_ivfpq_index(emb, idx, n_cells=8, m=16, k_codes=32, iters=3)
+
+    kw = dict(n_probe=4, n_candidates=60, k_out=7)
+    batch = probe_ivfpq_index_batch(spark, idx, queries, emb, **kw)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["d2"]))
+    assert set(got) == {q for q, _ in queries}
+    for qid, qv in queries:
+        want = [
+            (r["vec_id"], r["d2"])
+            for r in probe_ivfpq_index(spark, idx, qv, emb, **kw).collect()
+        ]
+        assert got[qid] == want, qid
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert filters and any("cell" in f for f in filters), filters
+
+    # no single-reducer window: every Window in the plan is qid-
+    # partitioned (hashpartitioning), never SinglePartition
+    assert "SinglePartition" not in plan
+
+    with pytest.raises(ValueError, match="empty query list"):
+        probe_ivfpq_index_batch(spark, idx, [], emb)

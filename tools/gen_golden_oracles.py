@@ -82,6 +82,10 @@ GOLDEN_NAMES = (
     "did_synth_did",
     # per-cohort Frank-Wolfe fits + decimal-exact cohort means
     "did_sdid_staggered",
+    # affine-FLCI optimization (Nelder-Mead + bisection): deterministic
+    "did_honest_flci",
+    # batched ADC probe of the persisted index: deterministic
+    "sim_ann_ivfpq_batch",
 )
 
 _DUCK_TYPES = {
