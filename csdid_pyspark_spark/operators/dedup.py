@@ -108,6 +108,35 @@ def shingle_table(
     return df.select(id_col, *carry, F.explode(shingles).alias("shingle"))
 
 
+def _shingle_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    widen: bool = True,
+) -> DataFrame:
+    """(id, sh_arr): the per-doc DISTINCT shingle ARRAY — the map-side
+    half of ``shingle_table``, exposed so signature computations can
+    run as NARROW array expressions over it (array_min over a
+    transform) instead of paying the postings explode + a grouped
+    aggregation back to one row per doc. Same shingle set, same
+    contract (one row per id; docs shorter than n tokens get an empty
+    array rather than disappearing)."""
+    from csdid_pyspark_spark.operators.fanout import widen_fanout
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df.select(F.col(id_col), toks.alias("tokens"))
+    if widen:
+        out = widen_fanout(out)
+    parts = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(n))
+    shingles = F.expr(
+        f"CASE WHEN size(tokens) >= {n} "
+        f"THEN array_distinct(transform(sequence(0, size(tokens) - {n}), i -> {parts})) "
+        f"ELSE array() END"
+    )
+    return out.select(id_col, shingles.alias("sh_arr"))
+
+
 # Above this corpus size an UNCAPPED postings self-join (max_df=None,
 # no blocking) is a known quadratic foot-gun: one boilerplate shingle
 # shared by k docs contributes k² join rows. The exact variant exists
@@ -525,11 +554,31 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """MinHash signature per doc: for each of `num_hashes` seeded hash
-    functions, the min hash over the doc's shingle set. One aggregation
-    pass over the postings table — signature is num_hashes columns."""
-    sh = shingle_table(df, text_col, id_col, n)
-    aggs = [F.min(_hash64(F.col("shingle"), s)).alias(f"mh_{s}") for s in range(num_hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    functions, the min hash over the doc's shingle set. Computed
+    MAP-SIDE over the per-doc shingle array (array_min over a
+    transform) — NO postings explode, no grouped aggregation; values
+    are bit-identical to the old min-over-postings form (same distinct
+    shingle set, same xxhash64(seed, shingle))."""
+    return _minhash_sig_from_arrays(
+        _shingle_arrays(df, text_col, id_col, n), id_col, num_hashes
+    )
+
+
+def _minhash_sig_from_arrays(
+    arr: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """num_hashes min-hash columns as narrow expressions over the
+    (id, sh_arr) frame; docs with no shingles are dropped (matching
+    the postings form, where they never produced a group)."""
+    return arr.filter(F.size("sh_arr") > 0).select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"array_min(transform(sh_arr, x -> xxhash64({s}, x)))"
+            ).alias(f"mh_{s}")
+            for s in range(num_hashes)
+        ],
+    )
 
 
 def minhash_lsh_pairs(
@@ -544,21 +593,30 @@ def minhash_lsh_pairs(
     """MinHash LSH near-dup candidates, verified with exact Jaccard.
 
     Banding: num_hashes/bands rows per band; docs agreeing on all rows
-    of any band become candidates (shuffle keyed by (band, bucket)).
-    Candidates are then re-scored with exact shingle Jaccard RESTRICTED
-    to the candidate list (``jaccard_for_candidates``), so the output is
+    of any band become candidates (one grouped pass keyed by
+    (band, bucket) — in-bucket pairs are generated from the sorted
+    per-bucket id array, so the candidate stage pays ONE shuffle, not
+    a two-sided self-join plus a distinct). Candidates are then
+    re-scored with exact shingle Jaccard RESTRICTED to the candidate
+    list — a map-side array_intersect over the two docs' cached
+    shingle arrays (bit-identical to the postings-join form: the
+    arrays are distinct, so |intersect| and the union-size identity
+    give the same integers into the same division) — so the output is
     exact on candidates while every stage stays linear-ish in corpus
-    size — LSH prunes the pair space AND the verification join, which is
-    what makes this run at 100 TB where the all-pairs join cannot."""
+    size — LSH prunes the pair space AND the verification join, which
+    is what makes this run at 100 TB where the all-pairs join cannot."""
     rows = num_hashes // bands
-    # the postings table feeds BOTH the signature aggregation and the
-    # exact-Jaccard verification below; uncached, the shingle explode +
-    # distinct (the single most expensive stage of this pipeline) would
-    # run once per consumer
-    sh = shingle_table(df, text_col, id_col, n).persist()
-    sig = sh.groupBy(id_col).agg(
-        *[F.min(_hash64(F.col("shingle"), s)).alias(f"mh_{s}") for s in range(num_hashes)]
-    )
+    # the per-doc shingle ARRAY feeds BOTH the signature computation
+    # and (exploded) the exact-Jaccard verification below; uncached,
+    # the tokenize + shingle construction (the single most expensive
+    # stage of this pipeline) would run once per consumer. Signatures
+    # are MAP-SIDE array_min expressions over the cached arrays — the
+    # postings explode + groupBy(id) aggregation the old form paid
+    # (one full postings shuffle, 0.9 s of the 3.0 s sf0.1 median) is
+    # gone; values are bit-identical (same distinct shingle set, same
+    # xxhash64(seed, shingle)).
+    arr = _shingle_arrays(df, text_col, id_col, n).persist()
+    sig = _minhash_sig_from_arrays(arr, id_col, num_hashes)
     # one (band, bucket) struct per band, exploded from a SINGLE pass
     # over the signature table — a per-band union would embed the whole
     # corpus->signature subtree once per band per join side (observed:
@@ -575,18 +633,50 @@ def minhash_lsh_pairs(
     bucketed = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # in-bucket pairs from the sorted per-bucket id array: ONE grouped
+    # shuffle keyed by (band, bucket) replaces the two-sided self-join.
+    # A bucket of k docs emits k(k-1)/2 pairs — exactly the candidate
+    # fan-in the banding math budgets for; a pathological mega-bucket
+    # is a collision-threshold problem upstream, not a join-shape one.
+    pairs = (
+        bucketed.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+        .select("p.id_a", "p.id_b")
     )
-    return attach_cache(jaccard_for_candidates(sh, cand, id_col, threshold), sh)
+    cand = pairs.distinct()
+    # exact-Jaccard verification, map-side: each candidate pair pulls
+    # its two cached shingle arrays; |A ∩ B| via array_intersect (the
+    # arrays are distinct) and the same n_a + n_b - n_inter division
+    # the postings form used — bit-identical jaccard values
+    pa = arr.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh_arr").alias("arr_a"),
+    )
+    pb = arr.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh_arr").alias("arr_b"),
+    )
+    n_inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    n_a, n_b = F.size("arr_a"), F.size("arr_b")
+    jac = n_inter / (n_a + n_b - n_inter)
+    return attach_cache(
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+        arr,
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

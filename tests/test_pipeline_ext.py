@@ -118,11 +118,19 @@ def test_dedup_attach_release_cache_lifecycle(spark):
         not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in cached
     )
 
-    # composed: LSH wraps jaccard_for_candidates → sh + cand + sh_c
+    # LSH holds exactly ONE persist since the r9 map-side rewrite: the
+    # per-doc shingle-array frame (signatures are narrow expressions
+    # over it, verification is a map-side array_intersect) — and it
+    # must be released by the same protocol
     out2 = dedup.minhash_lsh_pairs(df, num_hashes=8, bands=4, threshold=0.3)
     out2.collect()
-    assert len(getattr(out2, "_two_phase_cache")) >= 3
+    cached2 = list(getattr(out2, "_two_phase_cache"))
+    assert len(cached2) == 1
+    assert all(c.storageLevel.useMemory or c.storageLevel.useDisk for c in cached2)
     release_cache(out2)
+    assert all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in cached2
+    )
 
 
 def test_quantile_histogram_error_bounded_by_bin_width(spark, sf_dir):
