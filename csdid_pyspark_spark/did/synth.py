@@ -566,6 +566,9 @@ def synthetic_did_staggered(
     idname: str = "id",
     donor_k: int = 50,
     fw_iters: int = 800,
+    placebo_se: bool = False,
+    n_placebo: int = 50,
+    seed: int = 7,
 ) -> dict:
     """Staggered-adoption SDID (Arkhangelsky et al. 2021, Appendix A):
     run the estimator ONCE PER ADOPTION COHORT — cohort g's treated
@@ -591,6 +594,19 @@ def synthetic_did_staggered(
 
     Returns ``{"att": weighted tau, "cohorts": {g: {"att", "zeta",
     "pre_rmse", "n_units", "n_post", "weight"}}}``.
+
+    ``placebo_se=True`` adds Algorithm-4 placebo variance generalized
+    to the staggered design: each of ``n_placebo`` replicates draws,
+    per cohort g, a PSEUDO-COHORT of min(N_g, pool/2) never-treated
+    units (deterministic seeded sampling from the 3x-oversampled
+    screen pool), fits SDID on the pseudo-cohort's MEAN series against
+    its own re-screened donors, and combines the per-cohort placebo
+    taus with the REAL weights — so the replicate-level sd prices the
+    CROSS-COHORT correlation through shared donors that per-cohort
+    placebo loops would miss. Adds ``se``/``p_value`` overall and
+    ``se`` per cohort; every replicate is driver algebra over the
+    already-collected series (zero extra Spark jobs — the screen just
+    collects 3x donor_k series per cohort instead of donor_k).
     """
     p = panel.select(
         F.col(idname).alias("id"),
@@ -661,14 +677,15 @@ def synthetic_did_staggered(
         F.col("n_all") == len(periods)
     )
     scored = scored.persist()
+    screen_k = (3 * donor_k) if placebo_se else donor_k
     keep: set = set()
-    per_cohort_ids: dict = {}
+    pools: dict = {}
     for g in cohorts:
         ids = [
             r["id"]
-            for r in scored.orderBy(f"d_{g}", "id").limit(donor_k).collect()
+            for r in scored.orderBy(f"d_{g}", "id").limit(screen_k).collect()
         ]
-        per_cohort_ids[g] = sorted(ids)
+        pools[g] = sorted(ids)
         keep.update(ids)
     scored.unpersist(blocking=False)
     keep_df = p.sparkSession.createDataFrame(
@@ -685,11 +702,25 @@ def synthetic_did_staggered(
 
     cohort_out: dict = {}
     wsum = tsum = 0.0
+    windows = {
+        g: (
+            [t for t in periods if t < g],
+            [t for t in periods if t >= g],
+        )
+        for g in cohorts
+    }
     for g in cohorts:
-        pre = [t for t in periods if t < g]
-        post = [t for t in periods if t >= g]
+        pre, post = windows[g]
+        # the real fit's donor set: the donor_k nearest within the
+        # (possibly oversampled) pool — with screen_k == donor_k this
+        # IS the pool, so the no-inference path is unchanged
+        donor_list = (
+            _nearest(cmean[g], series, pools[g], pre, donor_k)
+            if placebo_se
+            else pools[g]
+        )
         core = _sdid_core(
-            cmean[g], series, per_cohort_ids[g], pre, post, fw_iters,
+            cmean[g], series, donor_list, pre, post, fw_iters,
             n_tr=csize[g],
         )
         w = float(csize[g] * len(post))
@@ -703,4 +734,63 @@ def synthetic_did_staggered(
         }
         wsum += w
         tsum += w * core["att"]
-    return {"att": tsum / wsum, "cohorts": cohort_out}
+    out = {"att": tsum / wsum, "cohorts": cohort_out}
+    if placebo_se:
+        import math
+        import random
+
+        overall_taus = []
+        cohort_taus: dict = {g: [] for g in cohorts}
+        for b in range(n_placebo):
+            rng = random.Random(seed * 1_000_003 + b)
+            tb = wb = 0.0
+            ok = True
+            for g in cohorts:
+                pre, post = windows[g]
+                pool = pools[g]
+                k_ps = min(csize[g], len(pool) // 2)
+                if k_ps < 1 or len(pool) - k_ps < 2:
+                    ok = False
+                    break
+                pseudo = rng.sample(pool, k_ps)
+                pmean = {
+                    t: sum(series[d][t] for d in pseudo) / k_ps
+                    for t in periods
+                }
+                rest = _nearest(
+                    pmean,
+                    series,
+                    [d for d in pool if d not in set(pseudo)],
+                    pre,
+                    donor_k,
+                )
+                tau_g = _sdid_core(
+                    pmean, series, rest, pre, post, fw_iters, n_tr=k_ps
+                )["att"]
+                cohort_taus[g].append(tau_g)
+                w = float(csize[g] * len(post))
+                tb += w * tau_g
+                wb += w
+            if ok:
+                overall_taus.append(tb / wb)
+        if len(overall_taus) < 2:
+            raise ValueError(
+                "synthetic_did_staggered: placebo_se needs every cohort's "
+                "donor pool to support a pseudo-cohort draw plus >= 2 "
+                "remaining donors"
+            )
+        mu = sum(overall_taus) / len(overall_taus)
+        se = math.sqrt(
+            sum((x - mu) ** 2 for x in overall_taus) / len(overall_taus)
+        )
+        z = abs(out["att"]) / se if se > 0 else float("inf")
+        out["se"] = float(se)
+        out["p_value"] = float(2.0 * (1.0 - _phi(z)))
+        out["n_placebo"] = len(overall_taus)
+        for g in cohorts:
+            v = cohort_taus[g]
+            m_g = sum(v) / len(v)
+            cohort_out[int(g)]["se"] = float(
+                math.sqrt(sum((x - m_g) ** 2 for x in v) / len(v))
+            )
+    return out

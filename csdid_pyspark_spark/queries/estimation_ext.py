@@ -2207,33 +2207,53 @@ def did_sdid_staggered(spark: SparkSession, sf_dir: str) -> DataFrame:
     Appendix A; did/synth.py::synthetic_did_staggered): one SDID fit
     per adoption cohort — the cohort's treated series is its
     cross-unit mean, donors are the never-treated units, and the
-    overall att averages cohort taus with N_g * T_post,g weights.
+    overall att averages cohort taus with N_g * T_post,g weights,
+    and Algorithm-4 placebo inference runs per REPLICATE (a
+    pseudo-cohort drawn per cohort from the 3x-oversampled screen
+    pool, combined with the real weights — so the overall se prices
+    the cross-cohort correlation through shared donors).
     Distributed shape: ONE decimal-exact agg for all cohort mean
     series, ONE groupBy(id) pass scoring every donor against ALL
     cohorts at once, per-cohort TakeOrdered top-k (no full sort), one
-    bounded series collect. Output: per-cohort rows + the weighted
-    overall. Deterministic Frank-Wolfe + decimal sums → pinned VALUES
-    golden."""
+    bounded series collect; every placebo replicate is driver
+    algebra. Output: per-cohort rows (+ placebo se) + the weighted
+    overall (+ se, p). Deterministic Frank-Wolfe + decimal sums +
+    seeded draws → pinned VALUES golden."""
     from csdid_pyspark_spark.did.synth import synthetic_did_staggered
 
     panel = panel_from_events(spark, sf_dir)
-    res = synthetic_did_staggered(panel, donor_k=25)
+    res = synthetic_did_staggered(
+        panel, donor_k=25, placebo_se=True, n_placebo=50
+    )
     rows = [
         (
             int(g),
             round(c["att"], 6),
+            round(c["se"], 6),
             round(c["zeta"], 6),
             round(c["pre_rmse"], 6),
             int(c["n_units"]),
             int(c["n_post"]),
+            None,
         )
         for g, c in sorted(res["cohorts"].items())
     ]
-    rows.append((None, round(res["att"], 6), None, None, None, None))
+    rows.append(
+        (
+            None,
+            round(res["att"], 6),
+            round(res["se"], 6),
+            None,
+            None,
+            None,
+            None,
+            round(res["p_value"], 6),
+        )
+    )
     return spark.createDataFrame(
         rows,
-        "g int, att double, zeta double, pre_rmse double,"
-        " n_units int, n_post int",
+        "g int, att double, se double, zeta double, pre_rmse double,"
+        " n_units int, n_post int, p_value double",
     ).orderBy(F.col("g").asc_nulls_last())
 
 

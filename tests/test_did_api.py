@@ -1531,3 +1531,48 @@ def test_ife_att_bands_guard(spark):
     panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
     with _pytest.raises(ValueError, match="placebo bands"):
         ife_att_bands(panel, b_reps=10)
+
+
+def test_synthetic_did_staggered_placebo_se(spark):
+    """Staggered SDID Algorithm-4 placebo variance: pseudo-cohorts
+    drawn per cohort from the oversampled screen pool, combined with
+    the real weights per replicate. Point estimates must be unchanged
+    by turning inference on; with planted effects far above the noise
+    the overall p must be small; se positive overall and per cohort;
+    deterministic across partitionings."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.synth import synthetic_did_staggered
+
+    rng = np.random.default_rng(31)
+    T = 16
+    beta = rng.normal(0, 2, T)
+    taus = {10: 3.0, 12: -2.0}
+    sizes = {10: 6, 12: 4}
+    rows = []
+    uid = 0
+    for g, n in [(0, 30), (10, sizes[10]), (12, sizes[12])]:
+        for _ in range(n):
+            a = rng.normal(10, 3)
+            for t in range(T):
+                y = a + beta[t] + (taus[g] if g and t >= g else 0.0)
+                rows.append((uid, int(g), t, float(y + rng.normal(0, 0.05))))
+            uid += 1
+    panel = spark.createDataFrame(rows, "id bigint, g int, period int, y double")
+
+    base = synthetic_did_staggered(panel, donor_k=20)
+    res = synthetic_did_staggered(
+        panel, donor_k=20, placebo_se=True, n_placebo=40
+    )
+    assert res["att"] == base["att"]
+    for g in taus:
+        assert res["cohorts"][g]["att"] == base["cohorts"][g]["att"]
+        assert res["cohorts"][g]["se"] > 0
+    assert res["se"] > 0
+    assert res["n_placebo"] == 40
+    assert res["p_value"] < 0.05, (res["att"], res["se"])
+
+    res2 = synthetic_did_staggered(
+        panel.repartition(13), donor_k=20, placebo_se=True, n_placebo=40
+    )
+    assert res2["se"] == res["se"] and res2["att"] == res["att"]
