@@ -264,7 +264,7 @@ def _cv_folded(t: float, alpha: float) -> float:
     return 0.5 * (lo + hi)
 
 
-def _flci_halflength(w, e, M, pre_es, cov, alpha):
+def _flci_halflength(w, e, M, cov, alpha):
     """Half-length and components of the FLCI for the affine estimator
     theta_hat = beta_e - (e+1) * sum_t w_t * slope_t over Delta^SD(M).
 
@@ -458,7 +458,7 @@ def honest_flci_frame(
 
             def obj(theta):
                 return _flci_halflength(
-                    w_of(theta), e, M, pre_es, sig, alpha
+                    w_of(theta), e, M, sig, alpha
                 )[0]
 
             # start at last-slope-only (the minimum-bias corner) —
@@ -468,7 +468,7 @@ def honest_flci_frame(
             best_t, _ = _nelder_mead(obj, x0)
             w = w_of(best_t)
             chi, bias, sd, v = _flci_halflength(
-                w, e, M, pre_es, sig, alpha
+                w, e, M, sig, alpha
             )
             theta_hat = att[e] - (e + 1) * float(
                 np.dot(w, np.asarray(slopes))

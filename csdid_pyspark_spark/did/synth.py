@@ -739,19 +739,30 @@ def synthetic_did_staggered(
         import math
         import random
 
+        if n_placebo < 2:
+            raise ValueError(
+                "synthetic_did_staggered: n_placebo must be >= 2"
+            )
+        # feasibility is b-independent: check every cohort's pool ONCE
+        # before the replicate loop instead of aborting mid-replicate
+        for g in cohorts:
+            k_ps = min(csize[g], len(pools[g]) // 2)
+            if k_ps < 1 or len(pools[g]) - k_ps < 2:
+                raise ValueError(
+                    "synthetic_did_staggered: placebo_se needs every "
+                    "cohort's donor pool to support a pseudo-cohort draw "
+                    f"plus >= 2 remaining donors (cohort g={g}: pool "
+                    f"{len(pools[g])}, N_g {csize[g]})"
+                )
         overall_taus = []
         cohort_taus: dict = {g: [] for g in cohorts}
         for b in range(n_placebo):
             rng = random.Random(seed * 1_000_003 + b)
             tb = wb = 0.0
-            ok = True
             for g in cohorts:
                 pre, post = windows[g]
                 pool = pools[g]
                 k_ps = min(csize[g], len(pool) // 2)
-                if k_ps < 1 or len(pool) - k_ps < 2:
-                    ok = False
-                    break
                 pseudo = rng.sample(pool, k_ps)
                 pmean = {
                     t: sum(series[d][t] for d in pseudo) / k_ps
@@ -771,14 +782,7 @@ def synthetic_did_staggered(
                 w = float(csize[g] * len(post))
                 tb += w * tau_g
                 wb += w
-            if ok:
-                overall_taus.append(tb / wb)
-        if len(overall_taus) < 2:
-            raise ValueError(
-                "synthetic_did_staggered: placebo_se needs every cohort's "
-                "donor pool to support a pseudo-cohort draw plus >= 2 "
-                "remaining donors"
-            )
+            overall_taus.append(tb / wb)
         mu = sum(overall_taus) / len(overall_taus)
         se = math.sqrt(
             sum((x - mu) ** 2 for x in overall_taus) / len(overall_taus)
@@ -794,3 +798,172 @@ def synthetic_did_staggered(
                 math.sqrt(sum((x - m_g) ** 2 for x in v) / len(v))
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Conformal counterfactual inference (Chernozhukov, Wüthrich & Zhu 2021)
+# ---------------------------------------------------------------------------
+
+
+def _conformal_p(y_adj, series, donor_list, periods, post, model, fw_iters, q):
+    """CWZ moving-block p-value for ONE hypothesized effect already
+    subtracted from ``y_adj``: refit the counterfactual model on ALL
+    periods (under H0 the adjusted series is untreated everywhere),
+    compute residuals, and rank the post-block test statistic among
+    all |T| cyclic blocks. Driver numpy over collected series."""
+    import numpy as np
+
+    X = np.array([[series[d][t] for t in periods] for d in donor_list]).T
+    y = np.array([y_adj[t] for t in periods])
+    if model == "sdid":
+        # intercept profiled out: center every series by its own mean
+        Xf = X - X.mean(axis=0, keepdims=True)
+        yf = y - y.mean()
+    else:
+        Xf, yf = X, y
+    w = _frank_wolfe_simplex(Xf, yf, iters=fw_iters)
+    u = yf - Xf @ w
+    T = len(periods)
+    T1 = len(post)
+    post_set = {t for t in post}
+    # the observed post block is the LAST T1 indices (periods sorted)
+    s_obs = float(np.mean(np.abs(u[T - T1 :]) ** q)) ** (1.0 / q)
+    ge = 0
+    for j in range(T):
+        idx = [(j + k) % T for k in range(T1)]
+        s_j = float(np.mean(np.abs(u[idx]) ** q)) ** (1.0 / q)
+        if s_j >= s_obs - 1e-15:
+            ge += 1
+    return ge / T, u
+
+
+def conformal_test(
+    panel: DataFrame,
+    treated_id,
+    t0,
+    theta0: float = 0.0,
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    donor_ids: DataFrame | None = None,
+    donor_k: int = 50,
+    fw_iters: int = 800,
+    model: str = "sc",
+    q: float = 1.0,
+) -> dict:
+    """Exact-in-finite-samples conformal test (Chernozhukov, Wüthrich
+    & Zhu 2021, JASA, "An Exact and Robust Conformal Inference Method
+    for Counterfactual and Synthetic Controls") of the sharp null
+    H0: the treatment effect equals ``theta0`` in every post period.
+
+    Procedure: subtract theta0 from the treated unit's post outcomes,
+    REFIT the counterfactual model on ALL T periods (under H0 the
+    adjusted series is untreated everywhere), and rank the post-block
+    residual statistic  (mean |u|^q)^(1/q)  among all T moving
+    (cyclic) blocks — exact at level alpha under block
+    exchangeability/stationarity of the residuals, ROBUST to the
+    weights being estimated (CWZ Thm 1-2), and complementary to the
+    in-space placebo inference (``placebo_test`` permutes UNITS; this
+    permutes TIME). ``model``: "sc" (plain simplex fit) or "sdid"
+    (intercept profiled by centering — the level-shift-immune
+    variant). The attainable p floor is 1/T — with few periods the
+    test cannot reject at conventional levels, by design.
+
+    Distributed shape: ONE screen + bounded K-series collect (the
+    same `_screen_and_collect` contract as every fit in this module);
+    the refit + T block statistics are driver numpy.
+
+    Returns ``{"p_value", "stat", "theta0", "residuals": {period: u}}``.
+    """
+    periods, y_tr, series, donor_list, pre, post = _screen_and_collect(
+        panel, treated_id, t0, yname, tname, idname, donor_ids, donor_k
+    )
+    if not post:
+        raise ValueError("conformal_test: no post-treatment periods")
+    y_adj = {t: y_tr[t] - (theta0 if t >= t0 else 0.0) for t in periods}
+    p, u = _conformal_p(
+        y_adj, series, donor_list, periods, post, model, fw_iters, q
+    )
+    T1 = len(post)
+    import numpy as np
+
+    s_obs = float(np.mean(np.abs(u[len(periods) - T1 :]) ** q)) ** (1.0 / q)
+    return {
+        "p_value": float(p),
+        "stat": s_obs,
+        "theta0": float(theta0),
+        "residuals": {int(t): float(v) for t, v in zip(periods, u)},
+    }
+
+
+def conformal_interval(
+    panel: DataFrame,
+    treated_id,
+    t0,
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    donor_ids: DataFrame | None = None,
+    donor_k: int = 50,
+    fw_iters: int = 800,
+    model: str = "sc",
+    q: float = 1.0,
+    alpha: float = 0.1,
+    grid_points: int = 81,
+) -> dict:
+    """Conformal confidence interval for a CONSTANT post-period effect
+    by test inversion (CWZ 2021 §3): the set of theta whose
+    ``conformal_test`` p-value exceeds ``alpha``, scanned over a
+    deterministic grid centered at the SDID point estimate with
+    half-width 6x the pre-fit residual scale (widened adaptively if
+    the boundary is hit). The grid loop is pure driver algebra — the
+    screen + collect runs ONCE and every inversion step refits
+    Frank-Wolfe on the in-memory matrices, so the interval costs the
+    same one Spark aggregation as the point estimate.
+
+    alpha defaults to 0.1: the p floor is 1/T, so ten-percent
+    inversion stays meaningful on short panels. Returns ``{"lo",
+    "hi", "theta_hat", "alpha", "grid_lo", "grid_hi", "p_at_hat"}``.
+    """
+    import numpy as np
+
+    periods, y_tr, series, donor_list, pre, post = _screen_and_collect(
+        panel, treated_id, t0, yname, tname, idname, donor_ids, donor_k
+    )
+    if not post:
+        raise ValueError("conformal_interval: no post-treatment periods")
+    core = _sdid_core(y_tr, series, donor_list, pre, post, fw_iters)
+    theta_hat = core["att"]
+    # residual scale from the omega pre-fit (always > 0 under noise;
+    # floor at 1e-9 to keep a degenerate exact fit from collapsing
+    # the grid)
+    scale = max(core["pre_rmse"], 1e-9)
+
+    def pval(theta):
+        y_adj = {
+            t: y_tr[t] - (theta if t >= t0 else 0.0) for t in periods
+        }
+        return _conformal_p(
+            y_adj, series, donor_list, periods, post, model, fw_iters, q
+        )[0]
+
+    half = 6.0 * scale + abs(theta_hat) * 0.5
+    for _ in range(6):  # widen if the acceptance region hits the edge
+        grid = np.linspace(theta_hat - half, theta_hat + half, grid_points)
+        acc = [float(th) for th in grid if pval(float(th)) > alpha]
+        if acc and (acc[0] > grid[0] + 1e-12) and (acc[-1] < grid[-1] - 1e-12):
+            break
+        half *= 2.0
+    if not acc:
+        # no theta accepted (possible when T1/T makes the floor p
+        # exceed alpha impossible) — degenerate, return the point
+        acc = [theta_hat]
+    return {
+        "lo": float(min(acc)),
+        "hi": float(max(acc)),
+        "theta_hat": float(theta_hat),
+        "alpha": float(alpha),
+        "grid_lo": float(grid[0]),
+        "grid_hi": float(grid[-1]),
+        "p_at_hat": float(pval(theta_hat)),
+    }

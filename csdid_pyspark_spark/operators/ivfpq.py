@@ -374,12 +374,15 @@ def probe_ivfpq_index_batch(
     past ~10^4), the code scan reads the UNION of probed cells ONCE
     (still a partition-pruned scan on the ``cell`` partition column),
     and the (cell, m, code) join fans each code row out to exactly the
-    queries probing its cell. Candidate selection and the exact
-    re-rank are per-query top-k via a qid-partitioned window (many
-    partitions — never the banned single-reducer sort) over bounded
-    rows (Q·n_candidates). So Q queries cost ONE bounded-fan-out scan
-    instead of Q scans — the per-query latency amortizes toward the
-    marginal join cost.
+    queries probing its cell. Candidate selection is a per-query top-k
+    via a qid-partitioned window (many partitions — never the banned
+    single-reducer sort): each qid group sorts the query's ADC rows
+    (~corpus x n_probe/n_cells — the same rows the single-probe
+    TakeOrdered heaps over, here one sort per query, spill-safe and
+    AQE-splittable); the exact re-rank window then runs over the
+    BOUNDED Q·n_candidates rows. So Q queries cost ONE bounded-fan-out
+    scan instead of Q scans — the per-query latency amortizes toward
+    the marginal join cost.
 
     Per-query results are IDENTICAL to :func:`probe_ivfpq_index` with
     the same parameters (pytest-asserted parity). Returns

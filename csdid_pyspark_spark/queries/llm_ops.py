@@ -5714,43 +5714,56 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     public Dolma/RedPajama reimplementations, so they can exceed 1 on
     pathological inputs.
 
-    Scale shape: ONE scan -> one explode producing (n, gram) pairs for
-    all five n values together (no per-n rescans), one map-side-
-    combinable count shuffle keyed by (doc_id, n, gram), and one
-    per-doc_id conditional-aggregation shuffle; the base char totals
-    join back on doc_id. At 100 TB that is two narrow shuffles and the
-    explode fan-out is bounded by 5x the token count."""
+    Scale shape (r9 rewrite): ZERO shuffles — n-gram frequencies are
+    doc-local, so each leg is a run-length count over the doc's SORTED
+    gram array, computed as narrow higher-order-function expressions
+    in ONE map-side projection (sort + adjacent-difference per doc;
+    lambda-binding via single-element transform evaluates each sorted
+    array exactly once). The previous form exploded (n, gram) pairs
+    and paid two count shuffles for what is per-row arithmetic; values
+    are identical (same counts, same count x char-length metric)."""
     d = load_table(spark, sf_dir, "documents")
     tk = F.split(F.trim("text"), r"\s+")
     toks = d.select("doc_id", tk.alias("tk"))
-    base = toks.select(
-        "doc_id",
-        F.length(F.array_join("tk", " ")).cast("bigint").alias("total"),
-    )
 
-    def ng(n: int) -> str:
+    def leg(n: int, kind: str) -> str:
+        """One metric as a self-contained expression: s = the doc's
+        sorted n-gram array, b = run-start indices; kind 'top' =
+        max(count x len) over all runs, 'dup' = sum(count x len) over
+        runs with count > 1. NULL when the doc has no n-grams."""
+        gs = (
+            f"transform(sequence(1, size(tk) - {n} + 1), "
+            f"i -> array_join(slice(tk, i, {n}), ' '))"
+        )
+        runs = (
+            "transform(b, (st, j) -> named_struct("
+            "'c', CAST((CASE WHEN j + 1 < size(b) THEN b[j + 1] "
+            "ELSE size(s) END) - st AS BIGINT), "
+            "'l', CAST(length(s[st]) AS BIGINT)))"
+        )
+        if kind == "top":
+            inner = f"array_max(transform({runs}, r -> r.c * r.l))"
+        else:
+            inner = (
+                f"aggregate({runs}, CAST(0 AS BIGINT), "
+                "(acc, r) -> acc + IF(r.c > 1, r.c * r.l, CAST(0 AS BIGINT)))"
+            )
         return (
             f"CASE WHEN size(tk) >= {n} THEN "
-            f"transform(sequence(1, size(tk) - {n} + 1), "
-            f"i -> named_struct('n', {n}, 'g', array_join(slice(tk, i, {n}), ' '))) "
-            f"ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>) END"
+            f"transform(array(sort_array({gs})), s -> "
+            f"transform(array(filter(sequence(0, size(s) - 1), "
+            f"i -> i = 0 OR s[i] != s[i - 1])), b -> {inner})[0])[0] "
+            f"ELSE CAST(NULL AS BIGINT) END"
         )
 
-    grams = F.expr("concat(" + ", ".join(ng(n) for n in (2, 3, 4, 5, 10)) + ")")
-    counts = (
-        toks.select("doc_id", F.explode(grams).alias("s"))
-        .select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-        .groupBy("doc_id", "n", "g")
-        .agg(F.count("*").alias("c"))
-    )
-    cl = (F.col("c") * F.length("g")).cast("bigint")
-    dup = F.when(F.col("c") > 1, cl)
-    met = counts.groupBy("doc_id").agg(
-        F.max(F.when(F.col("n") == 2, cl)).alias("t2"),
-        F.max(F.when(F.col("n") == 3, cl)).alias("t3"),
-        F.max(F.when(F.col("n") == 4, cl)).alias("t4"),
-        F.sum(F.when(F.col("n") == 5, dup)).alias("d5"),
-        F.sum(F.when(F.col("n") == 10, dup)).alias("d10"),
+    met = toks.selectExpr(
+        "doc_id",
+        "CAST(length(array_join(tk, ' ')) AS BIGINT) AS total",
+        f"({leg(2, 'top')}) AS t2",
+        f"({leg(3, 'top')}) AS t3",
+        f"({leg(4, 'top')}) AS t4",
+        f"({leg(5, 'dup')}) AS d5",
+        f"({leg(10, 'dup')}) AS d10",
     )
     # total = 0 (whitespace-only text) would make every fraction
     # NULL/0-divided and `keep` silently NULL in BOTH engines — flag
@@ -5763,7 +5776,7 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(num, F.lit(0)).cast("double") / tot, 6),
         ).otherwise(F.lit(0.0))
 
-    fr = base.join(met, "doc_id", "left").select(
+    fr = met.select(
         "doc_id",
         "total",
         frac(F.col("t2")).alias("top2gram_frac"),

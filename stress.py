@@ -2028,6 +2028,15 @@ def run_mcnnm(spark, n_units: int, n_periods: int = 10) -> dict:
     t0 = time.perf_counter()
     res = mc_nnm(panel, shrink_frac=0.5, iters=12)
     wall = round(time.perf_counter() - t0, 1)
+    # r9 placebo bands: ONE extra aggregation over the converged fit —
+    # timed separately so the inference surcharge is visible
+    t0 = time.perf_counter()
+    res_b = mc_nnm(panel, shrink_frac=0.5, iters=12, placebo_b=100)
+    bands_wall = round(time.perf_counter() - t0, 1)
+    ses = [b[2] for b in res_b["bands"]]
+    covered = all(
+        lo <= 2.0 <= hi for _, _, _, lo, hi in res_b["bands"]
+    )
     return {
         "metric": "stress_mcnnm",
         "units": n_units,
@@ -2039,6 +2048,73 @@ def run_mcnnm(spark, n_units: int, n_periods: int = 10) -> dict:
         "att_overall": round(res["att_overall"], 4),
         "att_abs_error": round(abs(res["att_overall"] - 2.0), 4),
         "rank": res["rank"],
+        "fit_with_bands_sec": bands_wall,
+        "bands_surcharge_sec": round(bands_wall - wall, 1),
+        "placebo_b": 100,
+        "band_se_range": [round(min(ses), 4), round(max(ses), 4)],
+        "bands_cover_tau": covered,
+        **_driver_memory(),
+    }
+
+
+def run_ife(spark, n_units: int, n_periods: int = 10, b_reps: int = 100) -> dict:
+    """IFE/gsynth rehearsal (r9): same planted rank-1-factor staggered
+    DGP as run_mcnnm. ife_att is one control pivot + one T x T
+    covariance agg + one groupBy(id) loading pass; ife_att_bands adds
+    ONE aggregation whose replicate axis is a sequence-explode over
+    the wide control frame (B x n_ctrl rows map-side combined to
+    B x E sums) with per-replicate loading REFITS as row-local 2x2
+    solves. Evidence: att error, bands covering the planted tau,
+    band-pass wall scaling linearly in B x n_ctrl, flat driver."""
+    from csdid_pyspark_spark.did.ife import ife_att, ife_att_bands
+
+    T = n_periods
+    t = spark.range(1, T + 1).select(F.col("id").alias("period"))
+    units = (
+        spark.range(1, n_units + 1)
+        .select("id", F.pmod(F.xxhash64("id", F.lit("g")), 4).alias("gsel"))
+        .select(
+            "id",
+            F.when(F.col("gsel") < 2, 0)
+            .otherwise((T - 3 + F.col("gsel") - 2).cast("int"))
+            .alias("g"),
+            (F.pmod(F.xxhash64("id", F.lit("a")), 1000) / 100.0).alias("fe"),
+            ((F.pmod(F.xxhash64("id", F.lit("l")), 200) - 100) / 50.0).alias("lam"),
+        )
+    )
+    panel = units.crossJoin(t).select(
+        "id",
+        F.col("period").cast("int").alias("period"),
+        "g",
+        (
+            F.col("fe")
+            + F.col("lam") * F.sin(F.col("period").cast("double"))
+            + F.when(
+                (F.col("g") > 0) & (F.col("period") >= F.col("g")), 2.0
+            ).otherwise(0.0)
+            + F.pmod(F.xxhash64("id", "period"), 100) / 1000.0
+        ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    point = {r["e"]: r["att_ife"] for r in ife_att(panel).collect()}
+    fit_sec = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    bands = ife_att_bands(panel, b_reps=b_reps).collect()
+    bands_sec = round(time.perf_counter() - t0, 1)
+    err = max(abs(v - 2.0) for v in point.values())
+    covered = all(r["lo95"] <= 2.0 <= r["hi95"] for r in bands)
+    ses = [r["se_placebo"] for r in bands]
+    return {
+        "metric": "stress_ife",
+        "units": n_units,
+        "panel_rows": n_units * T,
+        "periods": T,
+        "b_reps": b_reps,
+        "fit_sec": fit_sec,
+        "bands_sec": bands_sec,
+        "att_max_abs_error": round(err, 4),
+        "band_se_range": [round(min(ses), 4), round(max(ses), 4)],
+        "bands_cover_tau": covered,
         **_driver_memory(),
     }
 
@@ -2104,7 +2180,7 @@ def main() -> None:
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
         "bjs", "dsir", "lpa", "etwfe", "bjsse", "mcnnm", "fs",
-        "ivfpqbatch",
+        "ivfpqbatch", "ife",
     ):
         mode = args.pop(0)
     spark = get_spark("csdid-pyspark-stress")
@@ -2164,6 +2240,9 @@ def main() -> None:
     elif mode == "bjsse":
         n_units = int(args[0]) if args else 200_000
         out = run_bjs(spark, n_units, with_se=True)
+    elif mode == "ife":
+        n_units = int(args[0]) if args else 1_000_000
+        out = run_ife(spark, n_units)
     elif mode == "mcnnm":
         n_units = int(args[0]) if args else 1_000_000
         out = run_mcnnm(spark, n_units)

@@ -1576,3 +1576,72 @@ def test_synthetic_did_staggered_placebo_se(spark):
         panel.repartition(13), donor_k=20, placebo_se=True, n_placebo=40
     )
     assert res2["se"] == res["se"] and res2["att"] == res["att"]
+
+
+def test_conformal_test_rejects_real_effect_not_null(spark):
+    """CWZ conformal test: with a large planted effect, H0: theta=0
+    must be rejected at the 1/T-floor level while H0: theta=truth is
+    not; the no-effect panel must not reject the true null. Also pins
+    determinism across partitionings."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.synth import conformal_test
+
+    rng = np.random.default_rng(17)
+    T, t0 = 30, 24  # T1/T = 0.2 -> attainable p floor 1/30
+    beta = rng.normal(0, 1.5, T)
+    rows = []
+    for d in range(1, 13):
+        a = rng.normal(10, 2)
+        for t in range(T):
+            rows.append((d, t, float(a + beta[t] + rng.normal(0, 0.15))))
+
+    def with_treated(tau):
+        out = list(rows)
+        # treated = convex donor combo + effect (inside the hull)
+        for t in range(T):
+            base = 0.5 * rows[t][2] + 0.5 * rows[T + t][2]
+            out.append((0, t, float(base + (tau if t >= t0 else 0.0))))
+        return spark.createDataFrame(out, "id bigint, period int, y double")
+
+    hit = conformal_test(with_treated(8.0), treated_id=0, t0=t0)
+    assert hit["p_value"] <= 2.0 / 30 + 1e-9, hit["p_value"]
+    at_truth = conformal_test(with_treated(8.0), treated_id=0, t0=t0, theta0=8.0)
+    assert at_truth["p_value"] > 0.2, at_truth["p_value"]
+    null = conformal_test(with_treated(0.0), treated_id=0, t0=t0)
+    assert null["p_value"] > 0.2, null["p_value"]
+
+    again = conformal_test(
+        with_treated(8.0).repartition(13), treated_id=0, t0=t0
+    )
+    assert again["p_value"] == hit["p_value"]
+    assert again["stat"] == hit["stat"]
+
+
+def test_conformal_interval_covers_planted_effect(spark):
+    """Test inversion: the 90% conformal interval must cover the
+    planted constant effect and exclude zero when the effect is far
+    from it; the SDID point estimate sits inside."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.synth import conformal_interval
+
+    rng = np.random.default_rng(29)
+    T, t0, tau = 30, 24, 6.0
+    beta = rng.normal(0, 1.5, T)
+    rows = []
+    for d in range(1, 13):
+        a = rng.normal(10, 2)
+        for t in range(T):
+            rows.append((d, t, float(a + beta[t] + rng.normal(0, 0.15))))
+    for t in range(T):
+        base = 0.5 * rows[t][2] + 0.5 * rows[T + t][2]
+        rows.append((0, t, float(base + (tau if t >= t0 else 0.0)
+                                 + rng.normal(0, 0.15))))
+    panel = spark.createDataFrame(rows, "id bigint, period int, y double")
+
+    ci = conformal_interval(panel, treated_id=0, t0=t0, model="sdid")
+    assert ci["lo"] <= tau <= ci["hi"], ci
+    assert ci["lo"] > 0.0, ci  # excludes zero
+    assert ci["lo"] <= ci["theta_hat"] <= ci["hi"]
+    assert ci["p_at_hat"] > ci["alpha"]

@@ -26,7 +26,7 @@ def test_flci_bias_bound_is_tight_and_valid():
         w = rng.normal(size=k)
         w[-1] = 1.0 - w[:-1].sum()
         cov = np.eye(k + 1)
-        _, bias_max, _, _ = _flci_halflength(w, e, M, None, cov, 0.05)
+        _, bias_max, _, _ = _flci_halflength(w, e, M, cov, 0.05)
         # slope coefficients a_j, ordered sigma_{-k}..sigma_{-1},
         # sigma_0..sigma_e  (w is [w_{-1}, w_{-2}, ...])
         a = np.concatenate([-(e + 1) * w[::-1], np.ones(e + 1)])
