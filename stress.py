@@ -2034,9 +2034,13 @@ def run_mcnnm(spark, n_units: int, n_periods: int = 10) -> dict:
     res_b = mc_nnm(panel, shrink_frac=0.5, iters=12, placebo_b=100)
     bands_wall = round(time.perf_counter() - t0, 1)
     ses = [b[2] for b in res_b["bands"]]
-    covered = all(
-        lo <= 2.0 <= hi for _, _, _, lo, hi in res_b["bands"]
-    )
+    # NOTE the bands price SAMPLING noise only (placebo replication);
+    # the nuclear-norm SHRINKAGE bias (controlled by shrink_frac,
+    # ~4e-4 here) is deliberately not in them — at 1M units with this
+    # DGP's tiny noise the bias dominates the se, so tau can sit just
+    # outside a +-1e-3 band while att_abs_error stays ~4e-4. Report
+    # both magnitudes instead of a misleading coverage boolean.
+    halfw = max(hi - a for _, a, _, _, hi in res_b["bands"])
     return {
         "metric": "stress_mcnnm",
         "units": n_units,
@@ -2051,8 +2055,11 @@ def run_mcnnm(spark, n_units: int, n_periods: int = 10) -> dict:
         "fit_with_bands_sec": bands_wall,
         "bands_surcharge_sec": round(bands_wall - wall, 1),
         "placebo_b": 100,
-        "band_se_range": [round(min(ses), 4), round(max(ses), 4)],
-        "bands_cover_tau": covered,
+        "band_se_range": [round(min(ses), 6), round(max(ses), 6)],
+        "band_max_halfwidth": round(halfw, 6),
+        "shrinkage_bias_vs_band": round(
+            abs(res_b["att_overall"] - 2.0) / max(halfw, 1e-12), 2
+        ),
         **_driver_memory(),
     }
 
