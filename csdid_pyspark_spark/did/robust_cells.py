@@ -727,3 +727,62 @@ def twfe_weights_frame(
         )
         .orderBy("g", "period")
     )
+
+
+def sunab_event_cov(
+    panel: DataFrame,
+    yname: str = "y",
+    tname: str = "period",
+    gname: str = "g",
+    idname: str = "id",
+) -> tuple[list[int], list[list[float]]]:
+    """FULL covariance of the Sun-Abraham event-study profile from the
+    unit-level influence representation:  C[e, e'] = sum_i
+    psi_i(e) * psi_i(e')  — the off-diagonals exist because one
+    never-treated unit serves EVERY cohort/event cell, and consumers
+    that combine coefficients across event times (the exact FLCI's
+    v' Sigma v, linear-combination tests) need them; the diagonal is
+    exactly ``sunab_event_se_frame``'s se(e)^2.
+
+    Scale shape: the per-(e, id) psi frame is the established
+    two-shuffle plan (_sunab_cells_and_psi); the covariance adds ONE
+    pivot to a unit x |E| wide frame and ONE map-side-combinable
+    aggregation of the |E|(|E|+1)/2 upper-triangle products; each
+    product SUM is decimal(38,18)-cast (partial-sum-order independent
+    accumulation), while the psi inputs are the established
+    double-precision influence columns — cross-partitioning agreement
+    is therefore ~1e-15 relative, absorbed by the 6-dp golden contract
+    exactly as for the SA se golden. Driver traffic: |E|^2 floats.
+
+    Returns (events sorted ascending, C as nested lists)."""
+    _, per_unit = _sunab_cells_and_psi(panel, yname, tname, gname, idname)
+    events = sorted(
+        int(r["e"]) for r in per_unit.select("e").distinct().collect()
+    )
+    cols = [f"p{i}" for i in range(len(events))]
+    wide = (
+        per_unit.groupBy("id")
+        .pivot("e", events)
+        .agg(F.sum("psi"))
+        .select(
+            *[
+                F.coalesce(F.col(str(e)), F.lit(0.0)).alias(c)
+                for e, c in zip(events, cols)
+            ]
+        )
+    )
+    aggs = [
+        F.sum((F.col(cols[i]) * F.col(cols[j])).cast("decimal(38,18)"))
+        .cast("double")
+        .alias(f"c{i}_{j}")
+        for i in range(len(events))
+        for j in range(i, len(events))
+    ]
+    row = wide.agg(*aggs).collect()[0]
+    n = len(events)
+    C = [[0.0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            v = float(row[f"c{i}_{j}"] or 0.0)
+            C[i][j] = C[j][i] = v
+    return events, C

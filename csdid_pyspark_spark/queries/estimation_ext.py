@@ -2558,18 +2558,49 @@ def did_honest_flci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the slope parameterization spans it exactly), charges the
     worst-case bias M·Σ|tail sums| in closed form, and pads with the
     folded-normal critical value — exact 1−α coverage for every
-    trend in Δ^SD(M), noise in the pre profile priced through v'Σv.
-    Same result-sized scale shape as the other honest queries on top
-    of the SA influence-SE plan; the optimizer is deterministic
-    driver numpy (fixed-simplex Nelder-Mead + bisection) → pinned
-    VALUES golden. Coverage/containment/bias-bound brute-force
-    pytests: tests/test_honest_flci.py."""
+    trend in Δ^SD(M), noise in the pre profile priced through v'Σv
+    with Σ the FULL influence-function covariance of the SA profile
+    (robust_cells.py::sunab_event_cov — the off-diagonals through
+    shared never-treated units, one decimal-exact aggregation; a
+    diagonal Σ would misprice every cross-coefficient contrast the
+    affine estimator takes). Same result-sized scale shape as the
+    other honest queries on top of the SA influence-SE plan; the
+    optimizer is deterministic driver numpy (fixed-simplex
+    Nelder-Mead + bisection) → pinned VALUES golden.
+    Coverage/containment/bias-bound brute-force pytests:
+    tests/test_honest_flci.py."""
     from csdid_pyspark_spark.did.honest import honest_flci_frame
-    from csdid_pyspark_spark.did.robust_cells import sunab_event_se_frame
-
-    return honest_flci_frame(
-        sunab_event_se_frame(panel_from_events(spark, sf_dir))
+    from csdid_pyspark_spark.did.robust_cells import (
+        sunab_event_cov,
+        sunab_event_se_frame,
     )
+
+    panel = panel_from_events(spark, sf_dir)
+    prof = sunab_event_se_frame(panel)
+    events, C = sunab_event_cov(panel)
+    pos = {e: i for i, e in enumerate(events)}
+    # per post e: the (k+1)-square block over [pre ascending..., e];
+    # k = the maximal consecutive pre chain the FLCI uses
+    k = 0
+    while (-2 - k) in pos:
+        k += 1
+    pre_asc = list(range(-1 - k, -1))  # [-(k+1), ..., -2]
+    # quantize at 8dp BEFORE the optimizer: the covariance's psi
+    # inputs are double columns with ~1e-13 cross-partitioning drift,
+    # and Nelder-Mead amplifies input ulps into 6dp output flips
+    # (observed: two same-code runs disagreed in the 6th decimal of
+    # one halflength). Rounding makes the whole driver computation a
+    # function of partition-stable inputs; the 1e-8 perturbation moves
+    # the CI by O(1e-9).
+    cov = {
+        e: [
+            [round(C[i][j], 8) for j in ([pos[t] for t in pre_asc] + [pos[e]])]
+            for i in ([pos[t] for t in pre_asc] + [pos[e]])
+        ]
+        for e in events
+        if e >= 0
+    }
+    return honest_flci_frame(prof, cov=cov)
 
 
 QUERIES["did_honest_flci"] = did_honest_flci

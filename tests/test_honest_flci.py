@@ -150,3 +150,45 @@ def test_flci_guards(spark):
     prof = _profile(spark, {-2: -0.3, 0: 1.0}, {-2: 0.1, 0: 0.1})
     with pytest.raises(ValueError, match="consecutive pre-period"):
         honest_flci_frame(prof).collect()
+
+
+def test_sunab_event_cov_matches_se_and_is_psd(spark):
+    """The full SA influence covariance's diagonal must equal
+    sunab_event_se_frame's se^2 (same psi, same accumulation), the
+    matrix must be PSD with nonzero off-diagonals (shared
+    never-treated units correlate event times), and it must agree
+    across partitionings to the double-precision psi inputs' ~1e-15
+    relative tolerance (the decimal cast pins the product
+    ACCUMULATION; psi itself is a double column)."""
+    from csdid_pyspark_spark.did.robust_cells import (
+        sunab_event_cov,
+        sunab_event_se_frame,
+    )
+
+    rng = np.random.default_rng(47)
+    rows = []
+    uid = 0
+    for g, n in [(0, 20), (4, 8), (6, 6)]:
+        for _ in range(n):
+            a = rng.normal(5, 2)
+            for t in range(1, 9):
+                y = a + 0.4 * t + (1.5 if 0 < g <= t else 0.0)
+                rows.append((uid, int(g), t, float(y + rng.normal(0, 0.3))))
+            uid += 1
+    panel = spark.createDataFrame(rows, "id bigint, g int, period int, y double")
+
+    events, C = sunab_event_cov(panel)
+    se = {
+        r["e"]: r["se"] for r in sunab_event_se_frame(panel).collect()
+    }
+    assert events == sorted(se)
+    for i, e in enumerate(events):
+        assert abs(C[i][i] ** 0.5 - se[e]) < 2e-6, (e, C[i][i], se[e])
+    M = np.array(C)
+    assert np.all(np.linalg.eigvalsh(M) > -1e-10)
+    off = M - np.diag(np.diag(M))
+    assert np.abs(off).max() > 0  # shared controls correlate events
+
+    events2, C2 = sunab_event_cov(panel.repartition(13))
+    assert events2 == events
+    assert np.allclose(np.array(C2), M, rtol=1e-10, atol=1e-14)
