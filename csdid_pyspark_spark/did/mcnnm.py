@@ -87,6 +87,7 @@ def mc_nnm(
     iters: int = 25,
     placebo_b: int = 0,
     placebo_seed: int = 9,
+    holdout: tuple | None = None,
 ) -> dict:
     """Fit MC-NNM on a staggered-adoption panel (``g`` = first treated
     period, 0 = never treated) and return the event-time effect path.
@@ -117,6 +118,16 @@ def mc_nnm(
     (each replicate under-fills the design, widening the bands —
     conservative). Adds ``"bands": [(e, att_e, se_e, lo, hi)]`` and
     ``"placebo_b"`` to the dict (normal 95% bands).
+
+    ``holdout=(seed, frac)`` (the CV machinery of :func:`mc_nnm_cv`):
+    a deterministic hash-selected ``frac`` of the observed control
+    cells is EXCLUDED from the fit — never a unit's first observed
+    cell, so no unit loses identification — and their squared
+    prediction error against the converged alpha + beta + L is
+    returned as ``"holdout_mse"``/``"holdout_n"`` (one extra decimal
+    aggregation). A held-out period can still lose its last untreated
+    observation; that raises the unidentified-period error, which the
+    CV loop treats as an infeasible lambda.
     """
     import numpy as np
 
@@ -172,15 +183,44 @@ def mc_nnm(
         )
     )
 
-    # observed mask: untreated cell AND outcome present
-    def obs(i):
-        t = periods[i]
-        return (
-            ((F.col("g") == 0) | (F.lit(t) < F.col("g")))
-            & F.col(ycols[i]).isNotNull()
-        )
+    # observed mask (SQL-string form, shared with the per-pass
+    # expressions below): untreated cell AND outcome present; under a
+    # CV holdout, ALSO not hash-held-out (a unit's first raw-observed
+    # cell is never held, so every unit keeps >= 1 fitting cell)
+    def raw_s(i):
+        return f"((g = 0 OR {periods[i]} < g) AND {ycols[i]} IS NOT NULL)"
 
-    n_obs = sum(obs(i).cast("int") for i in range(T))
+    extra_cols = []
+    if holdout is not None:
+        h_seed, h_frac = int(holdout[0]), float(holdout[1])
+        if not (0.0 < h_frac < 1.0):
+            raise ValueError("mc_nnm: holdout frac must be in (0, 1)")
+        thr = int(h_frac * 1_000_000)
+        fobs = (
+            "CASE "
+            + " ".join(f"WHEN {raw_s(i)} THEN {i}" for i in range(T))
+            + " ELSE -1 END"
+        )
+        wide = wide.withColumn("_fobs", F.expr(fobs))
+        extra_cols = ["_fobs"]
+
+        def held_s(i):
+            return (
+                f"({raw_s(i)} AND _fobs <> {i} AND "
+                f"pmod(xxhash64(id, {periods[i]}, {h_seed}), 1000000)"
+                f" < {thr})"
+            )
+
+        def obs_s(i):
+            return f"({raw_s(i)} AND NOT {held_s(i)})"
+
+    else:
+        held_s = None
+        obs_s = raw_s
+
+    n_obs = F.expr(
+        " + ".join(f"CAST({obs_s(i)} AS INT)" for i in range(T))
+    )
     wide = wide.withColumn("_nobs", n_obs).withColumn(
         "a", F.array(*[F.lit(0.0) for _ in range(T)])
     )
@@ -233,9 +273,6 @@ def mc_nnm(
     def _f(x):
         return f"{float(x):.17e}"
 
-    def obs_s(i):
-        return f"((g = 0 OR {periods[i]} < g) AND {ycols[i]} IS NOT NULL)"
-
     def project(df, bl, Vc, first):
         """ONE narrow projection computing this pass's working
         columns — L, the profiled-out unit FE alpha, and the working
@@ -258,7 +295,7 @@ def mc_nnm(
             )
             + ") / _nobs"
         )
-        exprs = ["id", "g", "_nobs", "a", *ycols]
+        exprs = ["id", "g", "_nobs", "a", *ycols, *extra_cols]
         exprs.append(f"({alpha}) AS _al")
         exprs += [f"({L[i]}) AS _l{i}" for i in range(T)]
         return df.selectExpr(*exprs).selectExpr(
@@ -360,7 +397,7 @@ def mc_nnm(
         # narrow select over the stored projection — no checkpoint
         # needed: the next pass's projection sits a bounded 3 plan
         # layers above proj's LogicalRDD
-        cur = proj.selectExpr("id", "g", *ycols, "_nobs", newa)
+        cur = proj.selectExpr("id", "g", *ycols, "_nobs", *extra_cols, newa)
 
     # final readout: event-time means of y - (alpha + beta + L) on
     # treated, non-null cells, from the LAST projection (its _al/_l
@@ -384,6 +421,28 @@ def mc_nnm(
     grows = (
         proj.filter(F.col("g") > 0).groupBy("g").agg(*gaggs).collect()
     )
+
+    hold_mse = hold_n = None
+    if holdout is not None:
+        haggs = []
+        for i in range(T):
+            diff = f"{ycols[i]} - _al - {_f(bl[i])} - _l{i}"
+            haggs.append(
+                F.expr(
+                    f"sum(CAST(CASE WHEN {held_s(i)} THEN ({diff}) *"
+                    f" ({diff}) END AS {DEC})) AS hs{i}"
+                )
+            )
+            haggs.append(
+                F.expr(f"sum(CAST({held_s(i)} AS LONG)) AS hn{i}")
+            )
+        hrow = proj.agg(*haggs).collect()[0]
+        hold_n = sum(int(hrow[f"hn{i}"] or 0) for i in range(T))
+        hold_mse = (
+            sum(float(hrow[f"hs{i}"] or 0.0) for i in range(T)) / hold_n
+            if hold_n
+            else float("nan")
+        )
 
     bands = None
     if placebo_b > 0:
@@ -415,6 +474,9 @@ def mc_nnm(
         "sigma": [float(x) for x in sigma],
         "rank": int(np.sum(s > 0)),
     }
+    if hold_mse is not None:
+        out["holdout_mse"] = float(hold_mse)
+        out["holdout_n"] = int(hold_n)
     if bands is not None:
         amap = {e: a for e, a, _ in att}
         out["bands"] = [
@@ -502,4 +564,76 @@ def _placebo_bands(proj, periods, ycols, bl, B, seed):
             continue
         m = sum(v) / len(v)
         out.append((e, math.sqrt(sum((x - m) ** 2 for x in v) / len(v))))
+    return out
+
+
+def mc_nnm_cv(
+    panel: DataFrame,
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    gname: str = "g",
+    shrink_fracs: tuple = (0.02, 0.05, 0.1, 0.2, 0.4, 0.8),
+    iters: int = 25,
+    holdout_frac: float = 0.1,
+    holdout_seed: int = 11,
+    placebo_b: int = 0,
+) -> dict:
+    """MC-NNM with the paper's CROSS-VALIDATED nuclear-norm penalty
+    (Athey et al. 2021 §4 prescribe choosing lambda by held-out
+    prediction error on observed cells; ``mc_nnm``'s fixed
+    ``shrink_frac`` is the deterministic stand-in this completes):
+    for each candidate fraction, fit with a hash-deterministic
+    ``holdout_frac`` of observed control cells masked out and score
+    their squared prediction error; refit ONCE on all observed cells
+    at the winning fraction (ties -> smaller penalty, i.e. the first
+    minimum in ascending order). A candidate whose mask leaves a
+    period with zero untreated observations is infeasible and skipped
+    (the unidentified-period guard).
+
+    Cost: |grid| masked fits + 1 full fit — each the established
+    iters-aggregation soft-impute; driver state stays O(T^2) per fit.
+    Fully deterministic (hash mask, fixed grid order), so the result
+    is pinned-golden-safe.
+
+    Returns the final ``mc_nnm`` dict plus ``"cv"`` ({frac: holdout
+    mse, inf where infeasible}), ``"shrink_frac"`` (winner) and
+    ``"holdout_frac"``."""
+    cv: dict = {}
+    best = None
+    for f in shrink_fracs:
+        try:
+            r = mc_nnm(
+                panel,
+                yname=yname,
+                tname=tname,
+                idname=idname,
+                gname=gname,
+                shrink_frac=float(f),
+                iters=iters,
+                holdout=(holdout_seed, holdout_frac),
+            )
+            cv[float(f)] = float(r["holdout_mse"])
+        except ValueError:
+            cv[float(f)] = float("inf")
+    feas = [(m, f) for f, m in cv.items() if m == m and m != float("inf")]
+    if not feas:
+        raise ValueError(
+            "mc_nnm_cv: no candidate shrink_frac was feasible under the "
+            "holdout mask — lower holdout_frac or check the panel"
+        )
+    best = min(feas, key=lambda t: (t[0], t[1]))[1]
+    out = mc_nnm(
+        panel,
+        yname=yname,
+        tname=tname,
+        idname=idname,
+        gname=gname,
+        shrink_frac=best,
+        iters=iters,
+        placebo_b=placebo_b,
+    )
+    out["cv"] = cv
+    out["shrink_frac"] = float(best)
+    out["holdout_frac"] = float(holdout_frac)
     return out

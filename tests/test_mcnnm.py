@@ -214,3 +214,59 @@ def test_mcnnm_placebo_bands_guard(spark):
     panel = spark.createDataFrame(rows, "id bigint, period int, g int, y double")
     with pytest.raises(ValueError, match="placebo bands"):
         mc_nnm(panel, iters=2, placebo_b=10)
+
+
+def test_mcnnm_cv_selects_interior_lambda_on_factor_dgp(spark):
+    """mc_nnm_cv on a rank-1-factor DGP with noise: the held-out MSE
+    must be finite for every feasible candidate, the winner must beat
+    the extreme pure-TWFE penalty (which cannot fit the factor), the
+    final refit recovers the planted tau, and the whole selection is
+    deterministic across partitionings. Also pins: the final fit's
+    point path equals a direct mc_nnm at the winning shrink_frac (the
+    holdout only ever influences SELECTION)."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm, mc_nnm_cv
+
+    panel = _toy_panel(spark, n_per=16, T=6, cohorts=(0, 0, 3, 4, 5))
+    res = mc_nnm_cv(
+        panel, shrink_fracs=(0.05, 0.3, 3.0), iters=8, holdout_frac=0.15
+    )
+    assert set(res["cv"]) == {0.05, 0.3, 3.0}
+    finite = {f: m for f, m in res["cv"].items() if m != float("inf")}
+    assert finite, res["cv"]
+    # frac = 3.0 shrinks every singular value to zero -> pure TWFE,
+    # which cannot absorb the planted factor: strictly worse held-out
+    # error than the winner
+    assert res["cv"][res["shrink_frac"]] <= min(finite.values())
+    if 3.0 in finite:
+        assert finite[3.0] >= res["cv"][res["shrink_frac"]]
+    assert abs(res["att_overall"] - 2.0) < 0.2, res["att_overall"]
+
+    direct = mc_nnm(panel, shrink_frac=res["shrink_frac"], iters=8)
+    assert direct["att"] == res["att"]
+
+    res2 = mc_nnm_cv(
+        panel.repartition(13),
+        shrink_fracs=(0.05, 0.3, 3.0),
+        iters=8,
+        holdout_frac=0.15,
+    )
+    assert res2["cv"] == res["cv"] and res2["shrink_frac"] == res["shrink_frac"]
+
+
+def test_mcnnm_holdout_unit_guarantee_and_period_guard(spark):
+    """The holdout mask keeps every UNIT identified (a unit's first
+    raw-observed cell is never held), so a moderate fraction runs and
+    reports a finite held-out MSE — while an extreme fraction that
+    strips a PERIOD's last untreated observation hits the
+    unidentified-period guard (the documented CV-infeasible case:
+    identification is guaranteed per unit, not per period)."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    panel = _toy_panel(spark, n_per=12, T=6, cohorts=(0, 0, 3, 4, 5))
+    res = mc_nnm(panel, iters=3, holdout=(7, 0.3))
+    assert res["holdout_n"] > 0
+    assert res["holdout_mse"] == res["holdout_mse"]  # not NaN
+
+    small = _toy_panel(spark, n_per=6, T=6, cohorts=(0, 3, 4, 5))
+    with pytest.raises(ValueError, match="zero untreated observations"):
+        mc_nnm(small, iters=3, holdout=(7, 0.9))

@@ -32,7 +32,18 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # driver memory 2g: the EXTERNAL gate runs 50 queries on a fresh
+    # default-heap session; this replica runs the FULL ~300-query
+    # registry in ONE session, and accumulated broadcast/codegen state
+    # intermittently OOMs the 1g default around query ~130 (observed
+    # r9: "Not enough memory to build and broadcast" -> heap OOM ->
+    # JVM death). The bump removes the replica-tool artifact without
+    # changing any per-query semantics.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", "2g")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
