@@ -22,7 +22,7 @@ import pytest
 from pyspark.sql import DataFrame
 
 from csdid_pyspark_spark.cache import release_cache
-from csdid_pyspark_spark.queries import QUERIES
+from csdid_pyspark_spark.queries import ALL_QUERIES as QUERIES
 
 # Queries that route through persisting operators (pair-graph dedup,
 # two-phase scans, components/pagerank, span cut, packing). Keeping the

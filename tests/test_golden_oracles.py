@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from gen_golden_oracles import GOLDEN_NAMES, GOLDEN_SF_DIR, values_oracle
 
-from csdid_pyspark_spark.queries import ORACLES, QUERIES
+from csdid_pyspark_spark.queries import ALL_ORACLES as ORACLES
+from csdid_pyspark_spark.queries import ALL_QUERIES as QUERIES
 from csdid_pyspark_spark.queries.golden_values import GOLDEN_ORACLES
 
 

@@ -11,7 +11,8 @@ import math
 
 import pytest
 
-from csdid_pyspark_spark.queries import ORACLES, QUERIES
+from csdid_pyspark_spark.queries import ALL_ORACLES as ORACLES
+from csdid_pyspark_spark.queries import ALL_QUERIES as QUERIES
 
 
 def _normalize(rows, colnames):

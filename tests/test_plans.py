@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from csdid_pyspark_spark.queries import QUERIES
+from csdid_pyspark_spark.queries import ALL_QUERIES as QUERIES
 
 
 def _plan(spark, sf_dir, name):

@@ -145,7 +145,7 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    from csdid_pyspark_spark.queries import QUERIES
+    from csdid_pyspark_spark.queries import ALL_QUERIES as QUERIES
 
     entries = []
     for name in GOLDEN_NAMES:

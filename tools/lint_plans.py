@@ -84,7 +84,7 @@ def _single_reducer_window(plan: str) -> bool:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from csdid_pyspark_spark.cache import release_cache
-    from csdid_pyspark_spark.queries import QUERIES
+    from csdid_pyspark_spark.queries import ALL_QUERIES as QUERIES
     from csdid_pyspark_spark.session import get_spark
 
     spark = get_spark("csdid-pyspark-lint", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
