@@ -348,6 +348,346 @@ def _nelder_mead(f, x0, iters=400):
     return sim[order[0]], vals[order[0]]
 
 
+# ---------------------------------------------------------------------------
+# Conditional / hybrid inference for the relative-magnitudes restriction
+# ---------------------------------------------------------------------------
+
+
+def _rm_polyhedra(k: int, m: int, mbar: float):
+    """Δ^RM(M̄) as a finite union of polyhedral cones {δ : A δ ≤ 0}
+    over the observed coordinates [δ_{-(k+1)}, ..., δ_{-2}, δ_0, ...,
+    δ_{m-1}] (δ_{-1} ≡ 0 substituted out).
+
+    Δ^RM(M̄) = {δ : |δ_t − δ_{t−1}| ≤ M̄·max_{s<0}|δ_s − δ_{s−1}| ∀t≥0}
+    is a union over WHICH pre-period step attains the max and with
+    WHICH sign (2k cases, RR 2023 §5.3 / HonestDiD's DeltaRM): in the
+    (s*, σ) cone,  σ·d^pre_{s*} ≥ |d^pre_s| for all s  and
+    |d^post_j| ≤ M̄·σ·d^pre_{s*} for all j. Yields 2k matrices of
+    shape (2k + 2m − 1, k + m)."""
+    import numpy as np
+
+    n = k + m
+    # pre steps: rows of D_pre give d^pre_1..d^pre_k ascending in time
+    # (d^pre_k = δ_{-1} − δ_{-2} = −x[k-1])
+    D_pre = np.zeros((k, n))
+    for i in range(k - 1):
+        D_pre[i, i] = -1.0
+        D_pre[i, i + 1] = 1.0
+    D_pre[k - 1, k - 1] = -1.0
+    # post steps: d^post_1 = δ_0 − δ_{-1} = x[k]; then consecutive
+    D_post = np.zeros((m, n))
+    D_post[0, k] = 1.0
+    for j in range(1, m):
+        D_post[j, k + j - 1] = -1.0
+        D_post[j, k + j] = 1.0
+    out = []
+    for s_star in range(k):
+        for sgn in (1.0, -1.0):
+            ref = sgn * D_pre[s_star]
+            rows = []
+            for s in range(k):
+                if s == s_star:
+                    rows.append(-ref)  # σ·d*_{s*} ≥ 0
+                else:
+                    rows.append(D_pre[s] - ref)
+                    rows.append(-D_pre[s] - ref)
+            for j in range(m):
+                rows.append(D_post[j] - mbar * ref)
+                rows.append(-D_post[j] - mbar * ref)
+            out.append(np.asarray(rows))
+    return out
+
+
+def _dual_vertices(X, sig):
+    """All basic feasible solutions (vertices) of the ARP dual polytope
+    Γ = {γ ≥ 0 : X'γ = 0, σ̃'γ = 1}. With q = X.shape[1] + 1 equality
+    rows, every vertex has support ≤ q: enumerate C(M, q) supports,
+    batch-screen singular bases by determinant, solve the rest in one
+    batched ``np.linalg.solve``. Deterministic (fixed combination
+    order, fixed dedup rounding). Returns an (n_vert, M) array —
+    possibly empty when Γ = ∅ (dual infeasible ⇒ the primal test
+    statistic is −∞ and the test never rejects)."""
+    import itertools
+
+    import numpy as np
+
+    M = len(sig)
+    E = np.vstack([X.T, sig[None, :]])  # (q, M)
+    q = E.shape[0]
+    if q > M:
+        return np.zeros((0, M))
+    combos = np.asarray(list(itertools.combinations(range(M), q)))
+    bases = E[:, combos.T].transpose(2, 0, 1)  # (C, q, q)
+    dets = np.abs(np.linalg.det(bases))
+    ok = dets > 1e-12 * (1.0 + np.abs(bases).max())
+    if not ok.any():
+        return np.zeros((0, M))
+    b = np.zeros(q)
+    b[-1] = 1.0
+    sols = np.linalg.solve(bases[ok], np.broadcast_to(b, (int(ok.sum()), q)))
+    feas = (sols >= -1e-11).all(axis=1)
+    verts = np.zeros((int(feas.sum()), M))
+    rows = np.nonzero(feas)[0]
+    cidx = combos[ok][feas]
+    for r, (sol, cols) in enumerate(zip(sols[feas], cidx)):
+        verts[r, cols] = np.maximum(sol, 0.0)
+    if len(verts) == 0:
+        return verts
+    # dedup (degenerate bases reproduce the same vertex)
+    seen: dict[tuple, int] = {}
+    keep = []
+    for i, v in enumerate(verts):
+        key = tuple(np.round(v, 11))
+        if key not in seen:
+            seen[key] = i
+            keep.append(i)
+    return verts[keep]
+
+
+def _truncnorm_sf(eta: float, sd: float, vlo: float, vup: float) -> float:
+    """P(Z > eta | vlo ≤ Z ≤ vup), Z ~ N(0, sd²) — the ARP conditional
+    p-value. Survival functions via erfc; far-tail ratios are computed
+    with the Mills-ratio asymptotic so a truncation window deep in the
+    tail doesn't hit 0/0."""
+    import math
+
+    def sf(x: float) -> float:
+        return 0.5 * math.erfc(x / math.sqrt(2.0))
+
+    lo, up, t = vlo / sd, vup / sd, eta / sd
+    t = min(max(t, lo), up)
+    if lo > 8.0:  # whole window in the far upper tail: use log-Mills
+        # sf(x) ≈ φ(x)/x ⇒ ratio = exp((lo²−t²)/2)·(lo/t) etc.
+        def lsf(x: float) -> float:
+            return -0.5 * x * x - math.log(max(x, 1e-12))
+
+        den = _log1mexp(lsf(up) - lsf(lo)) + lsf(lo) if math.isfinite(up) else lsf(lo)
+        num = _log1mexp(lsf(up) - lsf(t)) + lsf(t) if math.isfinite(up) else lsf(t)
+        return math.exp(min(num - den, 0.0))
+    den = sf(lo) - (sf(up) if math.isfinite(up) else 0.0)
+    if den <= 0.0:
+        return 0.0
+    num = sf(t) - (sf(up) if math.isfinite(up) else 0.0)
+    return min(max(num / den, 0.0), 1.0)
+
+
+def _log1mexp(x: float) -> float:
+    import math
+
+    if x >= 0.0:
+        return -math.inf
+    return math.log1p(-math.exp(x)) if x < -0.693 else math.log(-math.expm1(x))
+
+
+def _arp_accepts(y, Sy, verts, alpha: float, lf_cv: float | None,
+                 kappa: float) -> bool:
+    """One polyhedron's test of H0 at the current θ0: ACCEPT (True) or
+    reject. ``y`` = Y(θ0) = Aβ̂ − θ0·a; the test statistic is the dual
+    form η̂ = max_γ∈Γ γ'y (primal: min η s.t. y − Xξ ≤ ησ̃). Conditional
+    critical value à la ARP 2023: condition on the optimal vertex γ̂ —
+    with c = Σ_Y γ̂ / γ̂'Σ_Y γ̂ and S = y − c·η̂ (independent of η̂), γ̂
+    stays optimal iff η̂ ∈ [v_lo, v_up] where the bounds are ratio
+    tests over the OTHER vertices, so η̂ | conditioning ~ TN(γ̂'μ,
+    γ̂'Σ_Yγ̂; [v_lo, v_up]) and γ̂'μ ≤ 0 under H0. Hybrid (lf_cv not
+    None): reject outright if η̂ > lf_cv (the κ-level least-favorable
+    first stage), else run the conditional test at level
+    (α−κ)/(1−κ) with v_up capped at lf_cv (RR 2023 §5.3)."""
+    import math
+
+    if len(verts) == 0:
+        return True  # dual infeasible: no binding information
+    etas = verts @ y
+    i = int(etas.argmax())
+    eta = float(etas[i])
+    g = verts[i]
+    if lf_cv is not None:
+        if eta > lf_cv:
+            return False
+        alpha = (alpha - kappa) / (1.0 - kappa)
+    var_eta = float(g @ Sy @ g)
+    if var_eta <= 1e-22:
+        return eta <= 1e-10
+    c = Sy @ g / var_eta
+    S = y - c * eta
+    rho = verts @ c
+    num = verts @ S
+    mask_lo = rho < 1.0 - 1e-9
+    mask_up = rho > 1.0 + 1e-9
+    vlo = float((num[mask_lo] / (1.0 - rho[mask_lo])).max()) if mask_lo.any() else -math.inf
+    vup = float((num[mask_up] / (1.0 - rho[mask_up])).min()) if mask_up.any() else math.inf
+    if lf_cv is not None:
+        vup = min(vup, lf_cv)
+    sd = math.sqrt(var_eta)
+    p = _truncnorm_sf(eta, sd, vlo, vup)
+    return p > alpha
+
+
+def honest_rm_ci_frame(
+    profile: DataFrame,
+    mbars: tuple[float, ...] = (0.5, 1.0, 2.0),
+    att_col: str = "att_iw",
+    se_col: str = "se",
+    cov=None,
+    alpha: float = 0.05,
+    hybrid: bool = True,
+    grid_points: int = 241,
+    lf_sims: int = 1000,
+    seed: int = 20231015,
+) -> DataFrame:
+    """Rambachan-Roth CONDITIONAL (and hybrid) confidence intervals for
+    the relative-magnitudes restriction Δ^RM(M̄) — RR 2023 §5.3, the
+    published completion :func:`honest_bounds_frame`'s plug-in sets
+    point to and the one the FLCI docstring defers to (every affine
+    estimator has infinite worst-case bias over the Δ^RM cone, so the
+    §5.2 FLCI construction is unavailable; honest.py:377-381).
+
+    Method: Δ^RM(M̄) is a union of 2k polyhedral cones (one per
+    attaining pre-step × sign, ``_rm_polyhedra``). For each cone
+    {Aδ ≤ 0}, H0: τ_{e*} = θ0 is a linear moment-inequality system
+    with nuisance parameters (the other post-period effects enter
+    through X = the corresponding columns of A), tested with the
+    Andrews-Roth-Pakes conditional test: the profiled statistic
+    η̂ = min{η : Y(θ0) − Xξ ≤ ησ̃} is computed by enumerating the dual
+    polytope's vertices (no LP solver; deterministic), and the
+    truncated-normal conditional critical value follows from
+    polyhedral conditioning on the optimal vertex. θ0 is in the CI if
+    ANY cone accepts (the union's CI is the union of cone CIs); the
+    reported interval is the hull of the accepted grid. The HYBRID
+    variant first applies a κ = α/10 least-favorable test (critical
+    value = the 1−κ quantile of max_γ γ'ε over seeded N(0, Σ_Y)
+    draws) and runs the conditional stage at level (α−κ)/(1−κ) with
+    the truncation capped at the LF value — RR's recommended default
+    (better length than pure conditional when the binding moment is
+    near-degenerate, exact size κ + (1−κ)·(α−κ)/(1−κ) = α).
+
+    ``cov``: full (k+m)×(k+m) covariance of the OBSERVED profile
+    coordinates ordered [pre ascending (−(k+1)..−2), posts ascending
+    (0..m−1)] — pass ``sunab_event_cov``'s matrix sliced to those
+    rows; default diag(se²). Posts must be consecutive from 0 (the
+    step structure of Δ^RM needs every intermediate post step).
+
+    Output: (e, mbar, att, method, ci_lo, ci_hi, grid_points) rounded
+    6dp, ordered (e, mbar). The grid spans the plug-in identified set
+    padded by ±10·max-se and auto-widens (×2, ≤5 times) if the
+    accepted hull touches a boundary.
+
+    Scale shape: the profile is |E| rows and everything here is
+    result-sized driver numpy (vertex enumeration is C(2k+2m−1, m)
+    batched 4-to-8-square solves); the data-scale work (influence
+    aggregation for the profile + covariance) happened upstream.
+    Reference scope: the reference package has no sensitivity-analysis
+    path; built from RR 2023 §5.3 + ARP 2023."""
+    import numpy as np
+
+    rows = profile.select(
+        F.col("e").cast("int").alias("e"),
+        F.col(att_col).cast("double").alias("att"),
+        F.col(se_col).cast("double").alias("se"),
+    ).collect()
+    att = {int(r["e"]): float(r["att"]) for r in rows}
+    se = {int(r["e"]): float(r["se"]) for r in rows}
+    k = 0
+    while (-2 - k) in att:
+        k += 1
+    if k < 1:
+        raise ValueError(
+            "honest_rm_ci_frame: need at least one observed pre-period "
+            "step (e = -2) to define the relative-magnitudes restriction"
+        )
+    posts = sorted(e for e in att if e >= 0)
+    m = len(posts)
+    if posts != list(range(m)):
+        raise ValueError(
+            "honest_rm_ci_frame: post event times must be consecutive "
+            f"0..{m - 1} (got {posts}) — Delta^RM bounds every "
+            "intermediate post-period step"
+        )
+    pre_asc = list(range(-1 - k, -1))  # [-(k+1), ..., -2]
+    coords = pre_asc + posts
+    beta = np.asarray([att[t] for t in coords])
+    if cov is None:
+        Sig = np.diag(np.asarray([se[t] for t in coords]) ** 2)
+    else:
+        Sig = np.asarray(cov, dtype=float)
+        if Sig.shape != (k + m, k + m):
+            raise ValueError(
+                f"honest_rm_ci_frame: cov must be {(k + m, k + m)} over "
+                f"{coords}, got {Sig.shape}"
+            )
+    # plug-in s_pre (β_{-1} ≡ 0 included) for the inversion grid only
+    path = [att[t] for t in pre_asc] + [0.0]  # ascending, β_{-1} ≡ 0 last
+    s_pre = max(abs(path[i + 1] - path[i]) for i in range(len(path) - 1))
+    se_max = max(se[t] for t in coords)
+    kappa = alpha / 10.0 if hybrid else 0.0
+    rng = np.random.Generator(np.random.PCG64(seed))
+    out = []
+    for mbar in mbars:
+        polys = _rm_polyhedra(k, m, float(mbar))
+        for j_t, e in enumerate(posts):
+            tests = []
+            for A in polys:
+                Sy = A @ Sig @ A.T
+                sig = np.sqrt(np.maximum(np.diag(Sy), 0.0))
+                floor = 1e-9 * (sig.max() if sig.max() > 0 else 1.0)
+                sig = np.maximum(sig, floor)
+                other = [k + j for j in range(m) if j != j_t]
+                X = A[:, other]
+                verts = _dual_vertices(X, sig)
+                a_t = A[:, k + j_t]
+                y0 = A @ beta
+                lf_cv = None
+                if hybrid and len(verts):
+                    lam, U = np.linalg.eigh(Sy)
+                    L = U * np.sqrt(np.maximum(lam, 0.0))
+                    draws = rng.standard_normal((lf_sims, Sy.shape[0]))
+                    stats = (draws @ L.T) @ verts.T
+                    lf_cv = float(
+                        np.quantile(stats.max(axis=1), 1.0 - kappa,
+                                    method="higher")
+                    )
+                tests.append((y0, a_t, Sy, verts, lf_cv))
+
+            def accepted(theta0: float) -> bool:
+                return any(
+                    _arp_accepts(y0 - theta0 * a_t, Sy, verts, alpha,
+                                 lf_cv, kappa)
+                    for (y0, a_t, Sy, verts, lf_cv) in tests
+                )
+
+            half = (e + 1) * float(mbar) * s_pre + 10.0 * se_max
+            lo_b, hi_b = att[e] - half, att[e] + half
+            ci_lo = ci_hi = None
+            for _ in range(6):
+                grid = np.linspace(lo_b, hi_b, grid_points)
+                acc = [t0 for t0 in grid if accepted(float(t0))]
+                if not acc:
+                    ci_lo = ci_hi = float("nan")
+                    break
+                if acc[0] > grid[0] and acc[-1] < grid[-1]:
+                    ci_lo, ci_hi = float(acc[0]), float(acc[-1])
+                    break
+                span = hi_b - lo_b
+                lo_b, hi_b = lo_b - span / 2, hi_b + span / 2
+            if ci_lo is None:  # hull still on the boundary after widening
+                ci_lo, ci_hi = float(acc[0]), float(acc[-1])
+            out.append(
+                (
+                    int(e),
+                    float(mbar),
+                    round(att[e], 6),
+                    "hybrid" if hybrid else "conditional",
+                    round(ci_lo, 6),
+                    round(ci_hi, 6),
+                    int(grid_points),
+                )
+            )
+    return profile.sparkSession.createDataFrame(
+        out,
+        "e int, mbar double, att double, method string, ci_lo double,"
+        " ci_hi double, grid_points int",
+    ).orderBy("e", "mbar")
+
+
 def honest_flci_frame(
     profile: DataFrame,
     mbars: tuple[float, ...] = (0.0, 0.5, 1.0, 1.5, 2.0),

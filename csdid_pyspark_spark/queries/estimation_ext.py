@@ -2606,6 +2606,49 @@ def did_honest_flci(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["did_honest_flci"] = did_honest_flci
 
 
+def did_honest_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rambachan-Roth conditional/HYBRID confidence intervals under the
+    relative-magnitudes restriction Δ^RM(M̄) (did/honest.py::
+    honest_rm_ci_frame — RR 2023 §5.3 via the Andrews-Roth-Pakes
+    conditional moment-inequality test), the noise-aware completion of
+    did_honest_bounds' plug-in sets: Δ^RM is a CONE, so every affine
+    estimator has infinite worst-case bias and the FLCI construction
+    is unavailable (did_honest_flci covers Δ^SD only) — RR's published
+    answer is the conditional test over the 2k-polyhedron union, with
+    a κ = α/10 least-favorable first stage (hybrid). Consumes the SAME
+    SA event-study profile + full influence covariance as the FLCI
+    (robust_cells.py::sunab_event_cov); the dual polytope is vertex-
+    enumerated (batched driver numpy, no LP solver) and the LF
+    critical value uses seeded draws, so the whole computation is
+    deterministic → pinned VALUES golden. Inputs are 8dp-quantized for
+    the same partitioning-drift reason documented on did_honest_flci.
+    Coverage/power/identified-set pytests: tests/test_honest_rm.py."""
+    from csdid_pyspark_spark.did.honest import honest_rm_ci_frame
+    from csdid_pyspark_spark.did.robust_cells import (
+        sunab_event_cov,
+        sunab_event_se_frame,
+    )
+
+    panel = panel_from_events(spark, sf_dir)
+    prof = sunab_event_se_frame(panel).select(
+        "e",
+        F.round("att_iw", 8).alias("att_iw"),
+        F.round("se", 8).alias("se"),
+    )
+    events, C = sunab_event_cov(panel)
+    pos = {e: i for i, e in enumerate(events)}
+    k = 0
+    while (-2 - k) in pos:
+        k += 1
+    posts = sorted(e for e in events if e >= 0)
+    coords = [pos[t] for t in range(-1 - k, -1)] + [pos[e] for e in posts]
+    cov = [[round(C[i][j], 8) for j in coords] for i in coords]
+    return honest_rm_ci_frame(prof, cov=cov)
+
+
+QUERIES["did_honest_rm"] = did_honest_rm
+
+
 def did_bjs_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borusyak-Jaravel-Spiess imputation event study
     (did/imputation.py::bjs_imputation_frame — BJS 2024, REStud

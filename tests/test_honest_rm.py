@@ -1,0 +1,184 @@
+"""RR conditional/hybrid inference for Δ^RM
+(did/honest.py::honest_rm_ci_frame) — polyhedral-decomposition
+correctness, planted-noise coverage for both test variants,
+convergence to the plug-in identified set as noise -> 0, power
+outside the set, and determinism of the frame."""
+
+import numpy as np
+import pytest
+
+from csdid_pyspark_spark.did.honest import (
+    _arp_accepts,
+    _dual_vertices,
+    _rm_polyhedra,
+    _truncnorm_sf,
+)
+
+# DGP shared across tests: k=3 observed pre coefficients, m=3 posts.
+# delta (pre ascending, posts ascending): pre steps [0.5,-0.5,0.5]
+# (max |pre step| = 0.5), post steps [0.5,-0.5,0.5] — ON the boundary
+# of Delta^RM(1). tau_post = (1, 1, 1): the identified set for the
+# event-1 effect is [tau_1 - 2*0.5, tau_1 + 2*0.5] = [0, 2].
+K, M_POST = 3, 3
+DELTA = np.array([-0.5, 0.0, -0.5, 0.5, 0.0, 0.5])
+TAU = np.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])
+BETA = DELTA + TAU
+
+
+def _rm_accepts(beta, Sig, mbar, j_t, theta0, alpha=0.05, hybrid=False,
+                rng=None, lf_sims=400):
+    """Numpy-level harness mirroring honest_rm_ci_frame's inner loop."""
+    kappa = alpha / 10.0 if hybrid else 0.0
+    for A in _rm_polyhedra(K, M_POST, mbar):
+        Sy = A @ Sig @ A.T
+        sig = np.sqrt(np.maximum(np.diag(Sy), 0.0))
+        sig = np.maximum(sig, 1e-9 * (sig.max() if sig.max() > 0 else 1.0))
+        other = [K + j for j in range(M_POST) if j != j_t]
+        verts = _dual_vertices(A[:, other], sig)
+        lf_cv = None
+        if hybrid and len(verts):
+            lam, U = np.linalg.eigh(Sy)
+            L = U * np.sqrt(np.maximum(lam, 0.0))
+            stats = (rng.standard_normal((lf_sims, Sy.shape[0])) @ L.T) @ verts.T
+            lf_cv = float(np.quantile(stats.max(axis=1), 1 - kappa,
+                                      method="higher"))
+        y = A @ beta - theta0 * A[:, K + j_t]
+        if _arp_accepts(y, Sy, verts, alpha, lf_cv, kappa):
+            return True
+    return False
+
+
+def test_rm_polyhedra_characterize_the_union():
+    """delta is in Delta^RM(mbar) iff SOME polyhedron holds — checked
+    by brute force against the definition on random draws."""
+    rng = np.random.default_rng(5)
+    mbar = 1.0
+    polys = _rm_polyhedra(K, M_POST, mbar)
+    D_pre = np.zeros((K, K + M_POST))
+    for i in range(K - 1):
+        D_pre[i, i], D_pre[i, i + 1] = -1.0, 1.0
+    D_pre[K - 1, K - 1] = -1.0
+    D_post = np.zeros((M_POST, K + M_POST))
+    D_post[0, K] = 1.0
+    for j in range(1, M_POST):
+        D_post[j, K + j - 1], D_post[j, K + j] = -1.0, 1.0
+    for _ in range(500):
+        d = rng.uniform(-1, 1, K + M_POST)
+        in_rm = bool(
+            (np.abs(D_post @ d) <= mbar * np.abs(D_pre @ d).max() + 1e-12).all()
+        )
+        in_union = any((A @ d <= 1e-12).all() for A in polys)
+        assert in_rm == in_union
+
+
+def test_dual_vertices_solve_the_primal_lp():
+    """max over enumerated vertices == the primal profiled statistic
+    min{eta : y - X xi <= eta sig}, brute-forced over a dense xi grid
+    (1-dim nuisance so the grid is exact enough)."""
+    rng = np.random.default_rng(7)
+    A = _rm_polyhedra(2, 2, 1.0)[0]
+    Sig = np.diag(rng.uniform(0.5, 1.5, 4))
+    Sy = A @ Sig @ A.T
+    sig = np.sqrt(np.maximum(np.diag(Sy), 1e-18))
+    X = A[:, [3]]  # nuisance: the second post effect
+    verts = _dual_vertices(X, sig)
+    assert len(verts) > 0
+    for _ in range(20):
+        y = rng.normal(size=A.shape[0])
+        eta_dual = float((verts @ y).max())
+        xi_grid = np.linspace(-50, 50, 20001)
+        eta_primal = float(
+            ((y[:, None] - X @ xi_grid[None, :]) / sig[:, None]).max(axis=0).min()
+        )
+        assert eta_dual == pytest.approx(eta_primal, abs=5e-3)
+
+
+def test_truncnorm_sf_matches_brute_force():
+    rng = np.random.default_rng(11)
+    z = rng.standard_normal(2_000_000)
+    for (eta, sd, vlo, vup) in [(1.0, 1.0, -0.5, 2.0), (0.3, 0.7, 0.0, np.inf),
+                                (2.0, 1.0, 1.5, 3.0)]:
+        zz = z * sd
+        sel = (zz >= vlo) & (zz <= vup)
+        mc = float((zz[sel] > eta).mean())
+        assert _truncnorm_sf(eta, sd, vlo, vup) == pytest.approx(mc, abs=5e-3)
+    # far-tail window: Mills-ratio branch stays a valid probability
+    p = _truncnorm_sf(9.5, 1.0, 9.0, 11.0)
+    assert 0.0 < p < 1.0
+
+
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_rm_coverage_at_true_theta(hybrid):
+    """Rejection rate at the TRUE theta with delta on the boundary of
+    Delta^RM(1) stays within alpha + 3 binomial SEs (the test is
+    conservative under the union, so typically well below)."""
+    Sig = 0.04 * np.eye(6) + 0.01
+    L = np.linalg.cholesky(Sig)
+    rng = np.random.Generator(np.random.PCG64(13))
+    n, rej = 150, 0
+    for _ in range(n):
+        b = BETA + L @ rng.standard_normal(6)
+        if not _rm_accepts(b, Sig, 1.0, 1, 1.0, hybrid=hybrid, rng=rng):
+            rej += 1
+    assert rej / n <= 0.05 + 3 * np.sqrt(0.05 * 0.95 / n)
+
+
+def test_rm_power_outside_identified_set():
+    """At theta0 well outside the identified set [0, 2] the test
+    rejects most draws; inside it essentially never does."""
+    Sig = 0.01 * np.eye(6)
+    L = np.linalg.cholesky(Sig)
+    rng = np.random.Generator(np.random.PCG64(17))
+    rej_out = rej_in = 0
+    n = 60
+    for _ in range(n):
+        b = BETA + L @ rng.standard_normal(6)
+        if not _rm_accepts(b, Sig, 1.0, 1, 3.0):
+            rej_out += 1
+        if not _rm_accepts(b, Sig, 1.0, 1, 1.0):
+            rej_in += 1
+    assert rej_out / n >= 0.8
+    assert rej_in / n <= 0.05
+
+
+def test_rm_ci_converges_to_identified_set(spark):
+    """With se -> 0 the accepted hull equals the plug-in identified
+    set [att_e - (e+1)*mbar*s_pre, att_e + (e+1)*mbar*s_pre]."""
+    from csdid_pyspark_spark.did.honest import honest_rm_ci_frame
+
+    att = {-4: float(BETA[0]), -3: float(BETA[1]), -2: float(BETA[2]),
+           0: float(BETA[3]), 1: float(BETA[4]), 2: float(BETA[5])}
+    rows = [(e, a, 1e-5) for e, a in att.items()]
+    prof = spark.createDataFrame(rows, "e int, att_iw double, se double")
+    out = {
+        (r["e"], r["mbar"]): (r["ci_lo"], r["ci_hi"])
+        for r in honest_rm_ci_frame(prof, mbars=(1.0,), hybrid=False,
+                                    grid_points=401).collect()
+    }
+    s_pre = 0.5
+    for e in (0, 1, 2):
+        lo, hi = out[(e, 1.0)]
+        want_lo = att[e] - (e + 1) * s_pre
+        want_hi = att[e] + (e + 1) * s_pre
+        width = (want_hi - want_lo) or 1.0
+        assert lo == pytest.approx(want_lo, abs=0.02 * width + 1e-6)
+        assert hi == pytest.approx(want_hi, abs=0.02 * width + 1e-6)
+
+
+def test_rm_frame_deterministic(spark):
+    """Same inputs -> bit-identical frame (seeded LF draws, fixed
+    vertex enumeration order)."""
+    from csdid_pyspark_spark.did.honest import honest_rm_ci_frame
+
+    rows = [(-4, -0.5, 0.3), (-3, 0.0, 0.3), (-2, -0.5, 0.3),
+            (0, 1.5, 0.4), (1, 1.0, 0.4), (2, 1.5, 0.4)]
+    prof = spark.createDataFrame(rows, "e int, att_iw double, se double")
+    a = [tuple(r) for r in honest_rm_ci_frame(prof).collect()]
+    b = [tuple(r) for r in honest_rm_ci_frame(prof).collect()]
+    assert a == b
+    # hybrid CI is contained in (or equal to) a pure-conditional run's
+    # grid acceptance region only up to LF randomness; just sanity-check
+    # the conditional variant also produces ordered finite intervals
+    c = honest_rm_ci_frame(prof, hybrid=False).collect()
+    for r in c:
+        assert r["ci_lo"] <= r["att"] <= r["ci_hi"]

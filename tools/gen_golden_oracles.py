@@ -84,6 +84,8 @@ GOLDEN_NAMES = (
     "did_sdid_staggered",
     # affine-FLCI optimization (Nelder-Mead + bisection): deterministic
     "did_honest_flci",
+    # ARP conditional/hybrid test: vertex enumeration + seeded LF draws
+    "did_honest_rm",
     # batched ADC probe of the persisted index: deterministic
     "sim_ann_ivfpq_batch",
 )
