@@ -62,6 +62,7 @@ def _screen_and_collect(
     donor_ids: DataFrame | None,
     donor_k: int,
     screen_k: int | None = None,
+    return_screen_order: bool = False,
 ):
     """Distributed part shared by the fit and the placebo test: treated
     series collect, donor pre-screen (one aggregation over the pool),
@@ -69,7 +70,12 @@ def _screen_and_collect(
     ``donor_k``) controls how many donor series are COLLECTED — the
     placebo test oversamples here so each placebo can be re-screened
     against its own nearest donors driver-side. Returns (periods,
-    y_tr, series, donor_list, pre, post)."""
+    y_tr, series, donor_list, pre, post); with
+    ``return_screen_order=True`` a 7th element carries the
+    coverage-filtered donor ids in the SCREEN'S OWN (dist, id) order,
+    so a caller that oversampled can recover exactly the set the
+    un-oversampled screen would have kept (a driver-side re-rank over
+    float sums can flip near-ties at the donor_k boundary)."""
     screen_k = donor_k if screen_k is None else max(screen_k, donor_k)
     p = panel.select(
         F.col(idname).alias("id"),
@@ -113,10 +119,15 @@ def _screen_and_collect(
         .filter(F.col("n_pre") == len(pre))
         .orderBy("dist", "id")
         .limit(screen_k)
-        .select("id")
+    )
+    # TakeOrdered collect (screen_k rows): preserves the screen's own
+    # (dist, id) ranking for callers that need it
+    screen_ids = [r["id"] for r in scored.select("id").collect()]
+    keep_df = panel.sparkSession.createDataFrame(
+        [(i,) for i in screen_ids], "id " + dict(p.dtypes)["id"]
     )
     kept = (
-        donors.join(F.broadcast(scored), "id", "left_semi")
+        donors.join(F.broadcast(keep_df), "id", "left_semi")
         .orderBy("id", "t")
         .collect()
     )
@@ -124,11 +135,15 @@ def _screen_and_collect(
     for r in kept:
         series.setdefault(r["id"], {})[r["t"]] = float(r["y"])
     # donors must also cover the post window to form the counterfactual
-    donor_list = sorted(
+    covered = {
         d for d, s in series.items() if all(t in s for t in periods)
-    )
+    }
+    donor_list = sorted(covered)
     if not donor_list:
         raise ValueError("no donor covers the full observation window")
+    if return_screen_order:
+        screen_order = [d for d in screen_ids if d in covered]
+        return periods, y_tr, series, donor_list, pre, post, screen_order
     return periods, y_tr, series, donor_list, pre, post
 
 
@@ -503,15 +518,22 @@ def synthetic_did(
     """
     import math
 
-    periods, y_tr, series, pool, pre, post = _screen_and_collect(
-        panel, treated_id, t0, yname, tname, idname, donor_ids, donor_k,
-        screen_k=(3 * donor_k) if placebo_se else donor_k,
+    periods, y_tr, series, pool, pre, post, screen_order = (
+        _screen_and_collect(
+            panel, treated_id, t0, yname, tname, idname, donor_ids,
+            donor_k,
+            screen_k=(3 * donor_k) if placebo_se else donor_k,
+            return_screen_order=True,
+        )
     )
     if not post:
         raise ValueError("synthetic_did: no post-treatment periods")
-    donor_list = (
-        _nearest(y_tr, series, pool, pre, donor_k) if placebo_se else pool
-    )
+    # the real fit's donor set is the SCREEN's own (dist, id)-ordered
+    # top donor_k — identical to the un-oversampled screen's keep set
+    # by construction (not a driver-side float re-rank, which could
+    # flip near-ties at the donor_k boundary when placebo_se toggles);
+    # sorted for deterministic design-matrix column order
+    donor_list = sorted(screen_order[:donor_k]) if placebo_se else pool
     core = _sdid_core(y_tr, series, donor_list, pre, post, fw_iters)
     out = {
         "att": core["att"],
@@ -569,6 +591,7 @@ def synthetic_did_staggered(
     placebo_se: bool = False,
     n_placebo: int = 50,
     seed: int = 7,
+    control: str = "nevertreated",
 ) -> dict:
     """Staggered-adoption SDID (Arkhangelsky et al. 2021, Appendix A):
     run the estimator ONCE PER ADOPTION COHORT — cohort g's treated
@@ -577,6 +600,20 @@ def synthetic_did_staggered(
     average the cohort taus with weights proportional to the number
     of treated unit-periods  N_g * T_post,g  (the paper's
     recommendation for staggered designs).
+
+    ``control="notyettreated"`` admits LATER-ADOPTING units into each
+    cohort's donor pool (the analogue of the CS estimator's
+    not-yet-treated control group, for panels where every unit is
+    eventually treated): cohort g's post window is truncated to end
+    BEFORE its donors' own adoption — if never-treated units exist the
+    window stays [g, max_t] and the pool is g' = 0 or g' > max_t;
+    otherwise the window ends at (latest adoption) − 1 and the pool is
+    every unit with g' > that end, so a donor's OWN treated periods
+    are never read by the fit (pre t < g ≤ post ≤ window end < g').
+    The latest cohort itself then has no donors and is dropped from
+    the average (its treated periods exist only where no control
+    exists). Weights still N_g × |post window| with the truncated
+    window.
 
     Multi-unit form: with N_g treated units, the paper's uniform
     1/N_g treated weights make the treated side exactly the cohort
@@ -633,23 +670,55 @@ def synthetic_did_staggered(
     for r in mrows:
         cmean.setdefault(r["g"], {})[r["t"]] = float(r["m"])
         csize[r["g"]] = max(csize.get(r["g"], 0), int(r["n"]))
+    if control not in ("nevertreated", "notyettreated"):
+        raise ValueError(
+            "synthetic_did_staggered: control must be 'nevertreated' or "
+            f"'notyettreated', got {control!r}"
+        )
+    max_t = periods[-1]
+    n_never = p.filter(F.col("g") == 0).select("id").distinct().count()
+    all_gs = sorted(cmean)  # every adoption cohort present in the data
+    # per-cohort post-window end + donor-pool threshold: donors are
+    # units with g' == 0 or g' > t_end (their own treated periods lie
+    # strictly after every period the fit reads)
+    t_end: dict = {}
+    for g in cmean:
+        if n_never > 0 or control == "nevertreated":
+            t_end[g] = max_t
+        else:
+            later = [x for x in all_gs if x > g]
+            t_end[g] = (max(later) - 1) if later else (g - 1)
     cohorts = sorted(
         g
         for g in cmean
         if len([t for t in periods if t < g]) >= 2
-        and any(t >= g for t in periods)
+        and any(g <= t <= t_end[g] for t in periods)
         and all(t in cmean[g] for t in periods)
     )
     if not cohorts:
         raise ValueError(
             "synthetic_did_staggered: no cohort has >=2 pre periods, a "
-            "post window, and full period coverage"
+            "post window with an available donor pool, and full period "
+            "coverage"
+            + (
+                " (with control='nevertreated' and no never-treated "
+                "units, consider control='notyettreated')"
+                if control == "nevertreated" and n_never == 0
+                else ""
+            )
         )
-    donors = p.filter(F.col("g") == 0)
+    if control == "notyettreated":
+        # any potential donor for SOME cohort: never-treated, or
+        # adopting after the earliest cohort's window could end
+        donors = p.filter(
+            (F.col("g") == 0) | (F.col("g") > min(cohorts))
+        )
+    else:
+        donors = p.filter(F.col("g") == 0)
     # one groupBy(id) pass scoring every donor against every cohort's
     # pre window; coverage over the FULL window required (same rule as
     # _screen_and_collect, applied once for all cohorts)
-    aggs = [F.count("*").alias("n_all")]
+    aggs = [F.count("*").alias("n_all"), F.max("g").alias("g_unit")]
     for g in cohorts:
         pre_g = [t for t in periods if t < g]
         m = cmean[g]
@@ -680,14 +749,37 @@ def synthetic_did_staggered(
     screen_k = (3 * donor_k) if placebo_se else donor_k
     keep: set = set()
     pools: dict = {}
+    real_pool: dict = {}
     for g in cohorts:
         ids = [
             r["id"]
-            for r in scored.orderBy(f"d_{g}", "id").limit(screen_k).collect()
+            for r in scored.filter(
+                (F.col("g_unit") == 0) | (F.col("g_unit") > t_end[g])
+            )
+            .orderBy(f"d_{g}", "id")
+            .limit(screen_k)
+            .collect()
         ]
+        # the real fit keeps the screen's OWN distributed ranking (the
+        # first donor_k in (dist, id) order) — a driver-side re-rank
+        # over float sums could flip near-ties at the donor_k boundary
+        # and perturb att when placebo_se toggles
+        real_pool[g] = ids[:donor_k]
         pools[g] = sorted(ids)
         keep.update(ids)
     scored.unpersist(blocking=False)
+    empty = [g for g in cohorts if not real_pool[g]]
+    if empty:
+        raise ValueError(
+            "synthetic_did_staggered: no donor with full period coverage "
+            f"for cohort(s) {empty}"
+            + (
+                " (no never-treated units in the panel; consider "
+                "control='notyettreated')"
+                if control == "nevertreated" and n_never == 0
+                else ""
+            )
+        )
     keep_df = p.sparkSession.createDataFrame(
         [(i,) for i in sorted(keep)], "id " + dict(p.dtypes)["id"]
     )
@@ -705,20 +797,17 @@ def synthetic_did_staggered(
     windows = {
         g: (
             [t for t in periods if t < g],
-            [t for t in periods if t >= g],
+            [t for t in periods if g <= t <= t_end[g]],
         )
         for g in cohorts
     }
     for g in cohorts:
         pre, post = windows[g]
-        # the real fit's donor set: the donor_k nearest within the
-        # (possibly oversampled) pool — with screen_k == donor_k this
-        # IS the pool, so the no-inference path is unchanged
-        donor_list = (
-            _nearest(cmean[g], series, pools[g], pre, donor_k)
-            if placebo_se
-            else pools[g]
-        )
+        # the real fit's donor set: the screen's own (dist, id)-ordered
+        # top donor_k — identical whether or not the pool was
+        # oversampled for placebo_se; sorted so the Frank-Wolfe column
+        # order (and hence the placebo_se=False output) is unchanged
+        donor_list = sorted(real_pool[g])
         core = _sdid_core(
             cmean[g], series, donor_list, pre, post, fw_iters,
             n_tr=csize[g],

@@ -2260,6 +2260,63 @@ def did_sdid_staggered(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["did_sdid_staggered"] = did_sdid_staggered
 
 
+def did_sdid_staggered_nyt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staggered SDID with NOT-YET-TREATED donor pools
+    (did/synth.py::synthetic_did_staggered(control='notyettreated') —
+    the SDID analogue of the CS estimator's control='notyettreated',
+    reference ATTgt.py:316-325): the never-treated units are dropped
+    from the panel, so every unit is eventually treated and earlier
+    cohorts borrow LATER adopters as donors over a post window
+    truncated before the donors' own adoption (here cohorts 3 and 4
+    over [g, 4], with cohort-5 units as the pool; cohort 5 itself has
+    no donors and is dropped). Same one-pass distributed screen —
+    the pool condition is a filter on the unit-level g' column the
+    scoring aggregation already carries. Placebo replicates draw
+    pseudo-cohorts from the not-yet-treated pools. Deterministic →
+    pinned VALUES golden; planted no-never-treated DGP pytest:
+    tests/test_did_api.py::test_synthetic_did_staggered_notyettreated."""
+    from csdid_pyspark_spark.did.synth import synthetic_did_staggered
+
+    panel = panel_from_events(spark, sf_dir).filter(F.col("g") != 0)
+    res = synthetic_did_staggered(
+        panel, donor_k=25, placebo_se=True, n_placebo=50,
+        control="notyettreated",
+    )
+    rows = [
+        (
+            int(g),
+            round(c["att"], 6),
+            round(c["se"], 6),
+            round(c["zeta"], 6),
+            round(c["pre_rmse"], 6),
+            int(c["n_units"]),
+            int(c["n_post"]),
+            None,
+        )
+        for g, c in sorted(res["cohorts"].items())
+    ]
+    rows.append(
+        (
+            None,
+            round(res["att"], 6),
+            round(res["se"], 6),
+            None,
+            None,
+            None,
+            None,
+            round(res["p_value"], 6),
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        "g int, att double, se double, zeta double, pre_rmse double,"
+        " n_units int, n_post int, p_value double",
+    ).orderBy(F.col("g").asc_nulls_last())
+
+
+QUERIES["did_sdid_staggered_nyt"] = did_sdid_staggered_nyt
+
+
 def did_mc_nnm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matrix-completion counterfactual (Athey, Bayati, Doudchenko,
     Imbens & Khosravi 2021; did/mcnnm.py::mc_nnm — no factor/completion

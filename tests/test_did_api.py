@@ -1478,6 +1478,81 @@ def test_synthetic_did_staggered_guards(spark):
         synthetic_did_staggered(panel)
 
 
+def test_synthetic_did_staggered_notyettreated(spark):
+    """Every unit eventually treated (no never-treated pool): with
+    control='notyettreated' the earlier cohorts use LATER adopters as
+    donors over a post window truncated before the donors' own
+    adoption, recover their planted effects, and placebo_se runs; the
+    latest cohort is dropped (no donors for its treated periods).
+    control='nevertreated' must raise on the same panel."""
+    import numpy as np
+    import pytest as _pytest
+
+    from csdid_pyspark_spark.did.synth import synthetic_did_staggered
+
+    rng = np.random.default_rng(37)
+    T = 16
+    beta = rng.normal(0, 2, T)
+    taus = {6: 3.0, 8: -2.0, 14: 1.0}
+    sizes = {6: 6, 8: 5, 14: 40}  # the late mass adopters are the pool
+    rows = []
+    uid = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            a = rng.normal(10, 3)
+            for t in range(T):
+                y = a + beta[t] + (taus[g] if t >= g else 0.0)
+                rows.append((uid, int(g), t, float(y + rng.normal(0, 0.05))))
+            uid += 1
+    panel = spark.createDataFrame(rows, "id bigint, g int, period int, y double")
+
+    with _pytest.raises(ValueError, match="notyettreated"):
+        synthetic_did_staggered(panel, donor_k=20)
+
+    res = synthetic_did_staggered(panel, donor_k=20, control="notyettreated")
+    # cohorts 6 and 8 estimable over the window [g, 13] (latest g=14
+    # adopts at 14, so t_end = 13); cohort 14 itself has no donors
+    assert set(res["cohorts"]) == {6, 8}
+    for g in (6, 8):
+        c = res["cohorts"][g]
+        assert abs(c["att"] - taus[g]) < 0.15, (g, c)
+        assert c["n_post"] == 14 - g  # [g, 13]
+        assert c["weight"] == sizes[g] * (14 - g)
+
+    # placebo inference over the not-yet-treated pools
+    res_se = synthetic_did_staggered(
+        panel, donor_k=12, n_placebo=20, placebo_se=True,
+        control="notyettreated",
+    )
+    assert res_se["se"] > 0 and 0.0 <= res_se["p_value"] <= 1.0
+    for g in (6, 8):
+        assert res_se["cohorts"][g]["se"] >= 0.0
+
+    # determinism across partitionings
+    res2 = synthetic_did_staggered(
+        panel.repartition(11), donor_k=20, control="notyettreated"
+    )
+    assert res2["att"] == res["att"]
+
+    # mixed design: adding never-treated units keeps the full window
+    # and the never-treated pool under BOTH control modes
+    extra = []
+    for _ in range(25):
+        a = rng.normal(10, 3)
+        for t in range(T):
+            extra.append((uid, 0, t, float(a + beta[t] + rng.normal(0, 0.05))))
+        uid += 1
+    panel2 = spark.createDataFrame(
+        rows + extra, "id bigint, g int, period int, y double"
+    )
+    m_nev = synthetic_did_staggered(panel2, donor_k=20)
+    m_nyt = synthetic_did_staggered(
+        panel2, donor_k=20, control="notyettreated"
+    )
+    assert m_nev["att"] == m_nyt["att"]
+    assert m_nev["cohorts"][14]["n_post"] == T - 14
+
+
 def test_ife_att_bands_cover_planted_effect(spark):
     """ife_att_bands on a noisy rank-1 factor DGP with a planted
     constant tau: the att path must be bit-identical to ife_att, the
