@@ -56,6 +56,14 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,12)"
 
 
+class UnidentifiedPeriodError(ValueError):
+    """A period lost its last untreated observation (either in the raw
+    panel or under a CV holdout mask), leaving its time fixed effect
+    unidentified. ``mc_nnm_cv`` treats THIS error as an infeasible
+    candidate; any other ValueError is a data-integrity problem and
+    propagates."""
+
+
 def _eig_svt(gram, lam):
     """Driver-side SVT factors from the T x T Gram G = M'M: returns
     (V, s) with V the sign-fixed eigenvectors and s_j the SOFT-IMPUTE
@@ -77,6 +85,81 @@ def _eig_svt(gram, lam):
     return vecs, s
 
 
+def _mcnnm_pivot(p: DataFrame, n_x: int):
+    """Shared head of the MC-NNM fits: period discovery, the panel
+    integrity guard (duplicate (id, t) cells / multi-g units raise),
+    and the ONE data-scale pivot to the wide frame
+    (id, g, y0..y{T-1}[, x{k}_{i}..]). ``p`` must already carry
+    normalized column names (id, g, t, y[, x_0..]). Returns
+    (periods, wide)."""
+    periods = sorted(r["t"] for r in p.select("t").distinct().collect())
+    T = len(periods)
+    if T < 2:
+        raise ValueError(f"mc_nnm: {T} period(s) observed; need >= 2")
+    # integrity guard, ONE panel pass: duplicate (id, t) observations
+    # would make the pivot cell partition-order-dependent (breaking the
+    # bit-determinism contract), and a unit with two g values would
+    # silently split into two rows — both raise instead
+    chk = (
+        p.groupBy("id")
+        .agg(
+            F.count("*").alias("nr"),
+            F.count_distinct("t").alias("nt"),
+            F.count_distinct("g").alias("ng"),
+        )
+        .filter((F.col("nr") > F.col("nt")) | (F.col("ng") > 1))
+        .limit(1)
+        .collect()
+    )
+    if chk:
+        r = chk[0]
+        raise ValueError(
+            f"mc_nnm: unit {r['id']!r} has "
+            + (
+                "multiple g values"
+                if r["ng"] > 1
+                else "duplicate (id, period) observations"
+            )
+            + " — aggregate the panel to one row per (unit, period, "
+            "cohort) upstream"
+        )
+    ycols = [f"y{i}" for i in range(T)]
+    if n_x == 0:
+        wide = (
+            p.groupBy("id", "g")
+            .pivot("t", periods)
+            # max = the single value after the duplicate guard above; a
+            # deterministic reducer keeps the golden contract honest
+            # even if the guard is ever bypassed
+            .agg(F.max("y"))
+            .select(
+                "id",
+                "g",
+                *[F.col(str(t)).alias(c) for t, c in zip(periods, ycols)],
+            )
+        )
+    else:
+        wide = (
+            p.groupBy("id", "g")
+            .pivot("t", periods)
+            .agg(
+                F.max("y").alias("y"),
+                *[F.max(f"x_{k}").alias(f"x{k}") for k in range(n_x)],
+            )
+            .select(
+                "id",
+                "g",
+                *[F.col(f"{t}_y").alias(c) for t, c in zip(periods, ycols)],
+                *[
+                    F.col(f"{t}_x{k}").alias(f"x{k}_{i}")
+                    for k in range(n_x)
+                    for i, t in enumerate(periods)
+                ],
+            )
+        )
+    return periods, wide
+
+
 def mc_nnm(
     panel: DataFrame,
     yname: str = "y",
@@ -88,6 +171,8 @@ def mc_nnm(
     placebo_b: int = 0,
     placebo_seed: int = 9,
     holdout: tuple | None = None,
+    xnames: tuple = (),
+    _prebuilt: tuple | None = None,
 ) -> dict:
     """Fit MC-NNM on a staggered-adoption panel (``g`` = first treated
     period, 0 = never treated) and return the event-time effect path.
@@ -126,62 +211,49 @@ def mc_nnm(
     prediction error against the converged alpha + beta + L is
     returned as ``"holdout_mse"``/``"holdout_n"`` (one extra decimal
     aggregation). A held-out period can still lose its last untreated
-    observation; that raises the unidentified-period error, which the
-    CV loop treats as an infeasible lambda.
+    observation; that raises :class:`UnidentifiedPeriodError`, which
+    the CV loop treats as an infeasible lambda.
+
+    ``xnames``: optional (unit, period)-varying covariate columns —
+    the covariate-augmented model of Athey et al. 2021 §8.3,
+    ``y = alpha_i + beta_t + L + x'theta``, fitted RESIDUALIZE-THEN-
+    IMPUTE: theta is the EXACT two-way-FE OLS of y on x over the
+    observed (untreated) cells — one aggregation collecting the
+    within-unit-demeaned normal equations over [period dummies, x],
+    one (T-1+p)-square driver solve — then FROZEN, and the standard
+    soft-impute loop runs on y - x'theta. (Interleaving theta updates
+    with the L updates is an unstable Jacobi alternation — theta and L
+    chase the same interaction structure, since any unit x time
+    covariate pattern is low-rank, and the fit was observed to
+    oscillate and diverge; the freeze trades that for a documented
+    approximation: covariate variation INSIDE the low-rank space is
+    attributed to theta, not L.) Treated-cell effects are read off
+    y - x'theta - alpha - beta - L; ``"theta"`` is returned per
+    covariate.
+
+    ``_prebuilt``: internal — ``(periods, wide_base)`` with
+    ``wide_base`` an ALREADY-PERSISTED pivot (id, g, y0.., x{k}_{i}..)
+    built by :func:`mc_nnm_cv`, so the |grid|+1 CV fits share ONE
+    data-scale pivot instead of each rebuilding (and re-integrity-
+    checking) their own. Callers passing it own its lifecycle.
     """
     import numpy as np
 
-    p = panel.select(
-        F.col(idname).alias("id"),
-        F.col(gname).alias("g"),
-        F.col(tname).alias("t"),
-        F.col(yname).alias("y"),
-    )
-    periods = sorted(r["t"] for r in p.select("t").distinct().collect())
+    P = len(xnames)
+    if _prebuilt is not None:
+        periods, wide = _prebuilt
+    else:
+        p = panel.select(
+            F.col(idname).alias("id"),
+            F.col(gname).alias("g"),
+            F.col(tname).alias("t"),
+            F.col(yname).alias("y"),
+            *[F.col(x).alias(f"x_{k}") for k, x in enumerate(xnames)],
+        )
+        periods, wide = _mcnnm_pivot(p, P)
     T = len(periods)
-    if T < 2:
-        raise ValueError(f"mc_nnm: {T} period(s) observed; need >= 2")
-    # integrity guard, ONE panel pass: duplicate (id, t) observations
-    # would make the pivot cell partition-order-dependent (breaking the
-    # bit-determinism contract), and a unit with two g values would
-    # silently split into two rows — both raise instead
-    chk = (
-        p.groupBy("id")
-        .agg(
-            F.count("*").alias("nr"),
-            F.count_distinct("t").alias("nt"),
-            F.count_distinct("g").alias("ng"),
-        )
-        .filter((F.col("nr") > F.col("nt")) | (F.col("ng") > 1))
-        .limit(1)
-        .collect()
-    )
-    if chk:
-        r = chk[0]
-        raise ValueError(
-            f"mc_nnm: unit {r['id']!r} has "
-            + (
-                "multiple g values"
-                if r["ng"] > 1
-                else "duplicate (id, period) observations"
-            )
-            + " — aggregate the panel to one row per (unit, period, "
-            "cohort) upstream"
-        )
     ycols = [f"y{i}" for i in range(T)]
-    wide = (
-        p.groupBy("id", "g")
-        .pivot("t", periods)
-        # max = the single value after the duplicate guard above; a
-        # deterministic reducer keeps the golden contract honest even
-        # if the guard is ever bypassed
-        .agg(F.max("y"))
-        .select(
-            "id",
-            "g",
-            *[F.col(str(t)).alias(c) for t, c in zip(periods, ycols)],
-        )
-    )
+    xcols = [[f"x{k}_{i}" for i in range(T)] for k in range(P)]
 
     # observed mask (SQL-string form, shared with the per-pass
     # expressions below): untreated cell AND outcome present; under a
@@ -227,20 +299,45 @@ def mc_nnm(
     # ONE pivot computation before the iterations: persist, then a
     # single agg both materializes the cache and returns (unit count,
     # zero-observed-cell count) — the guard and the row count no longer
-    # each pay their own pivot pass
-    wide = wide.persist()
+    # each pay their own pivot pass. Under _prebuilt the base pivot is
+    # already persisted (and right-sized) by the CV caller: the derived
+    # mask columns are narrow casts recomputed from that cache, so no
+    # second copy is stored.
+    if _prebuilt is None:
+        wide = wide.persist()
+    # a raw-observed cell with a NULL covariate would silently zero its
+    # x'theta contribution — count and raise instead
+    xnull = (
+        F.expr(
+            " + ".join(
+                f"CAST(({raw_s(i)} AND ({' OR '.join(f'{xcols[k][i]} IS NULL' for k in range(P))})) AS LONG)"
+                for i in range(T)
+            )
+        )
+        if P
+        else F.lit(0)
+    )
     row0 = wide.agg(
         F.count("*").alias("n"),
         F.sum((F.col("_nobs") == 0).cast("long")).alias("nbad"),
+        F.sum(xnull).alias("nxnull"),
     ).collect()[0]
     n_units = int(row0["n"])
     if row0["nbad"]:
         bad = wide.filter(F.col("_nobs") == 0).limit(1).collect()
-        wide.unpersist(blocking=False)
+        if _prebuilt is None:
+            wide.unpersist(blocking=False)
         raise ValueError(
             f"mc_nnm: unit {bad[0]['id']!r} has zero observed (untreated, "
             "non-null) cells — its fixed effect is unidentified; drop such "
             "units upstream"
+        )
+    if P and int(row0["nxnull"] or 0):
+        if _prebuilt is None:
+            wide.unpersist(blocking=False)
+        raise ValueError(
+            f"mc_nnm: {int(row0['nxnull'])} observed cell(s) have a NULL "
+            f"covariate ({', '.join(xnames)}) — impute or drop upstream"
         )
     # iteration frame partitioning targets CORES (2 waves over default
     # parallelism, 20k rows minimum) rather than the scan-oriented
@@ -248,14 +345,15 @@ def mc_nnm(
     # times with decimal-heavy CPU work. The coalesce reads the cache
     # just materialized (no recompute, no shuffle); the oversized raw
     # cache is dropped once the compact copy materializes (dropq).
-    par = wide.sparkSession.sparkContext.defaultParallelism
-    target = max(20_000, n_units // max(2 * par, 1))
     raw = None
-    npart = max(1, -(-n_units // target))
-    if npart < wide.rdd.getNumPartitions():
-        raw = wide
-        wide = wide.coalesce(npart)
-        wide.persist()
+    if _prebuilt is None:
+        par = wide.sparkSession.sparkContext.defaultParallelism
+        target = max(20_000, n_units // max(2 * par, 1))
+        npart = max(1, -(-n_units // target))
+        if npart < wide.rdd.getNumPartitions():
+            raw = wide
+            wide = wide.coalesce(npart)
+            wide.persist()
 
     beta = [0.0] * T
     V = np.zeros((T, T))
@@ -273,7 +371,21 @@ def mc_nnm(
     def _f(x):
         return f"{float(x):.17e}"
 
-    def project(df, bl, Vc, first):
+    theta = np.zeros(P)
+    xflat = [c for sub in xcols for c in sub]
+
+    def yadj(i, th):
+        """Covariate-adjusted outcome expression y_i - x_i'theta (the
+        soft-impute pass runs on this; Athey et al. 2021 §8.3)."""
+        if not P:
+            return ycols[i]
+        return (
+            f"({ycols[i]} - ("
+            + " + ".join(f"{_f(th[k])} * {xcols[k][i]}" for k in range(P))
+            + "))"
+        )
+
+    def project(df, bl, ya, Vc, first):
         """ONE narrow projection computing this pass's working
         columns — L, the profiled-out unit FE alpha, and the working
         matrix M — so the downstream agg / factor refresh are LINEAR
@@ -289,27 +401,118 @@ def mc_nnm(
         alpha = (
             "("
             + " + ".join(
-                f"(CASE WHEN {obs_s(i)} THEN {ycols[i]} - {_f(bl[i])}"
+                f"(CASE WHEN {obs_s(i)} THEN {ya[i]} - {_f(bl[i])}"
                 f" - ({L[i]}) ELSE 0.0 END)"
                 for i in range(T)
             )
             + ") / _nobs"
         )
-        exprs = ["id", "g", "_nobs", "a", *ycols, *extra_cols]
+        exprs = ["id", "g", "_nobs", "a", *ycols, *xflat, *extra_cols]
         exprs.append(f"({alpha}) AS _al")
         exprs += [f"({L[i]}) AS _l{i}" for i in range(T)]
         return df.selectExpr(*exprs).selectExpr(
             "*",
             *[
-                f"(CASE WHEN {obs_s(i)} THEN {ycols[i]} - _al - {_f(bl[i])}"
+                f"(CASE WHEN {obs_s(i)} THEN {ya[i]} - _al - {_f(bl[i])}"
                 f" ELSE _l{i} END) AS _m{i}"
                 for i in range(T)
             ],
         )
 
+    # ------------------------------------------------------------------
+    # Covariate phase (residualize-then-impute, Athey et al. 2021 §8.3):
+    # theta = the EXACT two-way-FE OLS of y on x over the observed
+    # cells, from ONE aggregation of within-unit-demeaned normal
+    # equations (demeaning profiles the unit FE out in closed form; the
+    # period FE enters as T-1 demeaned dummies), then FROZEN for the
+    # soft-impute loop on y - x'theta. Interleaving theta updates WITH
+    # the L updates is an unstable Jacobi alternation: theta and L
+    # chase the same interaction structure (any unit x time covariate
+    # pattern is low-rank) and the fit was observed to oscillate and
+    # diverge (theta 1.44 -> -0.91 -> 3.3 -> -58 on a planted DGP).
+    # The freeze trades that instability for a documented
+    # approximation: covariate variation INSIDE the low-rank space is
+    # attributed to theta, not L.
+    if P:
+        # regressors: period dummies for periods[1:] (period 0 is the
+        # omitted baseline; the full dummy set is collinear after
+        # within-unit demeaning) followed by the P covariates — all
+        # within-unit demeaned over each unit's OBSERVED cells, which
+        # profiles the unit FE out exactly. ONE aggregation collects
+        # the (T-1+P)-square normal matrix + response cross-products;
+        # theta is the last P coordinates of the driver solve.
+        q = (T - 1) + P
+        dm = wide.selectExpr(
+            "*",
+            *[
+                "(("
+                + " + ".join(
+                    f"(CASE WHEN {obs_s(i)} THEN {xcols[k][i]}"
+                    " ELSE 0.0 END)"
+                    for i in range(T)
+                )
+                + f") / _nobs) AS _xb{k}"
+                for k in range(P)
+            ],
+            "(("
+            + " + ".join(
+                f"(CASE WHEN {obs_s(i)} THEN {ycols[i]} ELSE 0.0 END)"
+                for i in range(T)
+            )
+            + ") / _nobs) AS _yb",
+        )
+
+        def _reg(j, i):
+            """Row value of demeaned regressor j at cell i (0 when the
+            cell is unobserved): dummy_t - obs(t)/nobs for j < T-1
+            (t = periods[j+1]), x_k - x̄_k for the covariate block."""
+            if j < T - 1:
+                tdx = j + 1
+                return (
+                    f"(CASE WHEN {obs_s(i)} THEN (CASE WHEN {i} = {tdx}"
+                    f" THEN 1.0 ELSE 0.0 END) - (CASE WHEN {obs_s(tdx)}"
+                    " THEN 1.0 ELSE 0.0 END) / _nobs ELSE 0.0 END)"
+                )
+            k = j - (T - 1)
+            return (
+                f"(CASE WHEN {obs_s(i)} THEN {xcols[k][i]} - _xb{k}"
+                " ELSE 0.0 END)"
+            )
+
+        aggs0 = []
+        for j1 in range(q):
+            for j2 in range(j1, q):
+                terms = " + ".join(
+                    f"({_reg(j1, i)}) * ({_reg(j2, i)})" for i in range(T)
+                )
+                aggs0.append(
+                    F.expr(f"sum(CAST(({terms}) AS {DEC})) AS n{j1}_{j2}")
+                )
+            terms = " + ".join(
+                f"({_reg(j1, i)}) * (CASE WHEN {obs_s(i)} THEN"
+                f" {ycols[i]} - _yb ELSE 0.0 END)"
+                for i in range(T)
+            )
+            aggs0.append(
+                F.expr(f"sum(CAST(({terms}) AS {DEC})) AS c{j1}")
+            )
+        row0x = dm.agg(*aggs0).collect()[0]
+        N = np.empty((q, q))
+        for j1 in range(q):
+            for j2 in range(j1, q):
+                N[j1, j2] = N[j2, j1] = float(row0x[f"n{j1}_{j2}"])
+        cvec = np.asarray([float(row0x[f"c{j}"]) for j in range(q)])
+        try:
+            sol = np.linalg.solve(N, cvec)
+        except np.linalg.LinAlgError:
+            sol = np.linalg.lstsq(N, cvec, rcond=None)[0]
+        theta = sol[T - 1 :]
+
     cur = wide
     dropq = raw  # oversized raw cache, dropped after the first agg
     proj = None
+    tl = [float(x) for x in theta]  # frozen through the main loop
+    ya_l = [yadj(i, theta) for i in range(T)]
     for it in range(iters + 1):
         bl = [float(b) for b in beta]
         # checkpoint the PROJECTION (lazy; materialized by the agg
@@ -326,14 +529,14 @@ def mc_nnm(
         # heap OOM just RENDERING the cache name by iteration ~20. The
         # checkpoint's LogicalRDD truncates the plan for real; its
         # blocks are reclaimed by the ContextCleaner on GC.
-        proj = project(cur, bl, V, first=(it == 0)).localCheckpoint(
+        proj = project(cur, bl, ya_l, V, first=(it == 0)).localCheckpoint(
             eager=False
         )
         aggs = []
         for i in range(T):
             aggs.append(
                 F.expr(
-                    f"sum(CAST(CASE WHEN {obs_s(i)} THEN {ycols[i]} - _al"
+                    f"sum(CAST(CASE WHEN {obs_s(i)} THEN {ya_l[i]} - _al"
                     f" - _l{i} END AS {DEC})) AS bs{i}"
                 )
             )
@@ -365,10 +568,11 @@ def mc_nnm(
         # observations")
         dead = [periods[i] for i in range(T) if not row[f"bn{i}"]]
         if dead:
-            wide.unpersist(blocking=False)
+            if _prebuilt is None:
+                wide.unpersist(blocking=False)
             if dropq is not None:
                 dropq.unpersist(blocking=False)
-            raise ValueError(
+            raise UnidentifiedPeriodError(
                 f"mc_nnm: period(s) {dead} have zero untreated "
                 "observations — their time fixed effects are "
                 "unidentified; add a never-treated cohort or drop those "
@@ -397,14 +601,17 @@ def mc_nnm(
         # narrow select over the stored projection — no checkpoint
         # needed: the next pass's projection sits a bounded 3 plan
         # layers above proj's LogicalRDD
-        cur = proj.selectExpr("id", "g", *ycols, "_nobs", *extra_cols, newa)
+        cur = proj.selectExpr(
+            "id", "g", *ycols, *xflat, "_nobs", *extra_cols, newa
+        )
 
-    # final readout: event-time means of y - (alpha + beta + L) on
-    # treated, non-null cells, from the LAST projection (its _al/_l
-    # columns are exactly the converged FE + low-rank fit). `bl` is
-    # still the beta the final projection was built with — the
-    # consistent triple (alpha, beta, L); the last agg's beta refresh
-    # is deliberately NOT read. One decimal-exact grouped aggregation.
+    # final readout: event-time means of y - x'theta - (alpha + beta +
+    # L) on treated, non-null cells, from the LAST projection (its
+    # _al/_l columns are exactly the converged FE + low-rank fit).
+    # `bl`/`ya_l` are still the beta/theta the final projection was
+    # built with — the consistent tuple (alpha, beta, theta, L); the
+    # last agg's refreshes are deliberately NOT read. One decimal-exact
+    # grouped aggregation.
     # per (cohort, period) treated-cell gap sums: ONE grouped agg with
     # |G| result rows, unpivoted to event time driver-side
     gaggs = []
@@ -413,7 +620,7 @@ def mc_nnm(
         ok = f"({t} >= g AND {ycols[i]} IS NOT NULL)"
         gaggs.append(
             F.expr(
-                f"sum(CAST(CASE WHEN {ok} THEN {ycols[i]} - _al"
+                f"sum(CAST(CASE WHEN {ok} THEN {ya_l[i]} - _al"
                 f" - {_f(bl[i])} - _l{i} END AS {DEC})) AS s{i}"
             )
         )
@@ -426,7 +633,7 @@ def mc_nnm(
     if holdout is not None:
         haggs = []
         for i in range(T):
-            diff = f"{ycols[i]} - _al - {_f(bl[i])} - _l{i}"
+            diff = f"{ya_l[i]} - _al - {_f(bl[i])} - _l{i}"
             haggs.append(
                 F.expr(
                     f"sum(CAST(CASE WHEN {held_s(i)} THEN ({diff}) *"
@@ -447,13 +654,15 @@ def mc_nnm(
     bands = None
     if placebo_b > 0:
         bands = _placebo_bands(
-            proj, periods, ycols, bl, placebo_b, placebo_seed
+            proj, periods, ycols, ya_l, xflat, bl, placebo_b, placebo_seed
         )
 
     # persist-balance hygiene (shared long-lived sessions): the one
     # Python-level persist this fit holds is internal — release it
-    # (checkpoint blocks are GC-reclaimed by the ContextCleaner)
-    wide.unpersist(blocking=False)
+    # (checkpoint blocks are GC-reclaimed by the ContextCleaner);
+    # a _prebuilt base belongs to the CV caller
+    if _prebuilt is None:
+        wide.unpersist(blocking=False)
     esum: dict = {}
     ecnt: dict = {}
     for r in grows:
@@ -474,6 +683,12 @@ def mc_nnm(
         "sigma": [float(x) for x in sigma],
         "rank": int(np.sum(s > 0)),
     }
+    if P:
+        # the theta the final projection was built with (consistent
+        # with the readout), keyed by covariate name
+        out["theta"] = {
+            x: float(tl[k]) for k, x in enumerate(xnames)
+        }
     if hold_mse is not None:
         out["holdout_mse"] = float(hold_mse)
         out["holdout_n"] = int(hold_n)
@@ -494,15 +709,18 @@ def mc_nnm(
     return out
 
 
-def _placebo_bands(proj, periods, ycols, bl, B, seed):
+def _placebo_bands(proj, periods, ycols, yexprs, xsel, bl, B, seed):
     """In-space placebo se(e) from the converged MC-NNM projection:
     B hash-deterministic replicates assign control units (g = 0)
     pseudo-cohorts in the real cohorts' unit-count proportions; each
-    replicate's pseudo att(e) is read off y - alpha - beta - L on the
-    pseudo-post cells; se(e) = sd over replicates. ONE grouped
-    aggregation: the replicate axis is a sequence-explode, the
-    (replicate, event) gap rows an inline-explode, both map-side
-    combinable down to B x E decimal sums."""
+    replicate's pseudo att(e) is read off y - x'theta - alpha - beta -
+    L on the pseudo-post cells (``yexprs`` = the covariate-adjusted
+    outcome expressions, == ``ycols`` when no covariates; ``xsel`` =
+    the raw covariate columns those expressions read); se(e) = sd over
+    replicates. ONE grouped aggregation: the replicate axis is a
+    sequence-explode, the (replicate, event) gap rows an
+    inline-explode, both map-side combinable down to B x E decimal
+    sums."""
     import math
 
     T = len(periods)
@@ -532,16 +750,16 @@ def _placebo_bands(proj, periods, ycols, bl, B, seed):
     gaps = ", ".join(
         f"named_struct('e', {periods[i]} - _pg, 'gap', "
         f"CASE WHEN _pg > 0 AND {periods[i]} >= _pg AND {ycols[i]} IS NOT "
-        f"NULL THEN {ycols[i]} - _al - ({float(bl[i]):.17e}) - _l{i} END)"
+        f"NULL THEN {yexprs[i]} - _al - ({float(bl[i]):.17e}) - _l{i} END)"
         for i in range(T)
     )
     rows = (
         proj.filter(F.col("g") == 0)
         .selectExpr(
-            "id", "_al", *[f"_l{i}" for i in range(T)], *ycols,
+            "id", "_al", *[f"_l{i}" for i in range(T)], *ycols, *xsel,
             f"explode(sequence(0, {B - 1})) AS b",
         )
-        .selectExpr("b", f"{pg} AS _pg", *ycols, "_al",
+        .selectExpr("b", f"{pg} AS _pg", *ycols, *xsel, "_al",
                     *[f"_l{i}" for i in range(T)])
         .selectExpr("b", f"array({gaps}) AS _g")
         .selectExpr("b", "inline(filter(_g, x -> x.gap IS NOT NULL))")
@@ -578,6 +796,7 @@ def mc_nnm_cv(
     holdout_frac: float = 0.1,
     holdout_seed: int = 11,
     placebo_b: int = 0,
+    xnames: tuple = (),
 ) -> dict:
     """MC-NNM with the paper's CROSS-VALIDATED nuclear-norm penalty
     (Athey et al. 2021 §4 prescribe choosing lambda by held-out
@@ -591,48 +810,80 @@ def mc_nnm_cv(
     period with zero untreated observations is infeasible and skipped
     (the unidentified-period guard).
 
-    Cost: |grid| masked fits + 1 full fit — each the established
-    iters-aggregation soft-impute; driver state stays O(T^2) per fit.
-    Fully deterministic (hash mask, fixed grid order), so the result
-    is pinned-golden-safe.
+    Cost: ONE data-scale pivot (built, right-sized and persisted here,
+    SHARED by the |grid| masked fits and the final full fit — each fit
+    is then the established iters-aggregation soft-impute over the
+    cached wide frame); driver state stays O(T^2) per fit. Fully
+    deterministic (hash mask, fixed grid order), so the result is
+    pinned-golden-safe. ``xnames`` passes through to the
+    covariate-augmented model.
+
+    Error discipline: only :class:`UnidentifiedPeriodError` (a holdout
+    mask stripping a period's last untreated cell) marks a candidate
+    infeasible. The holdout mask is the SAME for every candidate, so
+    feasibility cannot actually differ across the grid — any
+    data-integrity ValueError (duplicate cells, multi-g units,
+    zero-observed units, NULL covariates) is raised by the shared
+    pivot/first fit and PROPAGATES instead of being rebranded as "no
+    feasible candidate".
 
     Returns the final ``mc_nnm`` dict plus ``"cv"`` ({frac: holdout
     mse, inf where infeasible}), ``"shrink_frac"`` (winner) and
     ``"holdout_frac"``."""
-    cv: dict = {}
-    best = None
-    for f in shrink_fracs:
-        try:
-            r = mc_nnm(
-                panel,
-                yname=yname,
-                tname=tname,
-                idname=idname,
-                gname=gname,
-                shrink_frac=float(f),
-                iters=iters,
-                holdout=(holdout_seed, holdout_frac),
-            )
-            cv[float(f)] = float(r["holdout_mse"])
-        except ValueError:
-            cv[float(f)] = float("inf")
-    feas = [(m, f) for f, m in cv.items() if m == m and m != float("inf")]
-    if not feas:
-        raise ValueError(
-            "mc_nnm_cv: no candidate shrink_frac was feasible under the "
-            "holdout mask — lower holdout_frac or check the panel"
-        )
-    best = min(feas, key=lambda t: (t[0], t[1]))[1]
-    out = mc_nnm(
-        panel,
-        yname=yname,
-        tname=tname,
-        idname=idname,
-        gname=gname,
-        shrink_frac=best,
-        iters=iters,
-        placebo_b=placebo_b,
+    p = panel.select(
+        F.col(idname).alias("id"),
+        F.col(gname).alias("g"),
+        F.col(tname).alias("t"),
+        F.col(yname).alias("y"),
+        *[F.col(x).alias(f"x_{k}") for k, x in enumerate(xnames)],
     )
+    periods, base = _mcnnm_pivot(p, len(xnames))
+    base = base.persist()
+    n_units = base.count()
+    # right-size once for the whole CV run (same rule as mc_nnm's own
+    # iteration-frame coalesce)
+    par = base.sparkSession.sparkContext.defaultParallelism
+    target = max(20_000, n_units // max(2 * par, 1))
+    npart = max(1, -(-n_units // target))
+    if npart < base.rdd.getNumPartitions():
+        raw = base
+        base = base.coalesce(npart).persist()
+        base.count()
+        raw.unpersist(blocking=False)
+    try:
+        cv: dict = {}
+        for f in shrink_fracs:
+            try:
+                r = mc_nnm(
+                    panel,
+                    shrink_frac=float(f),
+                    iters=iters,
+                    holdout=(holdout_seed, holdout_frac),
+                    xnames=xnames,
+                    _prebuilt=(periods, base),
+                )
+                cv[float(f)] = float(r["holdout_mse"])
+            except UnidentifiedPeriodError:
+                cv[float(f)] = float("inf")
+        feas = [
+            (m, f) for f, m in cv.items() if m == m and m != float("inf")
+        ]
+        if not feas:
+            raise UnidentifiedPeriodError(
+                "mc_nnm_cv: the holdout mask strips some period's last "
+                "untreated observation — lower holdout_frac"
+            )
+        best = min(feas, key=lambda t: (t[0], t[1]))[1]
+        out = mc_nnm(
+            panel,
+            shrink_frac=best,
+            iters=iters,
+            placebo_b=placebo_b,
+            xnames=xnames,
+            _prebuilt=(periods, base),
+        )
+    finally:
+        base.unpersist(blocking=False)
     out["cv"] = cv
     out["shrink_frac"] = float(best)
     out["holdout_frac"] = float(holdout_frac)

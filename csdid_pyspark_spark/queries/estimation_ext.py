@@ -2357,6 +2357,50 @@ def did_mc_nnm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["did_mc_nnm"] = did_mc_nnm
 
+
+def did_mcnnm_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-augmented MC-NNM (did/mcnnm.py::mc_nnm(xnames=...) —
+    Athey et al. 2021 §8.3, residualize-then-impute): theta is the
+    EXACT two-way-FE OLS of y on the covariate over observed untreated
+    cells (ONE aggregation of within-unit-demeaned normal equations +
+    a (T-1+p)-square driver solve), frozen, and the established
+    soft-impute loop completes y - x'theta. The covariate here is a
+    deterministic unit-slope x time interaction derived from the panel
+    keys — exogenous by construction, exercising the full plumbing
+    (theta phase, adjusted readout) on the driver testdata; the
+    statistical recovery claim lives in tests/test_mcnnm.py::
+    test_mcnnm_covariates_recover_confounded_effect (confounded DGP:
+    omitted-x bias > 1.0, covariate fit recovers att to 0.1 and theta
+    to 0.02). Output: event-time rows + an overall row carrying theta.
+    Deterministic (decimal sums, sign-fixed eigendecomposition) →
+    pinned VALUES golden."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    panel = panel_from_events(spark, sf_dir).withColumn(
+        "x",
+        ((F.col("id") % 7).cast("double") - 3.0)
+        * F.col("period").cast("double")
+        / 3.0,
+    )
+    res = mc_nnm(panel, shrink_frac=0.5, iters=12, xnames=("x",))
+    rows = [
+        (int(e), round(a, 6), int(n), None) for e, a, n in res["att"]
+    ]
+    rows.append(
+        (
+            None,
+            round(res["att_overall"], 6),
+            sum(n for *_, n in res["att"]),
+            round(res["theta"]["x"], 6),
+        )
+    )
+    return spark.createDataFrame(
+        rows, "e int, att double, n bigint, theta double"
+    ).orderBy(F.col("e").asc_nulls_last())
+
+
+QUERIES["did_mcnnm_covariate"] = did_mcnnm_covariate
+
 # ---------------------------------------------------------------------------
 # Sun-Abraham event study with influence-function standard errors
 # ---------------------------------------------------------------------------

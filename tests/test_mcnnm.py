@@ -270,3 +270,78 @@ def test_mcnnm_holdout_unit_guarantee_and_period_guard(spark):
     small = _toy_panel(spark, n_per=6, T=6, cohorts=(0, 3, 4, 5))
     with pytest.raises(ValueError, match="zero untreated observations"):
         mc_nnm(small, iters=3, holdout=(7, 0.9))
+
+
+def test_mcnnm_covariates_recover_confounded_effect(spark):
+    """Covariate-augmented MC-NNM (Athey et al. 2021 §8.3,
+    residualize-then-impute): a covariate whose slope differs between
+    treated and control units biases the covariate-free fit badly;
+    with xnames the exact two-way-FE theta is recovered and att is
+    clean. Deterministic across partitionings; CV and placebo bands
+    pass through."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm, mc_nnm_cv
+
+    rng = np.random.default_rng(23)
+    T, tau, theta = 8, 2.0, 1.5
+    rows = []
+    uid = 0
+    for g, n, m in [(0, 60, 1.0), (5, 25, 3.0)]:
+        for _ in range(n):
+            a = rng.normal(5, 2)
+            mi = m + rng.normal(0, 0.2)
+            for t in range(T):
+                x = mi * t + rng.normal(0, 0.5)
+                y = (
+                    a + 0.8 * np.sin(t) + theta * x
+                    + (tau if g and t >= g else 0.0)
+                    + rng.normal(0, 0.1)
+                )
+                rows.append((uid, int(g), t, float(y), float(x)))
+            uid += 1
+    panel = spark.createDataFrame(
+        rows, "id bigint, g int, period int, y double, x double"
+    )
+
+    r0 = mc_nnm(panel)
+    r1 = mc_nnm(panel, xnames=("x",))
+    assert abs(r0["att_overall"] - tau) > 1.0  # omitted-x bias is real
+    assert abs(r1["theta"]["x"] - theta) < 0.02
+    assert abs(r1["att_overall"] - tau) < 0.1
+
+    rcv = mc_nnm_cv(panel, xnames=("x",), shrink_fracs=(0.05, 0.2, 0.8))
+    assert abs(rcv["att_overall"] - tau) < 0.1
+    assert rcv["theta"]["x"] == r1["theta"]["x"]  # same frozen OLS
+
+    r2 = mc_nnm(panel.repartition(17), xnames=("x",))
+    assert r2["att_overall"] == r1["att_overall"]
+
+    rb = mc_nnm(panel, xnames=("x",), placebo_b=20)
+    assert all(se >= 0.0 for _, _, se, _, _ in rb["bands"])
+
+
+def test_mcnnm_covariates_null_guard_and_cv_error_discipline(spark):
+    """A NULL covariate on an observed cell raises a data-integrity
+    ValueError — and mc_nnm_cv PROPAGATES it (only the
+    unidentified-period error marks a candidate infeasible)."""
+    from csdid_pyspark_spark.did.mcnnm import (
+        UnidentifiedPeriodError,
+        mc_nnm,
+        mc_nnm_cv,
+    )
+
+    panel = _toy_panel(spark).withColumn(
+        "x",
+        F.when(
+            (F.col("id") == 3) & (F.col("period") == 2), F.lit(None)
+        ).otherwise(F.col("period").cast("double") + F.col("id") % 3),
+    )
+    with pytest.raises(ValueError, match="NULL covariate"):
+        mc_nnm(panel, xnames=("x",), iters=2)
+    with pytest.raises(ValueError, match="NULL covariate"):
+        mc_nnm_cv(panel, xnames=("x",), shrink_fracs=(0.1,), iters=2)
+    # duplicate-cell integrity errors also propagate out of the CV
+    dup = _toy_panel(spark)
+    dup = dup.unionByName(dup.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        mc_nnm_cv(dup, shrink_fracs=(0.1,), iters=2)
+    assert issubclass(UnidentifiedPeriodError, ValueError)
