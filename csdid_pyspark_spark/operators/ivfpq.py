@@ -366,15 +366,19 @@ def probe_ivfpq_index_batch(
     retrieval pass, where thousands of queries amortize one scan.
     ``queries``: list of (query_id, vector).
 
-    Per-query work that stays driver-side is unchanged (probe ranking,
-    ADC tables); what changes vs looping :func:`probe_ivfpq_index` is
-    the Spark-side shape: ALL per-query ADC tables union into ONE
-    broadcast (qid, cell, m, code, d2) frame (Q·n_probe·M·K rows —
-    keep it broadcast-sized; chunk the query list upstream if Q grows
-    past ~10^4), the code scan reads the UNION of probed cells ONCE
-    (still a partition-pruned scan on the ``cell`` partition column),
-    and the (cell, m, code) join fans each code row out to exactly the
-    queries probing its cell. Candidate selection is a per-query top-k
+    Per-query work that stays driver-side is unchanged in SEMANTICS
+    (probe ranking, ADC tables) but fully vectorized: probe ranking is
+    one (Q, n_cells) distance matrix + stable argsort, the ADC tables
+    one batched norm-expansion matmul, and the result ships to the JVM
+    zero-copy through Arrow as ONE broadcast (qid, cell,
+    d2arr array<double>) frame — Q·n_probe ROWS (each row carries the
+    flattened M x K table; the payload is Q·n_probe·M·K doubles
+    either way — keep it broadcast-sized; chunk the query list
+    upstream if Q grows past ~10^4). The code scan reads the UNION of
+    probed cells ONCE (still a partition-pruned scan on the ``cell``
+    partition column), and the cell join fans each code row out to
+    exactly the queries probing its cell, extracting the single
+    (m, code) ADC element inside the join projection. Candidate selection is a per-query top-k
     via a qid-partitioned window (many partitions — never the banned
     single-reducer sort): each qid group sorts the query's ADC rows
     (~corpus x n_probe/n_cells — the same rows the single-probe
@@ -402,24 +406,76 @@ def probe_ivfpq_index_batch(
         ]
     m = len(codebook)
     d_sub = len(codebook[0][0])
-    drows = []
-    qrows = []
-    all_cells: set = set()
-    for qid, qv in queries:
-        q = [float(x) for x in qv]
-        qrows.append((qid, q))
-        probes = _rank_probes(centroids, q, n_probe)
-        all_cells.update(probes)
-        for cell in probes:
-            qr = [a - b for a, b in zip(q, centroids[cell])]
-            for j in range(m):
-                qs = qr[j * d_sub : (j + 1) * d_sub]
-                for c, cen in codebook[j].items():
-                    d2 = sum((a - b) * (a - b) for a, b in zip(qs, cen))
-                    drows.append((qid, cell, j, c, float(d2)))
+    # ---- vectorized ADC construction (numpy + Arrow) ----------------
+    # A Python triple loop building the Q·n_probe·M·K tuples was the
+    # driver bottleneck well before the broadcast limit: at Q = 10^4,
+    # n_probe=3, M=8, K=256 that is 6·10^7 tuple allocations. All of it
+    # is dense array algebra: probe ranking is a (Q, n_cells) distance
+    # matrix with a stable argsort (ties -> lower cell id, same rule as
+    # _rank_probes), and the per-subspace code distances are one
+    # batched norm-expansion matmul. The result goes to Spark through
+    # ONE Arrow table, zero-copy.
+    import numpy as np
+
+    n_probe = min(n_probe, len(centroids))
+    cent_ids = np.asarray(sorted(centroids), dtype=np.int64)
+    cmat = np.asarray([centroids[int(c)] for c in cent_ids])
+    K = len(codebook[0])
+    cb = np.asarray(
+        [[codebook[j][c] for c in range(K)] for j in range(m)]
+    )  # (m, K, d_sub)
+    qids = np.asarray([int(qid) for qid, _ in queries], dtype=np.int64)
+    qmat = np.asarray([[float(x) for x in qv] for _, qv in queries])
+    Q = len(qids)
+    qrows = [(int(qid), [float(x) for x in qv]) for qid, qv in queries]
+    # probe ranking: stable argsort over cells sorted ascending == the
+    # (dist, cell) tie-break of _rank_probes
+    d2qc = ((qmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    idx = np.argsort(d2qc, axis=1, kind="stable")[:, :n_probe]
+    probes = cent_ids[idx]  # (Q, n_probe)
+    all_cells = set(int(c) for c in np.unique(probes))
+    # residuals per (query, probe), split into subspaces
+    rsub = (qmat[:, None, :] - cmat[idx]).reshape(Q * n_probe, m, d_sub)
+    # ||r - c||^2 = ||r||^2 - 2 r·c + ||c||^2 — the cross term is ONE
+    # broadcast-batched matmul (x, m, 1, d_sub) @ (m, d_sub, K); the
+    # remaining terms are added IN PLACE so the only full-size
+    # allocation is the result itself. (A direct squared-difference
+    # einsum over the 5-D view was ~60x slower; the expansion's
+    # cancellation error is O(eps·scale), irrelevant for ranking.)
+    rc = (rsub[:, :, None, :] @ cb.transpose(0, 2, 1)[None])[:, :, 0, :]
+    rc *= -2.0
+    rc += (rsub * rsub).sum(axis=2)[:, :, None]
+    rc += (cb * cb).sum(axis=2)[None]
+    np.maximum(rc, 0.0, out=rc)  # (Q·n_probe, m, K)
+    # ONE broadcast row per (query, probed cell) carrying the whole
+    # (m x K) ADC table as a flat array<double> — Q·n_probe rows, not
+    # Q·n_probe·M·K: the join below extracts the single (m, code)
+    # element in its projection, so no per-output-row array copy
+    # survives whole-stage codegen. Shipped zero-copy via Arrow.
+    import pyarrow as pa
+
+    vals = pa.array(rc.reshape(-1))
+    offsets = pa.array(
+        np.arange(0, (Q * n_probe + 1) * m * K, m * K, dtype=np.int32)
+    )
+    atab = pa.table(
+        {
+            "qid": pa.array(np.repeat(qids, n_probe)),
+            "cell": pa.array(probes.reshape(-1).astype(np.int32)),
+            "d2arr": pa.ListArray.from_arrays(offsets, vals),
+        }
+    )
+    try:
+        dt_raw = spark.createDataFrame(atab)
+    except Exception:  # vanilla sessions without Arrow-table support
+        dt_raw = spark.createDataFrame(
+            atab.to_pandas(), "qid bigint, cell int, d2arr array<double>"
+        )
     dtable = F.broadcast(
-        spark.createDataFrame(
-            drows, "qid bigint, cell int, m int, code int, d2 double"
+        dt_raw.select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("d2arr").cast("array<double>").alias("d2arr"),
         )
     )
     cell_codes = spark.read.parquet(f"{path}/codes").filter(
@@ -427,7 +483,17 @@ def probe_ivfpq_index_batch(
     )
     w_cand = Window.partitionBy("qid").orderBy("adc_d2", id_col)
     cand = (
-        cell_codes.join(dtable, ["cell", "m", "code"])
+        cell_codes.join(dtable, ["cell"])
+        .select(
+            "qid",
+            id_col,
+            F.element_at(
+                "d2arr",
+                (F.col("m") * F.lit(K) + F.col("code") + F.lit(1)).cast(
+                    "int"
+                ),
+            ).alias("d2"),
+        )
         .groupBy("qid", id_col)
         .agg(
             F.sum(F.col("d2").cast("decimal(38,12)"))
