@@ -123,14 +123,18 @@ def _control_factor(panel: DataFrame) -> tuple[list[int], list[float]]:
     return periods, [float(x) for x in f]
 
 
-def ife_att(panel: DataFrame) -> DataFrame:
+def ife_att(panel: DataFrame, factor: tuple | None = None) -> DataFrame:
     """gsynth ATT-by-event-time over a long panel (id, period, g, y)
     with never-treated g = 0 controls: (e, att_ife, n_units), e >= 0,
-    att rounded 6dp. See module docstring for the distributed shape."""
+    att rounded 6dp. ``factor``: optional precomputed
+    ``_control_factor(panel)`` result — ``ife_att_bands`` passes its
+    own so the control pivot + factor eigendecomposition run ONCE per
+    bands query instead of twice. See module docstring for the
+    distributed shape."""
     import numpy as np
 
     spark = panel.sparkSession
-    periods, fvals = _control_factor(panel)
+    periods, fvals = factor if factor is not None else _control_factor(panel)
     fmap = dict(zip(periods, fvals))
 
     cohorts = sorted(
@@ -285,8 +289,9 @@ def ife_att_bands(
     import math
 
     spark = panel.sparkSession
-    real = ife_att(panel).collect()
-    periods, fvals = _control_factor(panel)
+    factor = _control_factor(panel)
+    real = ife_att(panel, factor=factor).collect()
+    periods, fvals = factor
     fmap = dict(zip(periods, fvals))
     T = len(periods)
 

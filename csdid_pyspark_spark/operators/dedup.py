@@ -589,8 +589,12 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup candidates, verified with exact Jaccard.
+    ``max_bucket``: optional cap on (band, bucket) group size — buckets
+    past it are dropped before pair generation (see the inline guard
+    note); None processes every bucket.
 
     Banding: num_hashes/bands rows per band; docs agreeing on all rows
     of any band become candidates (one grouped pass keyed by
@@ -636,22 +640,33 @@ def minhash_lsh_pairs(
     # in-bucket pairs from the sorted per-bucket id array: ONE grouped
     # shuffle keyed by (band, bucket) replaces the two-sided self-join.
     # A bucket of k docs emits k(k-1)/2 pairs — exactly the candidate
-    # fan-in the banding math budgets for; a pathological mega-bucket
-    # is a collision-threshold problem upstream, not a join-shape one.
-    pairs = (
+    # fan-in the banding math budgets for — but the pairs are generated
+    # INCREMENTALLY: posexplode the ids first, then each row carries
+    # only one source element's tail slice (<= k elements), so a hot
+    # bucket (near-identical boilerplate sharing a full band signature)
+    # streams its quadratic fan-out through the generate operators
+    # instead of materializing all k^2/2 pair structs inside ONE row's
+    # array (the previous shape, an OOM on a single task for large k).
+    grouped = (
         bucketed.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        # explicit mega-bucket guard: a bucket past this size is a
+        # collision-threshold problem upstream (band rows too short /
+        # boilerplate not pre-deduped) — drop it rather than pay its
+        # quadratic candidate fan-in. None (default) keeps every
+        # bucket, preserving exact parity with the unguarded form.
+        grouped = grouped.filter(F.size("ids") <= int(max_bucket))
+    pairs = (
+        grouped.select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
         .select(
+            "id_a",
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
+                F.expr("slice(ids, i + 2, size(ids) - i - 1)")
+            ).alias("id_b"),
         )
-        .select("p.id_a", "p.id_b")
     )
     cand = pairs.distinct()
     # exact-Jaccard verification, map-side: each candidate pair pulls

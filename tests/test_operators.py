@@ -40,6 +40,30 @@ def test_minhash_lsh_recall(spark):
     assert len(lsh) / len(exact) >= 0.8  # banding recall
 
 
+def test_minhash_hot_bucket_streams_and_cap_guards(spark):
+    """A hot bucket (many near-identical docs sharing a full band
+    signature) must stream its quadratic pair fan-out — no single row
+    holds k^2/2 structs — and the explicit max_bucket guard drops the
+    mega-bucket entirely while leaving small buckets intact."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(120)]  # one 120-doc bucket
+    rows += [(1000, "completely different text one alpha beta gamma delta epsilon"),
+             (1001, "completely different text one alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    hot = [r for r in pairs if r["id_a"] < 1000 and r["id_b"] < 1000]
+    assert len(hot) == 120 * 119 // 2  # full quadratic set, streamed
+    # the generated plan holds at most one source element's tail per
+    # row: no flatten-of-transforms over the whole ids array
+    plan = dedup.minhash_lsh_pairs(docs, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "flatten(transform" not in plan
+    capped = dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=50).collect()
+    hot_c = [r for r in capped if r["id_a"] < 1000 and r["id_b"] < 1000]
+    small_c = [r for r in capped if r["id_a"] >= 1000]
+    assert not hot_c  # mega-bucket dropped
+    assert small_c  # the 2-doc bucket survives
+
+
 def test_simhash_near_dup_property(spark):
     docs = load_table(spark, SF, "documents").limit(30).select("doc_id", "text")
     twin = docs.select((F.col("doc_id") + 500).alias("doc_id"), F.col("text"))

@@ -82,6 +82,12 @@ GOLDEN_NAMES = (
     "did_synth_did",
     # per-cohort Frank-Wolfe fits + decimal-exact cohort means
     "did_sdid_staggered",
+    # not-yet-treated donor pools, truncated post windows
+    "did_sdid_staggered_nyt",
+    # exact two-way-FE theta phase + soft-impute on y - x'theta
+    "did_mcnnm_covariate",
+    # cohort-mean moving-block test + inversion: driver Frank-Wolfe
+    "did_conformal_staggered",
     # affine-FLCI optimization (Nelder-Mead + bisection): deterministic
     "did_honest_flci",
     # ARP conditional/hybrid test: vertex enumeration + seeded LF draws
