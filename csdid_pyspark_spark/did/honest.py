@@ -353,7 +353,7 @@ def _nelder_mead(f, x0, iters=400):
 # ---------------------------------------------------------------------------
 
 
-def _rm_polyhedra(k: int, m: int, mbar: float):
+def _rm_polyhedra(k: int, m: int, mbar: float, shape: str = "none"):
     """Δ^RM(M̄) as a finite union of polyhedral cones {δ : A δ ≤ 0}
     over the observed coordinates [δ_{-(k+1)}, ..., δ_{-2}, δ_0, ...,
     δ_{m-1}] (δ_{-1} ≡ 0 substituted out).
@@ -363,9 +363,20 @@ def _rm_polyhedra(k: int, m: int, mbar: float):
     WHICH sign (2k cases, RR 2023 §5.3 / HonestDiD's DeltaRM): in the
     (s*, σ) cone,  σ·d^pre_{s*} ≥ |d^pre_s| for all s  and
     |d^post_j| ≤ M̄·σ·d^pre_{s*} for all j. Yields 2k matrices of
-    shape (2k + 2m − 1, k + m)."""
+    shape (2k + 2m − 1 [+ shape rows], k + m).
+
+    ``shape`` intersects each cone with RR 2023 §2.4's sign /
+    monotonicity restrictions (HonestDiD's DeltaRMB / DeltaRMM):
+    "bias_pos"/"bias_neg" bound every POST LEVEL δ_e ≥ 0 / ≤ 0 (the
+    researcher signs the confound), "monotone_inc"/"monotone_dec"
+    bound EVERY step d_t ≥ 0 / ≤ 0 (secular trend direction). Extra
+    moments can only tighten the identified set / CI."""
     import numpy as np
 
+    if shape not in (
+        "none", "bias_pos", "bias_neg", "monotone_inc", "monotone_dec"
+    ):
+        raise ValueError(f"_rm_polyhedra: unknown shape {shape!r}")
     n = k + m
     # pre steps: rows of D_pre give d^pre_1..d^pre_k ascending in time
     # (d^pre_k = δ_{-1} − δ_{-2} = −x[k-1])
@@ -380,6 +391,19 @@ def _rm_polyhedra(k: int, m: int, mbar: float):
     for j in range(1, m):
         D_post[j, k + j - 1] = -1.0
         D_post[j, k + j] = 1.0
+    shape_rows = []
+    if shape in ("bias_pos", "bias_neg"):
+        sgn_b = 1.0 if shape == "bias_pos" else -1.0
+        for j in range(m):
+            lvl = np.zeros(n)
+            lvl[k + j] = 1.0
+            shape_rows.append(-sgn_b * lvl)  # sgn_b·δ_e ≥ 0
+    elif shape in ("monotone_inc", "monotone_dec"):
+        sgn_m = 1.0 if shape == "monotone_inc" else -1.0
+        for s in range(k):
+            shape_rows.append(-sgn_m * D_pre[s])
+        for j in range(m):
+            shape_rows.append(-sgn_m * D_post[j])
     out = []
     for s_star in range(k):
         for sgn in (1.0, -1.0):
@@ -394,6 +418,7 @@ def _rm_polyhedra(k: int, m: int, mbar: float):
             for j in range(m):
                 rows.append(D_post[j] - mbar * ref)
                 rows.append(-D_post[j] - mbar * ref)
+            rows.extend(shape_rows)
             out.append(np.asarray(rows))
     return out
 
@@ -533,6 +558,7 @@ def honest_rm_ci_frame(
     grid_points: int = 241,
     lf_sims: int = 1000,
     seed: int = 20231015,
+    shape: str = "none",
 ) -> DataFrame:
     """Rambachan-Roth CONDITIONAL (and hybrid) confidence intervals for
     the relative-magnitudes restriction Δ^RM(M̄) — RR 2023 §5.3, the
@@ -565,6 +591,13 @@ def honest_rm_ci_frame(
     (0..m−1)] — pass ``sunab_event_cov``'s matrix sliced to those
     rows; default diag(se²). Posts must be consecutive from 0 (the
     step structure of Δ^RM needs every intermediate post step).
+
+    ``shape`` intersects Δ^RM with RR §2.4's sign / monotonicity
+    restrictions (HonestDiD's DeltaRMB / DeltaRMM): "bias_pos" /
+    "bias_neg" (every post-period violation δ_e signed) or
+    "monotone_inc" / "monotone_dec" (every step of the differential
+    trend signed) — extra moment rows on every cone, so the CI can
+    only tighten; the method column records the variant.
 
     Output: (e, mbar, att, method, ci_lo, ci_hi, grid_points) rounded
     6dp, ordered (e, mbar). The grid spans the plug-in identified set
@@ -620,9 +653,12 @@ def honest_rm_ci_frame(
     se_max = max(se[t] for t in coords)
     kappa = alpha / 10.0 if hybrid else 0.0
     rng = np.random.Generator(np.random.PCG64(seed))
+    method = ("hybrid" if hybrid else "conditional") + (
+        "" if shape == "none" else f"+{shape}"
+    )
     out = []
     for mbar in mbars:
-        polys = _rm_polyhedra(k, m, float(mbar))
+        polys = _rm_polyhedra(k, m, float(mbar), shape=shape)
         for j_t, e in enumerate(posts):
             tests = []
             for A in polys:
@@ -675,7 +711,7 @@ def honest_rm_ci_frame(
                     int(e),
                     float(mbar),
                     round(att[e], 6),
-                    "hybrid" if hybrid else "conditional",
+                    method,
                     round(ci_lo, 6),
                     round(ci_hi, 6),
                     int(grid_points),

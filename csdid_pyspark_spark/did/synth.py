@@ -1243,3 +1243,187 @@ def conformal_staggered(
             row["hi"] = float(max(acc)) if interior else None
         out["cohorts"][int(g)] = row
     return out
+
+
+def conformal_trace(
+    panel: DataFrame,
+    gname: str = "g",
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    donor_k: int = 50,
+    fw_iters: int = 800,
+    model: str = "sdid",
+    alpha: float = 0.2,
+    grid_points: int = 61,
+) -> dict:
+    """Per-PERIOD conformal effect trace for staggered designs (CWZ
+    2021 §4.2): for each cohort g and each post period s, the
+    pointwise null H0: theta_s = c is tested by adjusting ONLY period
+    s of the cohort-mean series, refitting the counterfactual on the
+    pre window PLUS the adjusted s (the other post periods are treated
+    as missing — their unspecified effects never enter), and ranking
+    |u_s| among the fit's residuals (moving blocks of length 1); the
+    pointwise CI inverts that test over a grid. The result is a
+    conformal analogue of an event-study band — exact pointwise
+    coverage under residual exchangeability, no Gaussian or
+    variance-estimation input.
+
+    Same distributed shape as :func:`conformal_staggered` (one
+    cohort-mean aggregation + one all-cohorts screen + one bounded
+    collect; refits are driver Frank-Wolfe). ``alpha`` must clear the
+    attainable p floor 1/(T0+1). Returns ``{"cohorts": {g: [(s, e,
+    theta_hat_s, lo, hi), ...]}, "alpha"}`` where ``theta_hat_s`` is
+    the gap at s under the unadjusted refit and (lo, hi) the pointwise
+    conformal interval (None when acceptance never becomes interior).
+    """
+    import numpy as np
+
+    p = panel.select(
+        F.col(idname).alias("id"),
+        F.col(gname).alias("g"),
+        F.col(tname).alias("t"),
+        F.col(yname).alias("y"),
+    )
+    periods = sorted(r["t"] for r in p.select("t").distinct().collect())
+    DEC = "decimal(38,12)"
+    mrows = (
+        p.filter(F.col("g") > 0)
+        .groupBy("g", "t")
+        .agg(
+            (F.sum(F.col("y").cast(DEC)).cast("double") / F.count("*")).alias("m"),
+        )
+        .collect()
+    )
+    cmean: dict = {}
+    for r in mrows:
+        cmean.setdefault(r["g"], {})[r["t"]] = float(r["m"])
+    cohorts = sorted(
+        g
+        for g in cmean
+        if len([t for t in periods if t < g]) >= 2
+        and any(t >= g for t in periods)
+        and all(t in cmean[g] for t in periods)
+    )
+    if not cohorts:
+        raise ValueError(
+            "conformal_trace: no cohort has >=2 pre periods, a post "
+            "window, and full period coverage"
+        )
+    donors = p.filter(F.col("g") == 0)
+    aggs = [F.count("*").alias("n_all")]
+    for g in cohorts:
+        pre_g = [t for t in periods if t < g]
+        m = cmean[g]
+        dist = F.sum(
+            F.when(
+                F.col("t") < g,
+                (
+                    F.col("y")
+                    - F.coalesce(
+                        F.create_map(
+                            *[x for t in pre_g for x in (F.lit(t), F.lit(m[t]))]
+                        )[F.col("t")],
+                        F.lit(0.0),
+                    )
+                )
+                ** 2,
+            ).otherwise(F.lit(0.0))
+        )
+        aggs.append(dist.alias(f"d_{g}"))
+    scored = donors.groupBy("id").agg(*aggs).filter(
+        F.col("n_all") == len(periods)
+    )
+    scored = scored.persist()
+    keep: set = set()
+    pools: dict = {}
+    for g in cohorts:
+        ids = [
+            r["id"]
+            for r in scored.orderBy(f"d_{g}", "id").limit(donor_k).collect()
+        ]
+        pools[g] = sorted(ids)
+        keep.update(ids)
+    scored.unpersist(blocking=False)
+    if not keep:
+        raise ValueError(
+            "conformal_trace: no never-treated donor with full period "
+            "coverage"
+        )
+    keep_df = p.sparkSession.createDataFrame(
+        [(i,) for i in sorted(keep)], "id " + dict(p.dtypes)["id"]
+    )
+    kept = (
+        donors.join(F.broadcast(keep_df), "id", "left_semi")
+        .orderBy("id", "t")
+        .collect()
+    )
+    series: dict = {}
+    for r in kept:
+        series.setdefault(r["id"], {})[r["t"]] = float(r["y"])
+
+    out: dict = {"cohorts": {}, "alpha": float(alpha)}
+    for g in cohorts:
+        pre = [t for t in periods if t < g]
+        post = [t for t in periods if t >= g]
+        pool = pools[g]
+        rows_g = []
+        for s in post:
+            win = pre + [s]  # other post periods excluded entirely
+
+            def pointwise_p(c, _g=g, _s=s, _win=win, _pool=pool):
+                """Rank of |u_s| among the pre+s refit's residuals."""
+                X = np.array(
+                    [[series[d][t] for t in _win] for d in _pool]
+                ).T
+                y = np.array(
+                    [
+                        cmean[_g][t] - (c if t == _s else 0.0)
+                        for t in _win
+                    ]
+                )
+                if model == "sdid":
+                    Xf = X - X.mean(axis=0, keepdims=True)
+                    yf = y - y.mean()
+                else:
+                    Xf, yf = X, y
+                w = _frank_wolfe_simplex(Xf, yf, iters=fw_iters)
+                u = np.abs(yf - Xf @ w)
+                return float(
+                    (u >= u[-1] - 1e-15).sum()
+                ) / len(_win)
+
+            # unadjusted gap at s from the pre-only fit = theta_hat_s
+            Xp = np.array([[series[d][t] for t in pre] for d in pool]).T
+            yp = np.array([cmean[g][t] for t in pre])
+            if model == "sdid":
+                mu_x = Xp.mean(axis=0, keepdims=True)
+                mu_y = yp.mean()
+                w0 = _frank_wolfe_simplex(Xp - mu_x, yp - mu_y, iters=fw_iters)
+                x_s = np.array([series[d][s] for d in pool])
+                yhat_s = float((x_s - mu_x[0]) @ w0) + mu_y
+                res_pre = (yp - mu_y) - (Xp - mu_x) @ w0
+            else:
+                w0 = _frank_wolfe_simplex(Xp, yp, iters=fw_iters)
+                yhat_s = float(
+                    np.array([series[d][s] for d in pool]) @ w0
+                )
+                res_pre = yp - Xp @ w0
+            th_hat = cmean[g][s] - yhat_s
+            # grid scale from the PRE-FIT RESIDUALS: the acceptance
+            # region's width is a residual-magnitude quantile, so the
+            # grid must resolve at residual scale (a value-scale grid
+            # can step right over it)
+            scale = max(float(np.max(np.abs(res_pre))), 1e-9)
+            half = 8.0 * scale + 0.1 * abs(th_hat)
+            lo = hi = None
+            for _ in range(6):
+                grid = np.linspace(th_hat - half, th_hat + half, grid_points)
+                acc = [float(c) for c in grid if pointwise_p(float(c)) > alpha]
+                if acc and acc[0] > grid[0] + 1e-12 and acc[-1] < grid[-1] - 1e-12:
+                    lo, hi = float(acc[0]), float(acc[-1])
+                    break
+                half *= 2.0
+            rows_g.append((int(s), int(s - g), float(th_hat), lo, hi))
+        out["cohorts"][int(g)] = rows_g
+    return out

@@ -2363,6 +2363,48 @@ def did_conformal_staggered(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["did_conformal_staggered"] = did_conformal_staggered
 
 
+def did_conformal_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-PERIOD conformal effect trace (did/synth.py::
+    conformal_trace — CWZ 2021 §4.2): for each cohort and post period
+    s, the pointwise null adjusts ONLY period s of the cohort-mean
+    series, refits on pre ∪ {s} (other post periods excluded, so their
+    unspecified effects never contaminate the test), and ranks |u_s|
+    among the refit residuals; the pointwise CI inverts over a
+    residual-scaled grid — a conformal event-study band with exact
+    pointwise coverage, no variance estimation. alpha = 0.3 clears the
+    worst attainable p floor on the 6-period panel (cohort 3 refits on
+    4 periods: floor 1/4); bounds are NULL where acceptance never
+    becomes interior. Deterministic → pinned VALUES golden; planted
+    time-varying-path pytest: tests/test_did_api.py::
+    test_conformal_trace_pointwise_bands."""
+    from csdid_pyspark_spark.did.synth import conformal_trace
+
+    res = conformal_trace(
+        panel_from_events(spark, sf_dir), donor_k=25, alpha=0.3,
+        grid_points=41,
+    )
+    rows = [
+        (
+            int(g),
+            int(s),
+            int(e),
+            round(th, 6),
+            None if lo is None else round(lo, 6),
+            None if hi is None else round(hi, 6),
+        )
+        for g, tr in sorted(res["cohorts"].items())
+        for s, e, th, lo, hi in tr
+    ]
+    return spark.createDataFrame(
+        rows,
+        "g int, s int, e int, theta_hat double, ci_lo double,"
+        " ci_hi double",
+    ).orderBy("g", "s")
+
+
+QUERIES["did_conformal_trace"] = did_conformal_trace
+
+
 def did_mc_nnm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matrix-completion counterfactual (Athey, Bayati, Doudchenko,
     Imbens & Khosravi 2021; did/mcnnm.py::mc_nnm — no factor/completion

@@ -2064,6 +2064,82 @@ def run_mcnnm(spark, n_units: int, n_periods: int = 10) -> dict:
     }
 
 
+def run_mcnnm_cov(spark, n_units: int, n_periods: int = 10) -> dict:
+    """Covariate-augmented MC-NNM rehearsal (r10): the run_mcnnm DGP
+    plus a CONFOUNDED covariate — x = m_i·t + noise with a steeper
+    slope for treated cohorts and theta·x in y — so the covariate-free
+    fit is badly biased and the xnames fit must recover both theta
+    (exact two-way-FE OLS over observed cells: ONE extra aggregation
+    of within-unit-demeaned normal equations + a (T-1+p)-square driver
+    solve) and att. Evidence: theta/att errors, the theta-phase
+    surcharge over the plain fit, flat driver RSS."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm
+
+    T = n_periods
+    tau, theta = 2.0, 1.5
+    t = spark.range(1, T + 1).select(F.col("id").alias("period"))
+    units = (
+        spark.range(1, n_units + 1)
+        .select("id", F.pmod(F.xxhash64("id", F.lit("g")), 4).alias("gsel"))
+        .select(
+            "id",
+            F.when(F.col("gsel") < 2, 0)
+            .otherwise((T - 3 + F.col("gsel") - 2).cast("int"))
+            .alias("g"),
+            (F.pmod(F.xxhash64("id", F.lit("a")), 1000) / 100.0).alias("fe"),
+        )
+    )
+    panel = (
+        units.crossJoin(t)
+        .withColumn(
+            "slope",
+            F.when(F.col("g") > 0, 3.0).otherwise(1.0)
+            + F.pmod(F.xxhash64("id", F.lit("m")), 100) / 500.0,
+        )
+        .withColumn(
+            "x",
+            F.col("slope") * F.col("period")
+            + F.pmod(F.xxhash64("id", "period", F.lit("x")), 100) / 100.0,
+        )
+        .select(
+            "id",
+            F.col("period").cast("int").alias("period"),
+            "g",
+            "x",
+            (
+                F.col("fe")
+                + 0.3 * F.col("period")
+                + F.lit(theta) * F.col("x")
+                + F.when(
+                    (F.col("g") > 0) & (F.col("period") >= F.col("g")),
+                    tau,
+                ).otherwise(0.0)
+                + F.pmod(F.xxhash64("id", "period"), 100) / 1000.0
+            ).alias("y"),
+        )
+    )
+    t0 = time.perf_counter()
+    plain = mc_nnm(panel, shrink_frac=0.5, iters=12)
+    plain_wall = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    cov = mc_nnm(panel, shrink_frac=0.5, iters=12, xnames=("x",))
+    cov_wall = round(time.perf_counter() - t0, 1)
+    return {
+        "metric": "stress_mcnnm_cov",
+        "units": n_units,
+        "panel_rows": n_units * T,
+        "periods": T,
+        "iters": 12,
+        "plain_fit_sec": plain_wall,
+        "cov_fit_sec": cov_wall,
+        "theta_phase_surcharge_sec": round(cov_wall - plain_wall, 1),
+        "omitted_x_att_error": round(abs(plain["att_overall"] - tau), 4),
+        "cov_att_error": round(abs(cov["att_overall"] - tau), 4),
+        "theta_error": round(abs(cov["theta"]["x"] - theta), 6),
+        **_driver_memory(),
+    }
+
+
 def run_ife(spark, n_units: int, n_periods: int = 10, b_reps: int = 100) -> dict:
     """IFE/gsynth rehearsal (r9): same planted rank-1-factor staggered
     DGP as run_mcnnm. ife_att is one control pivot + one T x T
@@ -2186,7 +2262,7 @@ def main() -> None:
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
-        "bjs", "dsir", "lpa", "etwfe", "bjsse", "mcnnm", "fs",
+        "bjs", "dsir", "lpa", "etwfe", "bjsse", "mcnnm", "mcnnmcov", "fs",
         "ivfpqbatch", "ife",
     ):
         mode = args.pop(0)
@@ -2250,6 +2326,9 @@ def main() -> None:
     elif mode == "ife":
         n_units = int(args[0]) if args else 1_000_000
         out = run_ife(spark, n_units)
+    elif mode == "mcnnmcov":
+        n_units = int(args[0]) if args else 1_000_000
+        out = run_mcnnm_cov(spark, n_units)
     elif mode == "mcnnm":
         n_units = int(args[0]) if args else 1_000_000
         out = run_mcnnm(spark, n_units)

@@ -1795,3 +1795,58 @@ def test_conformal_staggered_multi_treated(spark):
         donor_k=14, model="sdid",
     )
     assert cs["cohorts"][22]["p_value"] == ct["p_value"]
+
+
+def test_conformal_trace_pointwise_bands(spark):
+    """CWZ §4.2 per-period trace: with a planted TIME-VARYING effect
+    path, each post period's pointwise conformal interval covers that
+    period's true effect, the point gaps track the path, and periods
+    with a large effect exclude zero. Other post periods' effects
+    never contaminate a period's test (they are excluded from its
+    refit)."""
+    import numpy as np
+
+    from csdid_pyspark_spark.did.synth import conformal_trace
+
+    rng = np.random.default_rng(47)
+    T, g = 30, 24
+    path = {24: 2.0, 25: 4.0, 26: 6.0, 27: 6.0, 28: 8.0, 29: 10.0}
+    beta = rng.normal(0, 1.5, T)
+    rows = []
+    donor_y = {}
+    for d in range(1, 15):
+        a = rng.normal(10, 2)
+        for t in range(T):
+            y = float(a + beta[t] + rng.normal(0, 0.15))
+            donor_y.setdefault(d, []).append(y)
+            rows.append((d, 0, t, y))
+    for uid in (100, 101, 102, 103):
+        w = rng.dirichlet(np.ones(4))
+        picks = rng.choice(range(1, 15), size=4, replace=False)
+        for t in range(T):
+            base = float(sum(w[j] * donor_y[int(picks[j])][t] for j in range(4)))
+            rows.append(
+                (uid, g, t,
+                 float(base + path.get(t, 0.0) + rng.normal(0, 0.15)))
+            )
+    panel = spark.createDataFrame(rows, "id bigint, g int, period int, y double")
+
+    res = conformal_trace(panel, donor_k=14, alpha=0.1)
+    trace = {s: (th, lo, hi) for s, e, th, lo, hi in res["cohorts"][g]}
+    assert set(trace) == set(path)
+    covered = 0
+    for s, tau_s in path.items():
+        th, lo, hi = trace[s]
+        assert abs(th - tau_s) < 0.8, (s, th, tau_s)
+        assert lo is not None and lo < hi and lo <= th <= hi, (s, lo, th, hi)
+        if lo <= tau_s <= hi:
+            covered += 1
+        if tau_s >= 4.0:
+            assert lo > 0.0, (s, lo)
+    # pointwise 90% CIs: coverage is a distributional statement, so on
+    # one draw allow a single miss across the six periods
+    assert covered >= len(path) - 1, trace
+
+    # determinism across partitionings
+    res2 = conformal_trace(panel.repartition(11), donor_k=14, alpha=0.1)
+    assert res2["cohorts"][g] == res["cohorts"][g]

@@ -182,3 +182,87 @@ def test_rm_frame_deterministic(spark):
     c = honest_rm_ci_frame(prof, hybrid=False).collect()
     for r in c:
         assert r["ci_lo"] <= r["att"] <= r["ci_hi"]
+
+
+def test_rm_shape_restrictions_tighten_and_stay_valid(spark):
+    """RR §2.4 sign/monotonicity variants (DeltaRMB/DeltaRMM): with a
+    positive-bias truth, the bias_pos identified set shrinks to
+    [att_e - (e+1)*mbar*s_pre, att_e] under se -> 0, the restricted CI
+    is contained in the unrestricted one, and monotone_inc on a
+    monotone DGP also tightens while still covering the truth."""
+    from csdid_pyspark_spark.did.honest import honest_rm_ci_frame
+
+    # truth: positive, increasing post violations delta = (0.1, 0.3,
+    # 0.5); pre steps max 0.5; tau = 1 per post period
+    att = {-4: -0.5, -3: 0.0, -2: -0.5,
+           0: 1.0 + 0.1, 1: 1.0 + 0.3, 2: 1.0 + 0.5}
+    rows = [(e, a, 1e-5) for e, a in att.items()]
+    prof = spark.createDataFrame(rows, "e int, att_iw double, se double")
+
+    def hull(shape):
+        return {
+            (r["e"], r["mbar"]): (r["ci_lo"], r["ci_hi"], r["method"])
+            for r in honest_rm_ci_frame(
+                prof, mbars=(1.0,), hybrid=False, grid_points=401,
+                shape=shape,
+            ).collect()
+        }
+
+    un = hull("none")
+    bp = hull("bias_pos")
+    mi = hull("monotone_inc")
+    s_pre = 0.5
+    for e in (0, 1, 2):
+        tau = 1.0
+        lo_u, hi_u, _ = un[(e, 1.0)]
+        lo_b, hi_b, meth = bp[(e, 1.0)]
+        assert meth == "conditional+bias_pos"
+        # restricted set: delta_e in [0, (e+1)*mbar*s_pre] -> tau in
+        # [att_e - (e+1)*s_pre, att_e]
+        want_lo = att[e] - (e + 1) * s_pre
+        width = (e + 1) * s_pre
+        assert lo_b == pytest.approx(want_lo, abs=0.03 * width + 1e-6)
+        assert hi_b == pytest.approx(att[e], abs=0.03 * width + 1e-6)
+        # containment + coverage
+        assert lo_b >= lo_u - 1e-6 and hi_b <= hi_u + 1e-6
+        assert lo_b - 1e-6 <= tau <= hi_b + 1e-6
+
+    # the truth above has a NON-monotone pre path, so monotone_inc
+    # correctly rejects every theta under se -> 0 (empty restricted CI)
+    for e in (0, 1, 2):
+        lo_m, hi_m, meth = mi[(e, 1.0)]
+        assert meth == "conditional+monotone_inc"
+        assert np.isnan(lo_m) and np.isnan(hi_m)
+
+    # monotone DGP: increasing steps everywhere (pre 0.1/0.3/0.5, post
+    # 0.4/0.5/0.5 <= mbar*s_pre=0.5), tau = 1 per post period
+    att2 = {-4: -0.9, -3: -0.8, -2: -0.5,
+            0: 1.0 + 0.4, 1: 1.0 + 0.9, 2: 1.0 + 1.4}
+    prof2 = spark.createDataFrame(
+        [(e, a, 1e-5) for e, a in att2.items()],
+        "e int, att_iw double, se double",
+    )
+
+    def hull2(shape):
+        return {
+            r["e"]: (r["ci_lo"], r["ci_hi"])
+            for r in honest_rm_ci_frame(
+                prof2, mbars=(1.0,), hybrid=False, grid_points=401,
+                shape=shape,
+            ).collect()
+        }
+
+    un2, mi2 = hull2("none"), hull2("monotone_inc")
+    for e in (0, 1, 2):
+        lo_u, hi_u = un2[e]
+        lo_m, hi_m = mi2[e]
+        # restricted set: delta_e in [0, (e+1)*0.5] -> tau in
+        # [att_e - (e+1)*0.5, att_e]
+        width = (e + 1) * 0.5
+        assert lo_m == pytest.approx(att2[e] - width, abs=0.03 * width + 1e-6)
+        assert hi_m == pytest.approx(att2[e], abs=0.03 * width + 1e-6)
+        assert lo_m >= lo_u - 1e-6 and hi_m <= hi_u + 1e-6
+        assert lo_m - 1e-6 <= 1.0 <= hi_m + 1e-6  # covers tau
+
+    with pytest.raises(ValueError, match="unknown shape"):
+        honest_rm_ci_frame(prof, shape="sideways").collect()

@@ -88,6 +88,8 @@ GOLDEN_NAMES = (
     "did_mcnnm_covariate",
     # cohort-mean moving-block test + inversion: driver Frank-Wolfe
     "did_conformal_staggered",
+    # per-period pointwise conformal trace (pre ∪ {s} refits)
+    "did_conformal_trace",
     # affine-FLCI optimization (Nelder-Mead + bisection): deterministic
     "did_honest_flci",
     # ARP conditional/hybrid test: vertex enumeration + seeded LF draws
