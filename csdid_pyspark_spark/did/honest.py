@@ -237,6 +237,173 @@ def honest_smoothness_frame(
     )
 
 
+def _sd_constraints(k: int, m: int):
+    """Δ^SD(M) as ONE polytope {δ : A δ ≤ M·1} over the observed
+    coordinates [δ_{-(k+1)}, ..., δ_{-2}, δ_0, ..., δ_{m-1}]
+    (δ_{-1} ≡ 0 substituted out): ± every second difference
+    δ_{t+1} − 2δ_t + δ_{t−1} over consecutive event-time triples,
+    pre, boundary and post — 2(k + m − 1) rows."""
+    import numpy as np
+
+    n = k + m
+
+    def coord(e: int):
+        v = np.zeros(n)
+        if e == -1:
+            return v  # δ_{-1} ≡ 0
+        v[e + k + 1 if e <= -2 else k + e] = 1.0
+        return v
+
+    rows = []
+    for t in range(-k, m - 1):  # centers with both neighbors observed
+        c = coord(t + 1) - 2.0 * coord(t) + coord(t - 1)
+        rows.append(c)
+        rows.append(-c)
+    return np.asarray(rows)
+
+
+def honest_sd_ci_frame(
+    profile: DataFrame,
+    mbars: tuple[float, ...] = (0.5, 1.0, 2.0),
+    att_col: str = "att_iw",
+    se_col: str = "se",
+    cov=None,
+    alpha: float = 0.05,
+    hybrid: bool = True,
+    grid_points: int = 241,
+    lf_sims: int = 1000,
+    seed: int = 20231015,
+) -> DataFrame:
+    """ARP conditional/hybrid CI for the SMOOTHNESS restriction Δ^SD —
+    the moment-inequality companion of :func:`honest_flci_frame` (RR
+    2023 §5.3 also covers Δ^SD; RR recommend conditional-hybrid when
+    the FLCI's worst-case-bias pricing is conservative, i.e. away from
+    small M). Δ^SD(M) is ONE polytope Aδ ≤ M·1 (no union), so the test
+    at θ0 is a single ARP conditional test with the other post-period
+    effects profiled out — the same vertex-enumerated dual and
+    truncated-normal conditioning as :func:`honest_rm_ci_frame`, the
+    moments just carry the affine offset d = M·1 (Y(θ0) = Aβ̂ − d −
+    θ0·a). M is self-calibrated per mbar as mbar × c_pre (largest
+    observed pre second difference — the same rule as the plug-in and
+    FLCI frames). Same inputs, output shape (method = "sd-hybrid" /
+    "sd-conditional"), grid policy and scale story as the Δ^RM frame.
+    """
+    import numpy as np
+
+    rows = profile.select(
+        F.col("e").cast("int").alias("e"),
+        F.col(att_col).cast("double").alias("att"),
+        F.col(se_col).cast("double").alias("se"),
+    ).collect()
+    att = {int(r["e"]): float(r["att"]) for r in rows}
+    se = {int(r["e"]): float(r["se"]) for r in rows}
+    k = 0
+    while (-2 - k) in att:
+        k += 1
+    if k < 2:
+        raise ValueError(
+            "honest_sd_ci_frame: need >= 2 consecutive pre-period "
+            "coefficients (one slope to extrapolate with and one more "
+            "to calibrate c_pre from)"
+        )
+    posts = sorted(e for e in att if e >= 0)
+    m = len(posts)
+    if posts != list(range(m)):
+        raise ValueError(
+            "honest_sd_ci_frame: post event times must be consecutive "
+            f"0..{m - 1} (got {posts})"
+        )
+    pre_asc = list(range(-1 - k, -1))
+    coords = pre_asc + posts
+    beta = np.asarray([att[t] for t in coords])
+    if cov is None:
+        Sig = np.diag(np.asarray([se[t] for t in coords]) ** 2)
+    else:
+        Sig = np.asarray(cov, dtype=float)
+        if Sig.shape != (k + m, k + m):
+            raise ValueError(
+                f"honest_sd_ci_frame: cov must be {(k + m, k + m)} over "
+                f"{coords}, got {Sig.shape}"
+            )
+    path = [att[t] for t in pre_asc] + [0.0]
+    c_pre = max(
+        abs(path[i + 1] - 2.0 * path[i] + path[i - 1])
+        for i in range(1, len(path) - 1)
+    )
+    s_last = -att[-2]
+    se_max = max(se[t] for t in coords)
+    kappa = alpha / 10.0 if hybrid else 0.0
+    rng = np.random.Generator(np.random.PCG64(seed))
+    A = _sd_constraints(k, m)
+    Sy = A @ Sig @ A.T
+    sig = np.sqrt(np.maximum(np.diag(Sy), 0.0))
+    sig = np.maximum(sig, 1e-9 * (sig.max() if sig.max() > 0 else 1.0))
+    method = ("sd-hybrid" if hybrid else "sd-conditional")
+    out = []
+    for j_t, e in enumerate(posts):
+        other = [k + j for j in range(m) if j != j_t]
+        verts = _dual_vertices(A[:, other], sig)
+        a_t = A[:, k + j_t]
+        y0 = A @ beta
+        lf_cv = None
+        if hybrid and len(verts):
+            lam, U = np.linalg.eigh(Sy)
+            L = U * np.sqrt(np.maximum(lam, 0.0))
+            draws = rng.standard_normal((lf_sims, Sy.shape[0]))
+            stats = (draws @ L.T) @ verts.T
+            lf_cv = float(
+                np.quantile(stats.max(axis=1), 1.0 - kappa, method="higher")
+            )
+        for mbar in mbars:
+            M = float(mbar) * c_pre
+            d = np.full(A.shape[0], M)
+
+            def accepted(theta0: float) -> bool:
+                return _arp_accepts(
+                    y0 - d - theta0 * a_t, Sy, verts, alpha, lf_cv, kappa
+                )
+
+            shift = (e + 1) * s_last
+            half = (
+                abs(shift)
+                + M * (e + 1) * (e + 2) / 2.0
+                + 10.0 * se_max
+            )
+            center = att[e] - shift
+            ci_lo = ci_hi = None
+            acc: list = []
+            lo_b, hi_b = center - half, center + half
+            for _ in range(6):
+                grid = np.linspace(lo_b, hi_b, grid_points)
+                acc = [t0 for t0 in grid if accepted(float(t0))]
+                if not acc:
+                    ci_lo = ci_hi = float("nan")
+                    break
+                if acc[0] > grid[0] and acc[-1] < grid[-1]:
+                    ci_lo, ci_hi = float(acc[0]), float(acc[-1])
+                    break
+                span = hi_b - lo_b
+                lo_b, hi_b = lo_b - span / 2, hi_b + span / 2
+            if ci_lo is None:
+                ci_lo, ci_hi = float(acc[0]), float(acc[-1])
+            out.append(
+                (
+                    int(e),
+                    float(mbar),
+                    round(att[e], 6),
+                    method,
+                    round(ci_lo, 6),
+                    round(ci_hi, 6),
+                    int(grid_points),
+                )
+            )
+    return profile.sparkSession.createDataFrame(
+        sorted(out),
+        "e int, mbar double, att double, method string, ci_lo double,"
+        " ci_hi double, grid_points int",
+    ).orderBy("e", "mbar")
+
+
 # ---------------------------------------------------------------------------
 # Exact fixed-length CI (FLCI) for the smoothness restriction
 # ---------------------------------------------------------------------------

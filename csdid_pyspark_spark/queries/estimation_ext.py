@@ -2838,6 +2838,44 @@ def did_honest_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["did_honest_rm"] = did_honest_rm
 
 
+def did_honest_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARP conditional/hybrid CI under Δ^SD (did/honest.py::
+    honest_sd_ci_frame — RR 2023 §5.3 applied to the smoothness
+    restriction): Δ^SD(M) is ONE polytope Aδ ≤ M·1 over the ± second
+    differences, so the test at each θ0 is a single conditional
+    moment-inequality test with the other post effects profiled out —
+    the moment-inequality COMPANION of did_honest_flci's affine FLCI
+    on the SAME SA profile + full influence covariance (two
+    independent Δ^SD inference methods whose intervals must agree;
+    the cross-check pytest asserts joint coverage + substantial
+    overlap on a planted smooth trend). Inputs 8dp-quantized as on the
+    sibling queries; deterministic → pinned VALUES golden."""
+    from csdid_pyspark_spark.did.honest import honest_sd_ci_frame
+    from csdid_pyspark_spark.did.robust_cells import (
+        sunab_event_cov,
+        sunab_event_se_frame,
+    )
+
+    panel = panel_from_events(spark, sf_dir)
+    prof = sunab_event_se_frame(panel).select(
+        "e",
+        F.round("att_iw", 8).alias("att_iw"),
+        F.round("se", 8).alias("se"),
+    )
+    events, C = sunab_event_cov(panel)
+    pos = {e: i for i, e in enumerate(events)}
+    k = 0
+    while (-2 - k) in pos:
+        k += 1
+    posts = sorted(e for e in events if e >= 0)
+    coords = [pos[t] for t in range(-1 - k, -1)] + [pos[e] for e in posts]
+    cov = [[round(C[i][j], 8) for j in coords] for i in coords]
+    return honest_sd_ci_frame(prof, cov=cov)
+
+
+QUERIES["did_honest_sd"] = did_honest_sd
+
+
 def did_bjs_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borusyak-Jaravel-Spiess imputation event study
     (did/imputation.py::bjs_imputation_frame — BJS 2024, REStud

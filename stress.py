@@ -2140,6 +2140,73 @@ def run_mcnnm_cov(spark, n_units: int, n_periods: int = 10) -> dict:
     }
 
 
+def run_mcnnm_cv(spark, n_units: int, n_periods: int = 10) -> dict:
+    """mc_nnm_cv pivot-hoist rehearsal (r10 verdict item 5): the CV
+    loop now builds, right-sizes and persists ONE wide pivot shared by
+    every candidate fit + the final fit; before, each of the |grid|+1
+    mc_nnm calls re-pivoted (and re-integrity-checked) the panel.
+    Evidence: total CV wall, the measured one-off pivot cost (build +
+    persist + count), and the implied per-run saving |grid| x pivot
+    cost that the shared frame eliminates."""
+    from csdid_pyspark_spark.did.mcnnm import _mcnnm_pivot, mc_nnm_cv
+
+    T = n_periods
+    t = spark.range(1, T + 1).select(F.col("id").alias("period"))
+    units = (
+        spark.range(1, n_units + 1)
+        .select("id", F.pmod(F.xxhash64("id", F.lit("g")), 4).alias("gsel"))
+        .select(
+            "id",
+            F.when(F.col("gsel") < 2, 0)
+            .otherwise((T - 3 + F.col("gsel") - 2).cast("int"))
+            .alias("g"),
+            (F.pmod(F.xxhash64("id", F.lit("a")), 1000) / 100.0).alias("fe"),
+            ((F.pmod(F.xxhash64("id", F.lit("l")), 200) - 100) / 50.0).alias("lam"),
+        )
+    )
+    panel = units.crossJoin(t).select(
+        "id",
+        F.col("period").cast("int").alias("period"),
+        "g",
+        (
+            F.col("fe")
+            + 0.3 * F.col("period")
+            + F.col("lam") * F.sin(F.col("period").cast("double"))
+            + F.when(
+                (F.col("g") > 0) & (F.col("period") >= F.col("g")), 2.0
+            ).otherwise(0.0)
+            + F.pmod(F.xxhash64("id", "period"), 100) / 1000.0
+        ).alias("y"),
+    )
+    # measure the pivot cost in isolation (what each candidate used to
+    # pay): build + persist + materialize, then drop
+    p = panel.select("id", "g", F.col("period").alias("t"), "y")
+    t0 = time.perf_counter()
+    _, base = _mcnnm_pivot(p, 0)
+    base = base.persist()
+    base.count()
+    pivot_sec = round(time.perf_counter() - t0, 1)
+    base.unpersist(blocking=True)
+
+    grid = (0.1, 0.3, 0.6)
+    t0 = time.perf_counter()
+    res = mc_nnm_cv(panel, shrink_fracs=grid, iters=12)
+    cv_sec = round(time.perf_counter() - t0, 1)
+    return {
+        "metric": "stress_mcnnm_cv",
+        "units": n_units,
+        "panel_rows": n_units * T,
+        "grid": list(grid),
+        "fits": len(grid) + 1,
+        "cv_total_sec": cv_sec,
+        "pivot_once_sec": pivot_sec,
+        "saved_vs_per_fit_pivot_sec": round(pivot_sec * len(grid), 1),
+        "winner": res["shrink_frac"],
+        "att_abs_error": round(abs(res["att_overall"] - 2.0), 4),
+        **_driver_memory(),
+    }
+
+
 def run_ife(spark, n_units: int, n_periods: int = 10, b_reps: int = 100) -> dict:
     """IFE/gsynth rehearsal (r9): same planted rank-1-factor staggered
     DGP as run_mcnnm. ife_att is one control pivot + one T x T
@@ -2262,7 +2329,7 @@ def main() -> None:
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
         "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
-        "bjs", "dsir", "lpa", "etwfe", "bjsse", "mcnnm", "mcnnmcov", "fs",
+        "bjs", "dsir", "lpa", "etwfe", "bjsse", "mcnnm", "mcnnmcov", "mcnnmcv", "fs",
         "ivfpqbatch", "ife",
     ):
         mode = args.pop(0)
@@ -2329,6 +2396,9 @@ def main() -> None:
     elif mode == "mcnnmcov":
         n_units = int(args[0]) if args else 1_000_000
         out = run_mcnnm_cov(spark, n_units)
+    elif mode == "mcnnmcv":
+        n_units = int(args[0]) if args else 1_000_000
+        out = run_mcnnm_cv(spark, n_units)
     elif mode == "mcnnm":
         n_units = int(args[0]) if args else 1_000_000
         out = run_mcnnm(spark, n_units)

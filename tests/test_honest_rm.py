@@ -266,3 +266,70 @@ def test_rm_shape_restrictions_tighten_and_stay_valid(spark):
 
     with pytest.raises(ValueError, match="unknown shape"):
         honest_rm_ci_frame(prof, shape="sideways").collect()
+
+
+def test_sd_conditional_converges_and_cross_checks_flci(spark):
+    """Δ^SD conditional/hybrid CI: under se -> 0 the hull converges to
+    the plug-in Δ^SD identified set (linear extrapolation shift ±
+    M(e+1)(e+2)/2); with noise, both the conditional CI and the FLCI
+    cover a planted smooth-trend truth — two independent Δ^SD methods
+    agreeing on the same profile + covariance."""
+    from csdid_pyspark_spark.did.honest import (
+        honest_flci_frame,
+        honest_rm_ci_frame,
+        honest_sd_ci_frame,
+    )
+
+    # truth: quadratic differential trend delta_t = 0.05*(t+1)^2
+    # (second difference constant 0.1 -> c_pre = 0.1), tau = 1
+    def delta(t):
+        return 0.05 * (t + 1) ** 2
+
+    att = {t: delta(t) - delta(-1) for t in (-4, -3, -2)}
+    att.update({t: 1.0 + delta(t) - delta(-1) for t in (0, 1, 2)})
+    prof0 = spark.createDataFrame(
+        [(e, a, 1e-6) for e, a in att.items()],
+        "e int, att_iw double, se double",
+    )
+    out = {
+        (r["e"], r["mbar"]): (r["ci_lo"], r["ci_hi"], r["method"])
+        for r in honest_sd_ci_frame(
+            prof0, mbars=(1.0,), hybrid=False, grid_points=401
+        ).collect()
+    }
+    s_last = -att[-2]  # slope entering the post period
+    c_pre = 0.1
+    for e in (0, 1, 2):
+        lo, hi, meth = out[(e, 1.0)]
+        assert meth == "sd-conditional"
+        centre = att[e] - (e + 1) * s_last
+        width = c_pre * (e + 1) * (e + 2) / 2.0
+        assert lo == pytest.approx(centre - width, abs=0.03 * width + 1e-5)
+        assert hi == pytest.approx(centre + width, abs=0.03 * width + 1e-5)
+        # tau sits exactly ON the set boundary (post second diffs ==
+        # c_pre), so allow a couple of inversion grid steps of slack
+        step = (hi - lo) / 400.0 if hi > lo else 1e-3
+        assert lo - 2 * step - 1e-6 <= 1.0 <= hi + 2 * step + 1e-6
+
+    # noisy cross-check vs the FLCI on identical inputs
+    rng = np.random.default_rng(3)
+    noisy = {e: a + rng.normal(0, 0.05) for e, a in att.items()}
+    prof = spark.createDataFrame(
+        [(e, a, 0.05) for e, a in noisy.items()],
+        "e int, att_iw double, se double",
+    )
+    sd = {
+        (r["e"], r["mbar"]): (r["ci_lo"], r["ci_hi"])
+        for r in honest_sd_ci_frame(prof, mbars=(1.0,)).collect()
+    }
+    fl = {
+        (r["e"], r["mbar"]): (r["flci_lo"], r["flci_hi"])
+        for r in honest_flci_frame(prof, mbars=(1.0,)).collect()
+    }
+    for e in (0, 1, 2):
+        lo_c, hi_c = sd[(e, 1.0)]
+        lo_f, hi_f = fl[(e, 1.0)]
+        assert lo_c <= 1.0 <= hi_c, (e, lo_c, hi_c)
+        assert lo_f <= 1.0 <= hi_f, (e, lo_f, hi_f)
+        # the two intervals overlap substantially (same restriction)
+        assert max(lo_c, lo_f) < min(hi_c, hi_f)

@@ -94,6 +94,8 @@ GOLDEN_NAMES = (
     "did_honest_flci",
     # ARP conditional/hybrid test: vertex enumeration + seeded LF draws
     "did_honest_rm",
+    # same ARP machinery on the single Delta^SD polytope (d = M·1)
+    "did_honest_sd",
     # batched ADC probe of the persisted index: deterministic
     "sim_ann_ivfpq_batch",
 )
