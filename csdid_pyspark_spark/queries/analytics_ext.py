@@ -1269,3 +1269,120 @@ ORDER BY s.channel
 
 QUERIES["events_shapley_attribution"] = events_shapley_attribution
 ORACLES["events_shapley_attribution"] = SHAPLEY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift monitor (training-data monitoring)
+# ---------------------------------------------------------------------------
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the observation window — the standard production
+    monitor for feature/label drift in a training pipeline (PSI < 0.1
+    stable, 0.1-0.2 moderate, > 0.2 drifted; Siddiqi 2006). The value
+    distribution is binned on TEN FIXED-WIDTH bins (floor(value/50),
+    capped — IEEE division + floor, bit-identical across engines,
+    unlike engine-specific quantile estimators), each side Laplace-
+    smoothed (+0.5 per bin) so empty bins never produce infinities,
+    and psi = Σ_b (p_cur − p_ref)·ln(p_cur/p_ref).
+
+    Scale shape: ONE aggregation to (type, bin, side) counts (60 result
+    rows), a broadcast completion over the fixed 10-bin frame so
+    all-empty bins contribute their smoothed mass, and result-sized
+    algebra — at 100 TB this is a single map-side-combinable pass over
+    the events scan. In production the same expression runs as a
+    watermarked streaming aggregation against a pinned reference."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0)).cast("int").alias("b"),
+        (
+            F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ).cast("int").alias("cur"),
+    )
+    cnt = ev.groupBy("event_type", "b").agg(
+        F.sum(1 - F.col("cur")).alias("r"),
+        F.sum("cur").alias("c"),
+    )
+    types = cnt.select("event_type").distinct()
+    bins = spark.range(10).select(F.col("id").cast("int").alias("b"))
+    full = (
+        types.crossJoin(F.broadcast(bins))
+        .join(cnt, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            "b",
+            F.coalesce("r", F.lit(0)).alias("r"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
+    )
+    return (
+        full.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            (
+                ((F.col("c") + 0.5) / (F.col("n_cur") + 5.0))
+                - ((F.col("r") + 0.5) / (F.col("n_ref") + 5.0))
+            ).alias("dp"),
+            (
+                F.log((F.col("c") + 0.5) / (F.col("n_cur") + 5.0))
+                - F.log((F.col("r") + 0.5) / (F.col("n_ref") + 5.0))
+            ).alias("lr"),
+        )
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.round(F.sum(F.col("dp") * F.col("lr")), 6).alias("psi"))
+        .select(
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            "psi",
+            (F.col("psi") > 0.2).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PSI_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         LEAST(9, CAST(FLOOR(value / 50.0) AS INT)) AS b,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS cur
+  FROM events
+),
+cnt AS (
+  SELECT event_type, b, SUM(1 - cur) AS r, SUM(cur) AS c
+  FROM ev GROUP BY 1, 2
+),
+filled AS (
+  SELECT t.event_type, g.b,
+         COALESCE(cnt.r, 0) AS r, COALESCE(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT event_type FROM cnt) t
+  CROSS JOIN (SELECT UNNEST(range(10)) AS b) g
+  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.b = g.b
+),
+tot AS (
+  SELECT event_type, SUM(r) AS n_ref, SUM(c) AS n_cur
+  FROM filled GROUP BY 1
+)
+SELECT f.event_type,
+       CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       ROUND(SUM(
+         (((f.c + 0.5) / (t.n_cur + 5.0)) - ((f.r + 0.5) / (t.n_ref + 5.0)))
+         * (LN((f.c + 0.5) / (t.n_cur + 5.0)) - LN((f.r + 0.5) / (t.n_ref + 5.0)))
+       ), 6) AS psi,
+       ROUND(SUM(
+         (((f.c + 0.5) / (t.n_cur + 5.0)) - ((f.r + 0.5) / (t.n_ref + 5.0)))
+         * (LN((f.c + 0.5) / (t.n_cur + 5.0)) - LN((f.r + 0.5) / (t.n_ref + 5.0)))
+       ), 6) > 0.2 AS drifted
+FROM filled f JOIN tot t ON t.event_type = f.event_type
+GROUP BY f.event_type, t.n_ref, t.n_cur
+ORDER BY f.event_type
+"""
+
+QUERIES["events_psi_drift"] = events_psi_drift
+ORACLES["events_psi_drift"] = EVENTS_PSI_SQL
