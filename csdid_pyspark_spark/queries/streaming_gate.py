@@ -436,6 +436,91 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 9. Streaming PSI drift monitor (streaming agg vs pinned batch reference)
+# ---------------------------------------------------------------------------
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift per event type where the CURRENT side is a real
+    streaming aggregation: the second half of the window streams
+    through a groupBy(event_type, bin) count (complete mode,
+    availableNow drain — the exact monitor a live pipeline runs
+    against a pinned reference), the reference side is the first
+    half's batch bin counts, and the PSI algebra is identical to
+    ``analytics_ext.events_psi_drift`` — so the ORACLE IS THE SAME
+    batch SQL, hash-checked: the streaming monitor must reproduce the
+    batch monitor exactly."""
+    from csdid_pyspark_spark.queries.analytics_ext import EVENTS_PSI_SQL  # noqa: F401
+    from csdid_pyspark_spark.sources.tables import load_table
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    bin_col = F.least(F.lit(9), F.floor(F.col("value") / 50.0)).cast("int")
+    # current side: REAL stream over the second half
+    cur_stream = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("ts") >= split)
+        .select("event_type", bin_col.alias("b"))
+        .groupBy("event_type", "b")
+        .count()
+    )
+    cur = _drain_to_table(cur_stream, "complete").select(
+        "event_type", "b", F.col("count").alias("c")
+    )
+    # reference side: pinned batch counts over the first half
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < split)
+        .select("event_type", bin_col.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count("*").alias("r"))
+    )
+    types = ref.select("event_type").unionByName(
+        cur.select("event_type")
+    ).distinct()
+    bins = spark.range(10).select(F.col("id").cast("int").alias("b"))
+    filled = (
+        types.crossJoin(F.broadcast(bins))
+        .join(ref, ["event_type", "b"], "left")
+        .join(cur, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            "b",
+            F.coalesce("r", F.lit(0)).alias("r"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
+    )
+    return (
+        filled.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            (
+                ((F.col("c") + 0.5) / (F.col("n_cur") + 5.0))
+                - ((F.col("r") + 0.5) / (F.col("n_ref") + 5.0))
+            ).alias("dp"),
+            (
+                F.log((F.col("c") + 0.5) / (F.col("n_cur") + 5.0))
+                - F.log((F.col("r") + 0.5) / (F.col("n_ref") + 5.0))
+            ).alias("lr"),
+        )
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.round(F.sum(F.col("dp") * F.col("lr")), 6).alias("psi"))
+        .select(
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            "psi",
+            (F.col("psi") > 0.2).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES.update(
     {
         "stream_windowed_counts": stream_windowed_counts,
@@ -446,9 +531,11 @@ QUERIES.update(
         "stream_incremental_refresh": stream_incremental_refresh,
         "stream_heavy_hitters": stream_heavy_hitters,
         "stream_cdc_apply": stream_cdc_apply,
+        "stream_psi_drift": stream_psi_drift,
     }
 )
 
+from csdid_pyspark_spark.queries.analytics_ext import EVENTS_PSI_SQL as STREAM_PSI_SQL  # noqa: E402
 from csdid_pyspark_spark.queries.estimation_ext import CDC_APPLY_SQL  # noqa: E402
 
 ORACLES.update(
@@ -461,5 +548,6 @@ ORACLES.update(
         "stream_incremental_refresh": STREAM_REFRESH_SQL,
         # stream_heavy_hitters: pinned VALUES golden (golden_values.py)
         "stream_cdc_apply": CDC_APPLY_SQL,
+        "stream_psi_drift": STREAM_PSI_SQL,
     }
 )
