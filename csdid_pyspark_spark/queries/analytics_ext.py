@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from csdid_pyspark_spark.cache import attach_cache
 from csdid_pyspark_spark.operators import dedup, sessionize
 from csdid_pyspark_spark.queries.llm_ops import NEARDUP_MAX_DF
 from csdid_pyspark_spark.sources.tables import load_table
@@ -1299,10 +1300,14 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
         ).cast("int").alias("cur"),
     )
+    # ONE events scan: everything downstream (type list, bin
+    # completion, totals, psi) re-reads this <= |types|x10-row frame,
+    # which without the persist is recomputed per consumer (observed:
+    # FOUR parquet scans in the physical plan)
     cnt = ev.groupBy("event_type", "b").agg(
         F.sum(1 - F.col("cur")).alias("r"),
         F.sum("cur").alias("c"),
-    )
+    ).persist()
     types = cnt.select("event_type").distinct()
     bins = spark.range(10).select(F.col("id").cast("int").alias("b"))
     full = (
@@ -1318,7 +1323,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = full.groupBy("event_type").agg(
         F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
     )
-    return (
+    out = (
         full.join(F.broadcast(tot), "event_type")
         .select(
             "event_type",
@@ -1344,6 +1349,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    return attach_cache(out, cnt)
 
 
 EVENTS_PSI_SQL = """
