@@ -237,6 +237,52 @@ def honest_smoothness_frame(
     )
 
 
+def _moment_profile(profile, att_col, se_col, cov, min_k, caller):
+    """Shared profile parsing for the ARP conditional frames: collect
+    the event-study rows, find the maximal consecutive pre chain,
+    require consecutive posts, and assemble (att, se, k, m, posts,
+    pre_asc, beta, Sig) with Sig = cov (validated) or diag(se²)."""
+    import numpy as np
+
+    rows = profile.select(
+        F.col("e").cast("int").alias("e"),
+        F.col(att_col).cast("double").alias("att"),
+        F.col(se_col).cast("double").alias("se"),
+    ).collect()
+    att = {int(r["e"]): float(r["att"]) for r in rows}
+    se = {int(r["e"]): float(r["se"]) for r in rows}
+    k = 0
+    while (-2 - k) in att:
+        k += 1
+    if k < min_k:
+        raise ValueError(
+            f"{caller}: need >= {min_k} consecutive pre-period "
+            f"coefficients (e = -2{' and e = -3' if min_k >= 2 else ''}"
+            " observed)"
+        )
+    posts = sorted(e for e in att if e >= 0)
+    m = len(posts)
+    if posts != list(range(m)):
+        raise ValueError(
+            f"{caller}: post event times must be consecutive "
+            f"0..{m - 1} (got {posts}) — the restriction bounds every "
+            "intermediate post-period step"
+        )
+    pre_asc = list(range(-1 - k, -1))  # [-(k+1), ..., -2]
+    coords = pre_asc + posts
+    beta = np.asarray([att[t] for t in coords])
+    if cov is None:
+        Sig = np.diag(np.asarray([se[t] for t in coords]) ** 2)
+    else:
+        Sig = np.asarray(cov, dtype=float)
+        if Sig.shape != (k + m, k + m):
+            raise ValueError(
+                f"{caller}: cov must be {(k + m, k + m)} over "
+                f"{coords}, got {Sig.shape}"
+            )
+    return att, se, k, m, posts, pre_asc, beta, Sig
+
+
 def _sd_constraints(k: int, m: int):
     """Δ^SD(M) as ONE polytope {δ : A δ ≤ M·1} over the observed
     coordinates [δ_{-(k+1)}, ..., δ_{-2}, δ_0, ..., δ_{m-1}]
@@ -290,48 +336,17 @@ def honest_sd_ci_frame(
     """
     import numpy as np
 
-    rows = profile.select(
-        F.col("e").cast("int").alias("e"),
-        F.col(att_col).cast("double").alias("att"),
-        F.col(se_col).cast("double").alias("se"),
-    ).collect()
-    att = {int(r["e"]): float(r["att"]) for r in rows}
-    se = {int(r["e"]): float(r["se"]) for r in rows}
-    k = 0
-    while (-2 - k) in att:
-        k += 1
-    if k < 2:
-        raise ValueError(
-            "honest_sd_ci_frame: need >= 2 consecutive pre-period "
-            "coefficients (one slope to extrapolate with and one more "
-            "to calibrate c_pre from)"
-        )
-    posts = sorted(e for e in att if e >= 0)
-    m = len(posts)
-    if posts != list(range(m)):
-        raise ValueError(
-            "honest_sd_ci_frame: post event times must be consecutive "
-            f"0..{m - 1} (got {posts})"
-        )
-    pre_asc = list(range(-1 - k, -1))
-    coords = pre_asc + posts
-    beta = np.asarray([att[t] for t in coords])
-    if cov is None:
-        Sig = np.diag(np.asarray([se[t] for t in coords]) ** 2)
-    else:
-        Sig = np.asarray(cov, dtype=float)
-        if Sig.shape != (k + m, k + m):
-            raise ValueError(
-                f"honest_sd_ci_frame: cov must be {(k + m, k + m)} over "
-                f"{coords}, got {Sig.shape}"
-            )
+    att, se, k, m, posts, pre_asc, beta, Sig = _moment_profile(
+        profile, att_col, se_col, cov, min_k=2,
+        caller="honest_sd_ci_frame",
+    )
     path = [att[t] for t in pre_asc] + [0.0]
     c_pre = max(
         abs(path[i + 1] - 2.0 * path[i] + path[i - 1])
         for i in range(1, len(path) - 1)
     )
     s_last = -att[-2]
-    se_max = max(se[t] for t in coords)
+    se_max = max(se[t] for t in pre_asc + posts)
     kappa = alpha / 10.0 if hybrid else 0.0
     rng = np.random.Generator(np.random.PCG64(seed))
     A = _sd_constraints(k, m)
@@ -779,45 +794,14 @@ def honest_rm_ci_frame(
     path; built from RR 2023 §5.3 + ARP 2023."""
     import numpy as np
 
-    rows = profile.select(
-        F.col("e").cast("int").alias("e"),
-        F.col(att_col).cast("double").alias("att"),
-        F.col(se_col).cast("double").alias("se"),
-    ).collect()
-    att = {int(r["e"]): float(r["att"]) for r in rows}
-    se = {int(r["e"]): float(r["se"]) for r in rows}
-    k = 0
-    while (-2 - k) in att:
-        k += 1
-    if k < 1:
-        raise ValueError(
-            "honest_rm_ci_frame: need at least one observed pre-period "
-            "step (e = -2) to define the relative-magnitudes restriction"
-        )
-    posts = sorted(e for e in att if e >= 0)
-    m = len(posts)
-    if posts != list(range(m)):
-        raise ValueError(
-            "honest_rm_ci_frame: post event times must be consecutive "
-            f"0..{m - 1} (got {posts}) — Delta^RM bounds every "
-            "intermediate post-period step"
-        )
-    pre_asc = list(range(-1 - k, -1))  # [-(k+1), ..., -2]
-    coords = pre_asc + posts
-    beta = np.asarray([att[t] for t in coords])
-    if cov is None:
-        Sig = np.diag(np.asarray([se[t] for t in coords]) ** 2)
-    else:
-        Sig = np.asarray(cov, dtype=float)
-        if Sig.shape != (k + m, k + m):
-            raise ValueError(
-                f"honest_rm_ci_frame: cov must be {(k + m, k + m)} over "
-                f"{coords}, got {Sig.shape}"
-            )
+    att, se, k, m, posts, pre_asc, beta, Sig = _moment_profile(
+        profile, att_col, se_col, cov, min_k=1,
+        caller="honest_rm_ci_frame",
+    )
     # plug-in s_pre (β_{-1} ≡ 0 included) for the inversion grid only
     path = [att[t] for t in pre_asc] + [0.0]  # ascending, β_{-1} ≡ 0 last
     s_pre = max(abs(path[i + 1] - path[i]) for i in range(len(path) - 1))
-    se_max = max(se[t] for t in coords)
+    se_max = max(se[t] for t in pre_asc + posts)
     kappa = alpha / 10.0 if hybrid else 0.0
     rng = np.random.Generator(np.random.PCG64(seed))
     method = ("hybrid" if hybrid else "conditional") + (
