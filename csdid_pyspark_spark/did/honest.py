@@ -283,6 +283,42 @@ def _moment_profile(profile, att_col, se_col, cov, min_k, caller):
     return att, se, k, m, posts, pre_asc, beta, Sig
 
 
+def _invert_grid(accepted, center: float, half: float, grid_points: int):
+    """Shared test-inversion grid for the ARP CI frames: scan
+    ``grid_points`` values over [center − half, center + half], widen
+    (×2 span, ≤5 times) while the accepted hull touches a boundary.
+    Returns (ci_lo, ci_hi): (nan, nan) when no θ0 is accepted, and
+    ``None`` for an endpoint whose acceptance STILL touches the
+    repeatedly-doubled grid edge — the region is effectively unbounded
+    on that side (e.g. a caller-supplied covariance that dwarfs the
+    profile-se grid scale), so reporting the arbitrary boundary would
+    silently understate the interval. Mirrors conformal_staggered's
+    unbounded-endpoint rule."""
+    import numpy as np
+
+    lo_b, hi_b = center - half, center + half
+    acc: list = []
+    grid = np.linspace(lo_b, hi_b, grid_points)
+    for _ in range(6):
+        grid = np.linspace(lo_b, hi_b, grid_points)
+        acc = [t0 for t0 in grid if accepted(float(t0))]
+        if not acc:
+            return float("nan"), float("nan")
+        if acc[0] > grid[0] and acc[-1] < grid[-1]:
+            return float(acc[0]), float(acc[-1])
+        span = hi_b - lo_b
+        lo_b, hi_b = lo_b - span / 2, hi_b + span / 2
+    return (
+        float(acc[0]) if acc[0] > grid[0] else None,
+        float(acc[-1]) if acc[-1] < grid[-1] else None,
+    )
+
+
+def _r6(x):
+    """round(x, 6) passing None (NULL CI endpoint) through."""
+    return None if x is None else round(x, 6)
+
+
 def _sd_constraints(k: int, m: int):
     """Δ^SD(M) as ONE polytope {δ : A δ ≤ M·1} over the observed
     coordinates [δ_{-(k+1)}, ..., δ_{-2}, δ_0, ..., δ_{m-1}]
@@ -385,30 +421,17 @@ def honest_sd_ci_frame(
                 + 10.0 * se_max
             )
             center = att[e] - shift
-            ci_lo = ci_hi = None
-            acc: list = []
-            lo_b, hi_b = center - half, center + half
-            for _ in range(6):
-                grid = np.linspace(lo_b, hi_b, grid_points)
-                acc = [t0 for t0 in grid if accepted(float(t0))]
-                if not acc:
-                    ci_lo = ci_hi = float("nan")
-                    break
-                if acc[0] > grid[0] and acc[-1] < grid[-1]:
-                    ci_lo, ci_hi = float(acc[0]), float(acc[-1])
-                    break
-                span = hi_b - lo_b
-                lo_b, hi_b = lo_b - span / 2, hi_b + span / 2
-            if ci_lo is None:
-                ci_lo, ci_hi = float(acc[0]), float(acc[-1])
+            ci_lo, ci_hi = _invert_grid(
+                accepted, center, half, grid_points
+            )
             out.append(
                 (
                     int(e),
                     float(mbar),
                     round(att[e], 6),
                     method,
-                    round(ci_lo, 6),
-                    round(ci_hi, 6),
+                    _r6(ci_lo),
+                    _r6(ci_hi),
                     int(grid_points),
                 )
             )
@@ -535,6 +558,57 @@ def _nelder_mead(f, x0, iters=400):
 # ---------------------------------------------------------------------------
 
 
+def _step_matrices(k: int, m: int):
+    """First-difference (step) operators over the observed coordinates
+    [δ_{-(k+1)}, ..., δ_{-2}, δ_0, ..., δ_{m-1}] with δ_{-1} ≡ 0
+    substituted out: D_pre rows give d^pre_1..d^pre_k ascending in
+    time (d^pre_k = δ_{-1} − δ_{-2} = −x[k−1]); D_post rows give
+    d^post_1..d^post_m (d^post_1 = δ_0 − δ_{-1} = x[k])."""
+    import numpy as np
+
+    n = k + m
+    D_pre = np.zeros((k, n))
+    for i in range(k - 1):
+        D_pre[i, i] = -1.0
+        D_pre[i, i + 1] = 1.0
+    D_pre[k - 1, k - 1] = -1.0
+    D_post = np.zeros((m, n))
+    D_post[0, k] = 1.0
+    for j in range(1, m):
+        D_post[j, k + j - 1] = -1.0
+        D_post[j, k + j] = 1.0
+    return D_pre, D_post
+
+
+def _shape_rows(k: int, m: int, shape: str, D_pre, D_post):
+    """RR 2023 §2.4 sign / monotonicity moment rows (HonestDiD's B/M
+    variants), appended to every cone of a union restriction:
+    "bias_pos"/"bias_neg" sign every POST LEVEL δ_e, "monotone_inc"/
+    "monotone_dec" sign EVERY step of the differential trend. Raises
+    on an unknown shape."""
+    import numpy as np
+
+    if shape not in (
+        "none", "bias_pos", "bias_neg", "monotone_inc", "monotone_dec"
+    ):
+        raise ValueError(f"_shape_rows: unknown shape {shape!r}")
+    n = k + m
+    rows = []
+    if shape in ("bias_pos", "bias_neg"):
+        sgn_b = 1.0 if shape == "bias_pos" else -1.0
+        for j in range(m):
+            lvl = np.zeros(n)
+            lvl[k + j] = 1.0
+            rows.append(-sgn_b * lvl)  # sgn_b·δ_e ≥ 0
+    elif shape in ("monotone_inc", "monotone_dec"):
+        sgn_m = 1.0 if shape == "monotone_inc" else -1.0
+        for s in range(k):
+            rows.append(-sgn_m * D_pre[s])
+        for j in range(m):
+            rows.append(-sgn_m * D_post[j])
+    return rows
+
+
 def _rm_polyhedra(k: int, m: int, mbar: float, shape: str = "none"):
     """Δ^RM(M̄) as a finite union of polyhedral cones {δ : A δ ≤ 0}
     over the observed coordinates [δ_{-(k+1)}, ..., δ_{-2}, δ_0, ...,
@@ -555,37 +629,8 @@ def _rm_polyhedra(k: int, m: int, mbar: float, shape: str = "none"):
     moments can only tighten the identified set / CI."""
     import numpy as np
 
-    if shape not in (
-        "none", "bias_pos", "bias_neg", "monotone_inc", "monotone_dec"
-    ):
-        raise ValueError(f"_rm_polyhedra: unknown shape {shape!r}")
-    n = k + m
-    # pre steps: rows of D_pre give d^pre_1..d^pre_k ascending in time
-    # (d^pre_k = δ_{-1} − δ_{-2} = −x[k-1])
-    D_pre = np.zeros((k, n))
-    for i in range(k - 1):
-        D_pre[i, i] = -1.0
-        D_pre[i, i + 1] = 1.0
-    D_pre[k - 1, k - 1] = -1.0
-    # post steps: d^post_1 = δ_0 − δ_{-1} = x[k]; then consecutive
-    D_post = np.zeros((m, n))
-    D_post[0, k] = 1.0
-    for j in range(1, m):
-        D_post[j, k + j - 1] = -1.0
-        D_post[j, k + j] = 1.0
-    shape_rows = []
-    if shape in ("bias_pos", "bias_neg"):
-        sgn_b = 1.0 if shape == "bias_pos" else -1.0
-        for j in range(m):
-            lvl = np.zeros(n)
-            lvl[k + j] = 1.0
-            shape_rows.append(-sgn_b * lvl)  # sgn_b·δ_e ≥ 0
-    elif shape in ("monotone_inc", "monotone_dec"):
-        sgn_m = 1.0 if shape == "monotone_inc" else -1.0
-        for s in range(k):
-            shape_rows.append(-sgn_m * D_pre[s])
-        for j in range(m):
-            shape_rows.append(-sgn_m * D_post[j])
+    D_pre, D_post = _step_matrices(k, m)
+    shape_rows = _shape_rows(k, m, shape, D_pre, D_post)
     out = []
     for s_star in range(k):
         for sgn in (1.0, -1.0):
@@ -600,6 +645,72 @@ def _rm_polyhedra(k: int, m: int, mbar: float, shape: str = "none"):
             for j in range(m):
                 rows.append(D_post[j] - mbar * ref)
                 rows.append(-D_post[j] - mbar * ref)
+            rows.extend(shape_rows)
+            out.append(np.asarray(rows))
+    return out
+
+
+def _sdrm_polyhedra(k: int, m: int, mbar: float, shape: str = "none"):
+    """Δ^SDRM(M̄) as a finite union of polyhedral cones {δ : A δ ≤ 0}
+    over the observed coordinates (δ_{-1} ≡ 0 substituted out) —
+    RR 2023 §2.4.1's combined smoothness-and-relative-magnitudes
+    restriction (HonestDiD's DeltaSDRM):
+
+        Δ^SDRM(M̄) = {δ : |c_t(δ)| ≤ M̄ · max_{pre s} |c_s(δ)| ∀ t ≥ −1}
+
+    where c_t = δ_{t+1} − 2δ_t + δ_{t−1} is the SECOND difference
+    centered at t — the Δ^RM construction with curvature playing the
+    role Δ^RM gives to steps: the post-period deviation from
+    linearity is bounded, per period, by M̄ times the worst OBSERVED
+    pre-period deviation from linearity. Pre centers are
+    s ∈ {−k, ..., −2} (all three coordinates of the triple observed,
+    δ_{-1} ≡ 0 included — the same k−1 curvatures honest_sd_ci_frame
+    calibrates c_pre from, so k ≥ 2 is required); restricted centers
+    t ∈ {−1, ..., m−2} (every triple touching a post coordinate,
+    boundary included). The union is over WHICH pre curvature attains
+    the max and with WHICH sign — 2(k−1) cones of
+    1 + 2(k−2) + 2m [+ shape] rows each; in the (s*, σ) cone
+    σ·c_{s*} ≥ |c_s| for every pre s and |c_t| ≤ M̄·σ·c_{s*} for every
+    restricted t. ``shape`` appends the §2.4 sign / monotonicity rows
+    (HonestDiD's DeltaSDRMB / DeltaSDRMM)."""
+    import numpy as np
+
+    if k < 2:
+        raise ValueError(
+            "_sdrm_polyhedra: need k >= 2 pre coefficients — at least "
+            "one fully-observed pre-period second difference"
+        )
+    n = k + m
+
+    def coord(e: int):
+        v = np.zeros(n)
+        if e == -1:
+            return v  # δ_{-1} ≡ 0
+        v[e + k + 1 if e <= -2 else k + e] = 1.0
+        return v
+
+    def c_at(t: int):
+        return coord(t + 1) - 2.0 * coord(t) + coord(t - 1)
+
+    pre_centers = list(range(-k, -1))  # [−k, ..., −2]
+    res_centers = list(range(-1, m - 1))  # [−1, ..., m−2]
+    D_pre, D_post = _step_matrices(k, m)
+    shape_rows = _shape_rows(k, m, shape, D_pre, D_post)
+    out = []
+    for s_star in pre_centers:
+        ref0 = c_at(s_star)
+        for sgn in (1.0, -1.0):
+            ref = sgn * ref0
+            rows = []
+            for s in pre_centers:
+                if s == s_star:
+                    rows.append(-ref)  # σ·c_{s*} ≥ 0
+                else:
+                    rows.append(c_at(s) - ref)
+                    rows.append(-c_at(s) - ref)
+            for t in res_centers:
+                rows.append(c_at(t) - mbar * ref)
+                rows.append(-c_at(t) - mbar * ref)
             rows.extend(shape_rows)
             out.append(np.asarray(rows))
     return out
@@ -663,6 +774,13 @@ def _truncnorm_sf(eta: float, sd: float, vlo: float, vup: float) -> float:
 
     lo, up, t = vlo / sd, vup / sd, eta / sd
     t = min(max(t, lo), up)
+    if up < -8.0:
+        # whole window in the far LOWER tail: sf(lo) and sf(up) both
+        # round to 1.0 and the plain ratio degenerates to 0/0 → a
+        # spurious p = 0. Reflect: P(Z > η | lo ≤ Z ≤ up) =
+        # 1 − P(Z > −η | −up ≤ Z ≤ −lo), which lands the recursive
+        # call in the upper-tail log-Mills branch below.
+        return 1.0 - _truncnorm_sf(-eta, sd, -vup, -vlo)
     if lo > 8.0:  # whole window in the far upper tail: use log-Mills
         # sf(x) ≈ φ(x)/x ⇒ ratio = exp((lo²−t²)/2)·(lo/t) etc.
         def lsf(x: float) -> float:
@@ -729,6 +847,40 @@ def _arp_accepts(y, Sy, verts, alpha: float, lf_cv: float | None,
     return p > alpha
 
 
+def _cone_tests(polys, beta, Sig, k, m, j_t, hybrid, kappa, lf_sims, rng):
+    """Per-cone ARP test inputs shared by the union CI frames
+    (Δ^RM, Δ^SDRM): for each polyhedron A — the moment vector
+    y0 = Aβ̂, the target column a_t, the moment covariance Σ_Y, the
+    dual vertices with the OTHER post effects profiled out, and (when
+    hybrid) the seeded least-favorable critical value. rng draws are
+    consumed in cone order; the frames' pinned-golden determinism
+    depends on that order staying fixed."""
+    import numpy as np
+
+    tests = []
+    for A in polys:
+        Sy = A @ Sig @ A.T
+        sig = np.sqrt(np.maximum(np.diag(Sy), 0.0))
+        floor = 1e-9 * (sig.max() if sig.max() > 0 else 1.0)
+        sig = np.maximum(sig, floor)
+        other = [k + j for j in range(m) if j != j_t]
+        verts = _dual_vertices(A[:, other], sig)
+        a_t = A[:, k + j_t]
+        y0 = A @ beta
+        lf_cv = None
+        if hybrid and len(verts):
+            lam, U = np.linalg.eigh(Sy)
+            L = U * np.sqrt(np.maximum(lam, 0.0))
+            draws = rng.standard_normal((lf_sims, Sy.shape[0]))
+            stats = (draws @ L.T) @ verts.T
+            lf_cv = float(
+                np.quantile(stats.max(axis=1), 1.0 - kappa,
+                            method="higher")
+            )
+        tests.append((y0, a_t, Sy, verts, lf_cv))
+    return tests
+
+
 def honest_rm_ci_frame(
     profile: DataFrame,
     mbars: tuple[float, ...] = (0.5, 1.0, 2.0),
@@ -784,7 +936,9 @@ def honest_rm_ci_frame(
     Output: (e, mbar, att, method, ci_lo, ci_hi, grid_points) rounded
     6dp, ordered (e, mbar). The grid spans the plug-in identified set
     padded by ±10·max-se and auto-widens (×2, ≤5 times) if the
-    accepted hull touches a boundary.
+    accepted hull touches a boundary; an endpoint whose acceptance
+    STILL touches the widened edge is reported as NULL (effectively
+    unbounded), never as the arbitrary grid boundary.
 
     Scale shape: the profile is |E| rows and everything here is
     result-sized driver numpy (vertex enumeration is C(2k+2m−1, m)
@@ -811,28 +965,9 @@ def honest_rm_ci_frame(
     for mbar in mbars:
         polys = _rm_polyhedra(k, m, float(mbar), shape=shape)
         for j_t, e in enumerate(posts):
-            tests = []
-            for A in polys:
-                Sy = A @ Sig @ A.T
-                sig = np.sqrt(np.maximum(np.diag(Sy), 0.0))
-                floor = 1e-9 * (sig.max() if sig.max() > 0 else 1.0)
-                sig = np.maximum(sig, floor)
-                other = [k + j for j in range(m) if j != j_t]
-                X = A[:, other]
-                verts = _dual_vertices(X, sig)
-                a_t = A[:, k + j_t]
-                y0 = A @ beta
-                lf_cv = None
-                if hybrid and len(verts):
-                    lam, U = np.linalg.eigh(Sy)
-                    L = U * np.sqrt(np.maximum(lam, 0.0))
-                    draws = rng.standard_normal((lf_sims, Sy.shape[0]))
-                    stats = (draws @ L.T) @ verts.T
-                    lf_cv = float(
-                        np.quantile(stats.max(axis=1), 1.0 - kappa,
-                                    method="higher")
-                    )
-                tests.append((y0, a_t, Sy, verts, lf_cv))
+            tests = _cone_tests(
+                polys, beta, Sig, k, m, j_t, hybrid, kappa, lf_sims, rng
+            )
 
             def accepted(theta0: float) -> bool:
                 return any(
@@ -842,29 +977,128 @@ def honest_rm_ci_frame(
                 )
 
             half = (e + 1) * float(mbar) * s_pre + 10.0 * se_max
-            lo_b, hi_b = att[e] - half, att[e] + half
-            ci_lo = ci_hi = None
-            for _ in range(6):
-                grid = np.linspace(lo_b, hi_b, grid_points)
-                acc = [t0 for t0 in grid if accepted(float(t0))]
-                if not acc:
-                    ci_lo = ci_hi = float("nan")
-                    break
-                if acc[0] > grid[0] and acc[-1] < grid[-1]:
-                    ci_lo, ci_hi = float(acc[0]), float(acc[-1])
-                    break
-                span = hi_b - lo_b
-                lo_b, hi_b = lo_b - span / 2, hi_b + span / 2
-            if ci_lo is None:  # hull still on the boundary after widening
-                ci_lo, ci_hi = float(acc[0]), float(acc[-1])
+            ci_lo, ci_hi = _invert_grid(
+                accepted, att[e], half, grid_points
+            )
             out.append(
                 (
                     int(e),
                     float(mbar),
                     round(att[e], 6),
                     method,
-                    round(ci_lo, 6),
-                    round(ci_hi, 6),
+                    _r6(ci_lo),
+                    _r6(ci_hi),
+                    int(grid_points),
+                )
+            )
+    return profile.sparkSession.createDataFrame(
+        out,
+        "e int, mbar double, att double, method string, ci_lo double,"
+        " ci_hi double, grid_points int",
+    ).orderBy("e", "mbar")
+
+
+def honest_sdrm_ci_frame(
+    profile: DataFrame,
+    mbars: tuple[float, ...] = (0.5, 1.0, 2.0),
+    att_col: str = "att_iw",
+    se_col: str = "se",
+    cov=None,
+    alpha: float = 0.05,
+    hybrid: bool = True,
+    grid_points: int = 241,
+    lf_sims: int = 1000,
+    seed: int = 20231015,
+    shape: str = "none",
+) -> DataFrame:
+    """ARP conditional/hybrid CI for the COMBINED smoothness-and-
+    relative-magnitudes restriction Δ^SDRM(M̄) (RR 2023 §2.4.1;
+    HonestDiD's ``DeltaSDRM``) — the restriction practitioners default
+    to when neither pure Δ^SD (M must be chosen in outcome units) nor
+    pure Δ^RM (level drift priced by the worst pre STEP, often loose)
+    matches the design: the post-period deviation from LINEARITY is
+    bounded, per period, by M̄ times the worst OBSERVED pre-period
+    deviation from linearity. Formally |c_t(δ)| ≤ M̄·max_{pre s}
+    |c_s(δ)| for every post-touching second difference c_t — a finite
+    union of 2(k−1) polyhedral cones over which pre curvature attains
+    the max and with which sign (``_sdrm_polyhedra``), so the exact
+    machinery of :func:`honest_rm_ci_frame` applies: per cone, the
+    Andrews-Roth-Pakes conditional test with the other post effects
+    profiled out via the vertex-enumerated dual, a κ = α/10 seeded
+    least-favorable first stage when ``hybrid``, and θ0 ∈ CI iff ANY
+    cone accepts. Because Δ^SDRM is a CONE (like Δ^RM), every affine
+    estimator has infinite worst-case bias and no FLCI exists — the
+    conditional/hybrid test is RR's recommended inference here.
+
+    The plug-in identified set that anchors the inversion grid equals
+    :func:`honest_smoothness_frame`'s with M = M̄·c_pre (c_pre = the
+    largest observed pre second difference, β_{-1} ≡ 0 included):
+    center att_e − (e+1)·s_last, half-width M·(e+1)(e+2)/2 — what
+    Δ^SDRM adds over plug-in Δ^SD is pricing the NOISE in both the
+    attaining pre curvature and the boundary slope. Needs k ≥ 2
+    consecutive pre coefficients (one fully-observed pre curvature)
+    and consecutive posts; ``cov``/``shape``/output schema/grid policy
+    (NULL endpoint when acceptance still touches the widened grid
+    edge) are exactly :func:`honest_rm_ci_frame`'s, with method =
+    "sdrm-hybrid" / "sdrm-conditional" (+shape).
+
+    Scale shape: result-sized driver algebra over the |E|-row profile
+    — identical to the Δ^RM frame. Reference scope: the reference
+    package (d2cml-ai/csdid-pyspark) has no sensitivity-analysis path;
+    built from RR 2023 + ARP 2023."""
+    import numpy as np
+
+    att, se, k, m, posts, pre_asc, beta, Sig = _moment_profile(
+        profile, att_col, se_col, cov, min_k=2,
+        caller="honest_sdrm_ci_frame",
+    )
+    # plug-in calibration for the inversion grid only: worst observed
+    # pre curvature + the boundary slope entering the post window
+    path = [att[t] for t in pre_asc] + [0.0]
+    c_pre = max(
+        abs(path[i + 1] - 2.0 * path[i] + path[i - 1])
+        for i in range(1, len(path) - 1)
+    )
+    s_last = -att[-2]
+    se_max = max(se[t] for t in pre_asc + posts)
+    kappa = alpha / 10.0 if hybrid else 0.0
+    rng = np.random.Generator(np.random.PCG64(seed))
+    method = ("sdrm-hybrid" if hybrid else "sdrm-conditional") + (
+        "" if shape == "none" else f"+{shape}"
+    )
+    out = []
+    for mbar in mbars:
+        polys = _sdrm_polyhedra(k, m, float(mbar), shape=shape)
+        for j_t, e in enumerate(posts):
+            tests = _cone_tests(
+                polys, beta, Sig, k, m, j_t, hybrid, kappa, lf_sims, rng
+            )
+
+            def accepted(theta0: float) -> bool:
+                return any(
+                    _arp_accepts(y0 - theta0 * a_t, Sy, verts, alpha,
+                                 lf_cv, kappa)
+                    for (y0, a_t, Sy, verts, lf_cv) in tests
+                )
+
+            M = float(mbar) * c_pre
+            shift = (e + 1) * s_last
+            half = (
+                abs(shift)
+                + M * (e + 1) * (e + 2) / 2.0
+                + 10.0 * se_max
+            )
+            ci_lo, ci_hi = _invert_grid(
+                accepted, att[e] - shift, half, grid_points
+            )
+            out.append(
+                (
+                    int(e),
+                    float(mbar),
+                    round(att[e], 6),
+                    method,
+                    _r6(ci_lo),
+                    _r6(ci_hi),
                     int(grid_points),
                 )
             )

@@ -530,9 +530,14 @@ def synthetic_did(
         raise ValueError("synthetic_did: no post-treatment periods")
     # the real fit's donor set is the SCREEN's own (dist, id)-ordered
     # top donor_k — identical to the un-oversampled screen's keep set
-    # by construction (not a driver-side float re-rank, which could
-    # flip near-ties at the donor_k boundary when placebo_se toggles);
-    # sorted for deterministic design-matrix column order
+    # WHEN all of the raw top donor_k pass the full-window coverage
+    # filter (the common case; screen_order is post-coverage, so if
+    # some of the raw top-k lack coverage, the un-oversampled screen
+    # keeps FEWER donors while the oversampled one backfills from the
+    # next ranks — toggling placebo_se can then move att). Chosen over
+    # a driver-side float re-rank, which could flip near-ties at the
+    # donor_k boundary; sorted for deterministic design-matrix column
+    # order
     donor_list = sorted(screen_order[:donor_k]) if placebo_se else pool
     core = _sdid_core(y_tr, series, donor_list, pre, post, fw_iters)
     out = {

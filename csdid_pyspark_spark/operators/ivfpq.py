@@ -454,6 +454,16 @@ def probe_ivfpq_index_batch(
     # survives whole-stage codegen. Shipped zero-copy via Arrow.
     import pyarrow as pa
 
+    # pa.ListArray offsets are int32: past 2^31 − 1 flat elements the
+    # arange would wrap silently and ship CORRUPT ADC tables — refuse
+    # loudly and point at the documented chunking instead
+    if Q * n_probe * m * K > 2**31 - 1:
+        raise ValueError(
+            "probe_ivfpq_index_batch: Q*n_probe*m*K = "
+            f"{Q * n_probe * m * K} exceeds the int32 Arrow list-offset "
+            "range — chunk the query list upstream (the broadcast-size "
+            "guidance above caps Q near 10^4 anyway)"
+        )
     vals = pa.array(rc.reshape(-1))
     offsets = pa.array(
         np.arange(0, (Q * n_probe + 1) * m * K, m * K, dtype=np.int32)

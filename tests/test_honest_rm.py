@@ -333,3 +333,67 @@ def test_sd_conditional_converges_and_cross_checks_flci(spark):
         assert lo_f <= 1.0 <= hi_f, (e, lo_f, hi_f)
         # the two intervals overlap substantially (same restriction)
         assert max(lo_c, lo_f) < min(hi_c, hi_f)
+
+
+def test_truncnorm_sf_lower_tail_window():
+    """Truncation window deep in the LOWER tail: sf(lo) and sf(up)
+    both round to 1.0, so the plain ratio degenerates to 0/0 — the
+    mirrored log-Mills branch must return a valid probability, not the
+    spurious 0 (a p = 0 wrongly rejects and shortens the CI).
+    Checked against the exact symmetry and the upper-tail branch."""
+    p = _truncnorm_sf(-9.5, 1.0, -11.0, -9.0)
+    assert 0.0 < p < 1.0
+    # exact reflection of the upper-tail case
+    up = _truncnorm_sf(9.5, 1.0, 9.0, 11.0)
+    assert p == pytest.approx(1.0 - up, abs=1e-12)
+    # monotone in eta: further left -> larger survival
+    assert _truncnorm_sf(-10.5, 1.0, -11.0, -9.0) > p
+    # eta at the window's lower edge -> sf = 1, at the upper edge -> 0
+    assert _truncnorm_sf(-11.0, 1.0, -11.0, -9.0) == pytest.approx(1.0, abs=1e-9)
+    assert _truncnorm_sf(-9.0, 1.0, -11.0, -9.0) == pytest.approx(0.0, abs=1e-9)
+    # semi-infinite lower window (vlo = -inf) stays valid too
+    p2 = _truncnorm_sf(-9.5, 1.0, -np.inf, -9.0)
+    assert 0.0 < p2 < 1.0
+
+
+def test_grid_edge_reports_null_not_boundary(spark):
+    """ADVICE r10 (medium): when the acceptance region still touches
+    the repeatedly-doubled grid edge, the frames must report NULL for
+    that endpoint, never the arbitrary grid boundary. Construct the
+    mismatch deliberately: profile se tiny (so the inversion grid
+    starts narrow) but a supplied covariance orders of magnitude
+    larger (so the conditional test accepts far beyond 64x the grid).
+    Both ARP frames; hybrid=False exercises the pure-conditional
+    path."""
+    from csdid_pyspark_spark.did.honest import (
+        honest_rm_ci_frame,
+        honest_sd_ci_frame,
+    )
+
+    prof = spark.createDataFrame(
+        [(-3, 0.02, 1e-6), (-2, 0.01, 1e-6), (0, 0.05, 1e-6)],
+        "e int, att_iw double, se double",
+    )
+    big = (100.0 * np.eye(3)).tolist()
+    out_rm = honest_rm_ci_frame(
+        prof, mbars=(1.0,), cov=big, hybrid=False, grid_points=41
+    ).collect()
+    out_sd = honest_sd_ci_frame(
+        prof, mbars=(1.0,), cov=big, hybrid=False, grid_points=41
+    ).collect()
+    for r in out_rm + out_sd:
+        assert r["ci_lo"] is None, (
+            f"edge-touching lower endpoint reported as {r['ci_lo']}"
+        )
+        assert r["ci_hi"] is None, (
+            f"edge-touching upper endpoint reported as {r['ci_hi']}"
+        )
+    # sanity: with an HONEST covariance matching the profile se the
+    # same profile yields finite interior endpoints
+    small = (1e-12 * np.eye(3)).tolist()
+    ok = honest_rm_ci_frame(
+        prof, mbars=(1.0,), cov=small, hybrid=False, grid_points=41
+    ).collect()
+    assert all(
+        r["ci_lo"] is not None and r["ci_hi"] is not None for r in ok
+    )

@@ -137,3 +137,23 @@ def test_green_sentinels_rotate_oldest_first():
     assert rounds == sorted(rounds), (
         f"green sentinels not oldest-first: {list(zip(sentinels, rounds))[:10]}"
     )
+
+
+def test_folded_names_map_to_registered_representatives():
+    """Every FOLDED key is a withdrawn-but-still-implemented query
+    (present in ALL_QUERIES, absent from the exported surface) and
+    every representative named in its fold-map value is REGISTERED —
+    so the folded logic always has a live externally-checked cover.
+    A representative that is itself folded (or deleted) would silently
+    orphan the folded query's external coverage."""
+    from csdid_pyspark_spark.queries import ALL_QUERIES, FOLDED, ORACLES, QUERIES
+
+    for folded, reps in FOLDED.items():
+        assert folded in ALL_QUERIES, f"FOLDED key not implemented: {folded}"
+        assert folded not in QUERIES, f"FOLDED key still exported: {folded}"
+        assert folded not in ORACLES, f"FOLDED key still in ORACLES: {folded}"
+        for rep in reps.split(" + "):
+            assert rep in QUERIES, (
+                f"fold representative {rep!r} (covering {folded!r}) is not "
+                "a registered query"
+            )
