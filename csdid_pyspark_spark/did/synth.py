@@ -899,6 +899,146 @@ def synthetic_did_staggered(
 # ---------------------------------------------------------------------------
 
 
+def _conformal_cohort_screen(p, donor_k, control, caller):
+    """Shared distributed head of the conformal family
+    (:func:`conformal_staggered` / :func:`conformal_trace`): cohort
+    mean series (ONE decimal-exact aggregation), per-cohort post-window
+    ends under the chosen ``control`` group, cohort eligibility, donor
+    pools (ONE groupBy(id) pass scoring every donor against ALL
+    cohorts + per-cohort TakeOrdered), and one bounded collect of the
+    union of surviving donor series.
+
+    ``control="nevertreated"`` keeps the historical pool (g' = 0 over
+    the full period range). ``control="notyettreated"`` reuses the
+    exact rule :func:`synthetic_did_staggered` ships (synth.py:684-
+    717): if never-treated units exist the window stays [g, max_t] and
+    the pool is g' = 0 or g' > max_t; otherwise cohort g's window ends
+    at (latest adoption) − 1 and its pool is every unit with
+    g' > window end — a donor's OWN treated periods are never read
+    (pre t < g ≤ post ≤ t_end < g'), and the latest cohort drops out
+    (no donors exist for its treated periods).
+
+    Returns (periods, cmean, csize, cohorts, t_end, pools, series)."""
+    if control not in ("nevertreated", "notyettreated"):
+        raise ValueError(
+            f"{caller}: control must be 'nevertreated' or "
+            f"'notyettreated', got {control!r}"
+        )
+    periods = sorted(r["t"] for r in p.select("t").distinct().collect())
+    DEC = "decimal(38,12)"
+    mrows = (
+        p.filter(F.col("g") > 0)
+        .groupBy("g", "t")
+        .agg(
+            (F.sum(F.col("y").cast(DEC)).cast("double") / F.count("*")).alias("m"),
+            F.count_distinct("id").alias("n"),
+        )
+        .collect()
+    )
+    cmean: dict = {}
+    csize: dict = {}
+    for r in mrows:
+        cmean.setdefault(r["g"], {})[r["t"]] = float(r["m"])
+        csize[r["g"]] = max(csize.get(r["g"], 0), int(r["n"]))
+    max_t = periods[-1]
+    n_never = p.filter(F.col("g") == 0).select("id").distinct().count()
+    all_gs = sorted(cmean)
+    t_end: dict = {}
+    for g in cmean:
+        if n_never > 0 or control == "nevertreated":
+            t_end[g] = max_t
+        else:
+            later = [x for x in all_gs if x > g]
+            t_end[g] = (max(later) - 1) if later else (g - 1)
+    cohorts = sorted(
+        g
+        for g in cmean
+        if len([t for t in periods if t < g]) >= 2
+        and any(g <= t <= t_end[g] for t in periods)
+        and all(t in cmean[g] for t in periods if t <= t_end[g])
+    )
+    if not cohorts:
+        raise ValueError(
+            f"{caller}: no cohort has >=2 pre periods, a post window "
+            "with an available donor pool, and full window coverage"
+            + (
+                " (no never-treated units in the panel; consider "
+                "control='notyettreated')"
+                if control == "nevertreated" and n_never == 0
+                else ""
+            )
+        )
+    if control == "notyettreated":
+        donors = p.filter(
+            (F.col("g") == 0) | (F.col("g") > min(cohorts))
+        )
+    else:
+        donors = p.filter(F.col("g") == 0)
+    aggs = [F.count("*").alias("n_all"), F.max("g").alias("g_unit")]
+    for g in cohorts:
+        pre_g = [t for t in periods if t < g]
+        m = cmean[g]
+        dist = F.sum(
+            F.when(
+                F.col("t") < g,
+                (
+                    F.col("y")
+                    - F.coalesce(
+                        F.create_map(
+                            *[x for t in pre_g for x in (F.lit(t), F.lit(m[t]))]
+                        )[F.col("t")],
+                        F.lit(0.0),
+                    )
+                )
+                ** 2,
+            ).otherwise(F.lit(0.0))
+        )
+        aggs.append(dist.alias(f"d_{g}"))
+    scored = donors.groupBy("id").agg(*aggs).filter(
+        F.col("n_all") == len(periods)
+    )
+    scored = scored.persist()
+    keep: set = set()
+    pools: dict = {}
+    for g in cohorts:
+        ids = [
+            r["id"]
+            for r in scored.filter(
+                (F.col("g_unit") == 0) | (F.col("g_unit") > t_end[g])
+            )
+            .orderBy(f"d_{g}", "id")
+            .limit(donor_k)
+            .collect()
+        ]
+        pools[g] = sorted(ids)
+        keep.update(ids)
+    scored.unpersist(blocking=False)
+    empty = [g for g in cohorts if not pools[g]]
+    if empty:
+        raise ValueError(
+            f"{caller}: no donor with full period coverage for "
+            f"cohort(s) {empty}"
+            + (
+                " (no never-treated units in the panel; consider "
+                "control='notyettreated')"
+                if control == "nevertreated" and n_never == 0
+                else ""
+            )
+        )
+    keep_df = p.sparkSession.createDataFrame(
+        [(i,) for i in sorted(keep)], "id " + dict(p.dtypes)["id"]
+    )
+    kept = (
+        donors.join(F.broadcast(keep_df), "id", "left_semi")
+        .orderBy("id", "t")
+        .collect()
+    )
+    series: dict = {}
+    for r in kept:
+        series.setdefault(r["id"], {})[r["t"]] = float(r["y"])
+    return periods, cmean, csize, cohorts, t_end, pools, series
+
+
 def _conformal_p(y_adj, series, donor_list, periods, post, model, fw_iters, q):
     """CWZ moving-block p-value for ONE hypothesized effect already
     subtracted from ``y_adj``: refit the counterfactual model on ALL
@@ -1077,6 +1217,7 @@ def conformal_staggered(
     alpha: float = 0.1,
     grid_points: int = 81,
     interval: bool = True,
+    control: str = "nevertreated",
 ) -> dict:
     """Conformal inference for MULTI-TREATED / staggered designs (CWZ
     2021 §4): with N_g treated units adopting at g, the sharp null
@@ -1086,10 +1227,16 @@ def conformal_staggered(
     (:func:`conformal_test`) applies to the cohort mean — CWZ's own
     multi-treated prescription (averaging also shrinks the mean's
     idiosyncratic noise by 1/N_g, sharpening the test). Runs per
-    adoption cohort; donors are the never-treated units (raises when
-    none — time-window truncation for all-eventually-treated panels
-    lives in :func:`synthetic_did_staggered`, whose in-SPACE placebo
-    inference covers that case).
+    adoption cohort; ``control`` picks the donor pool:
+    "nevertreated" (default) uses the g' = 0 units over the full
+    period range, "notyettreated" admits LATER adopters with the
+    post window truncated before the donors' own adoption — the exact
+    pool rule :func:`synthetic_did_staggered` ships (the latest cohort
+    then drops out; with never-treated units present the two modes
+    coincide), extending exact conformal inference to panels where
+    every unit is eventually treated. All block statistics and refits
+    then run over the truncated window only, so a donor's own treated
+    periods are never read.
 
     Distributed shape — the staggered-SDID screen pattern: ONE
     decimal-exact aggregation collects every cohort's mean series,
@@ -1114,102 +1261,27 @@ def conformal_staggered(
         F.col(tname).alias("t"),
         F.col(yname).alias("y"),
     )
-    periods = sorted(r["t"] for r in p.select("t").distinct().collect())
-    DEC = "decimal(38,12)"
-    mrows = (
-        p.filter(F.col("g") > 0)
-        .groupBy("g", "t")
-        .agg(
-            (F.sum(F.col("y").cast(DEC)).cast("double") / F.count("*")).alias("m"),
-            F.count_distinct("id").alias("n"),
-        )
-        .collect()
+    periods, cmean, csize, cohorts, t_end, pools, series = (
+        _conformal_cohort_screen(p, donor_k, control, "conformal_staggered")
     )
-    cmean: dict = {}
-    csize: dict = {}
-    for r in mrows:
-        cmean.setdefault(r["g"], {})[r["t"]] = float(r["m"])
-        csize[r["g"]] = max(csize.get(r["g"], 0), int(r["n"]))
-    cohorts = sorted(
-        g
-        for g in cmean
-        if len([t for t in periods if t < g]) >= 2
-        and any(t >= g for t in periods)
-        and all(t in cmean[g] for t in periods)
-    )
-    if not cohorts:
-        raise ValueError(
-            "conformal_staggered: no cohort has >=2 pre periods, a post "
-            "window, and full period coverage"
-        )
-    donors = p.filter(F.col("g") == 0)
-    aggs = [F.count("*").alias("n_all")]
-    for g in cohorts:
-        pre_g = [t for t in periods if t < g]
-        m = cmean[g]
-        dist = F.sum(
-            F.when(
-                F.col("t") < g,
-                (
-                    F.col("y")
-                    - F.coalesce(
-                        F.create_map(
-                            *[x for t in pre_g for x in (F.lit(t), F.lit(m[t]))]
-                        )[F.col("t")],
-                        F.lit(0.0),
-                    )
-                )
-                ** 2,
-            ).otherwise(F.lit(0.0))
-        )
-        aggs.append(dist.alias(f"d_{g}"))
-    scored = donors.groupBy("id").agg(*aggs).filter(
-        F.col("n_all") == len(periods)
-    )
-    scored = scored.persist()
-    keep: set = set()
-    pools: dict = {}
-    for g in cohorts:
-        ids = [
-            r["id"]
-            for r in scored.orderBy(f"d_{g}", "id").limit(donor_k).collect()
-        ]
-        pools[g] = sorted(ids)
-        keep.update(ids)
-    scored.unpersist(blocking=False)
-    if not keep:
-        raise ValueError(
-            "conformal_staggered: no never-treated donor with full "
-            "period coverage"
-        )
-    keep_df = p.sparkSession.createDataFrame(
-        [(i,) for i in sorted(keep)], "id " + dict(p.dtypes)["id"]
-    )
-    kept = (
-        donors.join(F.broadcast(keep_df), "id", "left_semi")
-        .orderBy("id", "t")
-        .collect()
-    )
-    series: dict = {}
-    for r in kept:
-        series.setdefault(r["id"], {})[r["t"]] = float(r["y"])
 
     out: dict = {"cohorts": {}, "theta0": float(theta0), "alpha": float(alpha)}
     for g in cohorts:
-        pre = [t for t in periods if t < g]
-        post = [t for t in periods if t >= g]
+        win = [t for t in periods if t <= t_end[g]]
+        pre = [t for t in win if t < g]
+        post = [t for t in win if t >= g]
         pool = pools[g]
 
-        def pval(th, _g=g, _pre=pre, _post=post, _pool=pool):
+        def pval(th, _g=g, _win=win, _post=post, _pool=pool):
             y_adj = {
-                t: cmean[_g][t] - (th if t >= _g else 0.0) for t in periods
+                t: cmean[_g][t] - (th if t >= _g else 0.0) for t in _win
             }
             return _conformal_p(
-                y_adj, series, _pool, periods, _post, model, fw_iters, q
+                y_adj, series, _pool, _win, _post, model, fw_iters, q
             )
         p_at, u = pval(theta0)
         T1 = len(post)
-        s_obs = float(np.mean(np.abs(u[len(periods) - T1:]) ** q)) ** (1.0 / q)
+        s_obs = float(np.mean(np.abs(u[len(win) - T1:]) ** q)) ** (1.0 / q)
         core = _sdid_core(
             cmean[g], series, pool, pre, post, fw_iters, n_tr=csize[g]
         )
@@ -1261,6 +1333,7 @@ def conformal_trace(
     model: str = "sdid",
     alpha: float = 0.2,
     grid_points: int = 61,
+    control: str = "nevertreated",
 ) -> dict:
     """Per-PERIOD conformal effect trace for staggered designs (CWZ
     2021 §4.2): for each cohort g and each post period s, the
@@ -1276,12 +1349,15 @@ def conformal_trace(
 
     Same distributed shape as :func:`conformal_staggered` (one
     cohort-mean aggregation + one all-cohorts screen + one bounded
-    collect; refits are driver Frank-Wolfe). ``alpha`` must clear the
-    attainable p floor 1/(T0+1). Returns ``{"cohorts": {g: [(s, e,
-    theta_hat_s, lo, hi), ...]}, "alpha"}`` where ``theta_hat_s`` is
-    the gap at s under the unadjusted refit and (lo, hi) the pointwise
-    conformal interval (None when acceptance never becomes interior).
-    """
+    collect; refits are driver Frank-Wolfe), including the ``control``
+    donor-pool modes — "notyettreated" truncates each cohort's traced
+    window before its donors' own adoption, so the trace runs on
+    all-eventually-treated panels too (the latest cohort drops out).
+    ``alpha`` must clear the attainable p floor 1/(T0+1). Returns
+    ``{"cohorts": {g: [(s, e, theta_hat_s, lo, hi), ...]}, "alpha"}``
+    where ``theta_hat_s`` is the gap at s under the unadjusted refit
+    and (lo, hi) the pointwise conformal interval (None when
+    acceptance never becomes interior)."""
     import numpy as np
 
     p = panel.select(
@@ -1290,87 +1366,14 @@ def conformal_trace(
         F.col(tname).alias("t"),
         F.col(yname).alias("y"),
     )
-    periods = sorted(r["t"] for r in p.select("t").distinct().collect())
-    DEC = "decimal(38,12)"
-    mrows = (
-        p.filter(F.col("g") > 0)
-        .groupBy("g", "t")
-        .agg(
-            (F.sum(F.col("y").cast(DEC)).cast("double") / F.count("*")).alias("m"),
-        )
-        .collect()
+    periods, cmean, _csize, cohorts, t_end, pools, series = (
+        _conformal_cohort_screen(p, donor_k, control, "conformal_trace")
     )
-    cmean: dict = {}
-    for r in mrows:
-        cmean.setdefault(r["g"], {})[r["t"]] = float(r["m"])
-    cohorts = sorted(
-        g
-        for g in cmean
-        if len([t for t in periods if t < g]) >= 2
-        and any(t >= g for t in periods)
-        and all(t in cmean[g] for t in periods)
-    )
-    if not cohorts:
-        raise ValueError(
-            "conformal_trace: no cohort has >=2 pre periods, a post "
-            "window, and full period coverage"
-        )
-    donors = p.filter(F.col("g") == 0)
-    aggs = [F.count("*").alias("n_all")]
-    for g in cohorts:
-        pre_g = [t for t in periods if t < g]
-        m = cmean[g]
-        dist = F.sum(
-            F.when(
-                F.col("t") < g,
-                (
-                    F.col("y")
-                    - F.coalesce(
-                        F.create_map(
-                            *[x for t in pre_g for x in (F.lit(t), F.lit(m[t]))]
-                        )[F.col("t")],
-                        F.lit(0.0),
-                    )
-                )
-                ** 2,
-            ).otherwise(F.lit(0.0))
-        )
-        aggs.append(dist.alias(f"d_{g}"))
-    scored = donors.groupBy("id").agg(*aggs).filter(
-        F.col("n_all") == len(periods)
-    )
-    scored = scored.persist()
-    keep: set = set()
-    pools: dict = {}
-    for g in cohorts:
-        ids = [
-            r["id"]
-            for r in scored.orderBy(f"d_{g}", "id").limit(donor_k).collect()
-        ]
-        pools[g] = sorted(ids)
-        keep.update(ids)
-    scored.unpersist(blocking=False)
-    if not keep:
-        raise ValueError(
-            "conformal_trace: no never-treated donor with full period "
-            "coverage"
-        )
-    keep_df = p.sparkSession.createDataFrame(
-        [(i,) for i in sorted(keep)], "id " + dict(p.dtypes)["id"]
-    )
-    kept = (
-        donors.join(F.broadcast(keep_df), "id", "left_semi")
-        .orderBy("id", "t")
-        .collect()
-    )
-    series: dict = {}
-    for r in kept:
-        series.setdefault(r["id"], {})[r["t"]] = float(r["y"])
 
     out: dict = {"cohorts": {}, "alpha": float(alpha)}
     for g in cohorts:
         pre = [t for t in periods if t < g]
-        post = [t for t in periods if t >= g]
+        post = [t for t in periods if g <= t <= t_end[g]]
         pool = pools[g]
         rows_g = []
         for s in post:

@@ -2876,6 +2876,46 @@ def did_honest_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["did_honest_sd"] = did_honest_sd
 
 
+def did_honest_sdrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARP conditional/hybrid CI under the COMBINED restriction Δ^SDRM
+    (did/honest.py::honest_sdrm_ci_frame — RR 2023 §2.4.1, HonestDiD's
+    DeltaSDRM): post-period deviation from LINEARITY bounded by M̄ ×
+    the worst observed pre-period deviation from linearity — the
+    default restriction in applied practice, completing the honest-
+    bounds family (plug-in sets, FLCI, Δ^RM and Δ^SD ARP tests are the
+    already-registered siblings). Δ^SDRM is a union of 2(k−1)
+    second-difference cones, so like Δ^RM it admits no FLCI and the
+    conditional/hybrid test is the published inference. Same SA
+    event-study profile + full influence covariance, vertex-enumerated
+    dual, seeded LF draws → deterministic, pinned VALUES golden;
+    inputs 8dp-quantized as on the sibling queries.
+    Coverage/power/set-convergence pytests: tests/test_honest_sdrm.py."""
+    from csdid_pyspark_spark.did.honest import honest_sdrm_ci_frame
+    from csdid_pyspark_spark.did.robust_cells import (
+        sunab_event_cov,
+        sunab_event_se_frame,
+    )
+
+    panel = panel_from_events(spark, sf_dir)
+    prof = sunab_event_se_frame(panel).select(
+        "e",
+        F.round("att_iw", 8).alias("att_iw"),
+        F.round("se", 8).alias("se"),
+    )
+    events, C = sunab_event_cov(panel)
+    pos = {e: i for i, e in enumerate(events)}
+    k = 0
+    while (-2 - k) in pos:
+        k += 1
+    posts = sorted(e for e in events if e >= 0)
+    coords = [pos[t] for t in range(-1 - k, -1)] + [pos[e] for e in posts]
+    cov = [[round(C[i][j], 8) for j in coords] for i in coords]
+    return honest_sdrm_ci_frame(prof, cov=cov)
+
+
+QUERIES["did_honest_sdrm"] = did_honest_sdrm
+
+
 def did_bjs_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borusyak-Jaravel-Spiess imputation event study
     (did/imputation.py::bjs_imputation_frame — BJS 2024, REStud

@@ -1850,3 +1850,104 @@ def test_conformal_trace_pointwise_bands(spark):
     # determinism across partitionings
     res2 = conformal_trace(panel.repartition(11), donor_k=14, alpha=0.1)
     assert res2["cohorts"][g] == res["cohorts"][g]
+
+
+def test_conformal_staggered_nyt_donor_pools(spark):
+    """All-eventually-treated panel (no never-treated units): with
+    control='notyettreated' the conformal family reuses staggered
+    SDID's pool rule — later adopters as donors over a post window
+    truncated before their own adoption — so exact conformal inference
+    extends to designs the never-treated path must raise on. The
+    latest (mass-adopter) cohort drops out; each earlier cohort's test
+    rejects theta0=0, its interval covers the planted effect, and the
+    per-period trace tracks it. On a MIXED panel (never-treated added)
+    both control modes must coincide exactly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from csdid_pyspark_spark.did.synth import (
+        conformal_staggered,
+        conformal_trace,
+    )
+
+    rng = np.random.default_rng(37)
+    # late adoption keeps T1 well under T0 after truncation — the
+    # moving-block test needs the post block to be a MINORITY of the
+    # window (CWZ's T1/T -> 0 regime); an early cohort whose truncated
+    # window is majority-post would lose power by construction
+    T = 24
+    beta = rng.normal(0, 2, T)
+    taus = {14: 3.0, 16: -2.0, 22: 1.0}
+    sizes = {14: 6, 16: 5, 22: 40}
+    rows = []
+    uid = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            a = rng.normal(10, 3)
+            for t in range(T):
+                y = a + beta[t] + (taus[g] if t >= g else 0.0)
+                rows.append((uid, int(g), t, float(y + rng.normal(0, 0.05))))
+            uid += 1
+    panel = spark.createDataFrame(rows, "id bigint, g int, period int, y double")
+
+    with _pytest.raises(ValueError, match="notyettreated"):
+        conformal_staggered(panel, donor_k=20)
+    with _pytest.raises(ValueError, match="notyettreated"):
+        conformal_trace(panel, donor_k=20)
+
+    res = conformal_staggered(panel, donor_k=20, control="notyettreated")
+    # cohorts 14 and 16 over windows [g, 21] (t_end = 22 - 1); cohort
+    # 22 has no donors and drops out
+    assert set(res["cohorts"]) == {14, 16}
+    for g in (14, 16):
+        c = res["cohorts"][g]
+        win_len = 22  # periods 0..21
+        assert c["n_units"] == sizes[g]
+        assert c["p_value"] <= 2.0 / win_len + 1e-9, (g, c)  # rejects 0
+        assert abs(c["theta_hat"] - taus[g]) < 0.3, (g, c)
+        assert c["lo"] is not None and c["lo"] <= taus[g] <= c["hi"], (g, c)
+        assert (c["lo"] > 0.0) if taus[g] > 0 else (c["hi"] < 0.0), (g, c)
+
+    tr = conformal_trace(panel, donor_k=20, control="notyettreated")
+    assert set(tr["cohorts"]) == {14, 16}
+    covered = total = 0
+    for g in (14, 16):
+        ss = [s for s, e, th, lo, hi in tr["cohorts"][g]]
+        assert ss == list(range(g, 22))  # truncated: 21 is the last
+        for s, e, th, lo, hi in tr["cohorts"][g]:
+            assert abs(th - taus[g]) < 0.5, (g, s, th)
+            assert lo is not None and lo < hi, (g, s)
+            total += 1
+            if lo <= taus[g] <= hi:
+                covered += 1
+    # pointwise 80% CIs over 14 periods: a distributional statement —
+    # require well above half covered on this one draw
+    assert covered >= 0.6 * total, (covered, total)
+
+    # determinism across partitionings
+    res2 = conformal_staggered(
+        panel.repartition(11), donor_k=20, control="notyettreated"
+    )
+    assert res2["cohorts"][14] == res["cohorts"][14]
+
+    # mixed design: with never-treated units both modes coincide
+    # exactly (full windows, never-treated pools) and cohort 14 is back
+    extra = []
+    for _ in range(25):
+        a = rng.normal(10, 3)
+        for t in range(T):
+            extra.append((uid, 0, t, float(a + beta[t] + rng.normal(0, 0.05))))
+        uid += 1
+    panel2 = spark.createDataFrame(
+        rows + extra, "id bigint, g int, period int, y double"
+    )
+    m_nev = conformal_staggered(panel2, donor_k=20)
+    m_nyt = conformal_staggered(panel2, donor_k=20, control="notyettreated")
+    assert m_nev["cohorts"] == m_nyt["cohorts"]
+    assert set(m_nev["cohorts"]) == {14, 16, 22}
+    t_nev = conformal_trace(panel2, donor_k=20)
+    t_nyt = conformal_trace(panel2, donor_k=20, control="notyettreated")
+    assert t_nev["cohorts"] == t_nyt["cohorts"]
+
+    with _pytest.raises(ValueError, match="control must be"):
+        conformal_staggered(panel2, control="sideways")

@@ -96,6 +96,8 @@ GOLDEN_NAMES = (
     "did_honest_rm",
     # same ARP machinery on the single Delta^SD polytope (d = M·1)
     "did_honest_sd",
+    # union of second-difference cones (DeltaSDRM) through the ARP test
+    "did_honest_sdrm",
     # batched ADC probe of the persisted index: deterministic
     "sim_ann_ivfpq_batch",
 )
