@@ -351,7 +351,7 @@ def honest_sd_ci_frame(
     se_col: str = "se",
     cov=None,
     alpha: float = 0.05,
-    hybrid: bool = True,
+    hybrid: bool | str = True,
     grid_points: int = 241,
     lf_sims: int = 1000,
     seed: int = 20231015,
@@ -368,8 +368,20 @@ def honest_sd_ci_frame(
     θ0·a). M is self-calibrated per mbar as mbar × c_pre (largest
     observed pre second difference — the same rule as the plug-in and
     FLCI frames). Same inputs, output shape (method = "sd-hybrid" /
-    "sd-conditional"), grid policy and scale story as the Δ^RM frame.
-    """
+    "sd-conditional" / "sd-hybrid-flci"), grid policy and scale story
+    as the Δ^RM frame.
+
+    ``hybrid``: True/'lf' (default) = the κ = α/10 least-favorable
+    first stage; ``'flci'`` = HonestDiD's DEFAULT hybrid for Δ^SD —
+    the first stage rejects θ0 outside the κ-level FLCI [θ̂_w ± χ_κ]
+    (weights and half-length optimized at level κ via
+    ``_flci_halflength``; tighter than the LF stage when the FLCI is
+    near-optimal, i.e. at small M where worst-case bias dominates),
+    and the conditional second stage at level (α−κ)/(1−κ) conditions
+    on BOTH the optimal dual vertex and the first-stage event (the
+    FLCI statistic's projection on η̂ adds interval bounds to the
+    truncation — see ``_arp_accepts``'s ``flci`` parameter); False =
+    pure conditional."""
     import numpy as np
 
     att, se, k, m, posts, pre_asc, beta, Sig = _moment_profile(
@@ -383,13 +395,34 @@ def honest_sd_ci_frame(
     )
     s_last = -att[-2]
     se_max = max(se[t] for t in pre_asc + posts)
-    kappa = alpha / 10.0 if hybrid else 0.0
+    if hybrid is True:
+        mode = "lf"
+    elif hybrid is False:
+        mode = "none"
+    elif hybrid in ("lf", "flci"):
+        mode = hybrid
+    else:
+        raise ValueError(
+            "honest_sd_ci_frame: hybrid must be True/'lf' (least-"
+            f"favorable), 'flci', or False, got {hybrid!r}"
+        )
+    kappa = alpha / 10.0 if mode != "none" else 0.0
     rng = np.random.Generator(np.random.PCG64(seed))
     A = _sd_constraints(k, m)
     Sy = A @ Sig @ A.T
     sig = np.sqrt(np.maximum(np.diag(Sy), 0.0))
     sig = np.maximum(sig, 1e-9 * (sig.max() if sig.max() > 0 else 1.0))
-    method = ("sd-hybrid" if hybrid else "sd-conditional")
+    method = {
+        "lf": "sd-hybrid", "none": "sd-conditional",
+        "flci": "sd-hybrid-flci",
+    }[mode]
+    # FLCI machinery inputs (mode == "flci"): the κ-level FLCI is the
+    # first stage, so its weights/half-length are optimized AT level κ
+    sig_pre_idx = list(range(k))
+    slopes = [
+        (att[t] if t != -1 else 0.0) - att[t - 1]
+        for t in range(-1, -k - 1, -1)
+    ]  # slope_{-1}, slope_{-2}, ... (β_{-1} ≡ 0)
     out = []
     for j_t, e in enumerate(posts):
         other = [k + j for j in range(m) if j != j_t]
@@ -397,7 +430,7 @@ def honest_sd_ci_frame(
         a_t = A[:, k + j_t]
         y0 = A @ beta
         lf_cv = None
-        if hybrid and len(verts):
+        if mode == "lf" and len(verts):
             lam, U = np.linalg.eigh(Sy)
             L = U * np.sqrt(np.maximum(lam, 0.0))
             draws = rng.standard_normal((lf_sims, Sy.shape[0]))
@@ -405,14 +438,57 @@ def honest_sd_ci_frame(
             lf_cv = float(
                 np.quantile(stats.max(axis=1), 1.0 - kappa, method="higher")
             )
+        sig_f = Sig[np.ix_(sig_pre_idx + [k + j_t],
+                           sig_pre_idx + [k + j_t])]
         for mbar in mbars:
             M = float(mbar) * c_pre
             d = np.full(A.shape[0], M)
 
-            def accepted(theta0: float) -> bool:
-                return _arp_accepts(
-                    y0 - d - theta0 * a_t, Sy, verts, alpha, lf_cv, kappa
+            if mode == "flci":
+                # κ-level FLCI first stage (ARP 2023 §5.3 / HonestDiD's
+                # Δ^SD default): reject outright when θ0 falls outside
+                # [θ̂_w ± χ_κ]; the second stage is the conditional test
+                # at level (α−κ)/(1−κ) with the first-stage event
+                # entering the polyhedral truncation via flci=(...)
+                def obj(theta, _e=e, _M=M, _sf=sig_f):
+                    w = np.concatenate(
+                        [theta, [1.0 - float(np.sum(theta))]]
+                    )
+                    return _flci_halflength(w, _e, _M, _sf, kappa)[0]
+
+                x0 = np.zeros(k - 1)
+                x0[0] = 1.0
+                best_t, _val = _nelder_mead(obj, x0)
+                w_best = np.concatenate(
+                    [best_t, [1.0 - float(np.sum(best_t))]]
                 )
+                chi_k, _bias, _sdf, v = _flci_halflength(
+                    w_best, e, M, sig_f, kappa
+                )
+                theta_w = att[e] - (e + 1) * float(
+                    np.dot(w_best, np.asarray(slopes))
+                )
+                l_full = np.zeros(k + m)
+                l_full[:k] = v[:k]
+                l_full[k + j_t] = v[k]
+                w_T = A @ (Sig @ l_full)
+                alpha2 = (alpha - kappa) / (1.0 - kappa)
+
+                def accepted(theta0: float) -> bool:
+                    t_obs = theta_w - theta0
+                    if abs(t_obs) > chi_k:
+                        return False
+                    return _arp_accepts(
+                        y0 - d - theta0 * a_t, Sy, verts, alpha2,
+                        None, 0.0, flci=(w_T, t_obs, chi_k),
+                    )
+
+            else:
+                def accepted(theta0: float) -> bool:
+                    return _arp_accepts(
+                        y0 - d - theta0 * a_t, Sy, verts, alpha, lf_cv,
+                        kappa,
+                    )
 
             shift = (e + 1) * s_last
             half = (
@@ -805,7 +881,7 @@ def _log1mexp(x: float) -> float:
 
 
 def _arp_accepts(y, Sy, verts, alpha: float, lf_cv: float | None,
-                 kappa: float) -> bool:
+                 kappa: float, flci=None) -> bool:
     """One polyhedron's test of H0 at the current θ0: ACCEPT (True) or
     reject. ``y`` = Y(θ0) = Aβ̂ − θ0·a; the test statistic is the dual
     form η̂ = max_γ∈Γ γ'y (primal: min η s.t. y − Xξ ≤ ησ̃). Conditional
@@ -816,7 +892,17 @@ def _arp_accepts(y, Sy, verts, alpha: float, lf_cv: float | None,
     γ̂'Σ_Yγ̂; [v_lo, v_up]) and γ̂'μ ≤ 0 under H0. Hybrid (lf_cv not
     None): reject outright if η̂ > lf_cv (the κ-level least-favorable
     first stage), else run the conditional test at level
-    (α−κ)/(1−κ) with v_up capped at lf_cv (RR 2023 §5.3)."""
+    (α−κ)/(1−κ) with v_up capped at lf_cv (RR 2023 §5.3).
+
+    ``flci=(w_T, t_obs, chi)`` — the FLCI-hybrid's SECOND stage
+    (ARP 2023 §5.3 / HonestDiD's default for Δ^SD): the caller already
+    verified the κ-level first stage |T| ≤ χ_κ with T = θ̂_w − θ0 the
+    FLCI affine statistic, and passes the ADJUSTED level as ``alpha``.
+    Exactness requires conditioning on that first-stage event too:
+    with slope = γ̂'w_T / var(η̂) (w_T = A Σ l, so slope·η̂ is T's
+    projection on η̂) and S_T = t_obs − slope·η̂ independent of η̂, the
+    event |S_T + slope·η̂| ≤ χ adds interval bounds on η̂ that are
+    intersected into [v_lo, v_up]."""
     import math
 
     if len(verts) == 0:
@@ -843,6 +929,17 @@ def _arp_accepts(y, Sy, verts, alpha: float, lf_cv: float | None,
     if lf_cv is not None:
         vup = min(vup, lf_cv)
     sd = math.sqrt(var_eta)
+    if flci is not None:
+        w_T, t_obs, chi = flci
+        slope = float(g @ w_T) / var_eta
+        if abs(slope) > 1e-12 * (abs(t_obs) + chi + sd):
+            s_t = t_obs - slope * eta
+            b1 = (-chi - s_t) / slope
+            b2 = (chi - s_t) / slope
+            vlo = max(vlo, min(b1, b2))
+            vup = min(vup, max(b1, b2))
+        # |slope| ~ 0: the first-stage event is independent of η̂ —
+        # no truncation to add
     p = _truncnorm_sf(eta, sd, vlo, vup)
     return p > alpha
 

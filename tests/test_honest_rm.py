@@ -397,3 +397,81 @@ def test_grid_edge_reports_null_not_boundary(spark):
     assert all(
         r["ci_lo"] is not None and r["ci_hi"] is not None for r in ok
     )
+
+
+def test_sd_flci_hybrid_first_stage(spark):
+    """hybrid='flci' for the Delta^SD ARP frame (HonestDiD's default):
+    (1) MC validity — on a planted DGP with true pre curvature 0.2 and
+    a LINEAR post continuation (interior of Delta^SD), the 95% CI for
+    the event-1 effect covers the truth in >= 1 - alpha - 3se of
+    draws; (2) the default (LF) output is bit-unchanged by the new
+    mode's existence (pinned golden re-checked elsewhere) and both
+    hybrids produce finite intervals on the same profile, with the
+    FLCI stage TIGHTER at small mbar where the FLCI is near-optimal;
+    (3) deterministic; (4) unknown mode raises."""
+    from csdid_pyspark_spark.did.honest import honest_sd_ci_frame
+
+    # true delta: pre path [-0.3, -0.3, -0.1, 0] (second diffs 0.2 /
+    # -0.1), post linear continuation 0.1, 0.2 (zero curvature);
+    # tau = 1 per post period
+    delta = {-4: -0.3, -3: -0.3, -2: -0.1, 0: 0.1, 1: 0.2}
+    tau = {0: 1.0, 1: 1.0}
+    beta_true = {e: delta[e] + tau.get(e, 0.0) for e in delta}
+    sd0 = 0.05
+    cov = (sd0**2 * np.eye(5)).tolist()
+    rng = np.random.default_rng(29)
+    n, covered = 40, 0
+    for _ in range(n):
+        rows = [
+            (int(e), float(beta_true[e] + sd0 * rng.standard_normal()), sd0)
+            for e in sorted(delta)
+        ]
+        prof = spark.createDataFrame(rows, "e int, att_iw double, se double")
+        out = {
+            r["e"]: r
+            for r in honest_sd_ci_frame(
+                prof, mbars=(1.0,), cov=cov, hybrid="flci", grid_points=61
+            ).collect()
+        }
+        r1 = out[1]
+        assert r1["method"] == "sd-hybrid-flci"
+        if (
+            r1["ci_lo"] is not None
+            and r1["ci_hi"] is not None
+            and r1["ci_lo"] == r1["ci_lo"]  # not NaN
+            and r1["ci_lo"] <= 1.0 <= r1["ci_hi"]
+        ):
+            covered += 1
+    assert covered / n >= 0.95 - 3 * np.sqrt(0.05 * 0.95 / n), covered
+
+    rows = [(int(e), float(b), sd0) for e, b in sorted(beta_true.items())]
+    prof = spark.createDataFrame(rows, "e int, att_iw double, se double")
+    lf = {
+        (r["e"], r["mbar"]): r
+        for r in honest_sd_ci_frame(
+            prof, mbars=(0.25, 1.0), cov=cov
+        ).collect()
+    }
+    fl = {
+        (r["e"], r["mbar"]): r
+        for r in honest_sd_ci_frame(
+            prof, mbars=(0.25, 1.0), cov=cov, hybrid="flci"
+        ).collect()
+    }
+    for key, r in fl.items():
+        assert r["ci_lo"] is not None and r["ci_lo"] <= r["ci_hi"]
+    # at the smallest mbar the FLCI first stage prunes more than the
+    # LF stage: the interval is no longer (strictly shorter on this
+    # profile)
+    for e in (0, 1):
+        len_fl = fl[(e, 0.25)]["ci_hi"] - fl[(e, 0.25)]["ci_lo"]
+        len_lf = lf[(e, 0.25)]["ci_hi"] - lf[(e, 0.25)]["ci_lo"]
+        assert len_fl <= len_lf + 1e-9, (e, len_fl, len_lf)
+    again = honest_sd_ci_frame(
+        prof, mbars=(0.25, 1.0), cov=cov, hybrid="flci"
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        tuple(r) for r in (fl[k] for k in sorted(fl))
+    )
+    with pytest.raises(ValueError, match="hybrid must be"):
+        honest_sd_ci_frame(prof, hybrid="sideways").collect()
