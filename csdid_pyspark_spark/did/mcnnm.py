@@ -173,6 +173,9 @@ def mc_nnm(
     holdout: tuple | None = None,
     xnames: tuple = (),
     _prebuilt: tuple | None = None,
+    tol: float = 0.0,
+    _warm_in: dict | None = None,
+    _warm_out: bool = False,
 ) -> dict:
     """Fit MC-NNM on a staggered-adoption panel (``g`` = first treated
     period, 0 = never treated) and return the event-time effect path.
@@ -236,7 +239,23 @@ def mc_nnm(
     built by :func:`mc_nnm_cv`, so the |grid|+1 CV fits share ONE
     data-scale pivot instead of each rebuilding (and re-integrity-
     checking) their own. Callers passing it own its lifecycle.
-    """
+
+    ``tol > 0`` enables soft-impute EARLY STOPPING: the iteration
+    loop exits as soon as max(|Δbeta|, |Δsigma|) ≤ tol · sigma_max —
+    the standard convergence rule for the soft-impute fixed point.
+    The exit reuses the fixed-iteration path's own break point, so
+    the returned (alpha, beta, theta, L) tuple is exactly a converged
+    shorter run; tol = 0 (default) keeps the bit-pinned fixed-``iters``
+    behavior. ``_warm_in``/``_warm_out`` (internal, CV machinery):
+    ``_warm_out=True`` attaches ``"_state"`` — the loop-top tuple
+    (cur frame, V, beta, theta, sigma0_max) at exit — and
+    ``_warm_in`` resumes from a previous fit's state at a DIFFERENT
+    shrink_frac (soft-impute path warm start): the data-scale guards,
+    theta phase and FE-only lam calibration are skipped (all are
+    lam-independent and already ran in the cold fit; lam is
+    shrink_frac × the passed sigma0_max) and the loop starts at the
+    warm factors. Requires ``_prebuilt`` and an identical holdout
+    mask."""
     import numpy as np
 
     P = len(xnames)
@@ -273,7 +292,8 @@ def mc_nnm(
             + " ".join(f"WHEN {raw_s(i)} THEN {i}" for i in range(T))
             + " ELSE -1 END"
         )
-        wide = wide.withColumn("_fobs", F.expr(fobs))
+        if _warm_in is None:  # a warm frame already carries _fobs
+            wide = wide.withColumn("_fobs", F.expr(fobs))
         extra_cols = ["_fobs"]
 
         def held_s(i):
@@ -290,12 +310,15 @@ def mc_nnm(
         held_s = None
         obs_s = raw_s
 
+    if _warm_in is not None and _prebuilt is None:
+        raise ValueError("mc_nnm: _warm_in requires _prebuilt")
     n_obs = F.expr(
         " + ".join(f"CAST({obs_s(i)} AS INT)" for i in range(T))
     )
-    wide = wide.withColumn("_nobs", n_obs).withColumn(
-        "a", F.array(*[F.lit(0.0) for _ in range(T)])
-    )
+    if _warm_in is None:
+        wide = wide.withColumn("_nobs", n_obs).withColumn(
+            "a", F.array(*[F.lit(0.0) for _ in range(T)])
+        )
     # ONE pivot computation before the iterations: persist, then a
     # single agg both materializes the cache and returns (unit count,
     # zero-observed-cell count) — the guard and the row count no longer
@@ -306,23 +329,29 @@ def mc_nnm(
     if _prebuilt is None:
         wide = wide.persist()
     # a raw-observed cell with a NULL covariate would silently zero its
-    # x'theta contribution — count and raise instead
-    xnull = (
-        F.expr(
-            " + ".join(
-                f"CAST(({raw_s(i)} AND ({' OR '.join(f'{xcols[k][i]} IS NULL' for k in range(P))})) AS LONG)"
-                for i in range(T)
+    # x'theta contribution — count and raise instead. A warm resume
+    # skips the guards: they are lam-independent and already ran in
+    # the cold fit on the identical mask.
+    if _warm_in is not None:
+        row0 = {"n": -1, "nbad": 0, "nxnull": 0}
+        n_units = -1
+    else:
+        xnull = (
+            F.expr(
+                " + ".join(
+                    f"CAST(({raw_s(i)} AND ({' OR '.join(f'{xcols[k][i]} IS NULL' for k in range(P))})) AS LONG)"
+                    for i in range(T)
+                )
             )
+            if P
+            else F.lit(0)
         )
-        if P
-        else F.lit(0)
-    )
-    row0 = wide.agg(
-        F.count("*").alias("n"),
-        F.sum((F.col("_nobs") == 0).cast("long")).alias("nbad"),
-        F.sum(xnull).alias("nxnull"),
-    ).collect()[0]
-    n_units = int(row0["n"])
+        row0 = wide.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("_nobs") == 0).cast("long")).alias("nbad"),
+            F.sum(xnull).alias("nxnull"),
+        ).collect()[0]
+        n_units = int(row0["n"])
     if row0["nbad"]:
         bad = wide.filter(F.col("_nobs") == 0).limit(1).collect()
         if _prebuilt is None:
@@ -359,7 +388,9 @@ def mc_nnm(
     V = np.zeros((T, T))
     s = np.zeros(T)
     lam = None
+    sig0 = None
     sigma = np.zeros(T)
+    last_sigma = sigma
 
     # All per-pass expressions are built as SQL STRINGS (one py4j call
     # per selectExpr/expr instead of hundreds of Column-object
@@ -433,7 +464,7 @@ def mc_nnm(
     # The freeze trades that instability for a documented
     # approximation: covariate variation INSIDE the low-rank space is
     # attributed to theta, not L.
-    if P:
+    if P and _warm_in is None:
         # regressors: period dummies for periods[1:] (period 0 is the
         # omitted baseline; the full dummy set is collinear after
         # within-unit demeaning) followed by the P covariates — all
@@ -508,7 +539,19 @@ def mc_nnm(
             sol = np.linalg.lstsq(N, cvec, rcond=None)[0]
         theta = sol[T - 1 :]
 
-    cur = wide
+    if _warm_in is not None:
+        # resume the soft-impute path from another lam's converged
+        # loop-top state: (cur, V, beta) with cur's row factor in V's
+        # basis, theta frozen, lam re-derived from the shared FE-only
+        # spectrum top
+        cur = _warm_in["cur"]
+        V = np.asarray(_warm_in["V"], dtype=float)
+        beta = [float(b) for b in _warm_in["beta"]]
+        theta = np.asarray(_warm_in["theta"], dtype=float)
+        sig0 = float(_warm_in["sig0"])
+        lam = shrink_frac * sig0
+    else:
+        cur = wide
     dropq = raw  # oversized raw cache, dropped after the first agg
     proj = None
     tl = [float(x) for x in theta]  # frozen through the main loop
@@ -529,9 +572,9 @@ def mc_nnm(
         # heap OOM just RENDERING the cache name by iteration ~20. The
         # checkpoint's LogicalRDD truncates the plan for real; its
         # blocks are reclaimed by the ContextCleaner on GC.
-        proj = project(cur, bl, ya_l, V, first=(it == 0)).localCheckpoint(
-            eager=False
-        )
+        proj = project(
+            cur, bl, ya_l, V, first=(it == 0 and _warm_in is None)
+        ).localCheckpoint(eager=False)
         aggs = []
         for i in range(T):
             aggs.append(
@@ -581,12 +624,23 @@ def mc_nnm(
         beta = [float(row[f"bs{i}"]) / row[f"bn{i}"] for i in range(T)]
         if lam is None:
             vals = np.linalg.eigvalsh(gram)
-            lam = shrink_frac * float(np.sqrt(max(float(vals[-1]), 0.0)))
+            sig0 = float(np.sqrt(max(float(vals[-1]), 0.0)))
+            lam = shrink_frac * sig0
         sigma = np.sqrt(np.clip(np.linalg.eigvalsh(gram)[::-1], 0.0, None))
         if it == iters:
             # last pass refreshes beta only: the stored row factor `a`
             # is in the PREVIOUS V's basis, so V/s must not move past it
             break
+        if tol > 0.0 and it >= 1:
+            # soft-impute convergence: the factor/FE updates have
+            # stalled at tol x the current spectral scale — exit
+            # through the SAME break point as the fixed-iters path, so
+            # the returned tuple is a converged shorter run
+            db = max(abs(b - p) for b, p in zip(beta, bl))
+            ds = float(np.max(np.abs(sigma - last_sigma)))
+            if max(db, ds) <= tol * max(float(sigma[0]), 1e-12):
+                break
+        last_sigma = sigma
         V, s = _eig_svt(gram, lam)
         # narrow refresh of the row factor: a_new = M V diag(s)
         VS = V * s  # (T x T), column j scaled
@@ -692,6 +746,14 @@ def mc_nnm(
     if hold_mse is not None:
         out["holdout_mse"] = float(hold_mse)
         out["holdout_n"] = int(hold_n)
+    if _warm_out:
+        out["_state"] = {
+            "cur": cur,
+            "V": V,
+            "beta": [float(b) for b in beta],
+            "theta": np.asarray(tl, dtype=float),
+            "sig0": float(sig0),
+        }
     if bands is not None:
         amap = {e: a for e, a, _ in att}
         out["bands"] = [
@@ -797,6 +859,8 @@ def mc_nnm_cv(
     holdout_seed: int = 11,
     placebo_b: int = 0,
     xnames: tuple = (),
+    warm_start: bool = True,
+    warm_tol: float = 1e-6,
 ) -> dict:
     """MC-NNM with the paper's CROSS-VALIDATED nuclear-norm penalty
     (Athey et al. 2021 §4 prescribe choosing lambda by held-out
@@ -827,6 +891,19 @@ def mc_nnm_cv(
     pivot/first fit and PROPAGATES instead of being rebranded as "no
     feasible candidate".
 
+    ``warm_start=True`` (default) runs the CANDIDATE fits as a
+    soft-impute PATH: each lambda's iteration resumes from the
+    previous candidate's converged factors and stops early at
+    ``warm_tol`` (relative to the spectral scale) — the standard
+    soft-impute path trick, cutting most of the grid's iteration cost
+    at large n. Approximation contract, documented: the candidate
+    holdout MSEs are tol-converged rather than fixed-``iters`` values
+    (selection is unaffected unless two candidates' MSEs differ by
+    less than the tolerance), while the WINNER'S final refit is always
+    a cold full-``iters`` fit on all observed cells — bit-identical to
+    a direct ``mc_nnm(shrink_frac=winner)`` with or without
+    ``warm_start`` (pytest-pinned). Fully deterministic either way.
+
     Returns the final ``mc_nnm`` dict plus ``"cv"`` ({frac: holdout
     mse, inf where infeasible}), ``"shrink_frac"`` (winner) and
     ``"holdout_frac"``."""
@@ -852,6 +929,7 @@ def mc_nnm_cv(
         raw.unpersist(blocking=False)
     try:
         cv: dict = {}
+        state = None
         for f in shrink_fracs:
             try:
                 r = mc_nnm(
@@ -861,8 +939,12 @@ def mc_nnm_cv(
                     holdout=(holdout_seed, holdout_frac),
                     xnames=xnames,
                     _prebuilt=(periods, base),
+                    tol=(warm_tol if warm_start else 0.0),
+                    _warm_in=state,
+                    _warm_out=warm_start,
                 )
                 cv[float(f)] = float(r["holdout_mse"])
+                state = r.get("_state") if warm_start else None
             except UnidentifiedPeriodError:
                 cv[float(f)] = float("inf")
         feas = [

@@ -2190,15 +2190,30 @@ def run_mcnnm_cv(spark, n_units: int, n_periods: int = 10) -> dict:
 
     grid = (0.1, 0.3, 0.6)
     t0 = time.perf_counter()
+    res_cold = mc_nnm_cv(
+        panel, shrink_fracs=grid, iters=12, warm_start=False
+    )
+    cv_cold_sec = round(time.perf_counter() - t0, 1)
+    # r11 verdict item 4: candidate fits as a warm-started soft-impute
+    # path with tol early stop; the winner's final refit stays a cold
+    # full-iters fit, so att must be BIT-IDENTICAL across modes
+    t0 = time.perf_counter()
     res = mc_nnm_cv(panel, shrink_fracs=grid, iters=12)
-    cv_sec = round(time.perf_counter() - t0, 1)
+    cv_warm_sec = round(time.perf_counter() - t0, 1)
+    assert res["shrink_frac"] == res_cold["shrink_frac"], (
+        res["cv"], res_cold["cv"],
+    )
+    assert res["att"] == res_cold["att"]
     return {
         "metric": "stress_mcnnm_cv",
         "units": n_units,
         "panel_rows": n_units * T,
         "grid": list(grid),
         "fits": len(grid) + 1,
-        "cv_total_sec": cv_sec,
+        "cv_total_sec": cv_cold_sec,
+        "cv_warm_total_sec": cv_warm_sec,
+        "warm_speedup": round(cv_cold_sec / max(cv_warm_sec, 1e-9), 2),
+        "warm_att_bit_identical": res["att"] == res_cold["att"],
         "pivot_once_sec": pivot_sec,
         "saved_vs_per_fit_pivot_sec": round(pivot_sec * len(grid), 1),
         "winner": res["shrink_frac"],

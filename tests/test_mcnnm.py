@@ -345,3 +345,52 @@ def test_mcnnm_covariates_null_guard_and_cv_error_discipline(spark):
     with pytest.raises(ValueError, match="duplicate"):
         mc_nnm_cv(dup, shrink_fracs=(0.1,), iters=2)
     assert issubclass(UnidentifiedPeriodError, ValueError)
+
+
+def test_mcnnm_cv_warm_start_path(spark):
+    """Warm-started CV (r11): candidate fits resume from the previous
+    lambda's converged factors with tol early-stop; the WINNER'S final
+    refit is a cold full-iters fit, so (1) warm and cold CV pick the
+    same lambda here, (2) the final att path is BIT-identical across
+    modes and to a direct mc_nnm at the winner, (3) candidate holdout
+    MSEs agree to far better than the selection gaps, and (4) the warm
+    path is deterministic across partitionings. Also pins the tol
+    early-stop on mc_nnm itself: a tol run converges to the
+    fixed-iters answer."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm, mc_nnm_cv
+
+    panel = _toy_panel(spark, n_per=16, T=6, cohorts=(0, 0, 3, 4, 5))
+    grid = (0.05, 0.3, 3.0)
+    cold = mc_nnm_cv(
+        panel, shrink_fracs=grid, iters=8, holdout_frac=0.15,
+        warm_start=False,
+    )
+    warm = mc_nnm_cv(
+        panel, shrink_fracs=grid, iters=8, holdout_frac=0.15,
+    )
+    assert warm["shrink_frac"] == cold["shrink_frac"]
+    assert warm["att"] == cold["att"]
+    direct = mc_nnm(panel, shrink_frac=warm["shrink_frac"], iters=8)
+    assert direct["att"] == warm["att"]
+    # candidate MSEs are tol-converged vs fixed-iters values — at a
+    # small iters both are mid-trajectory approximations, so require
+    # agreement well inside the SELECTION gaps, not bit-equality
+    for f in grid:
+        c, w = cold["cv"][f], warm["cv"][f]
+        if c == float("inf") or w == float("inf"):
+            assert c == w
+        else:
+            assert abs(c - w) <= 0.05 * max(c, w) + 1e-9, (f, c, w)
+
+    warm2 = mc_nnm_cv(
+        panel.repartition(13), shrink_fracs=grid, iters=8,
+        holdout_frac=0.15,
+    )
+    assert warm2["cv"] == warm["cv"] and warm2["att"] == warm["att"]
+
+    # tol early stop alone: converges to the fixed-iters fixed point
+    full = mc_nnm(panel, shrink_frac=0.1, iters=40)
+    tolrun = mc_nnm(panel, shrink_frac=0.1, iters=40, tol=1e-9)
+    for (e1, a1, n1), (e2, a2, n2) in zip(full["att"], tolrun["att"]):
+        assert (e1, n1) == (e2, n2)
+        assert abs(a1 - a2) <= 1e-6 * max(1.0, abs(a1)), (e1, a1, a2)
