@@ -1435,3 +1435,141 @@ def conformal_trace(
             rows_g.append((int(s), int(s - g), float(th_hat), lo, hi))
         out["cohorts"][int(g)] = rows_g
     return out
+
+
+def conformal_trace_pooled(
+    panel: DataFrame,
+    gname: str = "g",
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    donor_k: int = 50,
+    fw_iters: int = 800,
+    model: str = "sdid",
+    alpha: float = 0.2,
+    grid_points: int = 61,
+    control: str = "nevertreated",
+    max_units: int = 50,
+) -> dict:
+    """Per-period conformal trace with the POOLED-RESIDUAL rank
+    statistic across treated units (CWZ 2021 §4's multiple-treated
+    prescription applied pointwise) — the power-variant of
+    :func:`conformal_trace` for SMALL cohorts with heterogeneous
+    effects: the mean-series test averages unit effects before
+    testing, so opposite-signed effects CANCEL and go undetected;
+    here each treated unit j is refit separately under the sharp null
+    θ_{j,s} = c, the statistic is the pooled absolute residual
+    S_t = Σ_j |u_{j,t}| over the window, and the p-value is S's rank
+    at the adjusted period — heterogeneity inflates S_s no matter the
+    signs. Under genuinely heterogeneous effects NO constant c fits
+    every unit, so the pointwise CI can be EMPTY (lo = hi = None with
+    ``p_zero`` small) — itself the diagnostic that the sharp constant
+    null is wrong.
+
+    Same screen (and ``control`` donor-pool modes) as the mean-series
+    trace, plus ONE extra bounded collect of the treated-unit series —
+    bounded because ``max_units`` caps each cohort (raises beyond it:
+    the pooled refit loop is driver-side numpy per unit, the RIGHT
+    shape only for small cohorts; large cohorts should use the
+    mean-series trace, where averaging is the power TOOL not a loss).
+
+    Returns ``{"cohorts": {g: [(s, e, theta_hat_s, lo, hi, p_zero),
+    ...]}, "alpha"}``: ``theta_hat_s`` = the cross-unit mean gap at s
+    under pre-only per-unit refits, (lo, hi) the inverted pooled
+    pointwise CI, ``p_zero`` the pooled p-value of c = 0."""
+    import numpy as np
+
+    p = panel.select(
+        F.col(idname).alias("id"),
+        F.col(gname).alias("g"),
+        F.col(tname).alias("t"),
+        F.col(yname).alias("y"),
+    )
+    periods, cmean, csize, cohorts, t_end, pools, series = (
+        _conformal_cohort_screen(p, donor_k, control, "conformal_trace_pooled")
+    )
+    big = [g for g in cohorts if csize[g] > max_units]
+    if big:
+        raise ValueError(
+            "conformal_trace_pooled: cohort(s) "
+            f"{big} exceed max_units={max_units} — the pooled per-unit "
+            "refit loop is for small cohorts; use conformal_trace (the "
+            "cohort-mean test) for large ones"
+        )
+    glist = [g for g in cohorts]
+    trows = (
+        p.filter(F.col("g").isin(glist)).orderBy("id", "t").collect()
+    )
+    tser: dict = {}
+    for r in trows:
+        tser.setdefault(r["g"], {}).setdefault(r["id"], {})[r["t"]] = float(
+            r["y"]
+        )
+
+    out: dict = {"cohorts": {}, "alpha": float(alpha)}
+    for g in cohorts:
+        pre = [t for t in periods if t < g]
+        post = [t for t in periods if g <= t <= t_end[g]]
+        pool = pools[g]
+        units = sorted(tser.get(g, {}))
+        rows_g = []
+        for s in post:
+            win = pre + [s]
+            X = np.array([[series[d][t] for t in win] for d in pool]).T
+            if model == "sdid":
+                Xf = X - X.mean(axis=0, keepdims=True)
+            else:
+                Xf = X
+
+            def pooled_p(c, _g=g, _s=s, _win=win, _Xf=Xf):
+                S = np.zeros(len(_win))
+                for uid in units:
+                    y = np.array(
+                        [
+                            tser[_g][uid][t] - (c if t == _s else 0.0)
+                            for t in _win
+                        ]
+                    )
+                    yf = y - y.mean() if model == "sdid" else y
+                    w = _frank_wolfe_simplex(_Xf, yf, iters=fw_iters)
+                    S += np.abs(yf - _Xf @ w)
+                return float((S >= S[-1] - 1e-15).sum()) / len(_win)
+
+            # cross-unit mean gap at s from per-unit PRE-ONLY fits
+            Xp = np.array([[series[d][t] for t in pre] for d in pool]).T
+            mu_x = Xp.mean(axis=0, keepdims=True)
+            x_s = np.array([series[d][s] for d in pool])
+            gaps = []
+            res_scale = 0.0
+            for uid in units:
+                yp = np.array([tser[g][uid][t] for t in pre])
+                if model == "sdid":
+                    mu_y = yp.mean()
+                    w0 = _frank_wolfe_simplex(
+                        Xp - mu_x, yp - mu_y, iters=fw_iters
+                    )
+                    yhat_s = float((x_s - mu_x[0]) @ w0) + mu_y
+                    res = (yp - mu_y) - (Xp - mu_x) @ w0
+                else:
+                    w0 = _frank_wolfe_simplex(Xp, yp, iters=fw_iters)
+                    yhat_s = float(x_s @ w0)
+                    res = yp - Xp @ w0
+                gaps.append(tser[g][uid][s] - yhat_s)
+                res_scale = max(res_scale, float(np.max(np.abs(res))))
+            th_hat = float(np.mean(gaps))
+            p0 = pooled_p(0.0)
+            scale = max(res_scale, 1e-9)
+            half = 8.0 * scale + 0.1 * abs(th_hat)
+            lo = hi = None
+            for _ in range(6):
+                grid = np.linspace(th_hat - half, th_hat + half, grid_points)
+                acc = [float(c) for c in grid if pooled_p(float(c)) > alpha]
+                if acc and acc[0] > grid[0] + 1e-12 and acc[-1] < grid[-1] - 1e-12:
+                    lo, hi = float(acc[0]), float(acc[-1])
+                    break
+                half *= 2.0
+            rows_g.append(
+                (int(s), int(s - g), th_hat, lo, hi, float(p0))
+            )
+        out["cohorts"][int(g)] = rows_g
+    return out

@@ -450,7 +450,12 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     half's batch bin counts, and the PSI algebra is identical to
     ``analytics_ext.events_psi_drift`` — so the ORACLE IS THE SAME
     batch SQL, hash-checked: the streaming monitor must reproduce the
-    batch monitor exactly."""
+    batch monitor exactly. Complete mode is the right shape HERE —
+    state is bounded at |types| × 10 bin rows — but it re-emits the
+    whole state table every trigger and never evicts, so for
+    unbounded key spaces the production shape is the watermarked
+    append-mode per-window trace ``_psi_append_core`` below
+    (pytest-gated, with state-eviction evidence)."""
     from csdid_pyspark_spark.queries.analytics_ext import EVENTS_PSI_SQL  # noqa: F401
     from csdid_pyspark_spark.sources.tables import load_table
 
@@ -519,6 +524,153 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _psi_append_core(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "6 hours",
+    watermark: str = "1 hour",
+):
+    """Watermarked APPEND-mode PSI monitor — the production shape for
+    UNBOUNDED key spaces (complete mode re-emits the whole state table
+    every trigger and its state never evicts; fine at |types|×10 rows,
+    wrong for high-cardinality keys). The CURRENT side streams through
+    a watermarked tumbling-window groupBy(window, type, bin) count in
+    APPEND mode: a window's bin counts finalize — and their state rows
+    become EVICTABLE — once the watermark passes the window end, so
+    state is bounded by (open windows × |types| × 10 bins) regardless
+    of stream length. Each emitted window is then scored against the
+    PINNED first-half batch reference with the exact Laplace-smoothed
+    PSI algebra of ``analytics_ext.events_psi_drift`` — a per-window
+    drift TRACE rather than one aggregate number.
+
+    Windows still open at end-of-stream stay in state unemitted (a
+    live monitor emits them as the watermark advances past them) —
+    which is why this variant is pytest-gated rather than externally
+    registered: the complete-mode sibling ``stream_psi_drift`` carries
+    the hash-green external contract, and the pytest recomputes every
+    EMITTED window in batch and checks bit-equality plus the state
+    bound (the rows-oracle analogue, with eviction evidence from the
+    final StreamingQueryProgress).
+
+    Returns ``(result_df, state_info)`` with result columns
+    (w_start, event_type, n_ref, n_cur, psi, drifted) ordered
+    (w_start, event_type), and ``state_info`` = {"rows_total",
+    "rows_removed"} from the drain's last progress."""
+    import json as _json
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    bin_col = F.least(F.lit(9), F.floor(F.col("value") / 50.0)).cast("int")
+    cur_stream = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("ts") >= split)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", duration).alias("w"), "event_type", bin_col.alias("b")
+        )
+        .count()
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "b",
+            F.col("count").alias("c"),
+        )
+    )
+    name = f"sg_{uuid.uuid4().hex[:12]}"
+    q = (
+        cur_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"streaming drain {name!r} did not finish")
+    prog = _json.loads(q.lastProgress.json) if q.lastProgress else {}
+    ops = prog.get("stateOperators") or [{}]
+    state_info = {
+        "rows_total": int(ops[0].get("numRowsTotal", -1)),
+        "rows_removed": int(ops[0].get("numRowsRemoved", -1)),
+    }
+    cur = spark.table(name)
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < split)
+        .select("event_type", bin_col.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count("*").alias("r"))
+    )
+    # complete every EMITTED window × the union of types × the 10 bins.
+    # Both lists are RESULT-SIZED (windows per drain are time-bounded,
+    # types are the monitor's key space) and collecting them sidesteps
+    # the memory-sink self-join attribute conflict.
+    wlist = sorted(
+        r["w_start"] for r in cur.select("w_start").distinct().collect()
+    )
+    tlist = sorted(
+        r["event_type"]
+        for r in ref.select("event_type")
+        .unionByName(cur.select("event_type"))
+        .distinct()
+        .collect()
+    )
+    wins = spark.createDataFrame([(w,) for w in wlist], "w_start string")
+    types = spark.createDataFrame(
+        [(t,) for t in tlist], "event_type string"
+    )
+    bins = spark.range(10).select(F.col("id").cast("int").alias("b"))
+    filled = (
+        wins.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(bins))
+        .join(F.broadcast(ref), ["event_type", "b"], "left")
+        .join(cur, ["w_start", "event_type", "b"], "left")
+        .select(
+            "w_start",
+            "event_type",
+            "b",
+            F.coalesce("r", F.lit(0)).alias("r"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    tot = filled.groupBy("w_start", "event_type").agg(
+        F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
+    )
+    out = (
+        filled.join(F.broadcast(tot), ["w_start", "event_type"])
+        .select(
+            "w_start",
+            "event_type",
+            "n_ref",
+            "n_cur",
+            (
+                ((F.col("c") + 0.5) / (F.col("n_cur") + 5.0))
+                - ((F.col("r") + 0.5) / (F.col("n_ref") + 5.0))
+            ).alias("dp"),
+            (
+                F.log((F.col("c") + 0.5) / (F.col("n_cur") + 5.0))
+                - F.log((F.col("r") + 0.5) / (F.col("n_ref") + 5.0))
+            ).alias("lr"),
+        )
+        .groupBy("w_start", "event_type", "n_ref", "n_cur")
+        .agg(F.round(F.sum(F.col("dp") * F.col("lr")), 6).alias("psi"))
+        .select(
+            "w_start",
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            "psi",
+            (F.col("psi") > 0.2).alias("drifted"),
+        )
+        .orderBy("w_start", "event_type")
+    )
+    return out, state_info
+
+
+def stream_psi_drift_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pytest-gated append-mode PSI trace (see ``_psi_append_core``)."""
+    return _psi_append_core(spark, sf_dir)[0]
 
 
 QUERIES.update(

@@ -1951,3 +1951,98 @@ def test_conformal_staggered_nyt_donor_pools(spark):
 
     with _pytest.raises(ValueError, match="control must be"):
         conformal_staggered(panel2, control="sideways")
+
+
+def test_conformal_trace_pooled_power_on_heterogeneous_effects(spark):
+    """CWZ §4 pooled-residual trace (r10 verdict item 8): a small
+    cohort with OPPOSITE-SIGNED unit effects (+3 / -3, mean 0) is
+    invisible to the mean-series trace — its per-period CIs cover 0 —
+    but the pooled statistic S_t = sum_j |u_{j,t}| is inflated at
+    every effect period regardless of sign, so the pooled p-value at
+    c = 0 rejects: the power gain the pooled variant exists for.
+    Under heterogeneity no constant sharp null fits all units, so the
+    pooled pointwise CI is empty (None) — itself the diagnostic. On a
+    HOMOGENEOUS cohort the pooled CI covers the common effect and
+    excludes zero. Deterministic; max_units guard raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from csdid_pyspark_spark.did.synth import (
+        conformal_trace,
+        conformal_trace_pooled,
+    )
+
+    rng = np.random.default_rng(53)
+    T, g = 30, 24
+    beta = rng.normal(0, 1.5, T)
+    rows = []
+    donor_y = {}
+    for d in range(1, 15):
+        a = rng.normal(10, 2)
+        for t in range(T):
+            y = float(a + beta[t] + rng.normal(0, 0.15))
+            donor_y.setdefault(d, []).append(y)
+            rows.append((d, 0, t, y))
+    uid = 100
+    taus = [3.0, 3.0, 3.0, -3.0, -3.0, -3.0]
+    het_rows = list(rows)
+    hom_rows = list(rows)
+    for tau in taus:
+        w = rng.dirichlet(np.ones(4))
+        picks = rng.choice(range(1, 15), size=4, replace=False)
+        for t in range(T):
+            base = float(sum(w[j] * donor_y[int(picks[j])][t] for j in range(4)))
+            noise = float(rng.normal(0, 0.15))
+            het_rows.append(
+                (uid, g, t, base + (tau if t >= g else 0.0) + noise)
+            )
+            hom_rows.append(
+                (uid, g, t, base + (3.0 if t >= g else 0.0) + noise)
+            )
+        uid += 1
+    het = spark.createDataFrame(het_rows, "id bigint, g int, period int, y double")
+    hom = spark.createDataFrame(hom_rows, "id bigint, g int, period int, y double")
+
+    # mean-series trace on the heterogeneous cohort: blind (covers 0)
+    mean_tr = conformal_trace(het, donor_k=14, alpha=0.2, fw_iters=300)
+    for s, e, th, lo, hi in mean_tr["cohorts"][g]:
+        # effects cancel in the mean: the point gap and the ENTIRE CI
+        # sit within noise scale of zero — nothing reveals the true
+        # +-3 unit effects
+        assert abs(th) < 0.8, (s, th)
+        if lo is not None:
+            assert abs(lo) < 0.8 and abs(hi) < 0.8, (s, lo, hi)
+
+    pooled = conformal_trace_pooled(
+        het, donor_k=14, alpha=0.2, fw_iters=300, grid_points=41
+    )
+    p_floor = 1.0 / (24 + 1)
+    for s, e, th, lo, hi, p0 in pooled["cohorts"][g]:
+        assert p0 <= p_floor + 1e-9, (s, p0)  # pooled stat detects
+        assert lo is None and hi is None, (s, lo, hi)  # no constant fits
+
+    # homogeneous cohort: pooled CI covers the common effect, excludes 0
+    pooled_hom = conformal_trace_pooled(
+        hom, donor_k=14, alpha=0.2, fw_iters=300, grid_points=41
+    )
+    covered = 0
+    for s, e, th, lo, hi, p0 in pooled_hom["cohorts"][g]:
+        assert p0 <= p_floor + 1e-9, (s, p0)
+        assert abs(th - 3.0) < 0.8, (s, th)
+        if lo is not None:
+            assert lo > 0.0, (s, lo)
+            # the pooled acceptance region is SHARPER than the grid
+            # step (often a single accepted point), so coverage is a
+            # grid-resolution statement
+            if lo - 0.2 <= 3.0 <= hi + 0.2:
+                covered += 1
+    assert covered >= len(pooled_hom["cohorts"][g]) - 2
+
+    again = conformal_trace_pooled(
+        het.repartition(9), donor_k=14, alpha=0.2, fw_iters=300,
+        grid_points=41,
+    )
+    assert again["cohorts"] == pooled["cohorts"]
+
+    with _pytest.raises(ValueError, match="max_units"):
+        conformal_trace_pooled(het, donor_k=14, max_units=3)

@@ -588,3 +588,127 @@ def test_cdc_state_stream_multibatch_matches_batch(spark, tmp_path):
     assert 20 not in got          # tombstoned across the batch boundary
     assert got[30][0] == "I"      # resurrected after an earlier tombstone
     assert got[10] == ("U", 9.0, 3, 0)
+
+
+def test_psi_append_mode_per_window_trace_and_eviction(spark):
+    """Append-mode PSI monitor (r10 verdict item 7): (1) every window
+    the watermarked stream EMITS carries bin counts identical to the
+    batch recomputation of that window, so each per-window PSI equals
+    the batch PSI computed with the same Laplace-smoothed algebra
+    (rows-oracle analogue of the complete-mode query's hash gate);
+    (2) emitted windows are exactly those whose end the final
+    watermark passed — the tail window(s) within the watermark delay
+    of max(ts) stay open/unemitted; (3) the state store EVICTED the
+    emitted windows: final state rows are bounded by (open windows x
+    types x 10 bins) and rows_removed > 0 — the bounded-state
+    contract complete mode cannot give."""
+    from csdid_pyspark_spark.queries.streaming_gate import _psi_append_core
+
+    out, state = _psi_append_core(spark, SF)
+    rows = out.collect()
+    assert rows, "no emitted windows"
+    got = {
+        (r["w_start"], r["event_type"]): (r["n_ref"], r["n_cur"], r["psi"])
+        for r in rows
+    }
+
+    # batch recomputation of the SAME emitted windows with the same
+    # algebra (Spark expressions on the batch table -> bit-identical)
+    ev = load_table(spark, SF, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    bin_col = F.least(F.lit(9), F.floor(F.col("value") / 50.0)).cast("int")
+    max_ts, = ev.agg(F.max("ts")).first()
+    import datetime
+
+    emitted = sorted({w for w, _ in got})
+    # emitted = windows whose END <= watermark = max_ts - 1h
+    wm = max_ts - datetime.timedelta(hours=1)
+    for w in emitted:
+        w_end = (
+            datetime.datetime.strptime(w, "%Y-%m-%d %H:%M:%S")
+            + datetime.timedelta(hours=6)
+        )
+        assert w_end <= wm, (w, wm)
+    # the last pre-watermark window must actually have been emitted
+    # (eviction/emission really happened, not an empty-emission pass)
+    cur_half = ev.filter(F.col("ts") >= split)
+    all_windows = {
+        r["w"]
+        for r in cur_half.select(
+            F.date_format(
+                F.window("ts", "6 hours").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("w")
+        ).distinct().collect()
+    }
+    closed = {
+        w
+        for w in all_windows
+        if datetime.datetime.strptime(w, "%Y-%m-%d %H:%M:%S")
+        + datetime.timedelta(hours=6)
+        <= wm
+    }
+    assert set(emitted) == closed, (sorted(closed - set(emitted))[:3],)
+
+    ref = (
+        ev.filter(F.col("ts") < split)
+        .groupBy("event_type", bin_col.alias("b"))
+        .agg(F.count("*").alias("r"))
+    )
+    curb = (
+        cur_half.groupBy(
+            F.date_format(
+                F.window("ts", "6 hours").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("w_start"),
+            "event_type",
+            bin_col.alias("b"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("w_start").isin(list(emitted)))
+    )
+    wins = curb.select("w_start").distinct()
+    types = ref.select("event_type").unionByName(
+        curb.select("event_type")
+    ).distinct()
+    bins = spark.range(10).select(F.col("id").cast("int").alias("b"))
+    filled = (
+        wins.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(bins))
+        .join(F.broadcast(ref), ["event_type", "b"], "left")
+        .join(curb, ["w_start", "event_type", "b"], "left")
+        .select(
+            "w_start", "event_type", "b",
+            F.coalesce("r", F.lit(0)).alias("r"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    tot = filled.groupBy("w_start", "event_type").agg(
+        F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
+    )
+    batch = {
+        (r["w_start"], r["event_type"]): (r["n_ref"], r["n_cur"], r["psi"])
+        for r in filled.join(F.broadcast(tot), ["w_start", "event_type"])
+        .select(
+            "w_start", "event_type", "n_ref", "n_cur",
+            (
+                ((F.col("c") + 0.5) / (F.col("n_cur") + 5.0))
+                - ((F.col("r") + 0.5) / (F.col("n_ref") + 5.0))
+            ).alias("dp"),
+            (
+                F.log((F.col("c") + 0.5) / (F.col("n_cur") + 5.0))
+                - F.log((F.col("r") + 0.5) / (F.col("n_ref") + 5.0))
+            ).alias("lr"),
+        )
+        .groupBy("w_start", "event_type", "n_ref", "n_cur")
+        .agg(F.round(F.sum(F.col("dp") * F.col("lr")), 6).alias("psi"))
+        .collect()
+    }
+    assert got == batch
+
+    # state eviction: emitted windows left the store; what remains is
+    # bounded by the open tail
+    n_types = types.count()
+    open_windows = len(all_windows) - len(closed)
+    assert state["rows_removed"] > 0, state
+    assert 0 <= state["rows_total"] <= max(open_windows, 1) * n_types * 10, (
+        state, open_windows, n_types,
+    )
