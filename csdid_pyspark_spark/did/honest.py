@@ -355,6 +355,7 @@ def honest_sd_ci_frame(
     grid_points: int = 241,
     lf_sims: int = 1000,
     seed: int = 20231015,
+    shape: str = "none",
 ) -> DataFrame:
     """ARP conditional/hybrid CI for the SMOOTHNESS restriction Δ^SD —
     the moment-inequality companion of :func:`honest_flci_frame` (RR
@@ -381,7 +382,15 @@ def honest_sd_ci_frame(
     on BOTH the optimal dual vertex and the first-stage event (the
     FLCI statistic's projection on η̂ adds interval bounds to the
     truncation — see ``_arp_accepts``'s ``flci`` parameter); False =
-    pure conditional."""
+    pure conditional.
+
+    ``shape`` intersects Δ^SD(M) with RR §2.4's sign / monotonicity
+    rows (HonestDiD's DeltaSDB / DeltaSDM): the shape rows carry a
+    ZERO affine offset (they are cones) while the curvature rows keep
+    d = M·1, so the single polytope simply gains rows — extra moments
+    can only tighten the CI; the method column records the variant.
+    Under ``hybrid='flci'`` the first-stage FLCI is built for the
+    UNRESTRICTED Δ^SD(M) (valid, conservatively, on the subset)."""
     import numpy as np
 
     att, se, k, m, posts, pre_asc, beta, Sig = _moment_profile(
@@ -408,14 +417,25 @@ def honest_sd_ci_frame(
         )
     kappa = alpha / 10.0 if mode != "none" else 0.0
     rng = np.random.Generator(np.random.PCG64(seed))
-    A = _sd_constraints(k, m)
+    A_sd = _sd_constraints(k, m)
+    D_pre, D_post = _step_matrices(k, m)
+    srows = _shape_rows(k, m, shape, D_pre, D_post)
+    if srows:
+        A = np.vstack([A_sd, np.asarray(srows)])
+        # curvature rows are bounded by M; shape rows are cones (≤ 0)
+        d_mask = np.concatenate(
+            [np.ones(A_sd.shape[0]), np.zeros(len(srows))]
+        )
+    else:
+        A = A_sd
+        d_mask = np.ones(A.shape[0])
     Sy = A @ Sig @ A.T
     sig = np.sqrt(np.maximum(np.diag(Sy), 0.0))
     sig = np.maximum(sig, 1e-9 * (sig.max() if sig.max() > 0 else 1.0))
     method = {
         "lf": "sd-hybrid", "none": "sd-conditional",
         "flci": "sd-hybrid-flci",
-    }[mode]
+    }[mode] + ("" if shape == "none" else f"+{shape}")
     # FLCI machinery inputs (mode == "flci"): the κ-level FLCI is the
     # first stage, so its weights/half-length are optimized AT level κ
     sig_pre_idx = list(range(k))
@@ -442,7 +462,7 @@ def honest_sd_ci_frame(
                            sig_pre_idx + [k + j_t])]
         for mbar in mbars:
             M = float(mbar) * c_pre
-            d = np.full(A.shape[0], M)
+            d = M * d_mask
 
             if mode == "flci":
                 # κ-level FLCI first stage (ARP 2023 §5.3 / HonestDiD's

@@ -201,3 +201,40 @@ def test_sdrm_shape_restriction_tightens_and_stays_valid(spark):
     assert bp[1][1] == pytest.approx(1.7, abs=3 * step)
     with pytest.raises(ValueError, match="unknown shape"):
         honest_sdrm_ci_frame(prof, shape="sideways").collect()
+
+
+def test_sd_shape_restrictions_tighten_and_stay_valid(spark):
+    """DeltaSDB/DeltaSDM (shape rows on the SINGLE Delta^SD polytope,
+    zero affine offset): under se -> 0 the bias_pos CI is contained in
+    the unrestricted one and still covers tau; monotone_inc empties
+    the CI on this non-monotone pre path; the default (shape='none')
+    output is bit-unchanged by the new parameter."""
+    from csdid_pyspark_spark.did.honest import honest_sd_ci_frame
+
+    rows = [
+        (int(e), float(b), 1e-5)
+        for e, b in zip([-4, -3, -2, 0, 1, 2], BETA)
+    ]
+    prof = spark.createDataFrame(rows, "e int, att_iw double, se double")
+
+    def hull(shape):
+        return {
+            r["e"]: (r["ci_lo"], r["ci_hi"], r["method"])
+            for r in honest_sd_ci_frame(
+                prof, mbars=(1.0,), hybrid=False, grid_points=481,
+                shape=shape,
+            ).collect()
+        }
+
+    un, bp, mi = hull("none"), hull("bias_pos"), hull("monotone_inc")
+    for e in (0, 1, 2):
+        lo_u, hi_u, meth_u = un[e]
+        assert meth_u == "sd-conditional"
+        lo_b, hi_b, meth = bp[e]
+        assert meth == "sd-conditional+bias_pos"
+        assert lo_b >= lo_u - 1e-6 and hi_b <= hi_u + 1e-6
+        step_e = 2 * (0.1 * (e + 1) + 0.3 * (e + 1) * (e + 2) / 2 + 1e-4) / 480
+        assert lo_b - 3 * step_e <= 1.0 <= hi_b + 3 * step_e
+        lo_m, hi_m, meth_m = mi[e]
+        assert meth_m == "sd-conditional+monotone_inc"
+        assert np.isnan(lo_m) and np.isnan(hi_m)
