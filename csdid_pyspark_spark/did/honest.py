@@ -1226,6 +1226,102 @@ def honest_sdrm_ci_frame(
     ).orderBy("e", "mbar")
 
 
+def honest_breakdown_frame(
+    profile: DataFrame,
+    family: str = "rm",
+    att_col: str = "att_iw",
+    se_col: str = "se",
+    cov=None,
+    alpha: float = 0.05,
+    hybrid: bool | str = True,
+    grid_points: int = 121,
+    lf_sims: int = 500,
+    seed: int = 20231015,
+    shape: str = "none",
+    mbar_max: float = 10.0,
+    tol: float = 0.01,
+) -> DataFrame:
+    """BREAKDOWN sensitivity M̄* per post event time — the headline
+    number of an honest-DiD application (RR 2023 §6; HonestDiD's
+    sensitivity plots report exactly this): the smallest M̄ at which
+    the robust CI under the chosen restriction ``family`` ("rm" /
+    "sd" / "sdrm") includes 0, i.e. how much parallel-trends
+    violation the SIGNIFICANCE of the effect survives. Found by
+    bisection on M̄ over [0, ``mbar_max``] to absolute tolerance
+    ``tol`` — the CI under each family widens with M̄ (the restriction
+    set is monotone in M̄), so coverage of 0 is monotone up to grid
+    resolution; each probe is one call of the corresponding ARP/
+    conditional frame with a singleton mbar grid. An endpoint
+    reported NULL (unbounded) counts as covering on that side; an
+    empty CI (NaN) covers nothing.
+
+    Output: (e, att, mbar_breakdown, family) rounded to ``tol``
+    resolution, ordered by e; ``mbar_breakdown`` is 0.0 when even
+    M̄ = 0 fails to exclude 0 (the effect is insignificant before any
+    robustness is demanded) and NULL when 0 is still excluded at
+    ``mbar_max``. Pure driver algebra: |posts| × log2(range/tol)
+    result-sized frame probes; zero data-scale Spark work beyond what
+    the caller's profile already did."""
+    frames = {
+        "rm": honest_rm_ci_frame,
+        "sd": honest_sd_ci_frame,
+        "sdrm": honest_sdrm_ci_frame,
+    }
+    if family not in frames:
+        raise ValueError(
+            f"honest_breakdown_frame: family must be one of "
+            f"{sorted(frames)}, got {family!r}"
+        )
+    fn = frames[family]
+
+    def ci_map(mbar: float) -> dict:
+        rows = fn(
+            profile,
+            mbars=(float(mbar),),
+            att_col=att_col,
+            se_col=se_col,
+            cov=cov,
+            alpha=alpha,
+            hybrid=hybrid,
+            grid_points=grid_points,
+            lf_sims=lf_sims,
+            seed=seed,
+            shape=shape,
+        ).collect()
+        return {int(r["e"]): r for r in rows}
+
+    def covers_zero(r) -> bool:
+        lo, hi = r["ci_lo"], r["ci_hi"]
+        if lo is not None and lo != lo:  # NaN: empty CI
+            return False
+        lo_ok = lo is None or lo <= 0.0
+        hi_ok = hi is None or hi >= 0.0
+        return lo_ok and hi_ok
+
+    at0 = ci_map(0.0)
+    at_max = ci_map(mbar_max)
+    out = []
+    for e in sorted(at0):
+        att = at0[e]["att"]
+        if covers_zero(at0[e]):
+            out.append((int(e), float(att), 0.0, family))
+            continue
+        if not covers_zero(at_max[e]):
+            out.append((int(e), float(att), None, family))
+            continue
+        lo_b, hi_b = 0.0, float(mbar_max)
+        while hi_b - lo_b > tol:
+            mid = 0.5 * (lo_b + hi_b)
+            if covers_zero(ci_map(mid)[e]):
+                hi_b = mid
+            else:
+                lo_b = mid
+        out.append((int(e), float(att), round(hi_b, 6), family))
+    return profile.sparkSession.createDataFrame(
+        out, "e int, att double, mbar_breakdown double, family string"
+    ).orderBy("e")
+
+
 def honest_flci_frame(
     profile: DataFrame,
     mbars: tuple[float, ...] = (0.0, 0.5, 1.0, 1.5, 2.0),

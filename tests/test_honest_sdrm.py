@@ -238,3 +238,62 @@ def test_sd_shape_restrictions_tighten_and_stay_valid(spark):
         lo_m, hi_m, meth_m = mi[e]
         assert meth_m == "sd-conditional+monotone_inc"
         assert np.isnan(lo_m) and np.isnan(hi_m)
+
+
+def test_breakdown_mbar_frame(spark):
+    """honest_breakdown_frame (RR §6 sensitivity headline): on the
+    planted DGP the Delta^SD breakdown M̄* per event time matches the
+    hand-derived |center| / (c_pre·(e+1)(e+2)/2) up to se padding and
+    tolerance, and DECREASES with e (longer horizons are less robust);
+    an insignificant profile breaks down at 0; a capped mbar_max that
+    never covers yields NULL; unknown family raises."""
+    from csdid_pyspark_spark.did.honest import honest_breakdown_frame
+
+    rows = [
+        (int(e), float(b), 1e-4)
+        for e, b in zip([-4, -3, -2, 0, 1, 2], BETA)
+    ]
+    prof = spark.createDataFrame(rows, "e int, att_iw double, se double")
+    out = {
+        r["e"]: r["mbar_breakdown"]
+        for r in honest_breakdown_frame(
+            prof, family="sd", hybrid=False, grid_points=161, tol=0.02
+        ).collect()
+    }
+    # hand-derived (se -> 0): center_e = att_e + (e+1)*0.1, half =
+    # 0.3*(e+1)(e+2)/2 * mbar -> mbar* = center/half
+    want = {0: 1.3 / 0.3, 1: 1.9 / 0.9, 2: 2.8 / 1.8}
+    for e, w in want.items():
+        assert out[e] == pytest.approx(w, rel=0.05), (e, out[e], w)
+    assert out[0] > out[1] > out[2]
+
+    # insignificant effect: CI at mbar=0 already covers 0
+    flat = spark.createDataFrame(
+        [(-4, 0.01, 0.5), (-3, -0.02, 0.5), (-2, 0.01, 0.5),
+         (0, 0.05, 0.5), (1, -0.03, 0.5), (2, 0.02, 0.5)],
+        "e int, att_iw double, se double",
+    )
+    z = honest_breakdown_frame(flat, family="sd", hybrid=False).collect()
+    assert all(r["mbar_breakdown"] == 0.0 for r in z)
+
+    # cap below the true breakdown: NULL (still significant at the cap)
+    capped = {
+        r["e"]: r["mbar_breakdown"]
+        for r in honest_breakdown_frame(
+            prof, family="sd", hybrid=False, mbar_max=0.5, tol=0.02
+        ).collect()
+    }
+    assert capped[0] is None
+
+    # rm family smoke: breakdown positive and finite on this profile
+    rm = {
+        r["e"]: r["mbar_breakdown"]
+        for r in honest_breakdown_frame(
+            prof, family="rm", hybrid=False, grid_points=81, tol=0.05,
+            mbar_max=20.0,
+        ).collect()
+    }
+    assert all(v is not None and v > 0 for v in rm.values()), rm
+
+    with pytest.raises(ValueError, match="family must be"):
+        honest_breakdown_frame(prof, family="sideways").collect()
