@@ -2140,6 +2140,135 @@ def run_mcnnm_cov(spark, n_units: int, n_periods: int = 10) -> dict:
     }
 
 
+def run_stream_psi(spark, n_events: int, n_files: int = 8) -> dict:
+    """Append-mode watermarked PSI monitor rehearsal (r11): n synthetic
+    events land as time-ordered files so ``maxFilesPerTrigger=1``
+    drains them as GENUINE multi-batch micro-batches — the watermark
+    advances BETWEEN batches, so per-window bin-count state emits and
+    EVICTS incrementally (the single-batch pytest can only show the
+    end state). Evidence targets: (1) every emitted window's counts
+    equal the batch recomputation EXACTLY (distributed anti-join, 0
+    mismatches); (2) max state rows observed across the drain stays
+    near one batch's worth of open windows x types x bins — far below
+    the total-windows product an unwatermarked/complete-mode monitor
+    would hold; (3) wall ~linear in events."""
+    import json as _json
+    import shutil
+    import tempfile
+    import uuid
+
+    n_types = 6
+    span_s = 30 * 86400
+    base = 1_700_000_000
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.concat(
+            F.lit("t"), F.pmod(F.xxhash64("id", F.lit("e")), n_types)
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit("v")), 500) * 1.0).alias("value"),
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("id") * span_s / n_events).cast("bigint")
+        ).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="stress_streampsi_")
+    try:
+        watch = _land_time_ordered(ev, work, n_files, base, span_s)
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, event_type string, value double, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+        bin_col = F.least(F.lit(9), F.floor(F.col("value") / 50.0)).cast("int")
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window("ts", "6 hours").alias("w"),
+                "event_type",
+                bin_col.alias("b"),
+            )
+            .count()
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+                "event_type",
+                "b",
+                F.col("count").alias("c"),
+            )
+        )
+        name = f"sp_{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(560):
+            q.stop()
+            raise TimeoutError("streampsi drain did not finish in 560s")
+        stream_sec = round(time.perf_counter() - t0, 1)
+        state_rows = []
+        removed = 0
+        for pr in q.recentProgress:
+            d = _json.loads(pr.json) if not isinstance(pr, dict) else pr
+            for op in d.get("stateOperators") or []:
+                state_rows.append(int(op.get("numRowsTotal", 0)))
+                removed += int(op.get("numRowsRemoved", 0))
+        sink = spark.table(name)
+        emitted_windows = sink.select("w_start").distinct().count()
+        # distributed bit-equality of every emitted window vs batch
+        batch = (
+            spark.read.parquet(watch)
+            .groupBy(
+                F.date_format(
+                    F.window("ts", "6 hours").start, "yyyy-MM-dd HH:mm:ss"
+                ).alias("w_start"),
+                "event_type",
+                bin_col.alias("b"),
+            )
+            .agg(F.count("*").alias("cb"))
+        )
+        total_windows = batch.select("w_start").distinct().count()
+        wset = sink.select("w_start").distinct()
+        mism = (
+            sink.join(
+                batch.join(wset, "w_start", "left_semi"),
+                ["w_start", "event_type", "b"],
+                "full",
+            )
+            .filter(
+                F.col("c").isNull()
+                | F.col("cb").isNull()
+                | (F.col("c") != F.col("cb"))
+            )
+            .count()
+        )
+        assert mism == 0, f"{mism} emitted-window count mismatches vs batch"
+        max_state = max(state_rows) if state_rows else -1
+        unwatermarked_bound = total_windows * n_types * 10
+        return {
+            "metric": "stress_stream_psi_append",
+            "events": n_events,
+            "files": n_files,
+            "batches": len(q.recentProgress),
+            "stream_sec": stream_sec,
+            "emitted_windows": emitted_windows,
+            "total_windows": total_windows,
+            "mismatches": mism,
+            "max_state_rows": max_state,
+            "state_rows_removed": removed,
+            "unwatermarked_state_bound": unwatermarked_bound,
+            "state_vs_unwatermarked": round(
+                max_state / max(unwatermarked_bound, 1), 3
+            ),
+            **_driver_memory(),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_mcnnm_cv(spark, n_units: int, n_periods: int = 10) -> dict:
     """mc_nnm_cv pivot-hoist rehearsal (r10 verdict item 5): the CV
     loop now builds, right-sizes and persists ONE wide pivot shared by
@@ -2342,7 +2471,7 @@ def main() -> None:
     mode = "panel"
     if args and args[0] in (
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
-        "stream", "streamcdc", "streamrefresh", "cdc", "hll", "cic",
+        "stream", "streamcdc", "streamrefresh", "streampsi", "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
         "bjs", "dsir", "lpa", "etwfe", "bjsse", "mcnnm", "mcnnmcov", "mcnnmcv", "fs",
         "ivfpqbatch", "ife",
@@ -2374,6 +2503,9 @@ def main() -> None:
     elif mode == "streamrefresh":
         n_events = int(args[0]) if args else 10_000_000
         out = run_stream_refresh(spark, n_events)
+    elif mode == "streampsi":
+        n_events = int(args[0]) if args else 10_000_000
+        out = run_stream_psi(spark, n_events)
     elif mode == "ivfpq":
         n_vecs = int(args[0]) if args else 100_000
         out = run_ivfpq(spark, n_vecs)
