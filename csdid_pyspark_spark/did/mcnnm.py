@@ -544,7 +544,15 @@ def mc_nnm(
         # loop-top state: (cur, V, beta) with cur's row factor in V's
         # basis, theta frozen, lam re-derived from the shared FE-only
         # spectrum top
-        cur = _warm_in["cur"]
+        # _nobs MUST match THIS fit's observation mask: the stored
+        # column was computed under the donor fit's mask, and resuming
+        # with a stale denominator makes the alpha step a non-
+        # projection whose iteration diverges geometrically when the
+        # masks differ (warm_final: masked candidate -> full fit).
+        # Recomputing is a narrow expression over cached columns; for
+        # the identical-mask candidate chain it reproduces the stored
+        # value bit-for-bit.
+        cur = _warm_in["cur"].withColumn("_nobs", n_obs)
         V = np.asarray(_warm_in["V"], dtype=float)
         beta = [float(b) for b in _warm_in["beta"]]
         theta = np.asarray(_warm_in["theta"], dtype=float)
@@ -861,6 +869,7 @@ def mc_nnm_cv(
     xnames: tuple = (),
     warm_start: bool = True,
     warm_tol: float = 1e-6,
+    warm_final: bool = False,
 ) -> dict:
     """MC-NNM with the paper's CROSS-VALIDATED nuclear-norm penalty
     (Athey et al. 2021 §4 prescribe choosing lambda by held-out
@@ -899,10 +908,20 @@ def mc_nnm_cv(
     at large n. Approximation contract, documented: the candidate
     holdout MSEs are tol-converged rather than fixed-``iters`` values
     (selection is unaffected unless two candidates' MSEs differ by
-    less than the tolerance), while the WINNER'S final refit is always
-    a cold full-``iters`` fit on all observed cells — bit-identical to
-    a direct ``mc_nnm(shrink_frac=winner)`` with or without
-    ``warm_start`` (pytest-pinned). Fully deterministic either way.
+    less than the tolerance), while the WINNER'S final refit is by
+    default a cold full-``iters`` fit on all observed cells —
+    bit-identical to a direct ``mc_nnm(shrink_frac=winner)`` with or
+    without ``warm_start`` (pytest-pinned). ``warm_final=True`` trades
+    that bit-identity pin for the cheapest full path: the final fit
+    resumes from the WINNING candidate's converged factors with the
+    same tol stop (the masked and full objectives share a fixed point
+    up to the held-out 10% of cells, so the warm final converges in a
+    few passes). Documented deviations under ``warm_final``: the
+    result is tol-converged rather than fixed-``iters``, and theta /
+    the lam calibration sigma0 are inherited from the MASKED fit
+    (both differ from their full-data values at O(holdout_frac)
+    relative) — pytest-bounded against the cold path. Fully
+    deterministic either way.
 
     Returns the final ``mc_nnm`` dict plus ``"cv"`` ({frac: holdout
     mse, inf where infeasible}), ``"shrink_frac"`` (winner) and
@@ -930,6 +949,7 @@ def mc_nnm_cv(
     try:
         cv: dict = {}
         state = None
+        states: dict = {}
         for f in shrink_fracs:
             try:
                 r = mc_nnm(
@@ -945,6 +965,8 @@ def mc_nnm_cv(
                 )
                 cv[float(f)] = float(r["holdout_mse"])
                 state = r.get("_state") if warm_start else None
+                if state is not None:
+                    states[float(f)] = state
             except UnidentifiedPeriodError:
                 cv[float(f)] = float("inf")
         feas = [
@@ -956,6 +978,9 @@ def mc_nnm_cv(
                 "untreated observation — lower holdout_frac"
             )
         best = min(feas, key=lambda t: (t[0], t[1]))[1]
+        use_warm_final = (
+            warm_start and warm_final and states.get(best) is not None
+        )
         out = mc_nnm(
             panel,
             shrink_frac=best,
@@ -963,6 +988,8 @@ def mc_nnm_cv(
             placebo_b=placebo_b,
             xnames=xnames,
             _prebuilt=(periods, base),
+            tol=(warm_tol if use_warm_final else 0.0),
+            _warm_in=(states[best] if use_warm_final else None),
         )
     finally:
         base.unpersist(blocking=False)

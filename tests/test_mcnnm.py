@@ -394,3 +394,29 @@ def test_mcnnm_cv_warm_start_path(spark):
     for (e1, a1, n1), (e2, a2, n2) in zip(full["att"], tolrun["att"]):
         assert (e1, n1) == (e2, n2)
         assert abs(a1 - a2) <= 1e-6 * max(1.0, abs(a1)), (e1, a1, a2)
+
+
+def test_mcnnm_cv_warm_final_tolerance(spark):
+    """warm_final=True: the winner's refit resumes from the winning
+    candidate's converged factors — same winner, att path within a
+    documented tolerance of the cold (bit-pinned) path, deterministic."""
+    from csdid_pyspark_spark.did.mcnnm import mc_nnm_cv
+
+    panel = _toy_panel(spark, n_per=16, T=6, cohorts=(0, 0, 3, 4, 5))
+    grid = (0.05, 0.3)
+    cold = mc_nnm_cv(panel, shrink_fracs=grid, iters=12, holdout_frac=0.15)
+    wf = mc_nnm_cv(
+        panel, shrink_fracs=grid, iters=12, holdout_frac=0.15,
+        warm_final=True,
+    )
+    assert wf["shrink_frac"] == cold["shrink_frac"]
+    scale = max(abs(cold["att_overall"]), 1.0)
+    assert abs(wf["att_overall"] - cold["att_overall"]) <= 0.02 * scale
+    for (e1, a1, n1), (e2, a2, n2) in zip(cold["att"], wf["att"]):
+        assert (e1, n1) == (e2, n2)
+        assert abs(a1 - a2) <= 0.05 * max(abs(a1), 0.5), (e1, a1, a2)
+    wf2 = mc_nnm_cv(
+        panel.repartition(7), shrink_fracs=grid, iters=12,
+        holdout_frac=0.15, warm_final=True,
+    )
+    assert wf2["att"] == wf["att"]
