@@ -2140,6 +2140,112 @@ def run_mcnnm_cov(spark, n_units: int, n_periods: int = 10) -> dict:
     }
 
 
+def run_conformal_nyt(spark, n_donors: int, n_periods: int = 20) -> dict:
+    """NYT-pool conformal rehearsal (r11): an all-eventually-treated
+    panel whose donor pool is n_donors LATE adopters (g = 18) carrying
+    a PLANTED +50 jump from their own adoption — if the not-yet-
+    treated window truncation ever read a donor's treated periods the
+    fits would be visibly poisoned. Two small early cohorts (g=13:
+    +2.0, g=15: -1.5, 5 units each, built as noisy copies of specific
+    donors' latent series) must be recovered by conformal_staggered
+    (control='notyettreated') over windows truncated at 17: ONE
+    groupBy(id) screen over the n_donors x T pool, bounded donor_k
+    collect, driver-side inversion. Evidence: theta_hat within noise
+    of the planted effects, p(theta0=0) at the block floor, CIs cover
+    and sign, wall dominated by the single screen aggregation, driver
+    flat."""
+    from csdid_pyspark_spark.did.synth import conformal_staggered
+
+    T = n_periods
+    g_late = 18
+    lvl = (F.pmod(F.xxhash64("id", F.lit("l")), 1000) / 50.0).alias("lvl")
+    slope = (F.pmod(F.xxhash64("id", F.lit("s")), 100) / 100.0).alias("slope")
+    t = spark.range(T).select(F.col("id").alias("t"))
+    donors = (
+        spark.range(1, n_donors + 1)
+        .select("id", lvl, slope)
+        .crossJoin(t)
+        .select(
+            "id",
+            F.lit(g_late).alias("g"),
+            F.col("t").cast("int").alias("period"),
+            (
+                F.col("lvl")
+                + F.col("slope") * F.col("t")
+                + F.pmod(F.xxhash64("id", "t"), 100) / 1000.0
+                # the donors' OWN treatment: a huge jump the truncated
+                # window must never see
+                + F.when(F.col("t") >= g_late, 50.0).otherwise(0.0)
+            ).alias("y"),
+        )
+    )
+    brows = (
+        donors.filter(F.col("id") <= 4)
+        .filter(F.col("period") < g_late)
+        .collect()
+    )
+    base = {}
+    for r in brows:
+        base.setdefault(int(r["id"]), {})[int(r["period"])] = float(r["y"])
+    taus = {13: 2.0, 15: -1.5}
+    rows = []
+    uid = n_donors + 1
+    for gg, tau in taus.items():
+        for j in range(5):
+            src = 1 + (j % 4)
+            for p in range(T):
+                yb = base[src].get(p)
+                if yb is None:  # p >= g_late: treated unit keeps its
+                    # own (untreated-donor-latent) extrapolation
+                    yb = base[src][g_late - 1]
+                rows.append(
+                    (
+                        uid,
+                        int(gg),
+                        p,
+                        float(
+                            yb
+                            + 0.002 * ((p * 11 + j) % 5)
+                            + (tau if p >= gg else 0.0)
+                        ),
+                    )
+                )
+            uid += 1
+    treated = spark.createDataFrame(
+        rows, "id bigint, g int, period int, y double"
+    )
+    panel = donors.unionByName(treated)
+    t0 = time.perf_counter()
+    res = conformal_staggered(
+        panel, donor_k=25, control="notyettreated", alpha=0.1
+    )
+    wall = round(time.perf_counter() - t0, 1)
+    c8, c10 = res["cohorts"][13], res["cohorts"][15]
+    return {
+        "metric": "stress_conformal_nyt",
+        "donors": n_donors,
+        "panel_rows": n_donors * T + 10 * T,
+        "cohorts": sorted(res["cohorts"]),
+        "theta13": round(c8["theta_hat"], 4),
+        "theta15": round(c10["theta_hat"], 4),
+        "theta_abs_err": round(
+            max(abs(c8["theta_hat"] - 2.0), abs(c10["theta_hat"] + 1.5)), 4
+        ),
+        "p13_at_zero": c8["p_value"],
+        "p15_at_zero": c10["p_value"],
+        "ci13": [c8["lo"], c8["hi"]],
+        "ci15": [c10["lo"], c10["hi"]],
+        "covers": bool(
+            c8["lo"] is not None
+            and c8["lo"] <= 2.0 <= c8["hi"]
+            and c10["lo"] is not None
+            and c10["lo"] <= -1.5 <= c10["hi"]
+        ),
+        "fit_sec": wall,
+        **_driver_memory(),
+    }
+
+
 def run_stream_psi(spark, n_events: int, n_files: int = 8) -> dict:
     """Append-mode watermarked PSI monitor rehearsal (r11): n synthetic
     events land as time-ordered files so ``maxFilesPerTrigger=1``
@@ -2471,7 +2577,8 @@ def main() -> None:
     mode = "panel"
     if args and args[0] in (
         "panel", "docs", "clf", "tokens", "rank", "spans", "srm", "er", "cm",
-        "stream", "streamcdc", "streamrefresh", "streampsi", "cdc", "hll", "cic",
+        "stream", "streamcdc", "streamrefresh", "streampsi", "conformalnyt",
+        "cdc", "hll", "cic",
         "conformal", "pit", "stats", "ivfpq", "ivfpqidx", "synth", "lm",
         "bjs", "dsir", "lpa", "etwfe", "bjsse", "mcnnm", "mcnnmcov", "mcnnmcv", "fs",
         "ivfpqbatch", "ife",
@@ -2506,6 +2613,9 @@ def main() -> None:
     elif mode == "streampsi":
         n_events = int(args[0]) if args else 10_000_000
         out = run_stream_psi(spark, n_events)
+    elif mode == "conformalnyt":
+        n_donors = int(args[0]) if args else 1_000_000
+        out = run_conformal_nyt(spark, n_donors)
     elif mode == "ivfpq":
         n_vecs = int(args[0]) if args else 100_000
         out = run_ivfpq(spark, n_vecs)
