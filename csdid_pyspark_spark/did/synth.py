@@ -1437,6 +1437,144 @@ def conformal_trace(
     return out
 
 
+def conformal_staggered_pooled(
+    panel: DataFrame,
+    gname: str = "g",
+    yname: str = "y",
+    tname: str = "period",
+    idname: str = "id",
+    theta0: float = 0.0,
+    donor_k: int = 50,
+    fw_iters: int = 800,
+    model: str = "sdid",
+    q: float = 1.0,
+    alpha: float = 0.1,
+    grid_points: int = 81,
+    interval: bool = True,
+    control: str = "nevertreated",
+    max_units: int = 50,
+) -> dict:
+    """Moving-block conformal test for a CONSTANT cohort effect with
+    the POOLED-residual statistic across treated units (CWZ 2021 §4)
+    — the full-window counterpart of :func:`conformal_trace_pooled`:
+    under H0: θ_{j,t} = θ0 for every unit j and post t, EACH treated
+    unit's adjusted series is untreated, so each is refit separately
+    over the (possibly NYT-truncated) window and the block statistic
+    pools residual magnitudes across units,
+    S(block) = (mean_{t∈block} Σ_j |u_{j,t}|^q)^{1/q}, ranked over
+    all |win| cyclic blocks. Versus the cohort-MEAN test
+    (:func:`conformal_staggered`): pooling |residuals| instead of
+    averaging SERIES keeps power when unit effects are heterogeneous
+    or opposite-signed (they cancel in the mean, never in S), at the
+    cost of N_g driver refits per evaluation — hence the ``max_units``
+    guard (small-cohort tool; the mean test is the large-cohort
+    shape). With one treated unit the two tests coincide (pytest-
+    pinned). Test inversion can return an EMPTY interval (lo = hi =
+    None with a rejected ``p_value``) when no constant θ fits every
+    unit — the constant-sharp-null diagnostic.
+
+    Same screen/``control`` modes as the mean test plus one bounded
+    treated-series collect. Returns ``{"cohorts": {g: {"p_value",
+    "theta_hat", "n_units" [, "lo", "hi"]}}, "theta0", "alpha"}``
+    (``theta_hat`` = the cohort-mean SDID estimate, the same point
+    the mean test reports)."""
+    import numpy as np
+
+    p = panel.select(
+        F.col(idname).alias("id"),
+        F.col(gname).alias("g"),
+        F.col(tname).alias("t"),
+        F.col(yname).alias("y"),
+    )
+    periods, cmean, csize, cohorts, t_end, pools, series = (
+        _conformal_cohort_screen(
+            p, donor_k, control, "conformal_staggered_pooled"
+        )
+    )
+    big = [g for g in cohorts if csize[g] > max_units]
+    if big:
+        raise ValueError(
+            "conformal_staggered_pooled: cohort(s) "
+            f"{big} exceed max_units={max_units} — use "
+            "conformal_staggered (the cohort-mean test) for large "
+            "cohorts"
+        )
+    trows = (
+        p.filter(F.col("g").isin([g for g in cohorts]))
+        .orderBy("id", "t")
+        .collect()
+    )
+    tser: dict = {}
+    for r in trows:
+        tser.setdefault(r["g"], {}).setdefault(r["id"], {})[r["t"]] = float(
+            r["y"]
+        )
+
+    out: dict = {"cohorts": {}, "theta0": float(theta0), "alpha": float(alpha)}
+    for g in cohorts:
+        win = [t for t in periods if t <= t_end[g]]
+        pre = [t for t in win if t < g]
+        post = [t for t in win if t >= g]
+        pool = pools[g]
+        units = sorted(tser.get(g, {}))
+        X = np.array([[series[d][t] for t in win] for d in pool]).T
+        Xf = X - X.mean(axis=0, keepdims=True) if model == "sdid" else X
+        T, T1 = len(win), len(post)
+
+        def pval(th, _g=g, _win=win, _Xf=Xf, _T=T, _T1=T1):
+            S = np.zeros(_T)
+            for uid in units:
+                y = np.array(
+                    [
+                        tser[_g][uid][t] - (th if t >= _g else 0.0)
+                        for t in _win
+                    ]
+                )
+                yf = y - y.mean() if model == "sdid" else y
+                w = _frank_wolfe_simplex(_Xf, yf, iters=fw_iters)
+                S += np.abs(yf - _Xf @ w) ** q
+            s_obs = float(np.mean(S[_T - _T1:])) ** (1.0 / q)
+            ge = 0
+            for j in range(_T):
+                idx = [(j + kk) % _T for kk in range(_T1)]
+                if float(np.mean(S[idx])) ** (1.0 / q) >= s_obs - 1e-15:
+                    ge += 1
+            return ge / _T
+
+        core = _sdid_core(
+            cmean[g], series, pool, pre, post, fw_iters, n_tr=csize[g]
+        )
+        row = {
+            "p_value": float(pval(theta0)),
+            "theta_hat": float(core["att"]),
+            "n_units": int(csize[g]),
+        }
+        if interval:
+            theta_hat = core["att"]
+            scale = max(core["pre_rmse"], 1e-9)
+            half = 6.0 * scale + abs(theta_hat) * 0.5
+            acc: list = []
+            interior = False
+            for _ in range(6):
+                grid = np.linspace(
+                    theta_hat - half, theta_hat + half, grid_points
+                )
+                acc = [float(th) for th in grid if pval(float(th)) > alpha]
+                if acc and acc[0] > grid[0] + 1e-12 and acc[-1] < grid[-1] - 1e-12:
+                    interior = True
+                    break
+                half *= 2.0
+            if not acc:
+                # no constant effect fits every unit: empty interval,
+                # reported as None/None (the heterogeneity diagnostic)
+                row["lo"] = row["hi"] = None
+            else:
+                row["lo"] = float(min(acc)) if interior else None
+                row["hi"] = float(max(acc)) if interior else None
+        out["cohorts"][int(g)] = row
+    return out
+
+
 def conformal_trace_pooled(
     panel: DataFrame,
     gname: str = "g",

@@ -2046,3 +2046,76 @@ def test_conformal_trace_pooled_power_on_heterogeneous_effects(spark):
 
     with _pytest.raises(ValueError, match="max_units"):
         conformal_trace_pooled(het, donor_k=14, max_units=3)
+
+
+def test_conformal_staggered_pooled_constant_null(spark):
+    """Full-window pooled moving-block test (CWZ §4): on the
+    heterogeneous ±3 cohort the MEAN test cannot reject theta0=0 (the
+    cohort-mean series is ~untreated) while the POOLED statistic
+    rejects at the block floor and reports an EMPTY interval (no
+    constant effect fits every unit); on the homogeneous cohort the
+    pooled CI covers the common effect and excludes 0; with a single
+    treated unit the pooled and mean p-values coincide exactly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from csdid_pyspark_spark.did.synth import (
+        conformal_staggered,
+        conformal_staggered_pooled,
+    )
+
+    rng = np.random.default_rng(59)
+    T, g = 30, 24
+    beta = rng.normal(0, 1.5, T)
+    rows = []
+    donor_y = {}
+    for d in range(1, 15):
+        a = rng.normal(10, 2)
+        for t in range(T):
+            y = float(a + beta[t] + rng.normal(0, 0.15))
+            donor_y.setdefault(d, []).append(y)
+            rows.append((d, 0, t, y))
+    uid = 100
+    het_rows, hom_rows = list(rows), list(rows)
+    for tau in (3.0, 3.0, 3.0, -3.0, -3.0, -3.0):
+        w = rng.dirichlet(np.ones(4))
+        picks = rng.choice(range(1, 15), size=4, replace=False)
+        for t in range(T):
+            base = float(sum(w[j] * donor_y[int(picks[j])][t] for j in range(4)))
+            noise = float(rng.normal(0, 0.15))
+            het_rows.append((uid, g, t, base + (tau if t >= g else 0.0) + noise))
+            hom_rows.append((uid, g, t, base + (3.0 if t >= g else 0.0) + noise))
+        uid += 1
+    het = spark.createDataFrame(het_rows, "id bigint, g int, period int, y double")
+    hom = spark.createDataFrame(hom_rows, "id bigint, g int, period int, y double")
+
+    mean_p = conformal_staggered(het, donor_k=14, interval=False)
+    # mean test is blind: its p stays far above the 1/T block floor
+    # the pooled test attains (the cohort-mean series is ~untreated,
+    # so the rank is near-uniform — 0.27 on this draw)
+    assert mean_p["cohorts"][g]["p_value"] >= 0.2
+
+    pooled = conformal_staggered_pooled(
+        het, donor_k=14, fw_iters=300, grid_points=41
+    )
+    c = pooled["cohorts"][g]
+    assert c["p_value"] <= 2.0 / T + 1e-9  # pooled stat detects
+    assert c["lo"] is None and c["hi"] is None  # no constant fits
+
+    hom_pooled = conformal_staggered_pooled(
+        hom, donor_k=14, fw_iters=300, grid_points=41
+    )
+    ch = hom_pooled["cohorts"][g]
+    assert ch["p_value"] <= 2.0 / T + 1e-9
+    assert ch["lo"] is not None and ch["lo"] > 0.0
+    assert ch["lo"] - 0.3 <= 3.0 <= ch["hi"] + 0.3  # grid resolution
+
+    # single treated unit: pooled == mean machinery exactly
+    solo = [r for r in het_rows if r[1] == 0 or r[0] == 100]
+    spanel = spark.createDataFrame(solo, "id bigint, g int, period int, y double")
+    pm = conformal_staggered(spanel, donor_k=14, interval=False)
+    pp = conformal_staggered_pooled(spanel, donor_k=14, interval=False)
+    assert pp["cohorts"][g]["p_value"] == pm["cohorts"][g]["p_value"]
+
+    with _pytest.raises(ValueError, match="max_units"):
+        conformal_staggered_pooled(het, donor_k=14, max_units=3)
