@@ -964,14 +964,16 @@ def _arp_accepts(y, Sy, verts, alpha: float, lf_cv: float | None,
     return p > alpha
 
 
-def _cone_tests(polys, beta, Sig, k, m, j_t, hybrid, kappa, lf_sims, rng):
-    """Per-cone ARP test inputs shared by the union CI frames
-    (Δ^RM, Δ^SDRM): for each polyhedron A — the moment vector
-    y0 = Aβ̂, the target column a_t, the moment covariance Σ_Y, the
-    dual vertices with the OTHER post effects profiled out, and (when
-    hybrid) the seeded least-favorable critical value. rng draws are
-    consumed in cone order; the frames' pinned-golden determinism
-    depends on that order staying fixed."""
+def _cone_tests_dir(polys, beta, Sig, k, m, u, B, hybrid, kappa,
+                    lf_sims, rng):
+    """Per-cone ARP test inputs for a GENERAL target direction in the
+    post-effect space: the null is l'τ = θ0 with τ = θ·u + B·ξ
+    (l'u = 1, B a basis of l's orthogonal complement), so the target
+    column is a_t = A_post u and the profiled-out nuisances enter
+    through X = A_post B. With u = e_j and B = the identity columns
+    of the other posts this reduces EXACTLY to the per-event frames'
+    inputs (same matrices, same dual vertices — the pinned goldens'
+    path). rng draws are consumed in cone order."""
     import numpy as np
 
     tests = []
@@ -980,9 +982,9 @@ def _cone_tests(polys, beta, Sig, k, m, j_t, hybrid, kappa, lf_sims, rng):
         sig = np.sqrt(np.maximum(np.diag(Sy), 0.0))
         floor = 1e-9 * (sig.max() if sig.max() > 0 else 1.0)
         sig = np.maximum(sig, floor)
-        other = [k + j for j in range(m) if j != j_t]
-        verts = _dual_vertices(A[:, other], sig)
-        a_t = A[:, k + j_t]
+        A_post = A[:, k:]
+        verts = _dual_vertices(A_post @ B, sig)
+        a_t = A_post @ u
         y0 = A @ beta
         lf_cv = None
         if hybrid and len(verts):
@@ -996,6 +998,24 @@ def _cone_tests(polys, beta, Sig, k, m, j_t, hybrid, kappa, lf_sims, rng):
             )
         tests.append((y0, a_t, Sy, verts, lf_cv))
     return tests
+
+
+def _cone_tests(polys, beta, Sig, k, m, j_t, hybrid, kappa, lf_sims, rng):
+    """Per-cone ARP test inputs shared by the union CI frames
+    (Δ^RM, Δ^SDRM) for the single-event target τ_{e_j} — the e-basis
+    specialization of :func:`_cone_tests_dir` (u = e_{j_t}, B = the
+    other posts' identity columns: A_post u and A_post B are then the
+    exact column selections the pinned goldens were produced with)."""
+    import numpy as np
+
+    u = np.zeros(m)
+    u[j_t] = 1.0
+    B = np.zeros((m, m - 1))
+    for c, j in enumerate(j for j in range(m) if j != j_t):
+        B[j, c] = 1.0
+    return _cone_tests_dir(
+        polys, beta, Sig, k, m, u, B, hybrid, kappa, lf_sims, rng
+    )
 
 
 def honest_rm_ci_frame(
@@ -1224,6 +1244,187 @@ def honest_sdrm_ci_frame(
         "e int, mbar double, att double, method string, ci_lo double,"
         " ci_hi double, grid_points int",
     ).orderBy("e", "mbar")
+
+
+def honest_target_ci_frame(
+    profile: DataFrame,
+    l_vec,
+    family: str = "rm",
+    mbars: tuple[float, ...] = (0.5, 1.0, 2.0),
+    att_col: str = "att_iw",
+    se_col: str = "se",
+    cov=None,
+    alpha: float = 0.05,
+    hybrid: bool = True,
+    grid_points: int = 241,
+    lf_sims: int = 1000,
+    seed: int = 20231015,
+    shape: str = "none",
+) -> DataFrame:
+    """ARP conditional/hybrid CI for a LINEAR COMBINATION l'τ of the
+    post-period effects — HonestDiD's ``l_vec`` target (the common
+    use: l = 1/m·1, the AVERAGE post-period effect — the robust
+    analogue of aggte("simple") — or a weighted horizon average) —
+    under ``family`` ∈ {"rm", "sd", "sdrm"} with the same calibration,
+    shape rows and hybrid machinery as the per-event frames. The null
+    l'τ = θ0 is reparameterized τ = θ·u + B·ξ with u = l/(l'l) and B
+    an orthonormal basis of l's complement (deterministic sign-fixed
+    SVD), so the target column is A_post·u and the nuisances are
+    profiled out through X = A_post·B — the exact generalization the
+    per-event frames are the e-basis case of (``_cone_tests_dir``).
+
+    The inversion grid is anchored at the plug-in identified set of
+    l'τ: for "rm", width = M̄·s_pre·Σ_j|Σ_{e≥j} l̃_e| over post steps
+    (l̃ = l re-indexed by event time; the steps are independently
+    bounded so the bound is attained); for "sd"/"sdrm", center shifts
+    by Σ_e l_e(e+1)·s_last and width = M·Σ_j|Σ_{e≥j} l̃_e (e−j+2)|
+    -ish is bounded above by M·Σ_e |l_e|(e+1)(e+2)/2 (used,
+    conservative — the auto-widening loop absorbs slack). Output:
+    (mbar, family, target, method, ci_lo, ci_hi, grid_points) with
+    ``target`` = l'att̂, NULL-endpoint semantics as the per-event
+    frames. ``hybrid`` is the LF/conditional pair (the FLCI first
+    stage stays per-event). Scale shape: result-sized driver algebra."""
+    import numpy as np
+
+    if family not in ("rm", "sd", "sdrm"):
+        raise ValueError(
+            f"honest_target_ci_frame: family must be 'rm', 'sd' or "
+            f"'sdrm', got {family!r}"
+        )
+    min_k = 1 if family == "rm" else 2
+    att, se, k, m, posts, pre_asc, beta, Sig = _moment_profile(
+        profile, att_col, se_col, cov, min_k=min_k,
+        caller="honest_target_ci_frame",
+    )
+    l = np.asarray(l_vec, dtype=float)
+    if l.shape != (m,):
+        raise ValueError(
+            f"honest_target_ci_frame: l_vec must have one weight per "
+            f"post event time 0..{m - 1} (need shape ({m},), got "
+            f"{l.shape})"
+        )
+    if not np.any(l != 0.0):
+        raise ValueError("honest_target_ci_frame: l_vec is all zeros")
+    u = l / float(l @ l)
+    if m > 1:
+        proj = np.eye(m) - np.outer(l, l) / float(l @ l)
+        U_, s_, _ = np.linalg.svd(proj)
+        B = U_[:, : m - 1]
+        # deterministic sign: largest-|entry| coordinate positive
+        for j in range(B.shape[1]):
+            i = int(np.argmax(np.abs(B[:, j])))
+            if B[i, j] < 0:
+                B[:, j] = -B[:, j]
+    else:
+        B = np.zeros((1, 0))
+    # plug-in calibration for the grid
+    path = [att[t] for t in pre_asc] + [0.0]
+    s_pre = max(abs(path[i + 1] - path[i]) for i in range(len(path) - 1))
+    c_pre = (
+        max(
+            abs(path[i + 1] - 2.0 * path[i] + path[i - 1])
+            for i in range(1, len(path) - 1)
+        )
+        if len(path) >= 3
+        else 0.0
+    )
+    s_last = -att[-2]
+    se_max = max(se[t] for t in pre_asc + posts)
+    target = float(sum(l[j] * att[e] for j, e in enumerate(posts)))
+    kappa = alpha / 10.0 if hybrid else 0.0
+    rng = np.random.Generator(np.random.PCG64(seed))
+    method = (
+        f"{family}-" + ("hybrid" if hybrid else "conditional")
+        + ("" if shape == "none" else f"+{shape}")
+    )
+    # |coefficient of post step j| in l'delta: tails of l over events
+    tails = np.abs(np.cumsum(l[::-1]))[::-1]
+    out = []
+    for mbar in mbars:
+        if family == "rm":
+            polys = _rm_polyhedra(k, m, float(mbar), shape=shape)
+            d_mask = None
+            center = target
+            half = float(mbar) * s_pre * float(tails.sum()) + 10.0 * se_max
+        elif family == "sdrm":
+            polys = _sdrm_polyhedra(k, m, float(mbar), shape=shape)
+            d_mask = None
+            shift = s_last * float(
+                sum(l[j] * (e + 1) for j, e in enumerate(posts))
+            )
+            center = target - shift
+            half = (
+                abs(shift)
+                + float(mbar) * c_pre * float(
+                    sum(
+                        abs(l[j]) * (e + 1) * (e + 2) / 2.0
+                        for j, e in enumerate(posts)
+                    )
+                )
+                + 10.0 * se_max
+            )
+        else:  # sd: one polytope with affine offset on curvature rows
+            A_sd = _sd_constraints(k, m)
+            D_pre, D_post = _step_matrices(k, m)
+            srows = _shape_rows(k, m, shape, D_pre, D_post)
+            if srows:
+                A = np.vstack([A_sd, np.asarray(srows)])
+                d_mask = np.concatenate(
+                    [np.ones(A_sd.shape[0]), np.zeros(len(srows))]
+                )
+            else:
+                A = A_sd
+                d_mask = np.ones(A.shape[0])
+            polys = [A]
+            shift = s_last * float(
+                sum(l[j] * (e + 1) for j, e in enumerate(posts))
+            )
+            center = target - shift
+            half = (
+                abs(shift)
+                + float(mbar) * c_pre * float(
+                    sum(
+                        abs(l[j]) * (e + 1) * (e + 2) / 2.0
+                        for j, e in enumerate(posts)
+                    )
+                )
+                + 10.0 * se_max
+            )
+        tests = _cone_tests_dir(
+            polys, beta, Sig, k, m, u, B, hybrid, kappa, lf_sims, rng
+        )
+        M = float(mbar) * c_pre
+
+        def accepted(theta0: float) -> bool:
+            for i, (y0, a_t, Sy, verts, lf_cv) in enumerate(tests):
+                d = (
+                    M * d_mask
+                    if d_mask is not None
+                    else np.zeros(len(y0))
+                )
+                if _arp_accepts(
+                    y0 - d - theta0 * a_t, Sy, verts, alpha, lf_cv, kappa
+                ):
+                    return True
+            return False
+
+        ci_lo, ci_hi = _invert_grid(accepted, center, half, grid_points)
+        out.append(
+            (
+                float(mbar),
+                family,
+                round(target, 6),
+                method,
+                _r6(ci_lo),
+                _r6(ci_hi),
+                int(grid_points),
+            )
+        )
+    return profile.sparkSession.createDataFrame(
+        out,
+        "mbar double, family string, target double, method string,"
+        " ci_lo double, ci_hi double, grid_points int",
+    ).orderBy("mbar")
 
 
 def honest_breakdown_frame(

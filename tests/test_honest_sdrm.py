@@ -297,3 +297,91 @@ def test_breakdown_mbar_frame(spark):
 
     with pytest.raises(ValueError, match="family must be"):
         honest_breakdown_frame(prof, family="sideways").collect()
+
+
+def test_target_frame_basis_case_equals_per_event_frame(spark):
+    """honest_target_ci_frame with l = e_j must reproduce the
+    per-event frame's (e=j) row EXACTLY under hybrid=False (identical
+    matrices through _cone_tests_dir; no rng consumed), for all three
+    families."""
+    from csdid_pyspark_spark.did.honest import (
+        honest_rm_ci_frame,
+        honest_sd_ci_frame,
+        honest_sdrm_ci_frame,
+        honest_target_ci_frame,
+    )
+
+    rows = [
+        (int(e), float(b), 0.02)
+        for e, b in zip([-4, -3, -2, 0, 1, 2], BETA)
+    ]
+    prof = spark.createDataFrame(rows, "e int, att_iw double, se double")
+    per_event = {
+        "rm": honest_rm_ci_frame,
+        "sd": honest_sd_ci_frame,
+        "sdrm": honest_sdrm_ci_frame,
+    }
+    l = [0.0, 1.0, 0.0]
+    for fam, fn in per_event.items():
+        ref = {
+            r["e"]: r
+            for r in fn(
+                prof, mbars=(1.0,), hybrid=False, grid_points=121
+            ).collect()
+        }[1]
+        got = honest_target_ci_frame(
+            prof, l, family=fam, mbars=(1.0,), hybrid=False,
+            grid_points=121,
+        ).collect()[0]
+        assert got["target"] == ref["att"], fam
+        # the inversion grids differ only in their anchor for sd/sdrm
+        # (same center/half formulas) and rm — all identical for e=1,
+        # so the hulls must agree exactly
+        assert got["ci_lo"] == ref["ci_lo"], (fam, got, ref)
+        assert got["ci_hi"] == ref["ci_hi"], (fam, got, ref)
+
+
+def test_target_frame_average_effect_identified_set(spark):
+    """l = (1/3,1/3,1/3) (the average post effect) under Delta^RM with
+    se -> 0 on the boundary DGP of test_honest_rm: post steps are
+    independently bounded by mbar*s_pre = 0.5, and the average's step
+    coefficients are the tails (1, 2/3, 1/3), so the identified set is
+    l'att +- 0.5*2 = [mean(att) - 1, mean(att) + 1] — the accepted
+    hull must converge to it (grid tolerance). Also: the hybrid run
+    is deterministic and contained in a wider-mbar run."""
+    from csdid_pyspark_spark.did.honest import honest_target_ci_frame
+
+    # test_honest_rm's DGP: pre steps max 0.5, tau = 1 per post
+    att = {-4: -0.5, -3: 0.0, -2: -0.5,
+           0: 1.0 - 0.5, 1: 1.0 + 0.0, 2: 1.0 + 0.5}
+    rows = [(e, a, 1e-5) for e, a in att.items()]
+    prof = spark.createDataFrame(rows, "e int, att_iw double, se double")
+    l = [1.0 / 3] * 3
+    out = honest_target_ci_frame(
+        prof, l, family="rm", mbars=(1.0,), hybrid=False,
+        grid_points=481,
+    ).collect()[0]
+    mean_att = sum(att[e] for e in (0, 1, 2)) / 3.0
+    assert out["target"] == pytest.approx(mean_att, abs=1e-9)
+    step = 2 * (0.5 * 2 + 1e-4) / 480
+    assert out["ci_lo"] == pytest.approx(mean_att - 1.0, abs=3 * step)
+    assert out["ci_hi"] == pytest.approx(mean_att + 1.0, abs=3 * step)
+
+    hyb = honest_target_ci_frame(
+        prof, l, family="rm", mbars=(0.5, 1.0), grid_points=121
+    ).collect()
+    again = honest_target_ci_frame(
+        prof, l, family="rm", mbars=(0.5, 1.0), grid_points=121
+    ).collect()
+    assert hyb == again
+    by_m = {r["mbar"]: r for r in hyb}
+    assert by_m[0.5]["ci_lo"] >= by_m[1.0]["ci_lo"] - 1e-9
+    assert by_m[0.5]["ci_hi"] <= by_m[1.0]["ci_hi"] + 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="one weight per"):
+        honest_target_ci_frame(prof, [1.0], family="rm").collect()
+    with _pytest.raises(ValueError, match="all zeros"):
+        honest_target_ci_frame(prof, [0.0, 0.0, 0.0]).collect()
+    with _pytest.raises(ValueError, match="family must be"):
+        honest_target_ci_frame(prof, l, family="x").collect()
