@@ -1441,6 +1441,7 @@ def honest_breakdown_frame(
     shape: str = "none",
     mbar_max: float = 10.0,
     tol: float = 0.01,
+    l_vec=None,
 ) -> DataFrame:
     """BREAKDOWN sensitivity M̄* per post event time — the headline
     number of an honest-DiD application (RR 2023 §6; HonestDiD's
@@ -1462,7 +1463,13 @@ def honest_breakdown_frame(
     robustness is demanded) and NULL when 0 is still excluded at
     ``mbar_max``. Pure driver algebra: |posts| × log2(range/tol)
     result-sized frame probes; zero data-scale Spark work beyond what
-    the caller's profile already did."""
+    the caller's profile already did.
+
+    ``l_vec``: probe :func:`honest_target_ci_frame` instead of the
+    per-event frame — ONE row (e = -1 sentinel, att = l'att̂) giving
+    the breakdown M̄* of a linear-combination target such as the
+    average post effect (the sensitivity number usually quoted for
+    the headline estimate rather than each horizon)."""
     frames = {
         "rm": honest_rm_ci_frame,
         "sd": honest_sd_ci_frame,
@@ -1476,6 +1483,24 @@ def honest_breakdown_frame(
     fn = frames[family]
 
     def ci_map(mbar: float) -> dict:
+        if l_vec is not None:
+            rows = honest_target_ci_frame(
+                profile,
+                l_vec,
+                family=family,
+                mbars=(float(mbar),),
+                att_col=att_col,
+                se_col=se_col,
+                cov=cov,
+                alpha=alpha,
+                hybrid=bool(hybrid),
+                grid_points=grid_points,
+                lf_sims=lf_sims,
+                seed=seed,
+                shape=shape,
+            ).collect()
+            # single target: report under the e = -1 sentinel
+            return {-1: {**rows[0].asDict(), "att": rows[0]["target"]}}
         rows = fn(
             profile,
             mbars=(float(mbar),),

@@ -385,3 +385,29 @@ def test_target_frame_average_effect_identified_set(spark):
         honest_target_ci_frame(prof, [0.0, 0.0, 0.0]).collect()
     with _pytest.raises(ValueError, match="family must be"):
         honest_target_ci_frame(prof, l, family="x").collect()
+
+
+def test_breakdown_lvec_average_target(spark):
+    """Breakdown of the AVERAGE post effect (l_vec path): on the SD
+    DGP the average's curvature-tail width is 0.3*(1+3+6)/3 = 1.0 per
+    mbar and the average center is mean(att_e + (e+1)*0.1), so
+    M̄* ≈ center/1.0; reported as the single e = -1 sentinel row."""
+    from csdid_pyspark_spark.did.honest import honest_breakdown_frame
+
+    rows = [
+        (int(e), float(b), 1e-4)
+        for e, b in zip([-4, -3, -2, 0, 1, 2], BETA)
+    ]
+    prof = spark.createDataFrame(rows, "e int, att_iw double, se double")
+    l = [1.0 / 3] * 3
+    out = honest_breakdown_frame(
+        prof, family="sd", hybrid=False, grid_points=161, tol=0.02,
+        l_vec=l,
+    ).collect()
+    assert len(out) == 1 and out[0]["e"] == -1
+    center = (1.3 + 1.9 + 2.8) / 3.0
+    width_per_mbar = 0.3 * (1 + 3 + 6) / 3.0
+    assert out[0]["att"] == pytest.approx((1.2 + 1.7 + 2.5) / 3.0, abs=1e-6)
+    assert out[0]["mbar_breakdown"] == pytest.approx(
+        center / width_per_mbar, rel=0.05
+    )
