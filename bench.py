@@ -1,8 +1,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line with per-query
-wall seconds. Each query is forced with a full collect (what the
-driver's correctness gate does), after a warmup that absorbs JVM/codegen
+wall seconds. Each query is forced with the built-in noop sink
+(``df.write.format("noop")``), which computes every column of every row
+and discards the result, after a warmup that absorbs JVM/codegen
 startup.
+
+Measurement semantics (round 11): the timed action changed from
+``collect()`` to the noop sink per the optimization guide §1.4 —
+``collect()`` additionally times JVM->Python row deserialization on the
+DRIVER, which for the wide-result queries (text_tfidf returns ~390k
+rows at sf0.1) dominated the number while being no part of the
+distributed computation; a 100 TB pipeline writes results to storage,
+it never collects them. The noop sink is strictly MORE honest about
+computation: unlike count(), it cannot let the optimizer prune columns
+or subtrees. Per-query collect-vs-noop deltas under the old
+methodology are recorded in OPTIMIZATION_r11.md; the line also carries
+``timed_action`` so every capture self-identifies its methodology.
 
 The whole suite runs $SPARK_GRAFT_BENCH_REPS times (default 3) in one
 process, interleaved — round-robin over queries, not back-to-back per
@@ -151,9 +164,10 @@ def main() -> None:
 
     for _ in range(reps):
         for name in names:
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
-            df.collect()
+            df.write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
             # two-phase/dedup operators persist intermediates; release
             # them between reps so the rep loop measures steady-state
@@ -181,6 +195,7 @@ def main() -> None:
         "load1_post": load1_post,
         "calib_ms": calib_ms,
         "membw_s_per_gb": membw,
+        "timed_action": "noop_sink",
         "sf": sf,
     }
     try:
@@ -215,6 +230,7 @@ def main() -> None:
         "load1_post": load1_post,
         "calib_ms": calib_ms,
         "membw_s_per_gb": membw,
+        "timed_action": "noop_sink",
         "sf": sf,
     }
     line = json.dumps(line_obj, separators=(",", ":"))

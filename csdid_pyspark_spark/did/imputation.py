@@ -116,13 +116,27 @@ def _bjs_core(
         )
     )
 
-    # -- pass 2 (ONE scan of the panel): per-period stats for the
-    # lambda normal equations AND both imputability guards.
+    # -- pass 2 (ONE action): per-period stats for the lambda normal
+    # equations AND both imputability guards AND the duplicate-(id,
+    # period) flag AND the W_st pair weights. The per-period and
+    # per-(s,t) aggregations are independent subtrees, so they run as
+    # ONE unioned job instead of two (three, with the old standalone
+    # dup-guard action) sequential driver round-trips — same
+    # aggregation expressions, same values, fewer scheduler
+    # round-trips (guide §1.2/§2.6: actions are only sequential
+    # because driver code calls them sequentially).
     # X'y[t] = sum_{untreated at t} (y - ybar_i); the within-unit
     # residual cross-term vanishes, see module docstring.
     untr = (F.col("g") == 0) | (F.col("period") < F.col("g"))
-    stats_rows = (
-        p.join(um.select("id", "ybar"), "id", "left")
+    stats_agg = (
+        p.join(
+            um.select(
+                "id", "ybar", F.col("n_i").alias("n_i_u"),
+                F.size("uperiods").alias("n_up"),
+            ),
+            "id",
+            "left",
+        )
         .groupBy("period")
         .agg(
             F.sum(F.when(untr, F.col("y") - F.col("ybar"))).alias("xty"),
@@ -132,8 +146,19 @@ def _bjs_core(
             F.sum(
                 F.when(~untr & F.col("ybar").isNull(), 1).otherwise(0)
             ).alias("n_unanchored_rows"),
+            # duplicate-(id, period) untreated flag: uperiods is a SET
+            # while n_i counts rows (see guard below)
+            F.max(
+                F.when(F.col("n_up") != F.col("n_i_u"), 1).otherwise(0)
+            ).alias("dup_flag"),
         )
-        .collect()
+        .select(
+            F.lit("p").alias("kind"),
+            F.col("period").alias("s"),
+            F.lit(None).cast("int").alias("t"),
+            "xty", "n_t", "n_treated", "n_unanchored_rows", "dup_flag",
+            F.lit(None).cast("double").alias("w"),
+        )
     )
     # W_st = sum_i [s,t in U_i] / n_i via a bounded T^2 explode of the
     # per-unit period sets (scans only the persisted per-unit frame)
@@ -146,19 +171,30 @@ def _bjs_core(
         ).alias("st"),
         (F.lit(1.0) / F.col("n_i")).alias("w"),
     )
-    w_rows = (
-        pairs.groupBy(F.col("st.s").alias("s"), F.col("st.t").alias("t"))
-        .agg(F.sum("w").alias("w"))
-        .collect()
+    w_agg = pairs.groupBy(F.col("st.s").alias("s"), F.col("st.t").alias("t")).agg(
+        F.sum("w").alias("w")
     )
+    fused = stats_agg.unionByName(
+        w_agg.select(
+            F.lit("w").alias("kind"), "s", "t",
+            F.lit(None).cast("double").alias("xty"),
+            F.lit(None).cast("bigint").alias("n_t"),
+            F.lit(None).cast("bigint").alias("n_treated"),
+            F.lit(None).cast("bigint").alias("n_unanchored_rows"),
+            F.lit(None).cast("int").alias("dup_flag"),
+            "w",
+        )
+    ).collect()
+    stats_rows = [r for r in fused if r["kind"] == "p"]
+    w_rows = [r for r in fused if r["kind"] == "w"]
 
     # -- imputability guards (BJS preconditions), decided from the
     # already-collected per-period stats — the precise unit count runs
     # only on the error path
     xty_rows = [r for r in stats_rows if int(r["n_t"]) > 0]
-    lam_periods = sorted(int(r["period"]) for r in xty_rows)
+    lam_periods = sorted(int(r["s"]) for r in xty_rows)
     missing_t = [
-        int(r["period"]) for r in stats_rows
+        int(r["s"]) for r in stats_rows
         if int(r["n_treated"]) > 0 and int(r["n_t"]) == 0
     ]
     if missing_t:
@@ -188,9 +224,10 @@ def _bjs_core(
     # rows, so a duplicated untreated observation would silently break
     # the W_st / alpha_i algebra (deduped pair weights over a row
     # count) — raise loudly, same convention as mc_nnm's panel guard.
-    # um is already materialized by the stats pass, so this reads cache.
-    dup = um.filter(F.size("uperiods") != F.col("n_i")).limit(1).collect()
-    if dup:
+    # The flag rides the fused stats pass; the offending unit id is
+    # looked up only on the error path (um reads cache there).
+    if any(int(r["dup_flag"] or 0) > 0 for r in stats_rows):
+        dup = um.filter(F.size("uperiods") != F.col("n_i")).limit(1).collect()
         um.unpersist()
         raise ValueError(
             f"bjs_imputation_frame: unit {dup[0]['id']!r} has duplicate "
@@ -205,9 +242,9 @@ def _bjs_core(
     T1 = len(est)
     A = np.zeros((T1, T1))
     b = np.zeros(T1)
-    n_t = {int(r["period"]): float(r["n_t"]) for r in xty_rows}
+    n_t = {int(r["s"]): float(r["n_t"]) for r in xty_rows}
     for r in xty_rows:
-        t = int(r["period"])
+        t = int(r["s"])
         if t in idx:
             b[idx[t]] = float(r["xty"])
             A[idx[t], idx[t]] = n_t[t]
@@ -335,16 +372,28 @@ def bjs_imputation_se_frame(
         "y",
         (F.col("period") - F.col("g")).cast("int").alias("e"),
     )
-    # -- tiny collected aggregations for gamma_e and the cell means ----
+    # -- tiny collected aggregations for gamma_e: the per-(e, period)
+    # counts and per-(e, t) weights are independent aggregations of the
+    # same join, fused into ONE unioned action (one scheduler
+    # round-trip instead of two; identical per-branch expressions)
     tstats = te.join(um.select("id", "n_i", "uperiods"), "id")
-    c1_rows = tstats.groupBy("e", "period").count().collect()
-    c2_rows = (
+    c1_agg = tstats.groupBy("e", "period").count().select(
+        F.lit("c1").alias("kind"), "e", F.col("period").alias("t"),
+        "count", F.lit(None).cast("double").alias("w"),
+    )
+    c2_agg = (
         tstats.select("e", (1.0 / F.col("n_i")).alias("w"),
                       F.explode("uperiods").alias("t"))
         .groupBy("e", "t")
         .agg(F.sum("w").alias("w"))
-        .collect()
+        .select(
+            F.lit("c2").alias("kind"), "e", "t",
+            F.lit(None).cast("bigint").alias("count"), "w",
+        )
     )
+    c_rows = c1_agg.unionByName(c2_agg).collect()
+    c1_rows = [r for r in c_rows if r["kind"] == "c1"]
+    c2_rows = [r for r in c_rows if r["kind"] == "c2"]
     n_e = {}
     for r in c1_rows:
         n_e[int(r["e"])] = n_e.get(int(r["e"]), 0) + int(r["count"])
@@ -360,8 +409,8 @@ def bjs_imputation_se_frame(
     for e in events:
         gam = np.zeros(T1)
         for r in c1_rows:
-            if int(r["e"]) == e and int(r["period"]) in idx:
-                gam[idx[int(r["period"])]] += float(r["count"])
+            if int(r["e"]) == e and int(r["t"]) in idx:
+                gam[idx[int(r["t"])]] += float(r["count"])
         for r in c2_rows:
             if int(r["e"]) == e and int(r["t"]) in idx:
                 gam[idx[int(r["t"])]] -= float(r["w"])

@@ -72,6 +72,25 @@ from csdid_pyspark_spark.cache import (  # noqa: E402
 )
 
 
+def _pin_input(df: DataFrame) -> tuple[DataFrame, bool]:
+    """``repartitionByRange`` SAMPLES its child to pick range boundaries
+    — one full execution of the input lineage — and then executes the
+    child AGAIN for the shuffle map stage, so every two-phase scan was
+    paying its input aggregation twice (guide §1.1 first-principles
+    pass count; visible as a duplicated subtree of jobs in the event
+    log). Pin the input in cache for the duration of the materializing
+    action so the lineage runs once: the sampling job fills the cache,
+    the map stage reads it, and the caller unpersists right after the
+    stats collect (the range-partitioned frame is itself cached by
+    then, so the input pin has nothing left to serve). No-op when the
+    caller already persisted the input (unpersisting here would drop
+    the caller's cache)."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df, False
+    return df.persist(), True
+
+
 def _ordered(df: DataFrame, len_col: str, stream_col: str, id_col: str) -> DataFrame:
     """Deterministic stream order: content-addressed (md5 of the id)
     so packing is independent of ingest order, with the id itself as
@@ -117,7 +136,7 @@ def packed_offsets(
     without a per-stream reducer. Exactly equals
     `packed_offsets_window` (tested), but the heavy pass is
     partition-parallel regardless of stream skew."""
-    o = _ordered(df, len_col, stream_col, id_col)
+    o, own_pin = _pin_input(_ordered(df, len_col, stream_col, id_col))
     n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
     # The only full-data shuffle: range partition by the total order so
     # each partition holds a contiguous slice of every stream it sees.
@@ -130,6 +149,8 @@ def packed_offsets(
     part = part.persist()
     # Light pass: per-(partition, stream) totals — tiny (P × streams).
     totals = part.groupBy("_pid", stream_col).agg(F.sum("tok_len").alias("_tot")).collect()
+    if own_pin:
+        o.unpersist()
     base: dict[tuple[int, str], int] = {}
     acc: dict[str, int] = {}
     for row in sorted(totals, key=lambda r: r["_pid"]):
@@ -224,7 +245,7 @@ def global_row_number(
     broadcast back, sequential numbering within partitions. Ties are
     broken by the order columns themselves — pass a unique tiebreak
     column for fully deterministic output."""
-    o = df
+    o, own_pin = _pin_input(df)
     n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
     part = (
         o.repartitionByRange(n, *order_cols)
@@ -235,6 +256,8 @@ def global_row_number(
     # (range boundaries are sampled per execution — see packed_offsets)
     part = part.persist()
     counts = {r["_pid"]: r["c"] for r in part.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    if own_pin:
+        o.unpersist()
     base, acc = {}, 0
     for pid in sorted(counts):
         base[pid] = acc
@@ -293,7 +316,7 @@ def global_rank_cumsum(
     ``val_type`` sets the accumulation decimal (default
     ``decimal(30,6)`` — counts/amounts); log-space accumulators pass
     ``decimal(38,18)`` so prefix sums keep full double precision."""
-    o = df.withColumn("_v", F.col(val_col).cast(val_type))
+    o, own_pin = _pin_input(df.withColumn("_v", F.col(val_col).cast(val_type)))
     n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
     part = (
         o.repartitionByRange(n, *order_cols)
@@ -307,6 +330,8 @@ def global_rank_cumsum(
         .agg(F.count("*").alias("c"), F.sum("_v").alias("s"))
         .collect()
     }
+    if own_pin:
+        o.unpersist()
     bases, c_acc, s_acc = [], 0, Decimal(0)
     for pid in sorted(stats):
         bases.append((pid, c_acc, s_acc))
@@ -365,6 +390,7 @@ def global_cumsums(
     o = df
     for v in val_cols:
         o = o.withColumn(f"_v_{v}", F.col(v).cast("decimal(30,6)"))
+    o, own_pin = _pin_input(o)
     n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
     part = (
         o.repartitionByRange(n, *order_cols)
@@ -376,6 +402,8 @@ def global_cumsums(
         F.sum(f"_v_{v}").alias(f"_s_{v}") for v in val_cols
     ]
     stats = {r["_pid"]: r for r in part.groupBy("_pid").agg(*aggs).collect()}
+    if own_pin:
+        o.unpersist()
     bases, c_acc = [], 0
     s_acc = {v: Decimal(0) for v in val_cols}
     for pid in sorted(stats):
@@ -443,7 +471,7 @@ def grouped_rank(
     partial-aggregation order (pass integer-valued or
     already-rounded-to-6dp measures)."""
     keys = list(group_cols)
-    o = df
+    o, own_pin = _pin_input(df)
     n = num_partitions or o.sparkSession.sparkContext.defaultParallelism
     part = (
         o.repartitionByRange(n, *keys, *order_cols)
@@ -457,6 +485,8 @@ def grouped_rank(
             F.sum(F.col(sum_col).cast("decimal(38,6)")).alias("s")
         )
     stats = part.groupBy("_pid", *keys).agg(*aggs).collect()
+    if own_pin:
+        o.unpersist()
     # exclusive base per (pid, group): rows of the SAME group in lower pids
     from decimal import Decimal
 

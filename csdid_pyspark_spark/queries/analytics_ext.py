@@ -560,6 +560,17 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("spend_d").cast("double").alias("spend"),
         )
     )
+    # The per-customer aggregate is tiny post-shuffle (AQE coalesces it
+    # to ~1 partition at bench scale), but the explode below fans each
+    # row out BOOT_REPS x into the md5 draw — the heavy compute of this
+    # query. Re-spread the PRE-explosion rows across the cores first
+    # (guide §2.5 fan-out rule: shuffle the few small rows so the big
+    # derived work parallelizes); hash on the customer key keeps the
+    # placement deterministic. At cluster scale defaultParallelism is
+    # the total core count — exactly the width the fan-out stage needs.
+    spend = spend.repartition(
+        spark.sparkContext.defaultParallelism, "o_custkey"
+    )
     drawn = spend.withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1)))
     ).withColumn(
@@ -644,11 +655,17 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes itself to the 7 target days it falls inside (a 7-way
     explode — constant fan-out), then ONE (day)-keyed distinct count;
     the observed-days dimension joins broadcast (bounded by calendar
-    span at any scale)."""
+    span at any scale). The deduplicated activity is persisted once:
+    three independent subtrees (days broadcast, DAU, WAU contrib)
+    consume it, and without the pin each re-runs the events scan +
+    distinct shuffle (guide §2.4 — an Exchange repeated three times
+    for one logical input)."""
+    from csdid_pyspark_spark.cache import attach_cache
+
     e = load_table(spark, sf_dir, "events")
     daily = e.select(
         F.to_date("ts").alias("day"), "user_id"
-    ).distinct()
+    ).distinct().persist()
     days = daily.select("day").distinct()
     dau = daily.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
     contrib = daily.select(
@@ -662,7 +679,7 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
-    return (
+    out = (
         dau.join(wau, "day")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -672,6 +689,7 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+    return attach_cache(out, daily)
 
 
 EVENTS_STICKINESS_SQL = """

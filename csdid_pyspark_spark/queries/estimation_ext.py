@@ -898,15 +898,18 @@ def cic_qte_frame(spark, y10, y11, y00, y01) -> DataFrame:
     )
     q10 = taus.join(cell("t_pre", "k10", "q10"), "k10")
     # F00 at the 9 probe values: one aggregate over control-pre rows per
-    # probe (probes broadcast; the control side is scanned once).
-    n00 = y00.count()
+    # probe (probes broadcast; the control side is scanned once). Every
+    # (tau, q10, k11) group aggregates over ALL control-pre rows, so
+    # n00 is just the group's row count — no separate y00.count()
+    # action (one fewer scheduler round-trip AND one fewer scan of the
+    # control-pre lineage; same value, long->double like float(n00)).
     p = (
         y00.crossJoin(F.broadcast(q10))
         .groupBy("tau", "q10", "k11")
         .agg(
             (
                 F.sum(F.when(F.col("y") <= F.col("q10"), 1).otherwise(0))
-                / F.lit(float(n00))
+                / F.count("*").cast("double")
             ).alias("p00")
         )
         .withColumn(
@@ -1317,36 +1320,43 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_F2 = min_d sum_w c_d(w)^2 over depth-4 x width-256 counters of
     ``lineitem.l_partkey``. Counters are integers, so the estimate is
     engine-exact; reported against the exact sum of squared key counts
-    with the guaranteed-one-sided relative error. One explode(depth) +
-    one (depth, bucket) aggregation — fixed 4x256 state at any scale."""
+    with the guaranteed-one-sided relative error.
+
+    Scale shape (guide §2.3 "aggregate before you shuffle"): ONE scan
+    + ONE map-side-combinable ``groupBy(key).count()`` collapses the
+    data to its distinct keys; both the CM counters (depth-explode of
+    the per-key bucket array, WEIGHTED by the key count — identical
+    bucket totals, since every row of a key lands in the same bucket)
+    and the exact F2 then read that tiny persisted frame. The previous
+    shape exploded depth x data rows and scanned lineitem twice."""
+    from csdid_pyspark_spark.cache import attach_cache
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("key")
     )
+    keyc = li.groupBy("key").agg(F.count("*").alias("c")).persist()
     buckets = F.array(
         *[F.expr(_f2_bucket_spark(s)) for s in F2_DEPTH_SEEDS]
     )
     counters = (
-        li.select(F.posexplode(buckets).alias("depth", "bucket"))
+        keyc.select(F.posexplode(buckets).alias("depth", "bucket"), "c")
         .groupBy("depth", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     est = (
         counters.groupBy("depth")
         .agg(F.sum(F.col("c") * F.col("c")).alias("f2_d"))
         .agg(F.min("f2_d").alias("est_f2"))
     )
-    exact = (
-        li.groupBy("key")
-        .agg(F.count("*").alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
-    )
-    return est.crossJoin(F.broadcast(exact)).select(
+    exact = keyc.agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    out = est.crossJoin(F.broadcast(exact)).select(
         F.col("est_f2").cast("bigint").alias("est_f2"),
         F.col("exact_f2").cast("bigint").alias("exact_f2"),
         F.round(
             (F.col("est_f2") - F.col("exact_f2")) / F.col("exact_f2"), 4
         ).alias("overestimate_frac"),
     )
+    return attach_cache(out, keyc)
 
 
 _F2_BUCKET_DUCK = (

@@ -3836,23 +3836,58 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast); the only broadcast joins are the O(|query|) df table
     and the 1-row (N, avgdl) scalars. All inputs to the score are
     exact integers / decimal-exact means, so the doubles round
-    identically on both engines."""
+    identically on both engines.
+
+    Scale shape (r11): the query terms are a FIXED tiny set, so the
+    per-(doc, term) tf table is a handful of conditional counters on
+    the per-doc aggregate — ONE tokenize explode + ONE map-side-
+    combinable groupBy(doc_id) produces dl and every tf at once
+    (previous shape ran the explode three times — dl, the scalars
+    broadcast's recompute of dl, and the filtered tf — and paid a
+    second (doc_id, term) shuffle). The per-doc frame is persisted
+    (doc-scale, 4 narrow columns); scalars, df and the score all read
+    it. Values identical: a conditional sum over tokens equals the
+    filtered count, and docs with tf=0 are dropped exactly as the
+    groupBy(doc_id, term) never saw them."""
+    from csdid_pyspark_spark.cache import attach_cache
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     ).filter(F.length("term") > 0)
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    scalars = dl.agg(
+    qterms = list(_BM25_TERMS)
+    per = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_tf_{i}")
+            for i, t in enumerate(qterms)
+        ],
+    ).persist()
+    scalars = per.agg(
         F.count("*").alias("n_docs"),
         (F.sum(F.col("dl").cast("decimal(27,6)")).cast("double") / F.count("*")).alias(
             "avgdl"
         ),
     )
-    qterms = list(_BM25_TERMS)
     tf = (
-        tok.filter(F.col("term").isin(qterms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        per.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"), F.col(f"_tf_{i}").alias("tf")
+                        )
+                        for i, t in enumerate(qterms)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "dl", F.col("x.term").alias("term"), F.col("x.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     k1, b = _BM25_K1, _BM25_B
@@ -3861,9 +3896,8 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = idf * (F.col("tf") * (k1 + 1)) / denom
-    return (
+    out = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(scalars))
         .groupBy("doc_id")
         .agg(
@@ -3873,6 +3907,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_terms_matched"),
         )
     )
+    return attach_cache(out, per)
 
 
 TEXT_BM25_SQL = rf"""
@@ -5722,7 +5757,12 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     array exactly once). The previous form exploded (n, gram) pairs
     and paid two count shuffles for what is per-row arithmetic; values
     are identical (same counts, same count x char-length metric)."""
-    d = load_table(spark, sf_dir, "documents")
+    from csdid_pyspark_spark.operators.fanout import widen_fanout
+
+    # per-doc n-gram sorting is the heaviest per-row expression in the
+    # suite: spread the physically small doc scan across the cores
+    # before it (no-op at real corpus scale — fanout.py)
+    d = widen_fanout(load_table(spark, sf_dir, "documents"))
     tk = F.split(F.trim("text"), r"\s+")
     toks = d.select("doc_id", tk.alias("tk"))
 
@@ -5894,7 +5934,15 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-row likelihood-ratio table broadcasts back onto the exploded
     bigrams, ONE per-doc sum shuffle, and the global top-k is a
     TakeOrdered (no full sort). At 100 TB: two narrow shuffles plus a
-    k-row collect."""
+    k-row collect. The hashed-bigram frame is persisted: THREE
+    independent subtrees consume it (bucket counts, the totals inside
+    the broadcast, the per-doc logw sum) and without the pin each
+    re-runs the tokenize + md5 explode — the dominant per-row compute
+    of the query (guide §2.4/§5: cache exactly the reused expensive
+    lineage, narrow columns only)."""
+    from csdid_pyspark_spark.cache import attach_cache
+
+
     B = 256
     K = 200
     d = load_table(spark, sf_dir, "documents")
@@ -5919,7 +5967,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(
             F.conv(F.substring(F.md5("bg"), 1, 4), 16, 10).cast("long"), B
         ).alias("b"),
-    )
+    ).persist()
     raw_c = big.groupBy("b").agg(
         F.count("*").alias("c_r"),
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("c_t"),
@@ -5954,7 +6002,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.5
     ) / F.lit(4294967296.0)
     key = F.col("logw") - F.log(-F.log(u))
-    return (
+    out = (
         logw.select(
             "doc_id",
             F.round("logw", 6).alias("logw"),
@@ -5963,6 +6011,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gumbel_key").desc(), "doc_id")
         .limit(K)
     )
+    return attach_cache(out, big)
 
 
 SAMPLE_DSIR_SQL = r"""
