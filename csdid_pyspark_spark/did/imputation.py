@@ -87,10 +87,19 @@ def _bjs_core(
     tname: str,
     gname: str,
     idname: str,
+    extra=None,
 ) -> dict:
     """Shared first stage: guards, the lambda solve, and the persisted
     per-unit frame. Returns the frames + driver-side pieces both the
-    point-estimate and SE paths build on."""
+    point-estimate and SE paths build on.
+
+    ``extra``: optional callable ``(p, treated, um) -> [DataFrame]``
+    producing additional tiny aggregates ALREADY SHAPED to the fused
+    union schema (kind, s, t, xty, n_t, n_treated, n_unanchored_rows,
+    dup_flag, w, cnt). They ride the SAME single collect as the core
+    stats — the SE path's gamma_e inputs are independent of the lambda
+    solve, so a separate sequential action for them was pure scheduler
+    round-trip (guide §2.6). Rows come back under ``extra_rows``."""
     import numpy as np
 
     from csdid_pyspark_spark.cache import persist_rightsized, release_cache
@@ -158,6 +167,7 @@ def _bjs_core(
             F.lit(None).cast("int").alias("t"),
             "xty", "n_t", "n_treated", "n_unanchored_rows", "dup_flag",
             F.lit(None).cast("double").alias("w"),
+            F.lit(None).cast("bigint").alias("cnt"),
         )
     )
     # W_st = sum_i [s,t in U_i] / n_i via a bounded T^2 explode of the
@@ -174,7 +184,7 @@ def _bjs_core(
     w_agg = pairs.groupBy(F.col("st.s").alias("s"), F.col("st.t").alias("t")).agg(
         F.sum("w").alias("w")
     )
-    fused = stats_agg.unionByName(
+    fused_df = stats_agg.unionByName(
         w_agg.select(
             F.lit("w").alias("kind"), "s", "t",
             F.lit(None).cast("double").alias("xty"),
@@ -183,10 +193,15 @@ def _bjs_core(
             F.lit(None).cast("bigint").alias("n_unanchored_rows"),
             F.lit(None).cast("int").alias("dup_flag"),
             "w",
+            F.lit(None).cast("bigint").alias("cnt"),
         )
-    ).collect()
+    )
+    for x in (extra(p, treated, um) if extra is not None else []):
+        fused_df = fused_df.unionByName(x)
+    fused = fused_df.collect()
     stats_rows = [r for r in fused if r["kind"] == "p"]
     w_rows = [r for r in fused if r["kind"] == "w"]
+    extra_rows = [r for r in fused if r["kind"] not in ("p", "w")]
 
     # -- imputability guards (BJS preconditions), decided from the
     # already-collected per-period stats — the precise unit count runs
@@ -298,6 +313,7 @@ def _bjs_core(
         "est": est,
         "idx": idx,
         "Minv": Minv,
+        "extra_rows": extra_rows,
     }
 
 
@@ -360,7 +376,43 @@ def bjs_imputation_se_frame(
     stays O(T^2 + |E|*T) floats."""
     import numpy as np
 
-    c = _bjs_core(panel, yname, tname, gname, idname)
+    # -- tiny aggregations for gamma_e: the per-(e, period) counts and
+    # per-(e, t) weights are independent of the lambda solve, so they
+    # ride the CORE's single fused collect (one scheduler round-trip
+    # for the whole driver-side algebra; identical per-branch
+    # expressions). ``s`` carries e, ``t`` the period, ``cnt``/``w``
+    # the measures.
+    def _gamma_aggs(p, treated_f, um_f):
+        te_f = treated_f.select(
+            "id", (F.col("period") - F.col("g")).cast("int").alias("e"), "period"
+        )
+        tstats = te_f.join(um_f.select("id", "n_i", "uperiods"), "id")
+        nulls = [
+            F.lit(None).cast("double").alias("xty"),
+            F.lit(None).cast("bigint").alias("n_t"),
+            F.lit(None).cast("bigint").alias("n_treated"),
+            F.lit(None).cast("bigint").alias("n_unanchored_rows"),
+            F.lit(None).cast("int").alias("dup_flag"),
+        ]
+        c1 = tstats.groupBy("e", "period").count().select(
+            F.lit("c1").alias("kind"), F.col("e").alias("s"),
+            F.col("period").alias("t"), *nulls,
+            F.lit(None).cast("double").alias("w"),
+            F.col("count").cast("bigint").alias("cnt"),
+        )
+        c2 = (
+            tstats.select("e", (1.0 / F.col("n_i")).alias("w"),
+                          F.explode("uperiods").alias("t"))
+            .groupBy("e", "t")
+            .agg(F.sum("w").alias("w"))
+            .select(
+                F.lit("c2").alias("kind"), F.col("e").alias("s"), "t",
+                *nulls, "w", F.lit(None).cast("bigint").alias("cnt"),
+            )
+        )
+        return [c1, c2]
+
+    c = _bjs_core(panel, yname, tname, gname, idname, extra=_gamma_aggs)
     treated, untreated, um = c["treated"], c["untreated"], c["um"]
     est, base, idx, Minv = c["est"], c["base"], c["idx"], c["Minv"]
     spark = panel.sparkSession
@@ -372,31 +424,11 @@ def bjs_imputation_se_frame(
         "y",
         (F.col("period") - F.col("g")).cast("int").alias("e"),
     )
-    # -- tiny collected aggregations for gamma_e: the per-(e, period)
-    # counts and per-(e, t) weights are independent aggregations of the
-    # same join, fused into ONE unioned action (one scheduler
-    # round-trip instead of two; identical per-branch expressions)
-    tstats = te.join(um.select("id", "n_i", "uperiods"), "id")
-    c1_agg = tstats.groupBy("e", "period").count().select(
-        F.lit("c1").alias("kind"), "e", F.col("period").alias("t"),
-        "count", F.lit(None).cast("double").alias("w"),
-    )
-    c2_agg = (
-        tstats.select("e", (1.0 / F.col("n_i")).alias("w"),
-                      F.explode("uperiods").alias("t"))
-        .groupBy("e", "t")
-        .agg(F.sum("w").alias("w"))
-        .select(
-            F.lit("c2").alias("kind"), "e", "t",
-            F.lit(None).cast("bigint").alias("count"), "w",
-        )
-    )
-    c_rows = c1_agg.unionByName(c2_agg).collect()
-    c1_rows = [r for r in c_rows if r["kind"] == "c1"]
-    c2_rows = [r for r in c_rows if r["kind"] == "c2"]
+    c1_rows = [r for r in c["extra_rows"] if r["kind"] == "c1"]
+    c2_rows = [r for r in c["extra_rows"] if r["kind"] == "c2"]
     n_e = {}
     for r in c1_rows:
-        n_e[int(r["e"])] = n_e.get(int(r["e"]), 0) + int(r["count"])
+        n_e[int(r["s"])] = n_e.get(int(r["s"]), 0) + int(r["cnt"])
     events = sorted(n_e)
     if not events:
         um.unpersist()
@@ -409,10 +441,10 @@ def bjs_imputation_se_frame(
     for e in events:
         gam = np.zeros(T1)
         for r in c1_rows:
-            if int(r["e"]) == e and int(r["t"]) in idx:
-                gam[idx[int(r["t"])]] += float(r["count"])
+            if int(r["s"]) == e and int(r["t"]) in idx:
+                gam[idx[int(r["t"])]] += float(r["cnt"])
         for r in c2_rows:
-            if int(r["e"]) == e and int(r["t"]) in idx:
+            if int(r["s"]) == e and int(r["t"]) in idx:
                 gam[idx[int(r["t"])]] -= float(r["w"])
         delta[e] = (Minv @ (gam / n_e[e])) if T1 else np.zeros(0)
 

@@ -565,11 +565,15 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row out BOOT_REPS x into the md5 draw — the heavy compute of this
     # query. Re-spread the PRE-explosion rows across the cores first
     # (guide §2.5 fan-out rule: shuffle the few small rows so the big
-    # derived work parallelizes); hash on the customer key keeps the
-    # placement deterministic. At cluster scale defaultParallelism is
-    # the total core count — exactly the width the fan-out stage needs.
+    # derived work parallelizes). NOT ``repartition(n, "o_custkey")``:
+    # the aggregate is already hash-partitioned by o_custkey, so that
+    # exchange is elided as redundant and the fan-out still ran on the
+    # AQE-coalesced single partition (measured: no-op). A DERIVED hash
+    # key keeps placement deterministic (guide §2.5: never rand()) and
+    # survives the planner. At cluster scale defaultParallelism is the
+    # total core count — exactly the width the fan-out stage needs.
     spend = spend.repartition(
-        spark.sparkContext.defaultParallelism, "o_custkey"
+        spark.sparkContext.defaultParallelism, F.xxhash64("o_custkey")
     )
     drawn = spend.withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1)))

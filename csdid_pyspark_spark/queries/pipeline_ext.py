@@ -392,8 +392,14 @@ def countmin_readout(
 ) -> DataFrame:
     """Operator core of :func:`sketch_countmin_freq` over any
     (token, true_n) count frame — also driven at 50M-token rehearsal
-    scale by ``stress.py cm``."""
+    scale by ``stress.py cm``. The count frame is persisted once: the
+    sketch build and the top-k probe are independent subtrees, and
+    without the pin each re-runs the caller's tokenize + vocabulary
+    aggregation (guide §2.4; vocab-scale, two narrow columns)."""
+    from csdid_pyspark_spark.cache import attach_cache
+
     spark = counts.sparkSession
+    counts = counts.persist()
     seeds = F.broadcast(
         spark.createDataFrame(
             [(j, s) for j, s in enumerate(CM_DEPTH_SEEDS)], "j int, seed bigint"
@@ -412,7 +418,7 @@ def countmin_readout(
     probe = top.crossJoin(seeds).select(
         "token", "true_n", "j", bucket.alias("bucket")
     )
-    return (
+    out = (
         # the sketch is depth×width rows by construction — always broadcast
         probe.join(F.broadcast(cm), ["j", "bucket"])
         .groupBy("token", "true_n")
@@ -425,6 +431,7 @@ def countmin_readout(
         )
         .orderBy(F.col("true_n").desc(), "token")
     )
+    return attach_cache(out, counts)
 
 
 SKETCH_CM_SQL = r"""

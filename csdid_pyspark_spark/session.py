@@ -33,6 +33,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing normally does NOT apply inside persisted
+        # plans (default false), so a small cached aggregate freezes at
+        # the full shuffle-partition count and every downstream pass
+        # pays task launch per near-empty partition (the cache.py
+        # frozen-partitioning trap, measured: events_stickiness 57 ->
+        # 216 tasks after adding a persist). Letting AQE size cached
+        # output is scale-adaptive in both directions: tiny cached
+        # frames coalesce, data-scale ones keep their width via the
+        # same advisory-bytes rule as any shuffle.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
