@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csdid_pyspark_spark.cache import attach_cache
+
 # z_{0.975}: fixed literal so Spark and the SQL oracle feed identical
 # doubles into identical arithmetic
 Z975 = 1.959964
@@ -66,13 +68,18 @@ def honest_bounds_frame(
     calibrate s_pre from — Δ^RM is meaningless without an observed
     pre-trend magnitude."""
     spark = profile.sparkSession
+    # the |E|-row profile rides FOUR independent subtrees below (main,
+    # s_pre, and both sides of the steps self-join); its lineage is the
+    # caller's full data-scale event-study plan, which Spark would
+    # re-execute per subtree — pin it for the consumer's action
+    # (attach_cache → caller/bench releases after the final action)
     prof = profile.select(
         F.col("e").cast("int").alias("e"),
         F.col(att_col).cast("double").alias("att"),
         F.col(se_col).cast("double").alias("se"),
     ).unionByName(
         spark.createDataFrame([(-1, 0.0, 0.0)], "e int, att double, se double")
-    )
+    ).persist()
     # consecutive observed pre-period slopes (β_{-1} ≡ 0 included) via
     # a tiny self-join on e-1 — no ordered window, so no single-
     # reducer exchange even appears in the plan
@@ -98,7 +105,7 @@ def honest_bounds_frame(
     ).otherwise(F.col("s_pre"))
     grid = spark.createDataFrame([(float(m),) for m in mbars], "mbar double")
     width = (F.col("e") + 1) * F.col("mbar") * guard
-    return (
+    return attach_cache(
         prof.filter(F.col("e") >= 0)
         .crossJoin(F.broadcast(s_pre))
         .crossJoin(F.broadcast(grid))
@@ -111,7 +118,8 @@ def honest_bounds_frame(
             F.round(F.col("att") - width - F.lit(z) * F.col("se"), 6).alias("ci_lo"),
             F.round(F.col("att") + width + F.lit(z) * F.col("se"), 6).alias("ci_hi"),
         )
-        .orderBy("e", "mbar")
+        .orderBy("e", "mbar"),
+        prof,
     )
 
 
@@ -156,13 +164,17 @@ def honest_smoothness_frame(
     result-sized algebra over a |E|-row profile; every join input is
     broadcast."""
     spark = profile.sparkSession
+    # pin: the profile subtree appears SEVEN times below (main, both
+    # sides of the slopes self-join, both sides of the curvature
+    # self-join over slopes, and the two calibration aggregates) —
+    # without the pin the caller's data-scale lineage executes 7×
     prof = profile.select(
         F.col("e").cast("int").alias("e"),
         F.col(att_col).cast("double").alias("att"),
         F.col(se_col).cast("double").alias("se"),
     ).unionByName(
         spark.createDataFrame([(-1, 0.0, 0.0)], "e int, att double, se double")
-    )
+    ).persist()
     pre = prof.filter(F.col("e") <= -1)
     # per-event-time pre slopes β_e − β_{e−1} via an e−1 self-join
     slopes = pre.alias("t").join(
@@ -215,7 +227,7 @@ def honest_smoothness_frame(
         * c_pre
         * (((F.col("e") + 1) * (F.col("e") + 2)).cast("double") / F.lit(2.0))
     )
-    return (
+    return attach_cache(
         prof.filter(F.col("e") >= 0)
         .crossJoin(F.broadcast(s_last_agg))
         .crossJoin(F.broadcast(c_pre_agg))
@@ -233,7 +245,8 @@ def honest_smoothness_frame(
                 F.col("att") - shift + width + F.lit(z) * F.col("se"), 6
             ).alias("ci_hi"),
         )
-        .orderBy("e", "mbar")
+        .orderBy("e", "mbar"),
+        prof,
     )
 
 

@@ -349,12 +349,41 @@ def dcdh_placebo_frame(
     )
 
 
+def sunab_event_context(
+    panel: DataFrame,
+    yname: str = "y",
+    tname: str = "period",
+    gname: str = "g",
+    idname: str = "id",
+) -> tuple[DataFrame, DataFrame]:
+    """Pin the (cells, per_unit) pair every SA-profile consumer shares.
+
+    Spark shares NO common subexpressions across independent subtrees
+    or actions: a query that derives both the event-study profile
+    (:func:`sunab_event_se_frame`) and its influence covariance
+    (:func:`sunab_event_cov`) from one panel otherwise re-executes the
+    full data-scale cell + ψ lineage per consumer (3-7× observed on
+    the honest-bounds queries). Persisting here makes each lineage
+    execute once; both frames are small relative to the panel (cells:
+    |g|×|t| rows; per_unit: units × |E| narrow rows — ~3% of panel
+    bytes) and at 100 TB the same pin trades one cache write for 2+
+    full recomputes, so it is scale-favorable, not a local tweak.
+
+    Caller owns the lifecycle: unpersist both after the LAST action
+    over frames derived from them (all honest-family consumers
+    materialize inside the query function, so a try/finally suffices).
+    """
+    cells, per_unit = _sunab_cells_and_psi(panel, yname, tname, gname, idname)
+    return cells.persist(), per_unit.persist()
+
+
 def sunab_event_se_frame(
     panel: DataFrame,
     yname: str = "y",
     tname: str = "period",
     gname: str = "g",
     idname: str = "id",
+    ctx: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Sun-Abraham IW event-study with PLUG-IN standard errors from the
     unit-level influence representation (fixed cohort-share weights,
@@ -377,8 +406,12 @@ def sunab_event_se_frame(
     then per e). Executor→driver traffic: the event-time profile only.
 
     Output: (e, att_iw, se, n_treated) — att_iw identical to
-    :func:`sunab_event_frame`."""
-    cells, per_unit = _sunab_cells_and_psi(panel, yname, tname, gname, idname)
+    :func:`sunab_event_frame`. Pass ``ctx`` from
+    :func:`sunab_event_context` to share the pinned cell/ψ pair with
+    sibling consumers (identical expressions either way)."""
+    cells, per_unit = ctx if ctx is not None else _sunab_cells_and_psi(
+        panel, yname, tname, gname, idname
+    )
     se = per_unit.groupBy("e").agg(
         F.sqrt(F.sum(F.col("psi") * F.col("psi"))).alias("se_raw")
     )
@@ -551,21 +584,32 @@ def sunab_event_band_frame(
     from csdid_pyspark_spark.did.mboot import mboot
 
     cells, per_unit = _sunab_cells_and_psi(panel, yname, tname, gname, idname)
-    att_rows = (
-        cells.groupBy("e")
-        .agg(
-            F.sum(F.col("w_g") * (F.col("mu_g") - F.col("mu_0g"))).alias("att"),
-            F.max("n_e").cast("bigint").alias("n_treated"),
+    # three actions consume the ψ lineage (distinct-unit count, the
+    # bootstrap, and cells' broadcast inside it) — pin for their
+    # duration so the data-scale ψ aggregation executes once
+    per_unit = per_unit.persist()
+    try:
+        att_rows = (
+            cells.groupBy("e")
+            .agg(
+                F.sum(
+                    F.col("w_g") * (F.col("mu_g") - F.col("mu_0g"))
+                ).alias("att"),
+                F.max("n_e").cast("bigint").alias("n_treated"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    n_units = per_unit.select("id").distinct().count()
-    if_df = per_unit.select(
-        F.col("e").cast("long").alias("key"),
-        F.xxhash64("id").alias("uh"),
-        (F.col("psi") * F.lit(float(n_units))).alias("inf"),
-    )
-    mb = mboot(if_df, "key", "uh", "inf", n_units, biters=biters, alp=alp, seed=seed)
+        n_units = per_unit.select("id").distinct().count()
+        if_df = per_unit.select(
+            F.col("e").cast("long").alias("key"),
+            F.xxhash64("id").alias("uh"),
+            (F.col("psi") * F.lit(float(n_units))).alias("inf"),
+        )
+        mb = mboot(
+            if_df, "key", "uh", "inf", n_units, biters=biters, alp=alp, seed=seed
+        )
+    finally:
+        per_unit.unpersist()
     crit = mb.crit_val
     rows = []
     for r in sorted(att_rows, key=lambda r: r["e"]):
@@ -735,6 +779,7 @@ def sunab_event_cov(
     tname: str = "period",
     gname: str = "g",
     idname: str = "id",
+    ctx: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[list[int], list[list[float]]]:
     """FULL covariance of the Sun-Abraham event-study profile from the
     unit-level influence representation:  C[e, e'] = sum_i
@@ -754,31 +799,44 @@ def sunab_event_cov(
     is therefore ~1e-15 relative, absorbed by the 6-dp golden contract
     exactly as for the SA se golden. Driver traffic: |E|^2 floats.
 
-    Returns (events sorted ascending, C as nested lists)."""
-    _, per_unit = _sunab_cells_and_psi(panel, yname, tname, gname, idname)
-    events = sorted(
-        int(r["e"]) for r in per_unit.select("e").distinct().collect()
-    )
-    cols = [f"p{i}" for i in range(len(events))]
-    wide = (
-        per_unit.groupBy("id")
-        .pivot("e", events)
-        .agg(F.sum("psi"))
-        .select(
-            *[
-                F.coalesce(F.col(str(e)), F.lit(0.0)).alias(c)
-                for e, c in zip(events, cols)
-            ]
+    Returns (events sorted ascending, C as nested lists). Pass ``ctx``
+    from :func:`sunab_event_context` to share the pinned ψ frame with
+    sibling consumers; standalone calls pin it internally for the two
+    actions here (events scan + product aggregation) and release it
+    before returning."""
+    own_pin = ctx is None
+    if own_pin:
+        _, per_unit = _sunab_cells_and_psi(panel, yname, tname, gname, idname)
+        per_unit = per_unit.persist()
+    else:
+        _, per_unit = ctx
+    try:
+        events = sorted(
+            int(r["e"]) for r in per_unit.select("e").distinct().collect()
         )
-    )
-    aggs = [
-        F.sum((F.col(cols[i]) * F.col(cols[j])).cast("decimal(38,18)"))
-        .cast("double")
-        .alias(f"c{i}_{j}")
-        for i in range(len(events))
-        for j in range(i, len(events))
-    ]
-    row = wide.agg(*aggs).collect()[0]
+        cols = [f"p{i}" for i in range(len(events))]
+        wide = (
+            per_unit.groupBy("id")
+            .pivot("e", events)
+            .agg(F.sum("psi"))
+            .select(
+                *[
+                    F.coalesce(F.col(str(e)), F.lit(0.0)).alias(c)
+                    for e, c in zip(events, cols)
+                ]
+            )
+        )
+        aggs = [
+            F.sum((F.col(cols[i]) * F.col(cols[j])).cast("decimal(38,18)"))
+            .cast("double")
+            .alias(f"c{i}_{j}")
+            for i in range(len(events))
+            for j in range(i, len(events))
+        ]
+        row = wide.agg(*aggs).collect()[0]
+    finally:
+        if own_pin:
+            per_unit.unpersist()
     n = len(events)
     C = [[0.0] * n for _ in range(n)]
     for i in range(n):

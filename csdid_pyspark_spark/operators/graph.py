@@ -39,15 +39,21 @@ def pagerank_undirected(
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
         .persist()
     )
-    nodes = edges.select(F.col("s").alias("node")).distinct().persist()
+    # degree folded into the edge list ONCE: the per-round loop below
+    # otherwise pays the deg groupBy + its |E|-scale join every round
+    # (iters extra data-scale shuffles). deg's key set IS the node set
+    # (every node in a pair list has degree >= 1), so the node list
+    # rides the same aggregation instead of a second distinct over
+    # edges.
+    deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist()
+    edges_deg = edges.join(deg, "s").persist()
+    nodes = deg.select(F.col("s").alias("node")).persist()
     n = nodes.count()
-    deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
     base = (1.0 - damping) / n
     for _ in range(iters):
         contrib = (
-            edges.join(deg, "s")
-            .join(ranks.select(F.col("node").alias("s"), "rank"), "s")
+            edges_deg.join(ranks.select(F.col("node").alias("s"), "rank"), "s")
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
         )
@@ -64,7 +70,9 @@ def pagerank_undirected(
         new.count()  # materialize before releasing the predecessor
         ranks.unpersist()
         ranks = new
+    edges_deg.unpersist()
     edges.unpersist()
+    deg.unpersist()
     nodes.unpersist()  # the final rank vector is already materialized
     return ranks
 

@@ -2770,36 +2770,45 @@ def did_honest_flci(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_honest_flci.py."""
     from csdid_pyspark_spark.did.honest import honest_flci_frame
     from csdid_pyspark_spark.did.robust_cells import (
+        sunab_event_context,
         sunab_event_cov,
         sunab_event_se_frame,
     )
 
     panel = panel_from_events(spark, sf_dir)
-    prof = sunab_event_se_frame(panel)
-    events, C = sunab_event_cov(panel)
-    pos = {e: i for i, e in enumerate(events)}
-    # per post e: the (k+1)-square block over [pre ascending..., e];
-    # k = the maximal consecutive pre chain the FLCI uses
-    k = 0
-    while (-2 - k) in pos:
-        k += 1
-    pre_asc = list(range(-1 - k, -1))  # [-(k+1), ..., -2]
-    # quantize at 8dp BEFORE the optimizer: the covariance's psi
-    # inputs are double columns with ~1e-13 cross-partitioning drift,
-    # and Nelder-Mead amplifies input ulps into 6dp output flips
-    # (observed: two same-code runs disagreed in the 6th decimal of
-    # one halflength). Rounding makes the whole driver computation a
-    # function of partition-stable inputs; the 1e-8 perturbation moves
-    # the CI by O(1e-9).
-    cov = {
-        e: [
-            [round(C[i][j], 8) for j in ([pos[t] for t in pre_asc] + [pos[e]])]
-            for i in ([pos[t] for t in pre_asc] + [pos[e]])
-        ]
-        for e in events
-        if e >= 0
-    }
-    return honest_flci_frame(prof, cov=cov)
+    ctx = sunab_event_context(panel)
+    try:
+        prof = sunab_event_se_frame(panel, ctx=ctx)
+        events, C = sunab_event_cov(panel, ctx=ctx)
+        pos = {e: i for i, e in enumerate(events)}
+        # per post e: the (k+1)-square block over [pre ascending..., e];
+        # k = the maximal consecutive pre chain the FLCI uses
+        k = 0
+        while (-2 - k) in pos:
+            k += 1
+        pre_asc = list(range(-1 - k, -1))  # [-(k+1), ..., -2]
+        # quantize at 8dp BEFORE the optimizer: the covariance's psi
+        # inputs are double columns with ~1e-13 cross-partitioning drift,
+        # and Nelder-Mead amplifies input ulps into 6dp output flips
+        # (observed: two same-code runs disagreed in the 6th decimal of
+        # one halflength). Rounding makes the whole driver computation a
+        # function of partition-stable inputs; the 1e-8 perturbation moves
+        # the CI by O(1e-9).
+        cov = {
+            e: [
+                [
+                    round(C[i][j], 8)
+                    for j in ([pos[t] for t in pre_asc] + [pos[e]])
+                ]
+                for i in ([pos[t] for t in pre_asc] + [pos[e]])
+            ]
+            for e in events
+            if e >= 0
+        }
+        return honest_flci_frame(prof, cov=cov)
+    finally:
+        for _df in ctx:
+            _df.unpersist()
 
 
 QUERIES["did_honest_flci"] = did_honest_flci
@@ -2824,25 +2833,33 @@ def did_honest_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Coverage/power/identified-set pytests: tests/test_honest_rm.py."""
     from csdid_pyspark_spark.did.honest import honest_rm_ci_frame
     from csdid_pyspark_spark.did.robust_cells import (
+        sunab_event_context,
         sunab_event_cov,
         sunab_event_se_frame,
     )
 
     panel = panel_from_events(spark, sf_dir)
-    prof = sunab_event_se_frame(panel).select(
-        "e",
-        F.round("att_iw", 8).alias("att_iw"),
-        F.round("se", 8).alias("se"),
-    )
-    events, C = sunab_event_cov(panel)
-    pos = {e: i for i, e in enumerate(events)}
-    k = 0
-    while (-2 - k) in pos:
-        k += 1
-    posts = sorted(e for e in events if e >= 0)
-    coords = [pos[t] for t in range(-1 - k, -1)] + [pos[e] for e in posts]
-    cov = [[round(C[i][j], 8) for j in coords] for i in coords]
-    return honest_rm_ci_frame(prof, cov=cov)
+    # one pinned cell/ψ pair feeds profile + covariance (the ci frame
+    # materializes inside the call, so the pin scope ends here)
+    ctx = sunab_event_context(panel)
+    try:
+        prof = sunab_event_se_frame(panel, ctx=ctx).select(
+            "e",
+            F.round("att_iw", 8).alias("att_iw"),
+            F.round("se", 8).alias("se"),
+        )
+        events, C = sunab_event_cov(panel, ctx=ctx)
+        pos = {e: i for i, e in enumerate(events)}
+        k = 0
+        while (-2 - k) in pos:
+            k += 1
+        posts = sorted(e for e in events if e >= 0)
+        coords = [pos[t] for t in range(-1 - k, -1)] + [pos[e] for e in posts]
+        cov = [[round(C[i][j], 8) for j in coords] for i in coords]
+        return honest_rm_ci_frame(prof, cov=cov)
+    finally:
+        for _df in ctx:
+            _df.unpersist()
 
 
 QUERIES["did_honest_rm"] = did_honest_rm
@@ -2862,25 +2879,31 @@ def did_honest_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling queries; deterministic → pinned VALUES golden."""
     from csdid_pyspark_spark.did.honest import honest_sd_ci_frame
     from csdid_pyspark_spark.did.robust_cells import (
+        sunab_event_context,
         sunab_event_cov,
         sunab_event_se_frame,
     )
 
     panel = panel_from_events(spark, sf_dir)
-    prof = sunab_event_se_frame(panel).select(
-        "e",
-        F.round("att_iw", 8).alias("att_iw"),
-        F.round("se", 8).alias("se"),
-    )
-    events, C = sunab_event_cov(panel)
-    pos = {e: i for i, e in enumerate(events)}
-    k = 0
-    while (-2 - k) in pos:
-        k += 1
-    posts = sorted(e for e in events if e >= 0)
-    coords = [pos[t] for t in range(-1 - k, -1)] + [pos[e] for e in posts]
-    cov = [[round(C[i][j], 8) for j in coords] for i in coords]
-    return honest_sd_ci_frame(prof, cov=cov)
+    ctx = sunab_event_context(panel)
+    try:
+        prof = sunab_event_se_frame(panel, ctx=ctx).select(
+            "e",
+            F.round("att_iw", 8).alias("att_iw"),
+            F.round("se", 8).alias("se"),
+        )
+        events, C = sunab_event_cov(panel, ctx=ctx)
+        pos = {e: i for i, e in enumerate(events)}
+        k = 0
+        while (-2 - k) in pos:
+            k += 1
+        posts = sorted(e for e in events if e >= 0)
+        coords = [pos[t] for t in range(-1 - k, -1)] + [pos[e] for e in posts]
+        cov = [[round(C[i][j], 8) for j in coords] for i in coords]
+        return honest_sd_ci_frame(prof, cov=cov)
+    finally:
+        for _df in ctx:
+            _df.unpersist()
 
 
 QUERIES["did_honest_sd"] = did_honest_sd
@@ -2902,25 +2925,31 @@ def did_honest_sdrm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Coverage/power/set-convergence pytests: tests/test_honest_sdrm.py."""
     from csdid_pyspark_spark.did.honest import honest_sdrm_ci_frame
     from csdid_pyspark_spark.did.robust_cells import (
+        sunab_event_context,
         sunab_event_cov,
         sunab_event_se_frame,
     )
 
     panel = panel_from_events(spark, sf_dir)
-    prof = sunab_event_se_frame(panel).select(
-        "e",
-        F.round("att_iw", 8).alias("att_iw"),
-        F.round("se", 8).alias("se"),
-    )
-    events, C = sunab_event_cov(panel)
-    pos = {e: i for i, e in enumerate(events)}
-    k = 0
-    while (-2 - k) in pos:
-        k += 1
-    posts = sorted(e for e in events if e >= 0)
-    coords = [pos[t] for t in range(-1 - k, -1)] + [pos[e] for e in posts]
-    cov = [[round(C[i][j], 8) for j in coords] for i in coords]
-    return honest_sdrm_ci_frame(prof, cov=cov)
+    ctx = sunab_event_context(panel)
+    try:
+        prof = sunab_event_se_frame(panel, ctx=ctx).select(
+            "e",
+            F.round("att_iw", 8).alias("att_iw"),
+            F.round("se", 8).alias("se"),
+        )
+        events, C = sunab_event_cov(panel, ctx=ctx)
+        pos = {e: i for i, e in enumerate(events)}
+        k = 0
+        while (-2 - k) in pos:
+            k += 1
+        posts = sorted(e for e in events if e >= 0)
+        coords = [pos[t] for t in range(-1 - k, -1)] + [pos[e] for e in posts]
+        cov = [[round(C[i][j], 8) for j in coords] for i in coords]
+        return honest_sdrm_ci_frame(prof, cov=cov)
+    finally:
+        for _df in ctx:
+            _df.unpersist()
 
 
 QUERIES["did_honest_sdrm"] = did_honest_sdrm
