@@ -52,6 +52,38 @@ def _frank_wolfe_simplex(X, y, iters: int = 800):
     return w
 
 
+def _fw_simplex_batch(X, Y, iters: int = 800):
+    """Batched :func:`_frank_wolfe_simplex`: ONE (T0 × K) design, G
+    independent targets Y (T0 × G), fitted simultaneously — ``iters``
+    iterations of two GEMMs instead of G × ``iters`` GEMVs, which
+    collapses the Python/numpy per-call overhead that dominates the
+    conformal grid inversions (61-81 grid points × cyclic-block refits
+    per cohort, all sharing the donor design). Column g of the result
+    is BIT-IDENTICAL to ``_frank_wolfe_simplex(X, Y[:, g])``: the
+    returned weights are a pure function of the per-iteration argmin
+    index sequence and the exact steps 2/(k+2), and the argmin over the
+    GEMM-computed gradient column equals the GEMV gradient's argmin
+    unless two entries tie within reassociation error ~1e-13 of each
+    other AND straddle the two evaluation orders — distinct donor
+    series exclude exact ties, and parity is pytest-asserted on the
+    shapes the conformal family uses
+    (tests/test_did_api.py::test_fw_batch_bitwise_parity)."""
+    import numpy as np
+
+    K = X.shape[1]
+    G = Y.shape[1]
+    W = np.zeros((K, G))
+    W[0, :] = 1.0
+    cols = np.arange(G)
+    for k in range(iters):
+        Grad = 2.0 * X.T @ (X @ W - Y)
+        j = Grad.argmin(axis=0)  # first (lowest) index per column
+        step = 2.0 / (k + 2.0)
+        W *= 1.0 - step
+        W[j, cols] += step
+    return W
+
+
 def _screen_and_collect(
     panel: DataFrame,
     treated_id,
@@ -1071,6 +1103,45 @@ def _conformal_p(y_adj, series, donor_list, periods, post, model, fw_iters, q):
     return ge / T, u
 
 
+def _conformal_p_grid(
+    y_adjs, series, donor_list, periods, post, model, fw_iters, q
+):
+    """:func:`_conformal_p` for MANY hypothesized adjustments sharing
+    one donor design (a test-inversion grid): the Frank-Wolfe refits
+    run as ONE batched stream (:func:`_fw_simplex_batch`), then each
+    column's centering, residuals and cyclic-block statistics use the
+    EXACT scalar-path arithmetic (per-column 1-D construction, the
+    same GEMV, the same block loop), so every (p, u) is bit-identical
+    to a `_conformal_p` call for that column. Returns a list aligned
+    with ``y_adjs``."""
+    import numpy as np
+
+    X = np.array([[series[d][t] for t in periods] for d in donor_list]).T
+    if model == "sdid":
+        Xf = X - X.mean(axis=0, keepdims=True)
+    else:
+        Xf = X
+    yfs = []
+    for y_adj in y_adjs:
+        y = np.array([y_adj[t] for t in periods])
+        yfs.append(y - y.mean() if model == "sdid" else y)
+    W = _fw_simplex_batch(Xf, np.column_stack(yfs), iters=fw_iters)
+    T = len(periods)
+    T1 = len(post)
+    out = []
+    for g, yf in enumerate(yfs):
+        u = yf - Xf @ np.ascontiguousarray(W[:, g])
+        s_obs = float(np.mean(np.abs(u[T - T1 :]) ** q)) ** (1.0 / q)
+        ge = 0
+        for j in range(T):
+            idx = [(j + k) % T for k in range(T1)]
+            s_j = float(np.mean(np.abs(u[idx]) ** q)) ** (1.0 / q)
+            if s_j >= s_obs - 1e-15:
+                ge += 1
+        out.append((ge / T, u))
+    return out
+
+
 def conformal_test(
     panel: DataFrame,
     treated_id,
@@ -1184,7 +1255,16 @@ def conformal_interval(
     half = 6.0 * scale + abs(theta_hat) * 0.5
     for _ in range(6):  # widen if the acceptance region hits the edge
         grid = np.linspace(theta_hat - half, theta_hat + half, grid_points)
-        acc = [float(th) for th in grid if pval(float(th)) > alpha]
+        # whole grid refit as ONE batched Frank-Wolfe stream; p-values
+        # bit-identical to per-point pval() (see _conformal_p_grid)
+        y_adjs = [
+            {t: y_tr[t] - (float(th) if t >= t0 else 0.0) for t in periods}
+            for th in grid
+        ]
+        ps = _conformal_p_grid(
+            y_adjs, series, donor_list, periods, post, model, fw_iters, q
+        )
+        acc = [float(th) for th, (pv, _u) in zip(grid, ps) if pv > alpha]
         if acc and (acc[0] > grid[0] + 1e-12) and (acc[-1] < grid[-1] - 1e-12):
             break
         half *= 2.0
@@ -1301,7 +1381,23 @@ def conformal_staggered(
                 grid = np.linspace(
                     theta_hat - half, theta_hat + half, grid_points
                 )
-                acc = [float(th) for th in grid if pval(float(th))[0] > alpha]
+                # one batched Frank-Wolfe stream for the whole grid;
+                # bit-identical to per-point pval() (_conformal_p_grid)
+                y_adjs = [
+                    {
+                        t: cmean[g][t] - (float(th) if t >= g else 0.0)
+                        for t in win
+                    }
+                    for th in grid
+                ]
+                ps = _conformal_p_grid(
+                    y_adjs, series, pool, win, post, model, fw_iters, q
+                )
+                acc = [
+                    float(th)
+                    for th, (pv, _u) in zip(grid, ps)
+                    if pv > alpha
+                ]
                 if acc and acc[0] > grid[0] + 1e-12 and acc[-1] < grid[-1] - 1e-12:
                     interior = True
                     break
@@ -1379,27 +1475,41 @@ def conformal_trace(
         for s in post:
             win = pre + [s]  # other post periods excluded entirely
 
-            def pointwise_p(c, _g=g, _s=s, _win=win, _pool=pool):
-                """Rank of |u_s| among the pre+s refit's residuals."""
-                X = np.array(
-                    [[series[d][t] for t in _win] for d in _pool]
-                ).T
-                y = np.array(
-                    [
-                        cmean[_g][t] - (c if t == _s else 0.0)
-                        for t in _win
-                    ]
+            # pre+s donor design, built ONCE per (g, s): every grid
+            # point refits against the same Xf, so the whole grid runs
+            # as one batched Frank-Wolfe stream (_fw_simplex_batch);
+            # per-point arithmetic (column construction, centering,
+            # GEMV residual, rank) is the exact scalar path, so each
+            # pointwise p is bit-identical to a per-point refit.
+            Xw = np.array([[series[d][t] for t in win] for d in pool]).T
+            Xfw = (
+                Xw - Xw.mean(axis=0, keepdims=True)
+                if model == "sdid"
+                else Xw
+            )
+
+            def pointwise_p_grid(cs, _g=g, _s=s, _win=win, _Xfw=Xfw):
+                """Rank of |u_s| among the pre+s refit's residuals,
+                for every hypothesized c in ``cs`` at once."""
+                yfs = []
+                for c in cs:
+                    y = np.array(
+                        [
+                            cmean[_g][t] - (c if t == _s else 0.0)
+                            for t in _win
+                        ]
+                    )
+                    yfs.append(y - y.mean() if model == "sdid" else y)
+                W = _fw_simplex_batch(
+                    _Xfw, np.column_stack(yfs), iters=fw_iters
                 )
-                if model == "sdid":
-                    Xf = X - X.mean(axis=0, keepdims=True)
-                    yf = y - y.mean()
-                else:
-                    Xf, yf = X, y
-                w = _frank_wolfe_simplex(Xf, yf, iters=fw_iters)
-                u = np.abs(yf - Xf @ w)
-                return float(
-                    (u >= u[-1] - 1e-15).sum()
-                ) / len(_win)
+                ps = []
+                for i, yf in enumerate(yfs):
+                    u = np.abs(yf - _Xfw @ np.ascontiguousarray(W[:, i]))
+                    ps.append(
+                        float((u >= u[-1] - 1e-15).sum()) / len(_win)
+                    )
+                return ps
 
             # unadjusted gap at s from the pre-only fit = theta_hat_s
             Xp = np.array([[series[d][t] for t in pre] for d in pool]).T
@@ -1427,7 +1537,10 @@ def conformal_trace(
             lo = hi = None
             for _ in range(6):
                 grid = np.linspace(th_hat - half, th_hat + half, grid_points)
-                acc = [float(c) for c in grid if pointwise_p(float(c)) > alpha]
+                ps = pointwise_p_grid([float(c) for c in grid])
+                acc = [
+                    float(c) for c, pv in zip(grid, ps) if pv > alpha
+                ]
                 if acc and acc[0] > grid[0] + 1e-12 and acc[-1] < grid[-1] - 1e-12:
                     lo, hi = float(acc[0]), float(acc[-1])
                     break
@@ -1521,31 +1634,45 @@ def conformal_staggered_pooled(
         Xf = X - X.mean(axis=0, keepdims=True) if model == "sdid" else X
         T, T1 = len(win), len(post)
 
-        def pval(th, _g=g, _win=win, _Xf=Xf, _T=T, _T1=T1):
-            S = np.zeros(_T)
-            for uid in units:
-                y = np.array(
-                    [
-                        tser[_g][uid][t] - (th if t >= _g else 0.0)
-                        for t in _win
-                    ]
-                )
-                yf = y - y.mean() if model == "sdid" else y
-                w = _frank_wolfe_simplex(_Xf, yf, iters=fw_iters)
-                S += np.abs(yf - _Xf @ w) ** q
-            s_obs = float(np.mean(S[_T - _T1:])) ** (1.0 / q)
-            ge = 0
-            for j in range(_T):
-                idx = [(j + kk) % _T for kk in range(_T1)]
-                if float(np.mean(S[idx])) ** (1.0 / q) >= s_obs - 1e-15:
-                    ge += 1
-            return ge / _T
+        def pvals(thetas, _g=g, _win=win, _Xf=Xf, _T=T, _T1=T1):
+            """Pooled moving-block p for every theta in ``thetas``:
+            all (theta × unit) refits share Xf, so they run as ONE
+            batched Frank-Wolfe stream; each unit's residual column
+            and the S accumulation keep the scalar path's arithmetic
+            and unit order — p-values bit-identical to per-theta
+            evaluation."""
+            yfs = []
+            for th in thetas:
+                for uid in units:
+                    y = np.array(
+                        [
+                            tser[_g][uid][t] - (th if t >= _g else 0.0)
+                            for t in _win
+                        ]
+                    )
+                    yfs.append(y - y.mean() if model == "sdid" else y)
+            W = _fw_simplex_batch(_Xf, np.column_stack(yfs), iters=fw_iters)
+            out_ps = []
+            for a in range(len(thetas)):
+                S = np.zeros(_T)
+                for b in range(len(units)):
+                    i = a * len(units) + b
+                    u = yfs[i] - _Xf @ np.ascontiguousarray(W[:, i])
+                    S += np.abs(u) ** q
+                s_obs = float(np.mean(S[_T - _T1:])) ** (1.0 / q)
+                ge = 0
+                for j in range(_T):
+                    idx = [(j + kk) % _T for kk in range(_T1)]
+                    if float(np.mean(S[idx])) ** (1.0 / q) >= s_obs - 1e-15:
+                        ge += 1
+                out_ps.append(ge / _T)
+            return out_ps
 
         core = _sdid_core(
             cmean[g], series, pool, pre, post, fw_iters, n_tr=csize[g]
         )
         row = {
-            "p_value": float(pval(theta0)),
+            "p_value": float(pvals([theta0])[0]),
             "theta_hat": float(core["att"]),
             "n_units": int(csize[g]),
         }
@@ -1559,7 +1686,10 @@ def conformal_staggered_pooled(
                 grid = np.linspace(
                     theta_hat - half, theta_hat + half, grid_points
                 )
-                acc = [float(th) for th in grid if pval(float(th)) > alpha]
+                ps = pvals([float(th) for th in grid])
+                acc = [
+                    float(th) for th, pv in zip(grid, ps) if pv > alpha
+                ]
                 if acc and acc[0] > grid[0] + 1e-12 and acc[-1] < grid[-1] - 1e-12:
                     interior = True
                     break
@@ -1659,49 +1789,78 @@ def conformal_trace_pooled(
             else:
                 Xf = X
 
-            def pooled_p(c, _g=g, _s=s, _win=win, _Xf=Xf):
-                S = np.zeros(len(_win))
-                for uid in units:
-                    y = np.array(
-                        [
-                            tser[_g][uid][t] - (c if t == _s else 0.0)
-                            for t in _win
-                        ]
+            def pooled_p_grid(cs, _g=g, _s=s, _win=win, _Xf=Xf):
+                """Pooled rank p for every hypothesized c in ``cs``:
+                all (c × unit) refits share Xf → ONE batched
+                Frank-Wolfe stream; per-column arithmetic and the
+                unit-ordered S accumulation match the scalar path
+                bit-for-bit."""
+                yfs = []
+                for c in cs:
+                    for uid in units:
+                        y = np.array(
+                            [
+                                tser[_g][uid][t] - (c if t == _s else 0.0)
+                                for t in _win
+                            ]
+                        )
+                        yfs.append(y - y.mean() if model == "sdid" else y)
+                W = _fw_simplex_batch(
+                    _Xf, np.column_stack(yfs), iters=fw_iters
+                )
+                ps = []
+                for a in range(len(cs)):
+                    S = np.zeros(len(_win))
+                    for b in range(len(units)):
+                        i = a * len(units) + b
+                        S += np.abs(
+                            yfs[i] - _Xf @ np.ascontiguousarray(W[:, i])
+                        )
+                    ps.append(
+                        float((S >= S[-1] - 1e-15).sum()) / len(_win)
                     )
-                    yf = y - y.mean() if model == "sdid" else y
-                    w = _frank_wolfe_simplex(_Xf, yf, iters=fw_iters)
-                    S += np.abs(yf - _Xf @ w)
-                return float((S >= S[-1] - 1e-15).sum()) / len(_win)
+                return ps
 
-            # cross-unit mean gap at s from per-unit PRE-ONLY fits
+            # cross-unit mean gap at s from per-unit PRE-ONLY fits —
+            # one batched Frank-Wolfe over the units (shared design)
             Xp = np.array([[series[d][t] for t in pre] for d in pool]).T
             mu_x = Xp.mean(axis=0, keepdims=True)
             x_s = np.array([series[d][s] for d in pool])
+            yps = [
+                np.array([tser[g][uid][t] for t in pre]) for uid in units
+            ]
+            if model == "sdid":
+                Xp_f = Xp - mu_x
+                yfs0 = [yp - yp.mean() for yp in yps]
+            else:
+                Xp_f = Xp
+                yfs0 = yps
+            W0 = _fw_simplex_batch(
+                Xp_f, np.column_stack(yfs0), iters=fw_iters
+            )
             gaps = []
             res_scale = 0.0
-            for uid in units:
-                yp = np.array([tser[g][uid][t] for t in pre])
+            for i, uid in enumerate(units):
+                w0 = np.ascontiguousarray(W0[:, i])
                 if model == "sdid":
-                    mu_y = yp.mean()
-                    w0 = _frank_wolfe_simplex(
-                        Xp - mu_x, yp - mu_y, iters=fw_iters
-                    )
+                    mu_y = yps[i].mean()
                     yhat_s = float((x_s - mu_x[0]) @ w0) + mu_y
-                    res = (yp - mu_y) - (Xp - mu_x) @ w0
                 else:
-                    w0 = _frank_wolfe_simplex(Xp, yp, iters=fw_iters)
                     yhat_s = float(x_s @ w0)
-                    res = yp - Xp @ w0
+                res = yfs0[i] - Xp_f @ w0
                 gaps.append(tser[g][uid][s] - yhat_s)
                 res_scale = max(res_scale, float(np.max(np.abs(res))))
             th_hat = float(np.mean(gaps))
-            p0 = pooled_p(0.0)
+            p0 = pooled_p_grid([0.0])[0]
             scale = max(res_scale, 1e-9)
             half = 8.0 * scale + 0.1 * abs(th_hat)
             lo = hi = None
             for _ in range(6):
                 grid = np.linspace(th_hat - half, th_hat + half, grid_points)
-                acc = [float(c) for c in grid if pooled_p(float(c)) > alpha]
+                ps = pooled_p_grid([float(c) for c in grid])
+                acc = [
+                    float(c) for c, pv in zip(grid, ps) if pv > alpha
+                ]
                 if acc and acc[0] > grid[0] + 1e-12 and acc[-1] < grid[-1] - 1e-12:
                     lo, hi = float(acc[0]), float(acc[-1])
                     break

@@ -2119,3 +2119,37 @@ def test_conformal_staggered_pooled_constant_null(spark):
 
     with _pytest.raises(ValueError, match="max_units"):
         conformal_staggered_pooled(het, donor_k=14, max_units=3)
+
+
+def test_fw_batch_bitwise_parity():
+    """_fw_simplex_batch column g must be BIT-IDENTICAL to
+    _frank_wolfe_simplex on Y[:, g] — the contract that lets the
+    conformal grid inversions batch their refits without changing any
+    pinned output. Exercises the shapes the conformal family uses
+    (short pre windows, donor_k up to 50, grids up to 81) plus
+    degenerate K=1/K=2 and duplicated-column designs."""
+    from csdid_pyspark_spark.did.synth import (
+        _frank_wolfe_simplex,
+        _fw_simplex_batch,
+    )
+
+    rng = np.random.default_rng(123)
+    shapes = [(4, 14, 41), (6, 25, 41), (8, 50, 81), (21, 50, 81),
+              (12, 2, 7), (5, 1, 3)]
+    for T, K, G in shapes:
+        X = rng.standard_normal((T, K)) * 2.0 + 0.3
+        Y = rng.standard_normal((T, G)) * 3.0 - 1.0
+        W = _fw_simplex_batch(X, Y, iters=800)
+        for g in range(G):
+            w = _frank_wolfe_simplex(X, Y[:, g], iters=800)
+            assert np.array_equal(W[:, g], w), (T, K, G, g)
+    # duplicated donor columns: gradient TIES must break to the lowest
+    # index identically in both paths (argmin first-index contract)
+    X = rng.standard_normal((9, 6))
+    X[:, 3] = X[:, 1]
+    Y = rng.standard_normal((9, 11))
+    W = _fw_simplex_batch(X, Y, iters=400)
+    for g in range(11):
+        assert np.array_equal(
+            W[:, g], _frank_wolfe_simplex(X, Y[:, g], iters=400)
+        )
