@@ -368,12 +368,14 @@ def bjs_imputation_se_frame(
 ) -> DataFrame:
     """BJS event study WITH the paper's conservative clustered SEs:
     (e, att, se, n_obs), rounded 6dp, ordered by e. See the module
-    docstring for the exact per-observation weight algebra; everything
-    beyond the shared first stage is two tiny collected aggregations
-    (the gamma_e inputs and the per-(g,t) cell means) plus three
-    map-side-combinable shuffles keyed by unit — per-(unit, e) score
-    assembly and the final sum of squares. Executor->driver traffic
-    stays O(T^2 + |E|*T) floats."""
+    docstring for the exact per-observation weight algebra (the terms
+    proportional to the unit residual sum E_i vanish identically and
+    are not computed — see the inline derivation); everything beyond
+    the shared first stage is the gamma_e inputs riding the core's
+    fused collect, one persisted treated-residual join, and ONE
+    map-side-combinable (unit, e) score shuffle + the tiny final
+    sum of squares. Executor->driver traffic stays O(T^2 + |E|*T)
+    floats."""
     import numpy as np
 
     # -- tiny aggregations for gamma_e: the per-(e, period) counts and
@@ -461,7 +463,49 @@ def bjs_imputation_se_frame(
     if not delta_rows:
         dtab = dtab.filter(F.lit(False))
 
-    # -- untreated residuals (one frame, reused by all three legs) -----
+    # -- per-unit scores in TWO legs, not three. The weight algebra in
+    # the module docstring carries two terms proportional to the unit's
+    # residual sum E_i = sum_{s in U_i} eps_is (the d_i(e)/n_i leg and
+    # the -a_i(e)/(n_e n_i) term of the treated leg). E_i == 0 EXACTLY
+    # by construction: alpha_i = ybar_i - mean_{s in U_i} lambda_s
+    # absorbs the unit mean, so sum_s (y_is - alpha_i - lambda_s)
+    # = n_i*ybar_i - n_i*alpha_i - sum_s lambda_s = 0 identically (the
+    # same identity that makes the X'y cross-term vanish in the core).
+    # The old implementation computed those terms numerically anyway —
+    # an extra groupBy(id), two joins and a groupBy(id, e) per call to
+    # accumulate ~1e-13 float noise that the 6dp rounding discards.
+    # Dropping them removes 4 exchanges from the score DAG; parity is
+    # pinned by test_bjs_se_matches_weight_bruteforce (SEs to 6dp vs a
+    # numerical weight extraction) and the registered query's golden.
+    from csdid_pyspark_spark.cache import persist_rightsized
+
+    # treated rows with tau — reused by the cell means, the treated
+    # score leg and the final att/n_obs aggregation (3 passes; without
+    # the persist each one re-runs the treated-join-alpha shuffle)
+    tt, _ = persist_rightsized(
+        te.join(c["alpha"], "id")
+        .withColumn("lam_m", c["lam_map"])
+        .select(
+            "id", "g", "period", "e",
+            (F.col("y") - F.col("alpha") - F.expr("lam_m[period]")).alias("tau"),
+        )
+    )
+    attbar = tt.groupBy("g", "period").agg(F.avg("tau").alias("attbar"))
+    ne_map = F.create_map(*[F.lit(x) for e in events for x in (e, float(n_e[e]))])
+    # treated leg: (1/n_e)(tau_hat - attbar_{g,t}) per observation
+    leg_tr = (
+        tt.join(F.broadcast(attbar), ["g", "period"])
+        .withColumn("ne_m", ne_map)
+        .select(
+            "id",
+            "e",
+            ((F.col("tau") - F.col("attbar")) / F.expr("ne_m[e]")).alias("score"),
+        )
+    )
+    # untreated leg: -sum_s delta_e[s] * eps_is per (id, e); the
+    # broadcast fan-out rows feed the SAME union aggregation as the
+    # treated leg (map-side partial agg collapses them before the
+    # exchange), so the whole score assembly is ONE shuffle
     ur = (
         untreated.join(c["alpha"], "id")
         .withColumn("lam_m", c["lam_map"])
@@ -471,68 +515,18 @@ def bjs_imputation_se_frame(
             (F.col("y") - F.col("alpha") - F.expr("lam_m[period]")).alias("eps"),
         )
     )
-    # per-unit residual sum E_i and 1/n_i (for the a/d legs)
-    ui = ur.groupBy("id").agg(F.sum("eps").alias("eps_sum")).join(
-        um.select("id", "n_i"), "id"
-    )
-
-    # leg 1: -sum_s delta_e[s] * eps_is  -> per (id, e)
-    leg_delta = (
-        ur.join(F.broadcast(dtab), ur["s"] == dtab["s"])
-        .select("id", "e", (-F.col("dlt") * F.col("eps")).alias("part"))
-        .groupBy("id", "e")
-        .agg(F.sum("part").alias("score"))
-    )
-    # leg 2: (d_i(e)/n_i) * E_i with d_i(e) = sum_{t in U_i} delta_e[t]
-    d_ie = (
-        um.select("id", "n_i", F.explode("uperiods").alias("t"))
-        .join(F.broadcast(dtab), F.col("t") == dtab["s"])
-        .groupBy("id", "e")
-        .agg(F.sum("dlt").alias("d_ie"))
-    )
-    leg_d = (
-        d_ie.join(ui.select("id", "eps_sum", F.col("n_i").alias("ni2")), "id")
-        .select(
-            "id", "e",
-            (F.col("d_ie") / F.col("ni2") * F.col("eps_sum")).alias("score"),
-        )
-    )
-    # leg 3 (treated units only): -a_i(e)/(n_e n_i) * E_i  +  the
-    # treated-residual term (1/n_e)(tau_hat - attbar_{g,t})
-    ne_map = F.create_map(*[F.lit(x) for e in events for x in (e, float(n_e[e]))])
-    cell_means = te.join(c["alpha"], "id").withColumn("lam_m", c["lam_map"]).select(
-        "g", "period", "e",
-        (F.col("y") - F.col("alpha") - F.expr("lam_m[period]")).alias("tau"),
-    )
-    attbar = cell_means.groupBy("g", "period").agg(F.avg("tau").alias("attbar"))
-    leg_tr = (
-        te.join(c["alpha"], "id")
-        .withColumn("lam_m", c["lam_map"])
-        .join(F.broadcast(attbar), ["g", "period"])
-        .join(ui, "id")
-        .withColumn("ne_m", ne_map)
-        .select(
-            "id",
-            "e",
-            (
-                (
-                    F.col("y") - F.col("alpha") - F.expr("lam_m[period]")
-                    - F.col("attbar")
-                )
-                / F.expr("ne_m[e]")
-                - F.col("eps_sum") / (F.expr("ne_m[e]") * F.col("n_i"))
-            ).alias("score"),
-        )
+    leg_u = ur.join(F.broadcast(dtab), ur["s"] == dtab["s"]).select(
+        "id", "e", (-F.col("dlt") * F.col("eps")).alias("score")
     )
     scores = (
-        leg_delta.unionByName(leg_d).unionByName(leg_tr)
+        leg_u.unionByName(leg_tr)
         .groupBy("id", "e")
         .agg(F.sum("score").alias("s"))
     )
     var = scores.groupBy("e").agg(F.sum(F.col("s") * F.col("s")).alias("v"))
 
     att = (
-        cell_means.groupBy("e")
+        tt.groupBy("e")
         .agg(F.avg("tau").alias("att"), F.count("*").cast("bigint").alias("n_obs"))
     )
     result = (
@@ -545,5 +539,5 @@ def bjs_imputation_se_frame(
         )
         .orderBy("e")
     )
-    result._two_phase_cache = [c["um"]]  # type: ignore[attr-defined]
+    result._two_phase_cache = [c["um"], tt]  # type: ignore[attr-defined]
     return result
