@@ -203,6 +203,46 @@ def jaccard_pairs(
             df, exact_limit, "jaccard_pairs(max_df=None, block_col=None)",
             "max_df/block_col or minhash_lsh_pairs",
         )
+    if max_df is None and block_col is None:
+        # Exact path: |shingle set| = size(array_distinct(...)) is known
+        # map-side BEFORE the explode, so n_sh rides each posting row
+        # instead of being recomputed by a postings groupBy and joined
+        # back onto the pair table twice. Removes one full pass over the
+        # postings cache and two pair-scale joins for one extra int per
+        # self-join side. min() over a group of identical values keeps
+        # the aggregation partial/deterministic.
+        arr = _shingle_arrays(df, text_col, id_col, n)
+        sh = arr.select(
+            F.col(id_col),
+            F.size("sh_arr").alias("n_sh"),
+            F.explode("sh_arr").alias("shingle"),
+        ).persist()
+        a, b = sh.alias("a"), sh.alias("b")
+        pair = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(
+                F.count("*").alias("n_inter"),
+                F.min("a.n_sh").alias("n_a"),
+                F.min("b.n_sh").alias("n_b"),
+            )
+        )
+        return attach_cache(
+            pair.withColumn(
+                "jaccard",
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+            sh,
+        )
     carry = [block_col] if block_col else None
     sh = shingle_table(df, text_col, id_col, n, carry_cols=carry)
     if max_df is not None:
@@ -212,7 +252,10 @@ def jaccard_pairs(
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     # the postings feed sizes AND both sides of the self-join: persist
     # once (the same postings-persisted-once policy as the LSH path) so
-    # the explode+distinct shuffle runs once, not three times
+    # the explode+distinct shuffle runs once, not three times. n_sh here
+    # is the POST-cap per-doc posting count (the oracle counts it after
+    # the hot anti-join too), so the free map-side size used by the
+    # exact branch above does not apply.
     sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

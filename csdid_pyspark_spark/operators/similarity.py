@@ -182,11 +182,19 @@ def neardup_pairs_cosine(
     large for the quadratic/broadcast cost — pass ``None`` to accept it.
     (No reference analog — scale extension per SURVEY.md §7/M6.)"""
     from csdid_pyspark_spark.operators.dedup import _guard_exact_allpairs
+    from csdid_pyspark_spark.operators.fanout import widen_fanout
 
     _guard_exact_allpairs(
         df, exact_limit, "neardup_pairs_cosine", "neardup_pairs_lsh"
     )
-    a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("_va"))
+    # the broadcast nested-loop join computes n cosines PER STREAM ROW:
+    # a physically tiny corpus scan (a few input splits) would run the
+    # whole O(n²) compare on that few cores — widen the stream side
+    # first (no-op at scan widths ≥ core count; guarded ≤ exact_limit
+    # rows anyway, so the repartition moves a few MB once)
+    a = widen_fanout(
+        df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("_va"))
+    )
     b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("_vb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
