@@ -674,7 +674,14 @@ def minhash_lsh_pairs(
         band_structs.append(
             F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
+                # bucket id stays the md5 value but as 16-byte BINARY
+                # (bijective unhex of the hex form): identical groups,
+                # half the bytes through the (band, bucket) exchange —
+                # the one corpus-scale shuffle of this pipeline. The
+                # bucket never reaches any output.
+                F.unhex(
+                    F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+                ).alias("bucket"),
             )
         )
     bucketed = sig.select(

@@ -44,6 +44,8 @@ def hourly_grid_fill(
     hour), so every gap is interior and both interpolation neighbors
     always exist.
     """
+    from csdid_pyspark_spark.cache import attach_cache
+
     hour = F.date_trunc("hour", F.col(ts_col))
     hourly = (
         events.select(F.col(series_col).alias("series"), hour.alias("h"), F.col(value_col).alias("v"))
@@ -54,6 +56,11 @@ def hourly_grid_fill(
                 F.sum(F.col("v").cast("decimal(27,6)")).cast("double") / F.count("*")
             ).alias("avg_value"),
         )
+        # hourly feeds the spine aggregate AND the grid join — without a
+        # persist the event-scale scan+groupBy lineage runs twice (Spark
+        # shares no common subtrees across a DAG). The cached frame is
+        # bounded at (series × observed hours), independent of row count.
+        .persist()
     )
     spine = (
         hourly.groupBy("series")
@@ -84,10 +91,13 @@ def hourly_grid_fill(
     filled = F.when(observed, F.col("avg_value")).otherwise(
         v_prev + (v_next - v_prev) * frac
     )
-    return g.select(
-        "series",
-        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
-        F.round(filled, 6).alias("value_filled"),
-        (~observed).alias("is_gap"),
+    return attach_cache(
+        g.select(
+            "series",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.round(filled, 6).alias("value_filled"),
+            (~observed).alias("is_gap"),
+        ),
+        hourly,
     )

@@ -435,24 +435,26 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_state_frame(log: DataFrame) -> DataFrame:
     """Operator core of :func:`cdc_apply_log` over any
     (user_id, ts, event_id, op, value) log frame — also driven at
-    rehearsal scale by ``stress.py cdc``."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    rehearsal scale by ``stress.py cdc``.
+
+    r11 shape: ONE map-side-combinable groupBy(key) — ``max_by`` over
+    the (ts, event_id) op order picks the same winning row the old
+    row_number window selected ((ts, event_id) is unique per key, so
+    there are no ties), and the audit counters ride the same
+    aggregation. The window form shuffled and SORTED every log row;
+    the grouped form partial-aggregates per map task, so the exchange
+    carries one partial state per (task, key) — at 100 TB the
+    difference between moving the log and moving the state."""
+    last = F.max_by(F.struct("op", "value"), F.struct("ts", "event_id"))
+    agg = log.groupBy("user_id").agg(
+        last.alias("_last"),
+        F.count("*").alias("n_ops"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
     )
-    ranked = log.select(
+    return agg.filter(F.col("_last.op") != "D").select(
         "user_id",
-        "op",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("user_id")).alias("n_ops"),
-        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
-        .over(Window.partitionBy("user_id"))
-        .alias("n_deletes"),
-    )
-    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
-        "user_id",
-        F.col("op").alias("last_op"),
-        F.round("value", 6).alias("current_value"),
+        F.col("_last.op").alias("last_op"),
+        F.round(F.col("_last.value"), 6).alias("current_value"),
         F.col("n_ops").cast("bigint").alias("n_ops"),
         F.col("n_deletes").cast("bigint").alias("n_deletes"),
     )
@@ -1978,19 +1980,30 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_label") == F.col("r_label")).alias("same"),
         cosine(F.col("l_v"), F.col("r_v")).alias("cosine"),
     )
-    w = Window.partitionBy("l_id", "same").orderBy(F.desc("cosine"), F.col("r_id"))
-    best = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    # ONE grouped aggregation over the scored fan-out replaces the
+    # ROW_NUMBER window (which shuffled + sorted every scored row) plus
+    # the second groupBy pass: conditional max_by picks the same winner
+    # per (probe, same-label) side — ties broken exactly as the old
+    # ORDER BY cosine DESC, r_id ASC via max of struct(cosine, -r_id),
+    # and max_by skips rows whose ordering key is NULL (the other
+    # side's rows), so each side's winner is unchanged. Partial
+    # aggregation collapses the n·|probes| scored rows map-side.
+    def _side_best(cond):
+        key = F.when(cond, F.struct(F.col("cosine"), (-F.col("r_id")).alias("_nk")))
+        return F.max_by(F.when(cond, F.col("r_id")), key)
+
+    same = F.col("same")
     out = (
-        best.groupBy("l_id")
+        scored.groupBy("l_id")
         .agg(
             F.max("l_label").alias("l_label"),
-            F.max(F.when(F.col("same"), F.col("r_id"))).alias("pos_id"),
-            F.round(F.max(F.when(F.col("same"), F.col("cosine"))), 5).alias("pos_cos"),
-            F.max(F.when(~F.col("same"), F.col("r_id"))).alias("neg_id"),
-            F.round(F.max(F.when(~F.col("same"), F.col("cosine"))), 5).alias("neg_cos"),
+            _side_best(same).alias("pos_id"),
+            F.round(F.max(F.when(same, F.col("cosine"))), 5).alias("pos_cos"),
+            _side_best(~same).alias("neg_id"),
+            F.round(F.max(F.when(~same, F.col("cosine"))), 5).alias("neg_cos"),
             F.round(
-                F.max(F.when(F.col("same"), F.col("cosine")))
-                - F.max(F.when(~F.col("same"), F.col("cosine"))),
+                F.max(F.when(same, F.col("cosine")))
+                - F.max(F.when(~same, F.col("cosine"))),
                 5,
             ).alias("margin"),
         )

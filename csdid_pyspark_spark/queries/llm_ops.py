@@ -3356,10 +3356,12 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hypertable-style continuous-rollup shape: the only event-scale pass
     is the map-side-combine hourly groupBy; the grid and both window
     passes operate on the bounded (series × hours) table."""
+    from csdid_pyspark_spark.cache import carry_cache
     from csdid_pyspark_spark.operators.timeseries import hourly_grid_fill
 
     e = load_table(spark, sf_dir, "events")
-    return hourly_grid_fill(e).withColumnRenamed("series", "event_type")
+    filled = hourly_grid_fill(e)
+    return carry_cache(filled.withColumnRenamed("series", "event_type"), filled)
 
 
 # The interpolation fraction divides exact integer time deltas (micros in
@@ -3803,9 +3805,8 @@ def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     ) % 100
     train = d.filter(bucket < 80)
-    test = d.filter(bucket >= 80)
     coef = logistic_irls(train, _doc_clf_features(train), _doc_clf_label(), iters=8)
-    s = score_column(_doc_clf_features(test), coef)
+    s = score_column(_doc_clf_features(d), coef)
     eps = 1e-12
     y = _doc_clf_label()
     ll = -(
@@ -3813,18 +3814,30 @@ def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(1.0) - y) * F.log(F.greatest(F.lit(1.0) - s, F.lit(eps)))
     )
     pred = (s >= 0.5).cast("double")
-    row = test.agg(
-        F.count("*").cast("bigint").alias("n_test"),
+    # ONE conditional scan replaces the test-metrics aggregate PLUS the
+    # separate train.count() action (two full scans, each re-paying the
+    # md5 split hash per row). is_test gates every metric expression,
+    # so score/log-loss only evaluate on held-out rows; the conditional
+    # sums equal the filtered aggregates value-for-value (the log-loss
+    # otherwise-leg adds exact DECIMAL zero).
+    is_test = bucket >= 80
+    n_test_c = F.sum(F.when(is_test, 1).otherwise(0))
+    row = d.agg(
+        F.sum(F.when(~is_test, 1).otherwise(0)).cast("bigint").alias("n_train"),
+        n_test_c.cast("bigint").alias("n_test"),
         F.round(
-            F.sum(F.when(pred == y, 1).otherwise(0)) / F.count("*"), 6
+            F.sum(F.when(is_test & (pred == y), 1).otherwise(0)) / n_test_c, 6
         ).alias("test_accuracy"),
         F.round(
-            F.sum(ll.cast("decimal(38,12)")).cast("double") / F.count("*"), 6
+            F.sum(
+                F.when(is_test, ll).otherwise(F.lit(0.0)).cast("decimal(38,12)")
+            ).cast("double")
+            / n_test_c,
+            6,
         ).alias("mean_logloss"),
     ).collect()[0]
-    n_train = train.count()
     return spark.createDataFrame(
-        [(int(n_train), int(row["n_test"]), float(row["test_accuracy"]), float(row["mean_logloss"]))],
+        [(int(row["n_train"]), int(row["n_test"]), float(row["test_accuracy"]), float(row["mean_logloss"]))],
         "n_train bigint, n_test bigint, test_accuracy double, mean_logloss double",
     )
 

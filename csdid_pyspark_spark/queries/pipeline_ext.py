@@ -135,13 +135,19 @@ def span_cut_frame(
     # the span table feeds BOTH the dup census and the mark join;
     # uncached, the tokenize+hash explode (the dominant cost) runs
     # twice — persist once, exposed for release via attach_cache
+    # the hash is kept as 16-byte BINARY (unhex of the md5 hex) — the
+    # same md5 value under a bijective recoding, so grouping/semi-join
+    # equality is unchanged while the census exchange, the semi-join
+    # key and the persisted span table carry half the bytes of the
+    # 32-char hex string (guide §2.3: shuffle fewer bytes). h never
+    # reaches the output, so no oracle sees the encoding.
     spans = d.select(
         "doc_id",
         "n_tok",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(tokens) - {w}), "
-                f"i -> md5(concat_ws(' ', slice(tokens, i + 1, {w}))))"
+                f"i -> unhex(md5(concat_ws(' ', slice(tokens, i + 1, {w})))))"
             )
         ).alias("pos", "h"),
     ).persist()
