@@ -203,46 +203,15 @@ def jaccard_pairs(
             df, exact_limit, "jaccard_pairs(max_df=None, block_col=None)",
             "max_df/block_col or minhash_lsh_pairs",
         )
-    if max_df is None and block_col is None:
-        # Exact path: |shingle set| = size(array_distinct(...)) is known
-        # map-side BEFORE the explode, so n_sh rides each posting row
-        # instead of being recomputed by a postings groupBy and joined
-        # back onto the pair table twice. Removes one full pass over the
-        # postings cache and two pair-scale joins for one extra int per
-        # self-join side. min() over a group of identical values keeps
-        # the aggregation partial/deterministic.
-        arr = _shingle_arrays(df, text_col, id_col, n)
-        sh = arr.select(
-            F.col(id_col),
-            F.size("sh_arr").alias("n_sh"),
-            F.explode("sh_arr").alias("shingle"),
-        ).persist()
-        a, b = sh.alias("a"), sh.alias("b")
-        pair = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .agg(
-                F.count("*").alias("n_inter"),
-                F.min("a.n_sh").alias("n_a"),
-                F.min("b.n_sh").alias("n_b"),
-            )
-        )
-        return attach_cache(
-            pair.withColumn(
-                "jaccard",
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
-            sh,
-        )
+    # r11 note: a variant that carried n_sh = size(array_distinct(...))
+    # through the posting rows (removing the sizes groupBy and both
+    # pair-scale size joins; 17 -> 7 exchanges) measured 2-2.5x SLOWER
+    # at sf0.1 in interleaved same-window A/B (5.4-6.2 s vs 2.3-3.1 s
+    # solo medians, control query flat): the extra per-row ints ride
+    # the candidate-pair hash aggregation — the one structure that is
+    # quadratic in bucket df — and widening its rows/buffers costs far
+    # more than the removed doc-scale pass and two broadcast-sized
+    # joins ever saved. Reverted per guide §1 (measure decides).
     carry = [block_col] if block_col else None
     sh = shingle_table(df, text_col, id_col, n, carry_cols=carry)
     if max_df is not None:

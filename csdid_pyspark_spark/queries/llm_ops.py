@@ -619,33 +619,34 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact TF-IDF over whitespace tokens: tf = in-doc term count,
     idf = ln((N+1)/(df+1)) + 1 (smooth — scikit-learn convention).
 
-    Document frequency is a map-side-combinable groupBy(term) count
-    over the persisted tf table, joined back on term — NO vocabulary
-    broadcast hint (a broadcast of the raw whitespace vocab is
-    unbounded at corpus scale: billions of distinct terms would OOM
-    the driver; AQE picks broadcast only when the runtime df size
-    fits, SMJ with skew-split otherwise). r11: this replaces a window
-    count partitioned by term, which (a) sorted every tf row by term
-    and (b) forced ALL rows of one term into a single task — a hot
-    stopword at corpus scale is an unsplittable straggler, while a
-    join's skewed partition AQE can split. tf is persisted so the
-    tokenize+aggregate subtree runs once for both consumers. The only
-    unconditional broadcast is the 1-row corpus count."""
-    from csdid_pyspark_spark.cache import attach_cache
+    Document frequency is a window count over the tf table partitioned
+    by term — one shuffle keyed by term, NO vocabulary broadcast and no
+    duplicated scan of the tokenization subtree. (A broadcast of the raw
+    whitespace vocab is unbounded at corpus scale: billions of distinct
+    terms would OOM the driver; the window keeps df computation fully
+    distributed.) The only broadcast left is the 1-row corpus count.
+
+    r11 note: a persisted-tf + groupBy(term) + join-back variant (which
+    would let AQE skew-split a hot stopword the window cannot) measured
+    ~25% SLOWER at sf0.1 in interleaved same-window A/B (solo minima
+    1.19-1.38 s vs 1.01 s): the tf cache materialization plus the join
+    exchange cost more than the window's sort here. Reverted per guide
+    §1; the hot-term-straggler trade-off is documented rather than
+    paid. A corpus with a genuinely hot vocabulary should prefer the
+    grouped form — it is a two-line change."""
+    from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     ).filter(F.length("term") > 0)
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = F.count("*").over(Window.partitionBy("term"))
     nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
-    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
-    return attach_cache(
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(nd))
-        .select("doc_id", "term", "tf", F.round(F.col("tf") * idf, 6).alias("tfidf")),
-        tf,
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (dfc + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.crossJoin(F.broadcast(nd))
+        .select("doc_id", "term", "tf", F.round(F.col("tf") * idf, 6).alias("tfidf"))
     )
 
 
@@ -2903,15 +2904,12 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc state is bounded by the doc's own term count."""
     from pyspark.sql import Window
 
-    from csdid_pyspark_spark.cache import carry_cache
-
     scored = QUERIES["text_tfidf"](spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
-    return carry_cache(
+    return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tfidf"),
-        scored,
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tfidf")
     )
 
 

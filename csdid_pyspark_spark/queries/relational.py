@@ -243,21 +243,22 @@ FROM events
 # --- O2-style: top-1 per group via row_number ---------------------------------
 
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # top-1 per group as max_by, not ROW_NUMBER: the grouped aggregate
-    # partial-aggregates map-side, so the exchange moves one candidate
-    # per (task, custkey) instead of shuffling + sorting every order row
-    # (guide §2.3 — the window form for general k stays demonstrated by
-    # text_keywords / cdc SCD2). Tie order (price DESC, orderkey ASC)
-    # is preserved by maximizing struct(price, -orderkey); orderkey is
-    # unique, so the winner is deterministic.
+    # r11 note: a max_by(struct(price, -orderkey)) grouped form — the
+    # §2.3 aggregate-before-shuffle rewrite — measured ~15-20% SLOWER
+    # here in interleaved same-window A/B (solo minima 0.68-0.85 s vs
+    # 0.60 s): max_by's struct ordering key compares interpreted
+    # per-row, while ROW_NUMBER rides the codegen sort. Kept the
+    # window; the same rewrite DID win where it removed several window
+    # passes at once (cdc_apply_log, sim_hard_negatives).
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_custkey").agg(
-        F.max_by(
-            F.col("o_orderkey"),
-            F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("_nk")),
-        ).alias("o_orderkey"),
-        F.round(F.max("o_totalprice"), 2).alias("totalprice"),
-    ).select("o_custkey", "o_orderkey", "totalprice")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
 
 
 WINDOW_TOPK_SQL = """
@@ -296,25 +297,19 @@ def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # pre-aggregate lineitem per order BEFORE the fact-fact join: the
-    # per-order partial sums combine map-side, so the largest exchange
-    # of the query carries ~one row per order instead of every line row
-    # (guide §2.3 "aggregate before you shuffle"). DECIMAL addition is
-    # associative, so sum-of-per-order-sums is bit-identical to the
-    # flat sum; n_items = sum of per-order line counts likewise.
-    lr = l.groupBy("l_orderkey").agg(
-        F.sum(revenue.cast("decimal(30,6)")).alias("_rev"),
-        F.count("*").alias("_n"),
-    )
+    # r11 note: pre-aggregating lineitem per order before the join
+    # (the q3 rewrite) measured +30-75% SLOWER here in same-window A/B
+    # (solo minima 0.82-1.15 s vs 0.60-0.88 s): unlike q3 — whose
+    # post-join group key IS the orderkey, so the pre-agg replaces the
+    # final aggregation — this query groups by segment, so the
+    # pre-agg ADDS a full decimal hash aggregation the query never had,
+    # costing more than the halved orderkey exchange. Reverted.
     return (
-        lr.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("o_orderdate") < F.lit("1999-01-01"))
         .groupBy("c_mktsegment")
-        .agg(
-            F.sum("_rev").cast("double").alias("revenue"),
-            F.sum("_n").alias("n_items"),
-        )
+        .agg(_dsum(revenue, "30,6").alias("revenue"), F.count("*").alias("n_items"))
     )
 
 
@@ -2057,14 +2052,15 @@ def dim_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", F.round("c_acctbal", 2).alias("old_bal")
     )
     o = load_table(spark, sf_dir, "orders")
-    # freshest order per key via max_by (map-side partial agg) instead
-    # of a ROW_NUMBER window that shuffled + sorted the whole CDC
-    # stream; (o_orderdate, o_orderkey) DESC DESC ≡ max of the struct,
-    # and orderkey uniqueness makes the winner deterministic.
-    upd = o.groupBy("o_custkey").agg(
-        F.round(
-            F.max_by(F.col("o_totalprice"), F.struct("o_orderdate", "o_orderkey")), 2
-        ).alias("new_bal")
+    # (a max_by grouped form A/B-measured slower here — struct ordering
+    # keys compare interpreted; see window_topk_per_group note)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    upd = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.round("o_totalprice", 2).alias("new_bal"))
     )
     return c.join(upd, F.col("c_custkey") == F.col("o_custkey"), "left").select(
         "c_custkey",
@@ -2213,13 +2209,13 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.round("c_acctbal", 2).alias("bal")
     )
     o = load_table(spark, sf_dir, "orders")
-    # same freshest-order shape as dim_merge_upsert: max_by partial-
-    # aggregates map-side where the ROW_NUMBER window shuffled + sorted
-    # every order row.
-    upd = o.groupBy("o_custkey").agg(
-        F.round(
-            F.max_by(F.col("o_totalprice"), F.struct("o_orderdate", "o_orderkey")), 2
-        ).alias("new_bal")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    upd = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.round("o_totalprice", 2).alias("new_bal"))
     )
     v2 = (
         c.filter(F.col("c_custkey") % 97 != 0)
