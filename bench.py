@@ -111,6 +111,37 @@ def _cpu_canary_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _mcore_canary_ms() -> float:
+    """SUSTAINED-multicore probe: 8 threads each run the single-core
+    canary's matmul loop concurrently; reported as wall ms for the
+    slowest thread. Round-11 measured a THIRD host failure mode the
+    existing probes miss: the burst canary read healthy (52.7 ms) and
+    membw healthy (0.065 s/GB) while every untouched query ran ~1.5x
+    its earlier capture — hypervisor CPU-quota throttling that only
+    binds under sustained multi-core load, exactly what a Spark stage
+    generates. A capture whose mcore/calib ratio is far above the
+    thread count's ideal (~1x here: 8 threads, 32 cores) is running
+    on capped cores and its totals must be discounted accordingly."""
+    import threading
+
+    import numpy as np
+
+    def work() -> None:
+        a = np.random.default_rng(1).standard_normal((512, 512))
+        for _ in range(20):
+            a = a @ a * 1e-3
+        if not np.isfinite(a[0, 0]):
+            print("", end="")
+
+    threads = [threading.Thread(target=work) for _ in range(8)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def _membw_s_per_gb() -> float:
     """Streaming DRAM bandwidth probe: best-of-3 memcpy of a 256 MB
     float64 buffer, reported as seconds per GB of buffer copied.
@@ -145,6 +176,7 @@ def main() -> None:
     # otherwise-idle 32-core box means: distrust this capture).
     load1_pre = round(os.getloadavg()[0], 2)
     calib_ms = _cpu_canary_ms()
+    mcore_ms = _mcore_canary_ms()
     membw = _membw_s_per_gb()
     spark = get_spark("csdid-pyspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -194,6 +226,7 @@ def main() -> None:
         "load1": load1_pre,
         "load1_post": load1_post,
         "calib_ms": calib_ms,
+        "mcore_ms": mcore_ms,
         "membw_s_per_gb": membw,
         "timed_action": "noop_sink",
         "sf": sf,
@@ -229,6 +262,7 @@ def main() -> None:
         "load1": load1_pre,
         "load1_post": load1_post,
         "calib_ms": calib_ms,
+        "mcore_ms": mcore_ms,
         "membw_s_per_gb": membw,
         "timed_action": "noop_sink",
         "sf": sf,
