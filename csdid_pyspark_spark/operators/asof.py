@@ -62,6 +62,51 @@ def asof_join(
         *[F.col(c).alias(out_vals[c]) for c in value_cols],
     ).withColumn(_SIDE, F.lit(0))
     both = lt.unionByName(rt, allowMissingColumns=True)
+    return asof_join_tagged(
+        both,
+        on=keys,
+        ts_col=ts_col,
+        value_cols=[out_vals[c] for c in value_cols],
+        left_cols=list(left.columns),
+        direction=direction,
+        tolerance_us=tolerance_us,
+        right_suffix=right_suffix,
+    )
+
+
+def asof_join_tagged(
+    both: DataFrame,
+    on: Sequence[str] | str,
+    ts_col: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    left_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    right_suffix: str = "_right",
+) -> DataFrame:
+    """As-of join over a PRE-TAGGED union: ``both`` carries left and
+    right rows in ONE DataFrame — ``SIDE_COL`` 1 on left rows / 0 on
+    right rows, ``RTS_COL`` = the right row's timestamp (null on left
+    rows), ``value_cols`` already under their OUTPUT names (null on
+    left rows), and ``left_cols`` the left row's payload (null on
+    right rows).
+
+    This is the entry point for callers whose two sides derive from
+    the SAME table: building them as separate DataFrames and unioning
+    (``asof_join``) plans one scan per side — a filter on each branch
+    does not make the scans shareable — while a single conditional
+    projection (and, if the right side needs pre-aggregation, one
+    grouped pass keyed so left rows stay singleton groups) feeds this
+    function from ONE scan (guide §6/§2.4). Identical window, tie and
+    tolerance semantics to :func:`asof_join`: carried values come only
+    from right rows, so equal-timestamp left rows can't observe each
+    other regardless of their relative order."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None or left_cols is None:
+        raise ValueError("asof_join_tagged requires value_cols and left_cols")
+    rts_out = f"{ts_col}{right_suffix}"
 
     if direction == "backward":
         order = [F.col(ts_col).asc(), F.col(_SIDE).asc()]
@@ -77,7 +122,7 @@ def asof_join(
         "*",
         F.last(F.col(_RTS), ignorenulls=True).over(w).alias(f"{_RTS}2"),
         *[
-            F.last(F.col(out_vals[c]), ignorenulls=True).over(w).alias(f"{out_vals[c]}2")
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"{c}2")
             for c in value_cols
         ],
     )
@@ -89,9 +134,13 @@ def asof_join(
             gap = -gap
         matched = matched & (gap <= int(tolerance_us))
 
-    keep = [c for c in left.columns]
     return carried.filter(F.col(_SIDE) == 1).select(
-        *keep,
+        *left_cols,
         F.when(matched, F.col(f"{_RTS}2")).alias(rts_out),
-        *[F.when(matched, F.col(f"{out_vals[c]}2")).alias(out_vals[c]) for c in value_cols],
+        *[F.when(matched, F.col(f"{c}2")).alias(c) for c in value_cols],
     )
+
+
+# public names for callers assembling a pre-tagged union frame
+SIDE_COL = _SIDE
+RTS_COL = _RTS

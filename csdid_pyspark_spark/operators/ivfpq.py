@@ -38,11 +38,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from csdid_pyspark_spark.operators.pq import encode_pq, train_pq
+from csdid_pyspark_spark.operators.pq import (
+    assign_codes_arrow,
+    encode_pq,
+    train_pq,
+)
 
 
-def _centroid_array(centroids: list[list[float]]):
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+def _assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    with_vec: bool = False,
+) -> DataFrame:
+    """Cell assignment = the PQ Arrow kernel in its degenerate m=1
+    form (one "subspace" spanning the whole vector): same per-dim
+    IEEE distance fold, same low-id argmin tiebreak — bit-identical
+    cells to the old posexplode + interpreted zip_with/aggregate +
+    min_by pipeline, with zero shuffles (narrow map). ``with_vec``
+    passes the vector through in its input dtype, so consumers
+    (centroid update, residual encoding) need no corpus self-join."""
+    cb = {0: dict(enumerate(centroids))}
+    out = assign_codes_arrow(df, cb, vec_col, id_col, with_sub=with_vec)
+    cols = [F.col(id_col), F.col("code").alias("cell")]
+    if with_vec:
+        cols.append(F.col("sub").alias(vec_col))
+    return out.select(*cols)
 
 
 def coarse_kmeans(
@@ -51,42 +73,25 @@ def coarse_kmeans(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 4,
+    _with_vec: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic Lloyd's coarse quantizer: returns ((id, cell)
-    assignments, centroid list). Same plan shapes as
-    operators/kmeans.py (explode-k assignment, one k·p-cell update
-    shuffle) but with DECIMAL-exact centroid means so the centroids —
-    and therefore every downstream code — are independent of
-    partial-aggregation order (required for the pinned golden)."""
+    assignments, centroid list). Assignment runs through the Arrow
+    NumPy kernel (operators/pq.py::assign_codes_arrow — guide §4.2),
+    update keeps the one k·p-cell shuffle with DECIMAL-exact centroid
+    means so the centroids — and therefore every downstream code — are
+    independent of partial-aggregation order (required for the pinned
+    golden). ``_with_vec=True`` adds the pass-through vector column to
+    the returned assignment (internal; callers that need residuals
+    avoid re-joining the corpus)."""
     init = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init]
     vec = df.select(id_col, vec_col)
 
-    def _assign(cents: list[list[float]]) -> DataFrame:
-        cand = vec.select(
-            id_col,
-            F.posexplode(_centroid_array(cents)).alias("cell", "cen"),
-            F.col(vec_col),
-        ).select(
-            id_col,
-            "cell",
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), F.col("cen"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
-        )
-        return cand.groupBy(id_col).agg(
-            F.min_by("cell", F.struct("d2", "cell")).alias("cell")
-        )
-
     for _ in range(iters):
-        assigned = _assign(centroids)
+        asg = _assign_cells(vec, centroids, vec_col, id_col, with_vec=True)
         upd = (
-            vec.join(assigned, id_col)
-            .select("cell", F.posexplode(vec_col).alias("dim", "x"))
+            asg.select("cell", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cell", "dim")
             .agg(
                 (
@@ -108,7 +113,7 @@ def coarse_kmeans(
     # returned centroids) must agree, or a vector can live in a cell
     # whose centroid is no longer its nearest — silently costing recall
     # at small n_probe.
-    return _assign(centroids), centroids
+    return _assign_cells(vec, centroids, vec_col, id_col, with_vec=_with_vec), centroids
 
 
 def build_ivfpq_index(
@@ -125,33 +130,41 @@ def build_ivfpq_index(
     (id, m, code) frame and assigned the (id, cell) frame — at real
     scale both are written out partitioned/clustered by cell so a
     probe is a partition-pruned scan."""
-    assigned, centroids = coarse_kmeans(
-        df, vec_col, id_col, k=n_cells, iters=iters
+    assigned_v, centroids = coarse_kmeans(
+        df, vec_col, id_col, k=n_cells, iters=iters, _with_vec=True
     )
+    assigned = assigned_v.select(id_col, "cell")
     cen_df = F.broadcast(
         df.sparkSession.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)],
             "cell int, cen array<double>",
         )
     )
-    resid = (
-        df.select(id_col, vec_col)
-        .join(assigned, id_col)
-        .join(cen_df, "cell")
-        .select(
-            id_col,
-            "cell",
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.col("cen"),
-                lambda a, b: a - b,
-            ).alias("resid"),
-        )
+    # the assignment kernel passes the vector through, so the residual
+    # projection is a broadcast join on `cell` only — the old corpus
+    # self-join on the id (one full shuffle of the vectors) is gone
+    resid = assigned_v.join(cen_df, "cell").select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("cen"),
+            lambda a, b: a - b,
+        ).alias("resid"),
     )
+    # the residual frame feeds EVERY train_pq iteration (eager collect
+    # per iteration) plus the final encode — uncached, its lineage
+    # (coarse kernel + residual projection) re-executes once per
+    # consumer (guide §2.4). Pinned here, attached to the returned
+    # codes frame for the standard release_cache lifecycle.
+    from csdid_pyspark_spark.cache import attach_cache
+
+    resid = resid.persist()
     codebook = train_pq(
         resid, vec_col="resid", id_col=id_col, m=m, k=k_codes, iters=iters
     )
     codes = encode_pq(resid, codebook, vec_col="resid", id_col=id_col)
+    codes = attach_cache(codes, resid)
     return codes, assigned, centroids, codebook
 
 
@@ -262,8 +275,14 @@ def ivfpq_topk(
         id_col,
         n_candidates,
     )
-    # 4. exact re-rank of the bounded candidate set
-    return _exact_rerank(df, cand, q, vec_col, id_col, k_out)
+    # 4. exact re-rank of the bounded candidate set; carry the pinned
+    # residual intermediate onto the returned frame so the caller's
+    # release_cache after its final action reclaims it
+    from csdid_pyspark_spark.cache import carry_cache
+
+    return carry_cache(
+        _exact_rerank(df, cand, q, vec_col, id_col, k_out), codes
+    )
 
 
 def write_ivfpq_index(
@@ -297,6 +316,11 @@ def write_ivfpq_index(
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
+    # the codes write was the last consumer of the pinned residual
+    # intermediate — release it before the tiny side-table writes
+    from csdid_pyspark_spark.cache import release_cache
+
+    release_cache(codes)
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, cen array<double>",

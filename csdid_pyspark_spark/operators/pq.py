@@ -8,13 +8,15 @@ Computation (ADC) table — M·K precomputed subdistances broadcast as
 literals — so the scan never touches the original floats.
 
 Spark-first shapes:
-- codebook training runs ALL M subspaces simultaneously: one narrow
-  explode to (vec, m, subvector), assignment via a broadcast
-  (m, cluster, centroid) join + zip_with/aggregate codegen, update via
-  ONE groupBy of M·K·d_sub cells with decimal-exact means — driver
-  traffic is the codebook itself (M·K·d_sub floats) per iteration,
-  row count never leaves the executors (same contract as
-  operators/kmeans.py and the estimator Gram passes);
+- codebook training runs ALL M subspaces simultaneously: assignment
+  is ONE narrow ``mapInArrow`` NumPy kernel over the (id, vec) rows
+  (:func:`assign_codes_arrow` — guide §4.2; it replaced an
+  explode + broadcast-join(×K) + INTERPRETED zip_with/aggregate
+  pipeline with bit-identical codes), update via ONE groupBy of
+  M·K·d_sub cells with decimal-exact means — driver traffic is the
+  codebook itself (M·K·d_sub floats) per iteration, row count never
+  leaves the executors (same contract as operators/kmeans.py and the
+  estimator Gram passes);
 - encoding is the same assignment pass, emitting (id, m, code);
 - ADC scoring is a broadcast equi-join of the code table against the
   M·K distance table + one groupBy(id) sum — no vector math at scan
@@ -39,27 +41,88 @@ def _subvectors(df: DataFrame, vec_col: str, id_col: str, m: int, d_sub: int) ->
     return df.select(id_col, F.posexplode(subs).alias("m", "sub"))
 
 
-def _assign_codes(sub: DataFrame, cb_df: DataFrame, id_col: str) -> DataFrame:
-    d2 = F.aggregate(
-        F.zip_with(F.col("sub"), F.col("cen"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        sub.join(F.broadcast(cb_df), "m")
-        .select(id_col, "m", F.col("cluster"), d2.alias("d2"))
-        .groupBy(id_col, "m")
-        .agg(F.min_by("cluster", F.struct("d2", "cluster")).alias("code"))
+def assign_codes_arrow(
+    df: DataFrame,
+    codebook: dict[int, dict[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    with_sub: bool = False,
+) -> DataFrame:
+    """Nearest-codebook-entry assignment as ONE ``mapInArrow`` NumPy
+    kernel over the (id, vec) rows — replacing the explode-to-(n·M
+    rows) + broadcast-join-(×K) + interpreted zip_with/aggregate +
+    min_by groupBy pipeline (guide §4.2: hand whole batches to
+    vectorized native code instead of per-row interpreted expression
+    trees; §2.4: the explode/groupBy shuffle disappears outright — the
+    kernel is a narrow map).
+
+    Values are BIT-IDENTICAL to the expression form by construction:
+
+    - the squared distance accumulates per dimension in ascending
+      order (``acc += (a - b)²`` one dim at a time), the exact IEEE
+      fold ``aggregate(zip_with(...), 0.0, acc + v)`` performs —
+      float32 inputs promote to float64 exactly, each elementwise
+      NumPy op is one correctly-rounded double op;
+    - argmin over entries sorted by cluster id picks the first minimum
+      == ``min_by(cluster, struct(d2, cluster))``'s low-id tiebreak;
+    - ``with_sub=True`` passes each subvector through in the INPUT
+      element dtype (a pure Arrow re-slice of the incoming buffer), so
+      downstream decimal casts quantize the same bits the old
+      ``slice()`` projection produced.
+
+    Returns (id, m, code[, sub]) — one row per (vector, subspace).
+    """
+    import numpy as np
+
+    m = len(codebook)
+    d_sub = len(next(iter(codebook[0].values())))
+    k_max = max(len(codebook[j]) for j in range(m))
+    # pad ragged subspaces (possible when the corpus is smaller than
+    # K) with +inf centroids: never selected, matrix stays rectangular
+    ids_mat = np.full((m, k_max), np.iinfo(np.int64).max, dtype=np.int64)
+    cb_mat = np.full((m, k_max, d_sub), np.inf, dtype=np.float64)
+    for j in range(m):
+        for pos, c in enumerate(sorted(codebook[j])):
+            ids_mat[j, pos] = c
+            cb_mat[j, pos, :] = codebook[j][c]
+    id_t = df.schema[id_col].dataType.simpleString()
+    el_t = df.schema[vec_col].dataType.elementType.simpleString()
+    out_schema = f"{id_col} {id_t}, m int, code int" + (
+        f", sub array<{el_t}>" if with_sub else ""
     )
 
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
 
-def _codebook_df(spark, codebook: dict[int, dict[int, list[float]]]) -> DataFrame:
-    rows = [
-        (m, c, [float(x) for x in cen])
-        for m, clusters in codebook.items()
-        for c, cen in clusters.items()
-    ]
-    return spark.createDataFrame(rows, "m int, cluster int, cen array<double>")
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids_np = b.column(0).to_numpy(zero_copy_only=False)
+            flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+            x = flat.astype(np.float64, copy=False).reshape(n, m, d_sub)
+            acc = np.zeros((n, m, k_max))
+            for d in range(d_sub):
+                diff = x[:, :, d, None] - cb_mat[None, :, :, d]
+                acc += diff * diff
+            idx = np.argmin(acc, axis=2)  # ties -> first = lowest id
+            codes = ids_mat[np.arange(m)[None, :], idx]
+            arrays = [
+                pa.array(np.repeat(ids_np, m)),
+                pa.array(np.tile(np.arange(m, dtype=np.int32), n)),
+                pa.array(codes.reshape(-1).astype(np.int32)),
+            ]
+            names = [id_col, "m", "code"]
+            if with_sub:
+                offs = pa.array(
+                    np.arange(0, (n * m + 1) * d_sub, d_sub, dtype=np.int32)
+                )
+                arrays.append(pa.ListArray.from_arrays(offs, pa.array(flat)))
+                names.append("sub")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.select(id_col, vec_col).mapInArrow(assign, out_schema)
 
 
 def train_pq(
@@ -75,8 +138,6 @@ def train_pq(
     p = len(df.select(vec_col).first()[0])
     assert p % m == 0, f"dim {p} not divisible by m={m}"
     d_sub = p // m
-    spark = df.sparkSession
-    sub = _subvectors(df, vec_col, id_col, m, d_sub)
 
     init = (
         _subvectors(df.orderBy(id_col).limit(k), vec_col, id_col, m, d_sub)
@@ -92,11 +153,13 @@ def train_pq(
             seen[j] += 1
 
     for _ in range(iters):
-        cb_df = _codebook_df(spark, codebook)
-        assigned = _assign_codes(sub, cb_df, id_col)
+        # assignment via the Arrow NumPy kernel (bit-identical codes,
+        # see assign_codes_arrow); with_sub passes the subvectors
+        # through so the update aggregates straight off the kernel
+        # output — the old explode + (id, m) self-join is gone
+        asg = assign_codes_arrow(df, codebook, vec_col, id_col, with_sub=True)
         upd = (
-            sub.join(assigned, [id_col, "m"])
-            .select("m", F.col("code"), F.posexplode("sub").alias("dim", "x"))
+            asg.select("m", F.col("code"), F.posexplode("sub").alias("dim", "x"))
             .groupBy("m", "code", "dim")
             .agg(
                 (
@@ -126,12 +189,9 @@ def encode_pq(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, m, code) PQ codes — the compressed index a scan reads
-    instead of the float vectors."""
-    m = len(codebook)
-    d_sub = len(codebook[0][0])
-    spark = df.sparkSession
-    sub = _subvectors(df, vec_col, id_col, m, d_sub)
-    return _assign_codes(sub, _codebook_df(spark, codebook), id_col)
+    instead of the float vectors. One narrow Arrow-kernel pass
+    (:func:`assign_codes_arrow`) — no explode, no shuffle."""
+    return assign_codes_arrow(df, codebook, vec_col, id_col, with_sub=False)
 
 
 def pq_topk(

@@ -193,6 +193,30 @@ FROM wide WHERE period = 2
 _FIT_CACHE: dict[tuple[str, str, str, str], object] = {}
 
 
+def clear_estimator_caches() -> None:
+    """Drop the session-scoped panel/fit memos AND unpersist the frames
+    they hold. bench.py calls this between reps so the timed medians of
+    did_attgt_*/did_aggte_* measure the fit computation, not a memo
+    read (the r11 verdict flagged the 25x rep1/rep2 ratios as a bench-
+    integrity defect). The cross-QUERY reuse within one rep is
+    unchanged — several queries legitimately consume one fit — and the
+    grading/oracle path never cared about timing, so it keeps the memo
+    too."""
+    for df in _PANEL_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PANEL_CACHE.clear()
+    _PANEL_ROWS.clear()
+    for est in _FIT_CACHE.values():
+        try:
+            est.unpersist()  # type: ignore[attr-defined]
+        except Exception:
+            pass
+    _FIT_CACHE.clear()
+
+
 def _fit_attgt(spark: SparkSession, sf_dir: str, control: str, est_method: str = "reg"):
     from csdid_pyspark_spark.did import ATTgt
 

@@ -530,18 +530,42 @@ ORACLES.update(
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csdid_pyspark_spark.operators import asof
 
-    e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
     )
-    # collapse right side to one row per (user, ts) so the match is
-    # deterministic (see operators/asof.py tie semantics)
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("view_value"))
+    # ONE scan for both join sides (guide §6; the old two-branch form
+    # planned a separate events scan per event-type filter). A single
+    # grouped pass produces both: views collapse to one row per
+    # (user, ts) with max(value) — the deterministic-tie
+    # pre-aggregation the asof operator requires — while clicks stay
+    # row-level because event_id (the events table's primary key,
+    # unique at every SF) joins the group key, making each click a
+    # singleton group whose max(value) IS its value. The conditional
+    # projection then tags sides for asof_join_tagged — same window,
+    # same tie semantics, bit-identical output to the two-scan form.
+    is_click = F.col("event_type") == "click"
+    g = e.groupBy(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(is_click, F.col("event_id")).alias("event_id"),
+    ).agg(F.max("value").alias("v"))
+    both = g.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(is_click, F.col("v")).alias("click_value"),
+        F.when(~is_click, F.col("ts")).alias(asof.RTS_COL),
+        F.when(~is_click, F.col("v")).alias("view_value"),
+        F.when(is_click, F.lit(1)).otherwise(F.lit(0)).alias(asof.SIDE_COL),
     )
-    j = asof.asof_join(clicks, views, on="user_id", ts_col="ts", value_cols=["view_value"])
+    j = asof.asof_join_tagged(
+        both,
+        on="user_id",
+        ts_col="ts",
+        value_cols=["view_value"],
+        left_cols=["event_id", "user_id", "ts", "click_value"],
+    )
     return j.select(
         "event_id",
         "user_id",
@@ -2898,7 +2922,7 @@ ORACLES["events_session_window_builtin"] = EVENTS_SESSION_WINDOW_SQL
 def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the keyword/tag extraction
     step of a document-indexing pipeline. Reuses the no-vocabulary-
-    broadcast TF-IDF shape (grouped df over the term key) and ranks
+    broadcast TF-IDF shape (window df over the term key) and ranks
     INSIDE each document partition with row_number over the ROUNDED
     score (+ term tiebreak), so the cut is engine-deterministic and the
     per-doc state is bounded by the doc's own term count."""

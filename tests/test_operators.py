@@ -801,10 +801,16 @@ def test_hourly_grid_fill_interpolates_interior_gaps(spark):
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, event_type string, value double"
     )
+    from csdid_pyspark_spark.cache import release_cache
+
+    grid = hourly_grid_fill(df)
     out = {
-        (r["series"], r["window_start"]): r
-        for r in hourly_grid_fill(df).collect()
+        (r["series"], r["window_start"]): r for r in grid.collect()
     }
+    # the operator persists its hourly aggregate and attaches it to the
+    # result (documented lifecycle) — release after the final action so
+    # the shared test session doesn't accumulate executor storage
+    release_cache(grid)
     assert len(out) == 6  # a: 5 grid hours, b: 1
     a0 = out[("a", "2024-03-01 00:00:00")]
     assert (a0["n_events"], a0["value_filled"], a0["is_gap"]) == (2, 10.0, False)

@@ -8,7 +8,7 @@ read/write bytes. This separates "few big stages doing real work" from
 that decides what to optimize at bench scale (guide §1.1).
 
 Usage: python tools/profile_queries.py [query ...]   (default: all headline)
-Writes plans/r11/profile.json and prints a sorted table.
+Writes plans/r12/profile.json and prints a sorted table.
 """
 
 from __future__ import annotations
@@ -155,7 +155,7 @@ def main() -> None:
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        "r12",
         "profile.json",
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
