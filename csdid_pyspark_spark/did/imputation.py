@@ -415,17 +415,10 @@ def bjs_imputation_se_frame(
         return [c1, c2]
 
     c = _bjs_core(panel, yname, tname, gname, idname, extra=_gamma_aggs)
-    treated, untreated, um = c["treated"], c["untreated"], c["um"]
+    um = c["um"]
     est, base, idx, Minv = c["est"], c["base"], c["idx"], c["Minv"]
     spark = panel.sparkSession
 
-    te = treated.select(
-        "id",
-        "g",
-        "period",
-        "y",
-        (F.col("period") - F.col("g")).cast("int").alias("e"),
-    )
     c1_rows = [r for r in c["extra_rows"] if r["kind"] == "c1"]
     c2_rows = [r for r in c["extra_rows"] if r["kind"] == "c2"]
     n_e = {}
@@ -479,20 +472,35 @@ def bjs_imputation_se_frame(
     # numerical weight extraction) and the registered query's golden.
     from csdid_pyspark_spark.cache import persist_rightsized
 
-    # treated rows with tau — reused by the cell means, the treated
-    # score leg and the final att/n_obs aggregation (3 passes; without
-    # the persist each one re-runs the treated-join-alpha shuffle)
-    tt, _ = persist_rightsized(
-        te.join(c["alpha"], "id")
+    # ONE residual frame for BOTH legs: tau (treated) and eps
+    # (untreated) are the same expression y - alpha_i - lambda_t, so
+    # the whole panel joins alpha ONCE — the old shape shuffled the
+    # treated rows and the untreated rows through two separate
+    # panel-scale id-joins (guide §2.4). Persisted: consumed by the
+    # cell means, both score legs and (via the fused score agg) the
+    # point estimates.
+    pr, _ = persist_rightsized(
+        c["p"]
+        .join(c["alpha"], "id")
         .withColumn("lam_m", c["lam_map"])
         .select(
-            "id", "g", "period", "e",
-            (F.col("y") - F.col("alpha") - F.expr("lam_m[period]")).alias("tau"),
+            "id", "g", "period",
+            (F.col("period") - F.col("g")).cast("int").alias("e"),
+            ((F.col("g") == 0) | (F.col("period") < F.col("g"))).alias("untr"),
+            (F.col("y") - F.col("alpha") - F.expr("lam_m[period]")).alias("resid"),
         )
+    )
+    tt = pr.filter(~F.col("untr")).select(
+        "id", "g", "period", "e", F.col("resid").alias("tau")
     )
     attbar = tt.groupBy("g", "period").agg(F.avg("tau").alias("attbar"))
     ne_map = F.create_map(*[F.lit(x) for e in events for x in (e, float(n_e[e]))])
-    # treated leg: (1/n_e)(tau_hat - attbar_{g,t}) per observation
+    # treated leg: (1/n_e)(tau_hat - attbar_{g,t}) per observation. It
+    # ALSO carries tau itself, so the point estimate rides the same
+    # aggregation tree as the variance — the old separate
+    # tt.groupBy(e) att branch and its att-join-var exchange are gone
+    # (guide §2.4: two aggregations keyed the same way share one
+    # exchange; here they share the whole two-level tree).
     leg_tr = (
         tt.join(F.broadcast(attbar), ["g", "period"])
         .withColumn("ne_m", ne_map)
@@ -500,44 +508,49 @@ def bjs_imputation_se_frame(
             "id",
             "e",
             ((F.col("tau") - F.col("attbar")) / F.expr("ne_m[e]")).alias("score"),
+            "tau",
         )
     )
     # untreated leg: -sum_s delta_e[s] * eps_is per (id, e); the
     # broadcast fan-out rows feed the SAME union aggregation as the
     # treated leg (map-side partial agg collapses them before the
     # exchange), so the whole score assembly is ONE shuffle
-    ur = (
-        untreated.join(c["alpha"], "id")
-        .withColumn("lam_m", c["lam_map"])
-        .select(
-            "id",
-            F.col("period").alias("s"),
-            (F.col("y") - F.col("alpha") - F.expr("lam_m[period]")).alias("eps"),
-        )
+    ur = pr.filter(F.col("untr")).select(
+        "id",
+        F.col("period").alias("s"),
+        F.col("resid").alias("eps"),
     )
     leg_u = ur.join(F.broadcast(dtab), ur["s"] == dtab["s"]).select(
-        "id", "e", (-F.col("dlt") * F.col("eps")).alias("score")
+        "id",
+        "e",
+        (-F.col("dlt") * F.col("eps")).alias("score"),
+        F.lit(None).cast("double").alias("tau"),
     )
     scores = (
         leg_u.unionByName(leg_tr)
         .groupBy("id", "e")
-        .agg(F.sum("score").alias("s"))
-    )
-    var = scores.groupBy("e").agg(F.sum(F.col("s") * F.col("s")).alias("v"))
-
-    att = (
-        tt.groupBy("e")
-        .agg(F.avg("tau").alias("att"), F.count("*").cast("bigint").alias("n_obs"))
+        .agg(
+            F.sum("score").alias("s"),
+            # point-estimate partials: tau is null on untreated-leg
+            # rows, so sum/count see exactly the treated observations
+            F.sum("tau").alias("tau_i"),
+            F.count("tau").alias("n_i_e"),
+        )
     )
     result = (
-        att.join(var, "e")
+        scores.groupBy("e")
+        .agg(
+            F.sum(F.col("s") * F.col("s")).alias("v"),
+            F.sum("tau_i").alias("tau_sum"),
+            F.sum("n_i_e").cast("bigint").alias("n_obs"),
+        )
         .select(
             "e",
-            F.round("att", 6).alias("att"),
+            F.round(F.col("tau_sum") / F.col("n_obs"), 6).alias("att"),
             F.round(F.sqrt("v"), 6).alias("se"),
             "n_obs",
         )
         .orderBy("e")
     )
-    result._two_phase_cache = [c["um"], tt]  # type: ignore[attr-defined]
+    result._two_phase_cache = [c["um"], pr]  # type: ignore[attr-defined]
     return result

@@ -813,13 +813,25 @@ def components(
         persist_rightsized,
     )
 
-    fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-    rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    # both edge directions from ONE execution of the pair subtree: a
+    # unionByName of two projections embeds the (expensive) pair
+    # generation once per branch — the cache below only helps AFTER
+    # materialization, and materializing the union ran the subtree
+    # twice (guide §2.4). explode(array(struct,struct)) emits the same
+    # directed-edge multiset from a single pass.
+    both_dirs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("s"), F.col(id_b).alias("d")),
+                F.struct(F.col(id_b).alias("s"), F.col(id_a).alias("d")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
     # read once per propagation round: right-sized cache; the measured
     # edge count also sizes every round's label checkpoint below, so a
     # small graph doesn't pay 32-task overhead per round and a huge one
     # keeps its parallelism
-    edges, n_edges = persist_rightsized(fwd.unionByName(rev).distinct(), measure=True)
+    edges, n_edges = persist_rightsized(both_dirs.distinct(), measure=True)
     # labels ≤ 2·edges nodes; cap at the shuffle width the groupBy
     # produces anyway so a planet-scale graph never over-coalesces
     shuffle_parts = _shuffle_partitions(pairs.sparkSession)

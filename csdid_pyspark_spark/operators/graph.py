@@ -34,9 +34,19 @@ def pagerank_undirected(
     is re-persisted per round and the predecessor released, keeping
     lineage depth constant (the same discipline as label
     propagation). Returns (node, rank)."""
+    # both directions from ONE execution of the pair subtree (the
+    # union-of-two-projections form ran it once per branch when the
+    # persist materialized — guide §2.4)
     edges = (
-        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("s"), F.col(id_b).alias("d")),
+                    F.struct(F.col(id_b).alias("s"), F.col(id_a).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .persist()
     )
     # degree folded into the edge list ONCE: the per-round loop below
@@ -104,9 +114,18 @@ def label_propagation(
     round, constant lineage depth via the persist/release ladder
     (same discipline as :func:`pagerank_undirected`). Returns
     (node, label)."""
+    # both directions from ONE execution of the pair subtree (see
+    # pagerank_undirected above)
     edges = (
-        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("s"), F.col(id_b).alias("d")),
+                    F.struct(F.col(id_b).alias("s"), F.col(id_a).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .persist()
     )
     labels = edges.select(F.col("d").alias("node")).distinct().select(

@@ -2234,12 +2234,13 @@ def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a"), "id_a")
         .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b"), "id_b")
     )
+    # ONE pass over the labeled pair graph: the old unionAll of two
+    # projections re-ran the pair-generation join + both source joins
+    # once per branch (guide §2.4); explode(array(...)) emits the same
+    # (endpoint source, same-source flag) multiset from one execution.
     per_side = lab.select(
-        F.col("src_a").alias("source"), (F.col("src_a") == F.col("src_b")).alias("same")
-    ).unionAll(
-        lab.select(
-            F.col("src_b").alias("source"), (F.col("src_a") == F.col("src_b")).alias("same")
-        )
+        F.explode(F.array("src_a", "src_b")).alias("source"),
+        (F.col("src_a") == F.col("src_b")).alias("same"),
     )
     counts = per_side.groupBy("source").agg(
         (F.sum(F.when(F.col("same"), 1).otherwise(0)) / 2).cast("bigint").alias("n_pairs_within"),
@@ -4385,7 +4386,13 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one degree aggregation."""
     d = load_table(spark, sf_dir, "documents")
     _pairs = _neardup_pairs(d)
-    e = _pairs.select("id_a", "id_b")
+    # the edge list feeds FIVE consumers (three triangle-join aliases,
+    # the degree pass, the edge count) — unpinned, each one re-ran the
+    # pair-generation join (only the shingle arrays are persisted
+    # inside jaccard_pairs; the postings self-join is the expensive
+    # stage). Pin it once (guide §2.4) — released by the caller via
+    # the standard attach/release lifecycle below.
+    e = _pairs.select("id_a", "id_b").persist()
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -4398,9 +4405,10 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+    # degree endpoints from ONE pass (explode) instead of a unionAll of
+    # two projections — one cache read instead of two
     deg = (
-        e.select(F.col("id_a").alias("node"))
-        .unionAll(e.select(F.col("id_b").alias("node")))
+        e.select(F.explode(F.array("id_a", "id_b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
@@ -4429,8 +4437,11 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # lazy over the pair graph: carry the postings persist to the
-    # frame the caller releases after its final action
-    return carry_cache(out, _pairs)
+    # frame the caller releases after its final action, plus the
+    # pinned edge list itself
+    from csdid_pyspark_spark.cache import attach_cache
+
+    return attach_cache(carry_cache(out, _pairs), e)
 
 
 DEDUP_TRIANGLES_SQL = (
@@ -5734,9 +5745,13 @@ def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = _neardup_pairs(d)
+    # ONE pass over the pair graph: the old unionAll of two projections
+    # embedded the whole pair-generation subtree (postings self-join +
+    # jaccard filter — the expensive part; only the shingle arrays are
+    # persisted) once PER BRANCH (guide §2.4). explode(array(...)) emits
+    # the identical endpoint multiset from a single execution.
     deg = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("degree"))
     )

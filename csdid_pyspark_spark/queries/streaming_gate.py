@@ -64,24 +64,46 @@ def _drain_to_table(sdf: DataFrame, output_mode: str, timeout: int = 300) -> Dat
     """Run a streaming frame to completion into a memory sink; return
     the sink table. availableNow processes everything the source has
     and stops — the batch-bounded way to execute the true streaming
-    operator graph (state store, watermark bookkeeping and all)."""
+    operator graph (state store, watermark bookkeeping and all).
+
+    State-store sizing: a stateful streaming query fixes its state
+    partition count from ``spark.sql.shuffle.partitions`` AT START and
+    keeps it for the checkpoint's lifetime. The gate streams' state
+    key spaces are bounded (event types × hourly windows, session
+    users, dedup keys at test scale), so the session-wide 32 buys no
+    parallelism and costs 32 state-store instances + 32 tasks per
+    stateful stage per micro-batch of pure launch overhead. The count
+    is env-parameterised (``SPARK_GRAFT_STREAM_SHUFFLE``, default 8
+    locally); a production deployment sizes it to its expected key
+    cardinality / throughput and sets the var (or conf) accordingly —
+    the batch session conf is restored after the drain, so nothing
+    else sees the override."""
+    import os
+
+    spark = sdf.sparkSession
+    n_state = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"sg_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    # awaitTermination returns False on timeout WITHOUT raising — a
-    # partially-drained sink would then be hash-compared as if complete
-    # (misreported as a correctness divergence) while the query leaks
-    # into the shared session. Stop it and fail loudly instead.
-    if not q.awaitTermination(timeout):
-        q.stop()
-        raise TimeoutError(
-            f"streaming drain {name!r} did not finish within {timeout}s"
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
         )
+        # awaitTermination returns False on timeout WITHOUT raising — a
+        # partially-drained sink would then be hash-compared as if
+        # complete (misreported as a correctness divergence) while the
+        # query leaks into the shared session. Stop it and fail loudly.
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name!r} did not finish within {timeout}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return sdf.sparkSession.table(name)
 
 
@@ -577,17 +599,27 @@ def _psi_append_core(
             F.col("count").alias("c"),
         )
     )
+    import os
+
     name = f"sg_{uuid.uuid4().hex[:12]}"
-    q = (
-        cur_stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"streaming drain {name!r} did not finish")
+    # same env-gated state-partition sizing as _drain_to_table (this
+    # drain keeps its own start() because it must read lastProgress)
+    n_state = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+        q = (
+            cur_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"streaming drain {name!r} did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     prog = _json.loads(q.lastProgress.json) if q.lastProgress else {}
     ops = prog.get("stateOperators") or [{}]
     state_info = {
