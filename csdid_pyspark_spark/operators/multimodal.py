@@ -50,13 +50,24 @@ FEATURE_SCHEMA = StructType(
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic fake asset table (payload = seeded bytes) so the
-    plumbing is testable without media libraries."""
+    plumbing is testable without media libraries.
+
+    Partitioning is sized to the data (guide §2.5): createDataFrame's
+    default slices a local list over defaultParallelism, so a 256-row
+    table landed on 32 partitions and every downstream mapInPandas
+    paid 32 Python-worker launches (~2 s each — 63 s of task time for
+    a 4 s query, measured in the r11 profile sweep). One slice per 64
+    assets keeps small inputs on a handful of workers while a larger
+    asset table still fans out."""
     rows = []
     for i in range(n):
         payload = bytes((i * 31 + j * 7) % 256 for j in range(128 + (i % 5) * 64))
         modality = ("image", "audio", "video")[i % 3]
         rows.append((i, modality, f"application/x-fake-{modality}", payload, len(payload)))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    n_slices = max(1, min(spark.sparkContext.defaultParallelism, n // 64))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), ASSET_SCHEMA
+    )
 
 
 def _decode_stub(payload: bytes, modality: str) -> tuple[int, int]:

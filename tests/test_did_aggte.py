@@ -231,3 +231,10 @@ def test_compute_aggte_memoized_and_invalidated_on_refit(spark):
     d = est.compute_aggte("dynamic")
     assert d is not a  # refit invalidates
     assert abs(d.overall_att - a.overall_att) < 1e-12  # same fit → same numbers
+
+# Slow tier: deselected by the default `-m "not slow"` (pytest.ini) so the
+# driver's time-budgeted gate runs the fast product surfaces; run everything
+# with `python -m pytest tests/ -m "slow or not slow"` (round-close practice).
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

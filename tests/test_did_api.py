@@ -2153,3 +2153,10 @@ def test_fw_batch_bitwise_parity():
         assert np.array_equal(
             W[:, g], _frank_wolfe_simplex(X, Y[:, g], iters=400)
         )
+
+# Slow tier: deselected by the default `-m "not slow"` (pytest.ini) so the
+# driver's time-budgeted gate runs the fast product surfaces; run everything
+# with `python -m pytest tests/ -m "slow or not slow"` (round-close practice).
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -47,3 +47,10 @@ def test_golden_oracle_matches_regenerated(name, spark):
         f"change is intentional, rerun `python tools/gen_golden_oracles.py` "
         f"and commit the result"
     )
+
+# Slow tier: deselected by the default `-m "not slow"` (pytest.ini) so the
+# driver's time-budgeted gate runs the fast product surfaces; run everything
+# with `python -m pytest tests/ -m "slow or not slow"` (round-close practice).
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

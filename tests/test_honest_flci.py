@@ -192,3 +192,10 @@ def test_sunab_event_cov_matches_se_and_is_psd(spark):
     events2, C2 = sunab_event_cov(panel.repartition(13))
     assert events2 == events
     assert np.allclose(np.array(C2), M, rtol=1e-10, atol=1e-14)
+
+# Slow tier: deselected by the default `-m "not slow"` (pytest.ini) so the
+# driver's time-budgeted gate runs the fast product surfaces; run everything
+# with `python -m pytest tests/ -m "slow or not slow"` (round-close practice).
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -744,6 +744,7 @@ def test_merge_upsert_semantics(spark):
             assert r["merged_bal"] == r["old_bal"]
 
 
+@pytest.mark.slow  # 5-16 s each; tiered out of the budgeted default gate
 def test_pagerank_star_graph_properties(spark):
     """On a star graph the hub must outrank every leaf, all leaves tie,
     and total rank mass stays 1 (undirected graphs have no dangling
@@ -1390,6 +1391,7 @@ def test_grouped_rank_sum_col_null_prefix_carries_base(spark):
     assert got == want
 
 
+@pytest.mark.slow  # 5-16 s each; tiered out of the budgeted default gate
 def test_ivfpq_recall_and_determinism(spark):
     """IVF-PQ (probe restriction + residual ADC + exact re-rank) must
     recover the exact L2 top-10 on the sf0.01 corpus at the query
@@ -1442,6 +1444,7 @@ def test_ivfpq_recall_and_determinism(spark):
     assert a1 == a2  # partitioning-independent coarse assignments
 
 
+@pytest.mark.slow  # 5-16 s each; tiered out of the budgeted default gate
 def test_ivfpq_persisted_probe_matches_inmemory_and_prunes(spark, tmp_path):
     """write_ivfpq_index + probe_ivfpq_index (the r8 build-once /
     probe-many path): the probe from storage must return exactly what
@@ -1555,6 +1558,7 @@ def test_label_propagation_splits_bridged_cliques(spark):
     assert again == got
 
 
+@pytest.mark.slow  # 5-16 s each; tiered out of the budgeted default gate
 def test_ivfpq_batch_probe_parity_and_pruning(spark, tmp_path):
     """probe_ivfpq_index_batch (round-9 production retrieval pass):
     per-query results must be IDENTICAL to looping

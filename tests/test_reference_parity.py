@@ -54,10 +54,14 @@ import pytest
 
 REF_DIR = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF_DIR, "csdids")),
-    reason="reference checkout not available",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF_DIR, "csdids")),
+        reason="reference checkout not available",
+    ),
+    # slow tier: deselected by the default `-m "not slow"` (pytest.ini)
+    pytest.mark.slow,
+]
 
 
 # ---------------------------------------------------------------------------
